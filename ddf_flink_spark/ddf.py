@@ -1,0 +1,328 @@
+"""The DDF wrapper: a named, schema'd distributed table with handler facades.
+
+Reference model: ``DDF = name + Schema + handlers`` with a multi-
+representation graph (``flink/src/main/scala/io/ddf/flink/content/
+RepresentationHandler.scala:19-58``) — in Spark the single ``DataFrame``
+subsumes every representation, so the wrapper is deliberately thin:
+``(name, DataFrame, factor metadata, mutability flag)`` registered as a temp
+view (replacing ``manager.addDDF``, ``FlinkDDFManager.scala:42-58``).
+
+Facades mirror the reference handler surface (``ddf-conf/ddf.ini:57-83``):
+sql / views / joins / aggregation / stats / binning / missing-data /
+sampling / transform / ML, each delegating to a module in ``operators/``.
+Mutation semantics (core MutabilityHandler, ``ddf.ini:67``): a "mutable" DDF
+keeps its identity while its contents change — here the wrapper re-binds its
+DataFrame pointer and refreshes the temp view.
+"""
+
+from __future__ import annotations
+
+import itertools
+import typing
+
+from pyspark.sql import DataFrame
+
+from .operators import aggregation as _agg
+from .operators import binning as _binning
+from .operators import joins as _joins
+from .operators import missing as _missing
+from .operators import sampling as _sampling
+from .operators import stats as _stats
+from .operators import transform as _transform
+from .operators import views as _views
+
+if typing.TYPE_CHECKING:
+    from .manager import DDFManager
+
+__all__ = ["DDF"]
+
+_name_counter = itertools.count(1)
+
+
+class DDF:
+    """A named distributed table bound to a manager's catalog."""
+
+    def __init__(
+        self,
+        manager: "DDFManager",
+        df: DataFrame,
+        name: str | None = None,
+        factors: dict[str, dict] | None = None,
+        mutable: bool = False,
+    ):
+        self.manager = manager
+        self._df = df
+        # tbl<counter> mirrors the reference's generated tbl<random long>
+        # (FlinkDDFManager.scala:42-58) but deterministic for testability.
+        self.name = name or f"tbl_{next(_name_counter)}"
+        self.factors: dict[str, dict] = dict(factors or {})
+        self.mutable = mutable
+        self._register()
+
+    # ------------------------------------------------------------------ core
+    def _register(self) -> None:
+        self._df.createOrReplaceTempView(self.name)
+        self.manager.catalog[self.name] = self
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def spark(self):
+        return self.manager.spark
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    @property
+    def schema(self):
+        return self._df.schema
+
+    def set_mutable(self, mutable: bool = True) -> "DDF":
+        self.mutable = mutable
+        return self
+
+    def _derive(self, df: DataFrame, name: str | None = None, keep_factors: bool = True) -> "DDF":
+        """Wrap a derived frame. If this DDF is mutable, re-bind in place
+        (reference identity-with-changing-contents model, docs/demo.md:72-81)."""
+        if self.mutable and name is None:
+            self._df = df
+            self._register()
+            return self
+        factors = {c: v for c, v in self.factors.items() if c in df.columns} if keep_factors else {}
+        return DDF(self.manager, df, name=name, factors=factors)
+
+    def copy(self) -> "DDF":
+        """Clone with metadata (``FlinkDDF.java:21-27``)."""
+        return DDF(self.manager, self._df, factors=dict(self.factors))
+
+    def num_rows(self) -> int:
+        """``getNumRows`` (``content/MetaDataHandler.scala:10-13``)."""
+        return self._df.count()
+
+    def cache(self) -> "DDF":
+        """Replaces the reference's client-memory row cache
+        (``utils/RowCacheHelper.scala:19-66``) with distributed caching."""
+        self._df.cache()
+        return self
+
+    def persist(self, path: str) -> str:
+        """Persistence sink (core handler, ``ddf.ini:68``; pinned by
+        ``PersistenceHandlerSpec.scala:30-38``) → parquet."""
+        target = f"{path.rstrip('/')}/{self.name}"
+        self._df.write.mode("overwrite").parquet(target)
+        return target
+
+    def unpersist(self) -> None:
+        self._df.unpersist()
+
+    # ------------------------------------------------------------------- sql
+    def sql(self, command: str) -> "DDF":
+        """DDF-scoped SQL with ``@this`` substitution (core TableNameReplacer,
+        via ``etl/SqlHandler.scala:15``)."""
+        from .sql.preparser import substitute_this
+
+        return self.manager.sql2ddf(substitute_this(command, self.name))
+
+    def sql2list(self, command: str, limit: int = 1000) -> tuple[list[str], list[str]]:
+        """Execute and return rows as tab-joined strings
+        (``SqlHandler.scala:217-248``; DEFAULT_LIMIT=1000 ``:255``)."""
+        from .sql.preparser import substitute_this
+
+        res = self.manager.sql2ddf(substitute_this(command, self.name)).df.limit(limit)
+        rows = ["\t".join("null" if v is None else str(v) for v in row) for row in res.collect()]
+        return res.columns, rows
+
+    # ----------------------------------------------------------------- views
+    def project(self, *columns: str) -> "DDF":
+        return self._derive(_views.project(self._df, list(columns)))
+
+    def remove_columns(self, *columns: str) -> "DDF":
+        return self._derive(_views.remove_columns(self._df, list(columns)))
+
+    def subset(self, condition: str) -> "DDF":
+        return self._derive(_views.subset(self._df, condition))
+
+    def grep(self, column: str, pattern: str, ignore_case: bool = False) -> "DDF":
+        return self._derive(_views.grep(self._df, column, pattern, ignore_case))
+
+    def head(self, n: int) -> list:
+        return _views.head(self._df, n)
+
+    def top(self, n: int, column: str, ascending: bool = False) -> "DDF":
+        return self._derive(_views.top(self._df, n, column, ascending))
+
+    def sample(self, fraction: float, with_replacement: bool = False, seed: int | None = None) -> "DDF":
+        return self._derive(_views.sample_fraction(self._df, fraction, with_replacement, seed))
+
+    def sample_n(self, n: int, with_replacement: bool = False, seed: int = 42) -> list:
+        return _views.sample_exact(self._df, n, with_replacement, seed)
+
+    # ----------------------------------------------------------------- joins
+    def join(
+        self,
+        other: "DDF",
+        join_type: str = "inner",
+        by_columns: list[str] | None = None,
+        by_left_columns: list[str] | None = None,
+        by_right_columns: list[str] | None = None,
+        broadcast_right: bool = False,
+    ) -> "DDF":
+        return self._derive(
+            _joins.join(
+                self._df,
+                other.df,
+                join_type,
+                by_columns,
+                by_left_columns,
+                by_right_columns,
+                broadcast_right,
+            )
+        )
+
+    def merge(self, other: "DDF") -> "DDF":
+        return self._derive(_joins.merge(self._df, other.df))
+
+    # ----------------------------------------------------------- aggregation
+    def aggregate(self, fields: str) -> dict:
+        return _agg.aggregate(self._df, fields)
+
+    def group_by(self, group_cols: list[str], agg_specs: list[str]) -> "DDF":
+        return self._derive(_agg.group_by(self._df, group_cols, agg_specs))
+
+    def aggregate_on_column(self, function: str, column: str):
+        return _agg.aggregate_on_column(self._df, function, column)
+
+    def xtabs(self, fields: str) -> dict:
+        return _agg.xtabs(self._df, fields)
+
+    def correlation(self, col_a: str, col_b: str) -> float:
+        return _agg.correlation(self._df, col_a, col_b)
+
+    # ----------------------------------------------------------------- stats
+    def summary(self) -> dict:
+        return _stats.summary(self._df)
+
+    def simple_summary(self) -> dict:
+        return _stats.simple_summary(self._df, factor_columns=list(self.factors))
+
+    def five_num_summary(self, columns: list[str] | None = None) -> dict:
+        return _stats.five_num_summary(self._df, columns)
+
+    def vector_quantiles(self, column: str, probabilities: list[float], eps: float = 0.001) -> list:
+        return _stats.vector_quantiles(self._df, column, probabilities, eps)
+
+    def vector_mean(self, column: str) -> float:
+        return _stats.vector_mean(self._df, column)
+
+    def vector_variance(self, column: str) -> list[float]:
+        return _stats.vector_variance(self._df, column)
+
+    def vector_covariance(self, col_a: str, col_b: str) -> float:
+        return _stats.vector_covariance(self._df, col_a, col_b)
+
+    def vector_cor(self, col_a: str, col_b: str) -> float:
+        return _agg.correlation(self._df, col_a, col_b)
+
+    def vector_histogram(self, column: str, num_bins: int) -> list[tuple[float, int]]:
+        return _stats.vector_histogram(self._df, column, num_bins)
+
+    # --------------------------------------------------------------- binning
+    def binning(
+        self,
+        column: str,
+        binning_type: str = "EQUALINTERVAL",
+        num_bins: int = 5,
+        breaks: list[float] | None = None,
+        include_lowest: bool = False,
+        right: bool = True,
+    ) -> "DDF":
+        out, levels = _binning.binning(
+            self._df, column, binning_type, num_bins, breaks, include_lowest, right
+        )
+        derived = self._derive(out)
+        derived.factors[column] = {"levels": levels}
+        return derived
+
+    # --------------------------------------------------------------- missing
+    def drop_na(
+        self,
+        axis: str = "row",
+        how: str = "any",
+        thresh: int | None = None,
+        columns: list[str] | None = None,
+    ) -> "DDF":
+        return self._derive(_missing.drop_na(self._df, axis, how, thresh, columns))
+
+    def fill_na(self, value=None, column_values: dict | None = None, agg_function: str | None = None,
+                columns: list[str] | None = None) -> "DDF":
+        return self._derive(
+            _missing.fill_na(self._df, value, column_values, agg_function, columns)
+        )
+
+    # -------------------------------------------------------------- sampling
+    def random_split(self, weights: list[float], seed: int = 42) -> list["DDF"]:
+        return [self._derive(d) for d in _sampling.random_split(self._df, weights, seed)]
+
+    def cv_random(self, k: int, train_size: float = 0.75, seed: int = 42):
+        return [
+            (self._derive(tr), self._derive(te))
+            for tr, te in _sampling.cv_random(self._df, k, train_size, seed)
+        ]
+
+    def cv_k_fold(self, k: int, seed: int = 42):
+        return [
+            (self._derive(tr), self._derive(te))
+            for tr, te in _sampling.cv_k_fold(self._df, k, seed)
+        ]
+
+    # ------------------------------------------------------------- transform
+    def transform_scale_min_max(self) -> "DDF":
+        return self._derive(_transform.scale_min_max(self._df))
+
+    def transform_scale_standard(self) -> "DDF":
+        return self._derive(_transform.scale_standard(self._df))
+
+    def transform_native(self, expressions: dict[str, str]) -> "DDF":
+        """``transformNativeRserve(expr)`` parity minus R: add/replace columns
+        by SQL expression (``etl/TransformationHandler.scala:68-124``)."""
+        return self._derive(_transform.transform_expressions(self._df, expressions))
+
+    def transform_map_partitions(self, fn, schema) -> "DDF":
+        return self._derive(_transform.map_partitions(self._df, fn, schema))
+
+    def transform_map_reduce(self, map_fn, map_schema, key_cols, reduce_fn, reduce_schema) -> "DDF":
+        return self._derive(
+            _transform.map_reduce(self._df, map_fn, map_schema, key_cols, reduce_fn, reduce_schema)
+        )
+
+    def transform_udf(self, column: str, expression: str) -> "DDF":
+        """The transformUDF the reference left unimplemented
+        (``README.md:76-79``) — trivial in Spark."""
+        return self._derive(_transform.transform_expressions(self._df, {column: expression}))
+
+    # --------------------------------------------------------------- factors
+    def set_as_factor(self, column: str) -> "DDF":
+        """Mark categorical (core setAsFactor; ``BinningHandlerSpec.scala:19-22``)."""
+        if column not in self._df.columns:
+            raise KeyError(column)
+        self.factors.setdefault(column, {})
+        return self
+
+    def factor_level_counts(self, columns: list[str] | None = None) -> dict[str, dict]:
+        """Distributed level→count maps for factor columns in one pass
+        (``content/SchemaHandler.scala:18-64,90-185``)."""
+        cols = columns or list(self.factors) or [
+            f.name for f in self._df.schema.fields if f.dataType.typeName() in ("string", "boolean")
+        ]
+        counts = _stats.factor_level_counts(self._df, cols)
+        for c, levels in counts.items():
+            self.factors[c] = {"levels": sorted(levels), "level_counts": levels}
+        return counts
+
+    def factor_levels(self, column: str) -> list:
+        if column not in self.factors or "levels" not in self.factors[column]:
+            self.factor_level_counts([column])
+        return self.factors[column]["levels"]

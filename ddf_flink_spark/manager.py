@@ -1,0 +1,90 @@
+"""DDFManager: session owner + name→DDF catalog + SQL entry point.
+
+Reference: ``FlinkDDFManager`` creates the execution environment, loads
+files with sample-based inference, and registers DDFs by generated name
+(``flink/src/main/scala/io/ddf/flink/FlinkDDFManager.scala:21-109``); the
+SQL entry dispatches CREATE/LOAD/SELECT (``etl/SqlHandler.scala:29-104``).
+
+Spark build: the catalog is the session's temp-view namespace plus a
+python-side dict for wrapper metadata; SELECT goes straight to
+``spark.sql`` (Catalyst = the optimizer the reference never had).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .ddf import DDF
+from .session import get_spark
+from .sources.csv import load_declared, load_file
+from .sql.preparser import CreateTable, Load, parse_statement
+
+__all__ = ["DDFManager"]
+
+
+class DDFManager:
+    """Owns a SparkSession and a name→DDF catalog."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self.catalog: dict[str, DDF] = {}
+        self._declared: dict[str, list[tuple[str, str]]] = {}
+
+    # ---------------------------------------------------------------- create
+    def new_ddf(self, df: DataFrame, name: str | None = None) -> DDF:
+        return DDF(self, df, name=name)
+
+    def get_ddf(self, name: str) -> DDF:
+        """``getDDFByName`` (``FlinkDDFManager``/core catalog)."""
+        return self.catalog[name]
+
+    # ----------------------------------------------------------------- loads
+    def load_file(self, path: str, delimiter: str = ",", name: str | None = None) -> DDF:
+        """``loadFile(fileURL, fieldSeparator)`` (``FlinkDDFManager.scala:30-59``):
+        5-row sample inference, ``V1..Vn`` names."""
+        return self.new_ddf(load_file(self.spark, path, delimiter), name=name)
+
+    def load_parquet(self, path: str, name: str | None = None) -> DDF:
+        """Parquet source — the scale-path format (columnar, predicate
+        pushdown, partition pruning); not in the reference (CSV-only)."""
+        return self.new_ddf(self.spark.read.parquet(path), name=name)
+
+    def load_table(self, sf_dir: str, table: str) -> DDF:
+        """Convenience: load one of the driver's testdata tables."""
+        return self.load_parquet(f"{sf_dir.rstrip('/')}/{table}.parquet", name=table)
+
+    # ------------------------------------------------------------------- sql
+    def sql2ddf(self, command: str) -> DDF:
+        """CREATE / LOAD / SELECT dispatcher (``SqlHandler.scala:29-104``,
+        parser ``SqlSupport.scala:353-368``)."""
+        stmt = parse_statement(command)
+        if isinstance(stmt, CreateTable):
+            self._declared[stmt.table] = stmt.columns
+            schema = ", ".join(f"{n} {t}" for n, t in stmt.columns)
+            empty = self.spark.createDataFrame([], schema=schema)
+            return self.new_ddf(empty, name=stmt.table)
+        if isinstance(stmt, Load):
+            if stmt.table not in self._declared:
+                raise KeyError(f"LOAD into undeclared table {stmt.table!r}; CREATE TABLE first")
+            df = load_declared(
+                self.spark,
+                stmt.url,
+                self._declared[stmt.table],
+                delimiter=stmt.delimiter,
+                null_value=stmt.null_value,
+                empty_value=stmt.empty_value,
+                use_defaults=stmt.use_defaults,
+            )
+            return self.new_ddf(df, name=stmt.table)
+        return self.new_ddf(self.spark.sql(stmt))
+
+    def sql(self, command: str, limit: int = 1000) -> tuple[list[str], list[str]]:
+        """Interactive entry returning tab-joined strings, capped at
+        DEFAULT_LIMIT=1000 like the reference (``SqlHandler.scala:217-255``)."""
+        ddf = self.sql2ddf(command)
+        res = ddf.df.limit(limit)
+        rows = ["\t".join("null" if v is None else str(v) for v in row) for row in res.collect()]
+        return res.columns, rows
+
+    def shutdown(self) -> None:
+        self.spark.stop()

