@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed twice: a warm-up pass is NOT taken (we report the
+first measured run after a single session-warming no-op) — the driver
+compares rounds, so numbers must include realistic plan+execute cost but
+not JVM cold-start. Results are forced with a count-style action
+(``df.write.format("noop")``) so the full plan executes without
+collecting rows to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: the flagship agg, a broadcast join rollup, the
+# multi-join star query, top-k, window/dedup/text extensions when present.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_orders_by_month",
+    "q05_join_inner",
+    "q11_multiway_join",
+    "q13_topk",
+    "q17_xtabs",
+    "q18_correlation",
+    # extensions (skipped silently if not yet registered)
+    "q30_dedup_exact",
+    "q31_dedup_minhash",
+    "q34_text_quality",
+    "q40_similarity_bruteforce",
+    "q50_window_running_sum",
+]
+
+
+def main() -> None:
+    from ddf_flink_spark.registry import QUERIES
+    from ddf_flink_spark.session import get_spark
+
+    spark = get_spark("ddf_flink_spark_bench")
+    # warm the JVM + parquet footer cache with a trivial job
+    spark.range(1000).count()
+
+    sf = None
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

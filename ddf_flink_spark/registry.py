@@ -37,7 +37,19 @@ def query(name: str, oracle: str | None = None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return events_table(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    Spark's vectorized reader rejects; read nanos as long (legacy conf) and
+    convert to a microsecond timestamp JVM-side (``ts div 1000`` stays in
+    integer arithmetic — no precision loss)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # ---------------------------------------------------------------------------
@@ -466,4 +478,380 @@ def q18_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 statistics surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_summary_stats",
+    oracle="""
+    SELECT ROUND(AVG(l_quantity), 4)          AS mean_qty,
+           ROUND(STDDEV_SAMP(l_quantity), 4)  AS stdev_qty,
+           ROUND(VAR_SAMP(l_quantity), 4)     AS var_qty,
+           COUNT(l_quantity)                  AS count_qty,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS na_qty,
+           ROUND(MIN(l_quantity), 4)          AS min_qty,
+           ROUND(MAX(l_quantity), 4)          AS max_qty
+    FROM lineitem
+    """,
+)
+def q19_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getSummary's per-column one-pass stats
+    (``StatisticsHandler.scala:46-54,221-254``) expressed as a single agg —
+    Catalyst's partial aggregation replaces the custom accumulator."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("stdev_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.count("l_quantity").alias("count_qty"),
+        F.sum(F.isnull("l_quantity").cast("long")).alias("na_qty"),
+        F.round(F.min("l_quantity"), 4).alias("min_qty"),
+        F.round(F.max("l_quantity"), 4).alias("max_qty"),
+    )
+
+
+@query(
+    "q20_quantiles",
+    oracle="""
+    SELECT ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS q1,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.50), 4) AS median,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS q3
+    FROM orders
+    """,
+)
+def q20_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-num/quantile surface (``StatisticsHandler.scala:56-90,124-160``).
+
+    Exact ``percentile`` here so the oracle matches bit-for-bit; the
+    engine's ``five_num_summary`` uses the mergeable GK sketch
+    (``approxQuantile``) for the 100 TB path — same split as the
+    reference's TDigest vs exact (SURVEY §7.3)."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("median"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q3"),
+    )
+
+
+@query(
+    "q21_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
+    SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 10)), 9) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+)
+def q21_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram (``BinningHandler.scala:184-221``,
+    ``HistogramForDouble.java``): min/max agg then one JVM-side bucket
+    groupBy — the engine's vector_histogram shape."""
+    li = t(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    width = (hi - lo) / 10
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.lit(lo)) / F.lit(width)), F.lit(9)
+    ).cast("long")
+    return li.groupBy(bucket.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q22_binning_equal_width",
+    oracle="""
+    WITH b AS (SELECT MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi FROM part)
+    SELECT CAST(LEAST(FLOOR((p_retailprice - lo) / ((hi - lo) / 5)), 4) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM part, b
+    WHERE p_retailprice IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q22_binning_equal_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALINTERVAL binning bucket counts (``BinningHandler.scala:95-132``
+    break computation). The R-style interval-label path (cut() semantics,
+    boundary inclusion, out-of-range drop) is pinned by unit tests; the
+    oracle checks the distributed bucketing math."""
+    from .operators.binning import compute_breaks
+
+    p = t(spark, sf_dir, "part")
+    breaks = compute_breaks(p, "p_retailprice", "EQUALINTERVAL", 5)
+    lo, hi = breaks[0], breaks[-1]
+    width = (hi - lo) / 5
+    bucket = F.least(
+        F.floor((F.col("p_retailprice") - F.lit(lo)) / F.lit(width)), F.lit(4)
+    ).cast("long")
+    return (
+        p.filter(F.col("p_retailprice").isNotNull())
+        .groupBy(bucket.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.13 missing-data surface (nulls injected deterministically — the
+# synthetic tables are null-free)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q23_dropna_rows",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END AS price,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status
+      FROM orders
+    )
+    SELECT o_orderkey, ROUND(price, 2) AS price, status
+    FROM d WHERE price IS NOT NULL AND status IS NOT NULL
+    """,
+)
+def q23_dropna_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropNA(ROW, ANY) (``MissingDataHandler.scala:63-117``) through the
+    engine's drop_na over a deterministically-nullified frame."""
+    from .operators.missing import drop_na
+
+    o = t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, None).otherwise(F.col("o_totalprice")).alias("price"),
+        F.when(F.col("o_orderstatus") == "P", None).otherwise(F.col("o_orderstatus")).alias("status"),
+    )
+    return drop_na(d, axis="row", how="any").select(
+        "o_orderkey", F.round("price", 2).alias("price"), "status"
+    )
+
+
+@query(
+    "q24_fillna_aggregate",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END AS price
+      FROM orders
+    ),
+    m AS (SELECT AVG(price) AS mean_price FROM d)
+    SELECT o_orderkey, ROUND(COALESCE(price, mean_price), 2) AS price
+    FROM d, m
+    """,
+)
+def q24_fillna_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fillNA by column aggregate (MEAN)
+    (``MissingDataHandler.scala:119-193``): one agg for the fill value, one
+    na.fill — via the engine's fill_na."""
+    from .operators.missing import fill_na
+
+    o = t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, None).otherwise(F.col("o_totalprice")).alias("price"),
+    )
+    return fill_na(d, agg_function="mean", columns=["price"]).select(
+        "o_orderkey", F.round("price", 2).alias("price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 set operations beyond the reference (intersect / except)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_intersect_except",
+    oracle="""
+    SELECT 'both' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    )
+    UNION ALL
+    SELECT 'only_rich' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    """,
+)
+def q25_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — absent from the reference (SURVEY §2.8), free
+    in Spark; registered as the set-op completeness entry."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey"))
+    big = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("c_custkey"))
+    both = rich.intersect(big).select(F.lit("both").alias("tag"), "c_custkey")
+    only = rich.exceptAll(o.select(F.col("o_custkey").alias("c_custkey")).distinct()).select(
+        F.lit("only_rich").alias("tag"), "c_custkey"
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 extension: date/time functions over the events table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q26_events_hourly",
+    oracle="""
+    SELECT event_type,
+           DATE_TRUNC('hour', ts) AS hour,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q26_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window-shaped batch rollup on the events table (date
+    functions are absent from the reference — SURVEY §2.9; groundwork for
+    the Structured Streaming path which shares this grouping)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@query(
+    "q27_events_dayofweek",
+    oracle="""
+    SELECT CAST(DAYOFWEEK(ts) AS BIGINT) AS dow,
+           CAST(YEAR(ts) AS BIGINT) AS y,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q27_events_dayofweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction rollup (extension; DuckDB DAYOFWEEK is 0-6
+    Sunday-start vs Spark dayofweek 1-7 Sunday-start — aligned by +1)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.year("ts").cast("long").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 the manager's SQL path end-to-end (spark.sql through temp views)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q28_sql_dialect",
+    oracle="""
+    SELECT s.s_name, n.n_name AS nation,
+           COUNT(*) AS n_parts, ROUND(AVG(p.p_retailprice), 4) AS avg_price
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON (p.p_partkey % 10) = (s.s_suppkey % 10)
+    GROUP BY 1, 2
+    """,
+)
+def q28_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point end-to-end (``SqlHandler.scala:29-104`` →
+    spark.sql): tables registered as views, full SELECT with joins/
+    group/aggregates handed to Catalyst."""
+    for name in ("supplier", "nation", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT s.s_name, n.n_name AS nation,
+               COUNT(*) AS n_parts, ROUND(AVG(p.p_retailprice), 4) AS avg_price
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN part p ON (p.p_partkey % 10) = (s.s_suppkey % 10)
+        GROUP BY s.s_name, n.n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 window functions (extension — none in the reference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q50_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q50_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + running aggregate over a partitioned window (SURVEY §2.6:
+    reference has none; capability extension). Partitioned by customer so
+    the window state distributes across executors — no global window."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+    )
+
+
+@query(
+    "q51_window_lag_rank",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(RANK() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rnk,
+           ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+             AS delta_value
+    FROM events
+    """,
+)
+def q51_window_lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG + RANK per user over event time (extension)."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 extension: cube / rollup / distinct aggregates (declared-but-dead in
+# the reference grammar — SqlSupport.scala:278)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q52_rollup_distinct",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q52_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + COUNT(DISTINCT) — the aggregates the reference declared but
+    never wired (``SqlSupport.scala:278``, SURVEY §2.5 'not present')."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )

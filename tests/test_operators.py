@@ -1,0 +1,167 @@
+"""Unit tests for operator semantics the DuckDB oracle can't see:
+R-style binning labels, column-axis dropNA, fold disjointness, scaling,
+the SQL preparser, and CSV type inference. Golden values mirror the
+reference's spec style (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddf_flink_spark.operators.binning import binning, interval_labels
+from ddf_flink_spark.operators.joins import join, merge
+from ddf_flink_spark.operators.missing import drop_na, fill_na
+from ddf_flink_spark.operators.sampling import cv_k_fold, cv_random
+from ddf_flink_spark.operators.transform import scale_min_max, scale_standard
+from ddf_flink_spark.sources.csv import infer_column_types
+from ddf_flink_spark.sql.preparser import CreateTable, Load, parse_statement, substitute_this
+
+
+# ----------------------------------------------------------------- preparser
+def test_parse_create_table():
+    stmt = parse_statement("CREATE TABLE airline (Year int, Carrier varchar, Delay double)")
+    assert isinstance(stmt, CreateTable)
+    assert stmt.table == "airline"
+    assert stmt.columns == [("Year", "int"), ("Carrier", "string"), ("Delay", "double")]
+
+
+def test_parse_load_full_options():
+    stmt = parse_statement(
+        "LOAD '/tmp/airline.csv' DELIMITED BY ';' WITH NULL 'NA' WITH EMPTY '' NO DEFAULTS INTO airline"
+    )
+    assert isinstance(stmt, Load)
+    assert (stmt.url, stmt.delimiter, stmt.null_value, stmt.empty_value) == (
+        "/tmp/airline.csv", ";", "NA", "",
+    )
+    assert stmt.use_defaults is False and stmt.table == "airline"
+
+
+def test_parse_select_passthrough():
+    assert parse_statement("select * from t") == "select * from t"
+
+
+def test_substitute_this():
+    assert substitute_this("select * from @this where x > 1", "tbl_9") == (
+        "select * from tbl_9 where x > 1"
+    )
+
+
+# ----------------------------------------------------------------- inference
+def test_infer_column_types_lattice():
+    rows = [
+        ["1", "1.5", "T", "abc", "NA", "2"],
+        ["2", "2", "F", "1", "NA", "3.5"],
+    ]
+    assert infer_column_types(rows) == ["int", "double", "boolean", "string", "string", "double"]
+
+
+# ------------------------------------------------------------------- binning
+def test_interval_labels_right_include_lowest():
+    # R cut(): right=TRUE, include.lowest=TRUE → [1,6], (6,11]
+    assert interval_labels([1, 6, 11], include_lowest=True, right=True) == ["[1,6]", "(6,11]"]
+    # right=TRUE, include.lowest=FALSE → (1,6], (6,11]
+    assert interval_labels([1, 6, 11], include_lowest=False, right=True) == ["(1,6]", "(6,11]"]
+    # right=FALSE, include.lowest=TRUE → [1,6), [6,11]
+    assert interval_labels([1, 6, 11], include_lowest=True, right=False) == ["[1,6)", "[6,11]"]
+
+
+def test_binning_custom_breaks_semantics(spark):
+    # mirrors BinningHandlerSpec boundary cases: values at break edges
+    df = spark.createDataFrame([(1,), (6,), (7,), (11,), (12,)], "v int")
+    out, labels = binning(df, "v", breaks=[1, 6, 11], include_lowest=True, right=True)
+    got = {r["v"] for r in out.collect()}
+    assert labels == ["[1,6]", "(6,11]"]
+    # 12 out of range → dropped; 1 included via include_lowest
+    assert got == {"[1,6]", "(6,11]"}
+    assert out.count() == 4
+    out2, _ = binning(df, "v", breaks=[1, 6, 11], include_lowest=False, right=True)
+    assert out2.count() == 3  # 1 now out of range
+
+
+def test_binning_equalfreq(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    out, labels = binning(df, "v", "EQUALFREQ", num_bins=4, include_lowest=True)
+    counts = {r["v"]: r["n"] for r in out.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    assert len(labels) == 4
+    assert sum(counts.values()) == 100
+    assert all(20 <= c <= 30 for c in counts.values())  # roughly equal quartiles
+
+
+# ------------------------------------------------------------------- missing
+def test_drop_na_column_axis(spark):
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, None), (3, None, "z")],
+        "a int, b int, c string",
+    )
+    # ANY: drop columns containing any null → only a survives
+    assert drop_na(df, axis="column", how="any").columns == ["a"]
+    # ALL: drop only all-null columns → b dropped
+    assert drop_na(df, axis="column", how="all").columns == ["a", "c"]
+    # thresh: keep columns with >= 2 non-nulls
+    assert drop_na(df, axis="column", thresh=2).columns == ["a", "c"]
+
+
+def test_fill_na_modes(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, None), (3, 20.0)], "k int, v double")
+    assert fill_na(df, value=0.0).filter("v = 0.0").count() == 1
+    assert fill_na(df, column_values={"v": -1.0}).filter("v = -1.0").count() == 1
+    filled = fill_na(df, agg_function="mean").collect()
+    assert sorted(r["v"] for r in filled) == [10.0, 15.0, 20.0]
+
+
+# ------------------------------------------------------------------ sampling
+def test_cv_k_fold_disjoint_exhaustive(spark):
+    df = spark.range(1000)
+    folds = cv_k_fold(df, k=5, seed=7)
+    total = sum(te.count() for _, te in folds)
+    assert total == 1000  # exhaustive
+    ids = [set(r[0] for r in te.collect()) for _, te in folds]
+    for i in range(5):
+        for j in range(i + 1, 5):
+            assert not (ids[i] & ids[j])  # pairwise disjoint
+    tr0, te0 = folds[0]
+    assert tr0.count() + te0.count() == 1000
+
+
+def test_cv_random_sizes(spark):
+    df = spark.range(1000)
+    splits = cv_random(df, k=3, train_size=0.75, seed=1)
+    assert len(splits) == 3
+    for tr, te in splits:
+        assert tr.count() + te.count() == 1000
+
+
+# ----------------------------------------------------------------- transform
+def test_scale_min_max(spark):
+    df = spark.createDataFrame([(0.0, "a"), (5.0, "b"), (10.0, "c")], "v double, s string")
+    rows = scale_min_max(df).orderBy("s").collect()
+    assert [r["v"] for r in rows] == [0.0, 0.5, 1.0]
+    assert [r["s"] for r in rows] == ["a", "b", "c"]  # non-numeric untouched
+
+
+def test_scale_standard(spark):
+    df = spark.createDataFrame([(float(v),) for v in [2, 4, 4, 4, 5, 5, 7, 9]], "v double")
+    rows = scale_standard(df).collect()
+    vals = [r["v"] for r in rows]
+    assert abs(sum(vals)) < 1e-9  # mean 0
+    mean = sum(vals) / len(vals)
+    var = sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)
+    assert abs(var - 1.0) < 1e-9  # unit sample variance
+
+
+# --------------------------------------------------------------------- joins
+def test_join_schema_rule(spark):
+    left = spark.createDataFrame([(1, "x", 10)], "k int, name string, lval int")
+    right = spark.createDataFrame([(1, "y", 20)], "k int, name string, rval int")
+    out = join(left, right, "inner", by_left_columns=["k"], by_right_columns=["k"])
+    # reference rule: left columns ++ right-minus-left (duplicate name dropped)
+    assert out.columns == ["k", "name", "lval", "rval"]
+    assert out.first()["name"] == "x"  # left wins
+
+
+def test_merge_requires_same_columns(spark):
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([(2,)], "y int")
+    with pytest.raises(ValueError):
+        merge(a, b)
+    assert merge(a, a).count() == 2
