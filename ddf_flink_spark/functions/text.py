@@ -1,0 +1,139 @@
+"""Text-analysis operators for LLM training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+These are extensions beyond the reference surface (SURVEY §7.2 step 9) —
+the reference has no text functions at all (§2.9). Everything here stays
+JVM-side (``pyspark.sql.functions``, whole-stage codegen) — no Python UDFs
+in any hot path, so a 100 TB documents table is one codegen'd map stage.
+
+Design notes for oracle-ability: hashing uses MD5 (identical across
+engines) rather than xxhash64 (engine-specific); regex character classes
+use ASCII-literal ranges so Java regex and RE2 agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "quality_features",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+# Small high-frequency marker lists per language (public knowledge).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"],
+    "es": ["el", "la", "los", "las", "es", "en", "que", "por", "una", "con"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, lowercased. Kept deliberately simple so the DuckDB
+    oracle (string_split) computes the identical list."""
+    return F.split(F.lower(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-approximating token count: words + punctuation runs + digit runs
+    counted separately (a common ~x0.75 chars-per-token heuristic is NOT
+    used — we count actual regex matches).
+
+    ``regexp_count`` with an ASCII pattern behaves identically in Spark
+    (Java regex) and DuckDB (RE2)."""
+    return F.regexp_count(F.col(col) if isinstance(col, str) else col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+
+def _non_ascii_len(col: Column | str) -> Column:
+    """Characters outside printable ASCII — the CJK/script signal.
+    Oracle mirror: ``LENGTH(REGEXP_REPLACE(text, '[ -~]', '', 'g'))``."""
+    return F.length(F.regexp_replace(col, "[ -~]", ""))
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID over {en, de, fr, es, zh}:
+
+    1. if >30% of characters are non-ASCII → ``zh`` (CJK-script signal);
+    2. else argmax of per-language marker-stopword hit counts, tie-broken
+       in fixed order en > de > fr > es; no hits at all → ``und``.
+
+    Pure expression tree (split + filter + size + CASE): codegen'd,
+    shuffle-free, linear scan at any scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+
+    def marker_hits(lang: str):
+        words = STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda tok: tok.isin(*words)))
+
+    hits = {lang: marker_hits(lang) for lang in STOPWORDS}
+    is_zh = _non_ascii_len(c) * 10 > F.length(c) * 3
+    best = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]) & (hits["en"] > 0),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]) & (hits["de"] > 0), F.lit("de"))
+        .when((hits["fr"] >= hits["es"]) & (hits["fr"] > 0), F.lit("fr"))
+        .when(hits["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return F.when(is_zh, F.lit("zh")).otherwise(best)
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Per-document quality signals, each a single JVM expression:
+
+    * n_chars, n_tokens
+    * mean_token_len — chars per whitespace token
+    * punct_ratio — punctuation chars / chars
+    * stopword_ratio — English-marker tokens / tokens (content-vs-boilerplate)
+    * digit_ratio — digit chars / chars
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": (n_chars - n_tokens + 1) / n_tokens,
+        "punct_ratio": F.length(F.regexp_replace(c, "[^.,;:!?'\"-]", "")) / n_chars,
+        "stopword_ratio": F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))) / n_tokens,
+        "digit_ratio": F.length(F.regexp_replace(c, "[^0-9]", "")) / n_chars,
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: rewards mid-length documents with low
+    punctuation/digit noise and a natural stopword rate (Gopher-rule
+    flavored, public heuristics)."""
+    f = quality_features(col)
+    length_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 100000), F.lit(1.0)).otherwise(F.lit(0.2))
+    noise = f["punct_ratio"] + f["digit_ratio"]
+    noise_ok = F.when(noise < 0.2, 1.0 - noise).otherwise(F.lit(0.2))
+    stop_ok = F.when(f["stopword_ratio"] > 0.01, F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(length_ok * noise_ok * stop_ok, 4)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: MD5 of the
+    whitespace-normalized, lowercased text. MD5 (not xxhash64) so any
+    engine computes the identical fingerprint — the cross-system dedup key.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.trim(F.lower(c)), "\\s+", " ")
+    return F.md5(normalized)

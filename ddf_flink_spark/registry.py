@@ -36,7 +36,44 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_SHIPPED: set[str] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to Spark's Python workers via addPyFile.
+
+    The driver imports us from a path its workers don't share, so any
+    pandas-UDF closure that references this package by module name would
+    fail to unpickle worker-side. Internal closures are written
+    self-contained anyway (see functions/multimodal.py), but shipping the
+    zip makes user-supplied ``transform_map_partitions`` functions that
+    import the package work too."""
+    import os
+    import tempfile
+    import zipfile
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), f"ddf_flink_spark_{os.getpid()}.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "ddf_flink_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(app_id)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_shipped(spark)
     if name == "events":
         return events_table(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
@@ -855,3 +892,325 @@ def q52_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: deduplication (SURVEY §7.2 step 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q30_dedup_exact",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+    ),
+    fp AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS fp
+      FROM docs
+    )
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM fp GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via MD5 fingerprint groupBy (functions/dedup.py
+    exact_duplicates). The synthetic corpus has no exact dups, so every
+    doc_id % 50 == 0 document is re-injected under a shifted id — the
+    operator must find exactly those groups. Shuffle carries (hash, id)
+    pairs only, never text."""
+    from .functions.dedup import exact_duplicates
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 50 == 0).withColumn("doc_id", F.col("doc_id") + 1000000)
+    corpus = d.unionByName(dup)
+    return exact_duplicates(corpus).select("fp", "n_docs", "keep_id")
+
+
+@query(
+    "q32_dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
+    tri AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
+      WHERE LEN(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh
+      FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(sh / (sa.sz + sb.sz - sh), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(sh / (sa.sz + sb.sz - sh), 4) >= 0.5
+    """,
+)
+def q32_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard, candidates via
+    inverted-index self-join on shingles (functions/dedup.py
+    jaccard_candidates) — the blocking join, not O(n²) pairs."""
+    from .functions.dedup import jaccard_candidates
+
+    d = t(spark, sf_dir, "documents")
+    return jaccard_candidates(d, threshold=0.5, n=3)
+
+
+@query("q31_dedup_minhash")
+def q31_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (32 hashes, 8 bands — targets
+    Jaccard ≳ 0.6). xxhash64-based → engine-specific, so no SQL oracle;
+    correctness is pinned by tests/test_llm_ops.py recall-vs-exact-Jaccard.
+    Rows: (id_a, id_b) candidate pairs, deterministic for fixed input."""
+    from .functions.dedup import minhash_lsh_candidates
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, num_hashes=32, bands=8).orderBy("id_a", "id_b")
+
+
+@query("q33_dedup_simhash")
+def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit signature, Hamming ≤ 3, pigeonhole
+    16-bit-quarter blocking). xxhash64-based → no SQL oracle; pinned by
+    unit tests (identical text → distance 0; near-dup prefixes → small)."""
+    from .functions.dedup import simhash_near_duplicates
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q34_text_quality",
+    oracle="""
+    WITH f AS (
+      SELECT lang,
+             LENGTH(text) AS n_chars,
+             LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tokens,
+             LENGTH(REGEXP_REPLACE(text, '[^.,;:!?''"-]', '', 'g')) / LENGTH(text) AS punct_ratio,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 t -> t IN ('the','and','of','to','is','in','that','with','for','was')))
+               / LEN(STRING_SPLIT(LOWER(text), ' ')) AS stopword_ratio
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4)  AS avg_chars,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens,
+           ROUND(AVG(punct_ratio), 4) AS avg_punct_ratio,
+           ROUND(AVG(stopword_ratio), 4) AS avg_stopword_ratio
+    FROM f GROUP BY lang
+    """,
+)
+def q34_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-signal rollup (functions/text.py
+    quality_features): pure codegen'd expressions, one scan, one small
+    shuffle of partial aggregates."""
+    from .functions.text import quality_features
+
+    d = t(spark, sf_dir, "documents")
+    f = quality_features("text")
+    per_doc = d.select(
+        "lang",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+    )
+
+
+@query(
+    "q35_language_id",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             CASE
+               WHEN LENGTH(REGEXP_REPLACE(text, '[ -~]', '', 'g')) * 10 > LENGTH(text) * 3
+                 THEN 'zh'
+               ELSE (
+                 WITH t AS (SELECT STRING_SPLIT(LOWER(text), ' ') AS toks)
+                 SELECT CASE
+                   WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                   WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                   WHEN fr >= es AND fr > 0 THEN 'fr'
+                   WHEN es > 0 THEN 'es'
+                   ELSE 'und' END
+                 FROM (
+                   SELECT
+                     LEN(LIST_FILTER(toks, t -> t IN ('the','and','of','to','is','in','that','with','for','was'))) AS en,
+                     LEN(LIST_FILTER(toks, t -> t IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu'))) AS de,
+                     LEN(LIST_FILTER(toks, t -> t IN ('le','la','les','et','est','dans','pour','que','une','des'))) AS fr,
+                     LEN(LIST_FILTER(toks, t -> t IN ('el','la','los','las','es','en','que','por','una','con'))) AS es
+                   FROM t
+                 )
+               )
+             END AS predicted
+      FROM documents
+    )
+    SELECT lang, predicted, COUNT(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q35_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID confusion counts (functions/text.py
+    language_id): CJK-script ratio then stopword-marker argmax — one
+    codegen'd CASE expression, no UDF, no shuffle beyond the rollup."""
+    from .functions.text import language_id
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", language_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q36_fingerprint",
+    oracle="""
+    SELECT source,
+           COUNT(DISTINCT MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g'))) AS n_unique,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q36_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MD5 document fingerprinting (functions/text.py fingerprint) —
+    engine-portable dedup keys, rolled up per source."""
+    from .functions.text import fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.countDistinct(fingerprint("text")).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "q37_token_counts",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT)
+             AS bpe_ish_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q37_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (functions/text.py): whitespace tokens and a
+    BPE-ish regex count (letter runs + digit runs + punctuation singles)."""
+    from .functions.text import bpe_ish_token_count, token_count
+
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(token_count("text")).alias("ws_tokens"),
+        F.sum(bpe_ish_token_count("text")).alias("bpe_ish_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_similarity_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, LIST_COSINE_SIMILARITY(qv, cv) AS cos
+          FROM q, c WHERE query_id != neighbor_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rn
+          FROM s)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM r WHERE rn <= 3
+    """,
+)
+def q40_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for the first 20 query vectors
+    (functions/similarity.py brute_force_topk): norms precomputed per
+    side, dot product as one JVM fold — no Python in the pair loop."""
+    from .functions.similarity import brute_force_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e.filter(F.col("vec_id") < 20), e, k=3)
+
+
+@query(
+    "q41_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) >= 0.45
+    """,
+)
+def q41_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold — the
+    semantic-dedup primitive. Brute-force here (the oracle-checkable exact
+    form); the LSH/IVF scale path is q42/tests."""
+    from .functions.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")
+    )
+    return scored.filter(F.col("cos") >= 0.45)
+
+
+@query("q42_similarity_lsh")
+def q42_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (functions/similarity.py
+    lsh_topk): 4 tables × 8 bits, exact re-rank within buckets. Seeded
+    hyperplanes → deterministic rows; recall-vs-exact pinned by unit test,
+    no SQL oracle (engine-specific plane generation)."""
+    from .functions.similarity import lsh_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return lsh_topk(e.filter(F.col("vec_id") < 20), e, k=3, dim=64).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
+@query("q43_multimodal_features")
+def q43_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (functions/multimodal.py): binary
+    media column + typed metadata → Arrow-batched mapInPandas decode
+    (deterministic fake — real codecs absent in this container) → feature
+    rollup. No SQL oracle (pandas-UDF path); deterministic output."""
+    from .functions.multimodal import attach_fake_media, extract_features
+
+    d = t(spark, sf_dir, "documents")
+    media = attach_fake_media(d, "doc_id", "text")
+    feats = extract_features(media, out_dim=16)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.size("features").alias("n_features"),
+        F.round(F.element_at("features", 1), 4).alias("f0"),
+    ).orderBy("media_id")
