@@ -1214,3 +1214,86 @@ def q43_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").alias("n_features"),
         F.round(F.element_at("features", 1), 4).alias("f0"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# ML facade (SURVEY §2.16): pyspark.ml replaces FlinkML reflection + the
+# vendored KMeans (ml/FlinkMLSupporter.scala, ml/FlinkMLFacade.scala:56-157)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q60_ml_linreg_ols",
+    oracle="""
+    SELECT ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    """,
+)
+def q60_ml_linreg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mlr facade (``FlinkMLFacade.scala:56-157``) cross-checked against a
+    closed-form oracle: LinearRegression(solver="normal", regParam=0) is
+    exact OLS, so slope/intercept/R² must equal DuckDB's REGR_* to 4dp.
+    The fit is one distributed normal-equations pass (WeightedLeastSquares);
+    nothing is collected but the 2-element coefficient vector."""
+    from .ml.facade import MLFacade
+
+    li = t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    model = MLFacade(li).linear_regression(["l_quantity"], "l_extendedprice")
+    return spark.createDataFrame(
+        [(
+            round(float(model.coefficients[0]), 4),
+            round(float(model.intercept), 4),
+            round(float(model.summary.r2), 6),
+        )],
+        "slope double, intercept double, r2 double",
+    )
+
+
+@query(
+    "q61_ml_confusion",
+    oracle="""
+    SELECT CAST(l_returnflag = 'R' AS INT) AS yt,
+           CAST(l_discount > 0.05 AS INT) AS yp,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q61_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getConfusionMatrix (``FlinkMLSupporter.scala:71-100``) as one
+    declarative groupBy over a deterministic rule-based classifier —
+    oracle-able because the 'predictions' are a SQL predicate."""
+    from .ml.facade import confusion_counts
+
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+        (F.col("l_discount") > 0.05).cast("double").alias("prediction"),
+    )
+    return confusion_counts(li, "label", "prediction").select(
+        "yt", "yp", F.col("n").cast("long").alias("n")
+    )
+
+
+@query("q62_ml_kmeans")
+def q62_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans (k-means|| init) over the embeddings table — replaces the
+    615-LoC vendored Flink KMeans (``org/apache/flink/ml/clustering/
+    KMeans.scala``) with ``pyspark.ml.clustering.KMeans``. No SQL oracle
+    (iterative algorithm); seeded so the rows-only check is deterministic.
+    Returns per-cluster sizes + centroid norm, sorted by size."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=20, initMode="k-means||").fit(emb)
+    preds = model.transform(emb)
+    return (
+        preds.groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+        .orderBy(F.desc("n_points"), "cluster")
+        .select("n_points")
+    )
