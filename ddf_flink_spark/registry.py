@@ -1297,3 +1297,417 @@ def q62_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_points"), "cluster")
         .select("n_points")
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming extension (SURVEY §2.15 — reference is batch-only):
+# event-time windows + stateful dedup over the events stream. Each query
+# runs the stream to completion with Trigger.AvailableNow, so the result
+# equals the batch-SQL oracle while exercising the real streaming engine
+# (state store, watermarks, incremental execution).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q70_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q70_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts via Structured Streaming
+    (streaming/core.py). Complete-mode AvailableNow over a replayable file
+    source == the batch GROUP BY time_bucket oracle."""
+    from .streaming.core import events_stream, run_available_now, tumbling_counts
+
+    out = run_available_now(tumbling_counts(events_stream(spark, sf_dir)), "complete")
+    return out.select(
+        "window_start", "event_type", F.col("n_events").cast("long").alias("n_events"), "sum_value"
+    )
+
+
+@query(
+    "q71_stream_sliding",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS b30, event_type FROM events
+    ), u AS (
+      SELECT b30 AS window_start, event_type FROM b
+      UNION ALL
+      SELECT b30 - INTERVAL 30 MINUTES AS window_start, event_type FROM b
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM u GROUP BY 1, 2
+    """,
+)
+def q71_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window / 30m slide): every event lands in
+    exactly two overlapping windows — the oracle materializes both
+    window-starts per event and re-aggregates."""
+    from .streaming.core import events_stream, run_available_now, sliding_counts
+
+    out = run_available_now(sliding_counts(events_stream(spark, sf_dir)), "complete")
+    return out.select(
+        "window_start", "event_type", F.col("n_events").cast("long").alias("n_events")
+    )
+
+
+@query(
+    "q72_stream_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTES
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q72_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (``F.session_window``, 30m inactivity gap)
+    per user. The oracle is the classic gaps-and-islands rewrite — a
+    LAG + running-SUM session id — proving the streaming state-store
+    merge produces exactly the relational sessionization."""
+    from .streaming.core import events_stream, run_available_now, session_stats
+
+    out = run_available_now(session_stats(events_stream(spark, sf_dir)), "complete")
+    return out.select(
+        "user_id", "session_start", F.col("n_events").cast("long").alias("n_events"), "sum_value"
+    )
+
+
+@query(
+    "q73_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q73_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (``dropDuplicatesWithinWatermark``): the
+    stream is unioned with itself (every event duplicated) and the dedup
+    operator must restore exact input multiplicity — one state entry per
+    event_id, evicted at watermark (bounded state at 100 TB)."""
+    from .streaming.core import dedup_stream, events_stream, run_available_now
+
+    ev = events_stream(spark, sf_dir)
+    doubled = ev.union(events_stream(spark, sf_dir))
+    out = run_available_now(dedup_stream(doubled, ["event_id"]), "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10–§2.14 remaining handler surfaces: sampling/CV, scaling, five-num,
+# simple summary, vector stats, persistence, CSV LOAD dialect, mapInPandas
+# ---------------------------------------------------------------------------
+
+
+@query("q44_sample_fraction")
+def q44_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded fraction sampling (``ViewHandler.scala:24-41``;
+    operators/views.py sample_fraction). No SQL oracle — engines use
+    different RNGs — but the seed makes the rows-only check deterministic.
+    Returns per-flag sampled counts so the hash covers the whole sample."""
+    from .operators.views import sample_fraction
+
+    li = t(spark, sf_dir, "lineitem")
+    s = sample_fraction(li, 0.1, seed=42)
+    return (
+        s.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q45_cv_kfold")
+def q45_cv_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CVKFold (``CrossValidation.scala:56-65,102-132``): k pairwise-
+    disjoint folds via a seeded rand bucket. Emits per-fold sizes plus the
+    train∩test overlap (must be 0) — disjointness and exhaustiveness are
+    in the hashed output, not just asserted in tests."""
+    from .operators.sampling import cv_k_fold
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey")
+    folds = cv_k_fold(orders, 5, seed=7)
+    rows = []
+    for i, (train, test) in enumerate(folds):
+        overlap = train.join(test, "o_orderkey", "inner").count()
+        rows.append((i, train.count(), test.count(), overlap))
+    total_test = sum(r[2] for r in rows)
+    n = orders.count()
+    rows = [r + (int(r[1] + r[2] == n), int(total_test == n)) for r in rows]
+    return spark.createDataFrame(
+        rows, "fold int, n_train long, n_test long, n_overlap long, partitions_ok int, exhaustive int"
+    )
+
+
+@query(
+    "q46_scale_minmax",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_quantity - MIN(l_quantity) OVER ())
+                 / (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()), 6) AS q_scaled,
+           ROUND((l_extendedprice - MIN(l_extendedprice) OVER ())
+                 / (MAX(l_extendedprice) OVER () - MIN(l_extendedprice) OVER ()), 6) AS p_scaled
+    FROM lineitem
+    """,
+)
+def q46_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformScaleMinMax (core handler, pinned
+    ``TransformationHandlerSpec.scala:35-43``): one tiny agg collects the
+    2×2 min/max, then a single scan rescales — no window-over-all-rows
+    shuffle like the SQL formulation (which the oracle uses for clarity,
+    not as the scale plan)."""
+    from .operators.transform import scale_min_max
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    out = scale_min_max(li, ["l_quantity", "l_extendedprice"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 6).alias("q_scaled"),
+        F.round("l_extendedprice", 6).alias("p_scaled"),
+    )
+
+
+@query(
+    "q47_scale_standard",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_quantity - AVG(l_quantity) OVER ())
+                 / STDDEV_SAMP(l_quantity) OVER (), 6) AS q_z
+    FROM lineitem
+    """,
+)
+def q47_scale_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformScaleStandard (z-score; pinned
+    ``TransformationHandlerSpec.scala:45-49``) — same collect-tiny-agg
+    strategy as q46."""
+    from .operators.transform import scale_standard
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    out = scale_standard(li, ["l_quantity"])
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("q_z")
+    )
+
+
+@query(
+    "q48_factor_levels",
+    oracle="""
+    SELECT 'lang' AS column_name, lang AS level, COUNT(*) AS n
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'source', source, COUNT(*) FROM documents GROUP BY source
+    """,
+)
+def q48_factor_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """computeFactorLevelsAndLevelCounts (``SchemaHandler.scala:18-64,
+    90-185``): per-factor value→count maps, one distributed groupBy per
+    column unioned into a single frame (the reference's single-pass
+    mapPartition merge is Catalyst's partial aggregation here)."""
+    d = t(spark, sf_dir, "documents")
+    parts = [
+        d.groupBy(F.lit(c).alias("column_name"), F.col(c).alias("level")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        for c in ("lang", "source")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "q49_five_num",
+    oracle="""
+    SELECT ROUND(MIN(o_totalprice), 4) AS min_v,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS q1,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.50), 4) AS median,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS q3,
+           ROUND(MAX(o_totalprice), 4) AS max_v
+    FROM orders
+    """,
+)
+def q49_five_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getFiveNumSummary (``StatisticsHandler.scala:56-90``). The reference
+    merges per-partition TDigests; at oracle scale we use Spark's exact
+    ``percentile`` (linear interpolation — the same definition DuckDB's
+    QUANTILE_CONT uses) so the match is exact. The production path
+    (operators/stats.py) uses approxQuantile for the 100 TB posture."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.min("o_totalprice"), 4).alias("min_v"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("median"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q3"),
+        F.round(F.max("o_totalprice"), 4).alias("max_v"),
+    )
+
+
+@query(
+    "q57_vector_stats",
+    oracle="""
+    SELECT ROUND(AVG(l_quantity), 4) AS mean_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS cor_qty_price
+    FROM lineitem
+    """,
+)
+def q57_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getVectorMean/Variance/Covariance/Cor (``StatisticsHandler.scala:
+    92-110``, ``utils/package.scala:34-119`` CovarianceCounter,
+    ``AggregationHandler.scala:186-201``) — the reference's hand-built
+    one-pass co-moment accumulators are Spark's covar_samp/corr
+    aggregates (identical Chan et al. merge internally)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("cor_qty_price"),
+    )
+
+
+@query(
+    "q58_simple_summary",
+    oracle="""
+    SELECT STRING_AGG(DISTINCT lang, ',' ORDER BY lang) AS lang_levels,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    """,
+)
+def q58_simple_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getSimpleSummary (``StatisticsHandler.scala:162-204``): distinct
+    levels for factor columns + min/max for numeric, one aggregation."""
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias("lang_levels"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q53_persistence",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q53_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """persist/unpersist round-trip (core handler ``ddf.ini:68``, pinned
+    ``PersistenceHandlerSpec.scala:30-38``): DDF → parquet sink → re-read →
+    aggregate; the result must equal aggregating the source directly."""
+    import tempfile
+
+    from .manager import DDFManager
+
+    m = DDFManager(spark)
+    ddf = m.new_ddf(t(spark, sf_dir, "orders"), name="orders_persist")
+    target = ddf.persist(tempfile.mkdtemp(prefix="ddf_persist_"))
+    back = spark.read.parquet(target)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "q54_load_csv_dialect",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_names,
+           CAST(SUM(n_regionkey) AS BIGINT) AS sum_region
+    FROM nation
+    """,
+)
+def q54_load_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CSV dialect path (``SqlSupport.scala:112-131`` CREATE +
+    LOAD WITH NULL ... NO DEFAULTS, exec ``SqlHandler.scala:33-52``):
+    export nation with 'NA' holes punched in n_name, CREATE TABLE + LOAD
+    it back through the preparser, and verify the NULL sentinel landed as
+    real nulls (NO DEFAULTS keeps them; defaults mode would substitute
+    "" per ``RepresentationHandler.scala:96-113``)."""
+    import csv
+    import os
+    import tempfile
+
+    from .manager import DDFManager
+
+    nation = t(spark, sf_dir, "nation").toPandas()
+    nation.loc[nation["n_nationkey"] % 5 == 0, "n_name"] = None
+    d = tempfile.mkdtemp(prefix="ddf_csv_")
+    path = os.path.join(d, "nation.csv")
+    nation.to_csv(path, index=False, header=False, na_rep="NA", quoting=csv.QUOTE_MINIMAL)
+
+    m = DDFManager(spark)
+    m.sql2ddf(
+        "CREATE TABLE nation_csv (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)"
+    )
+    loaded = m.sql2ddf(
+        f"LOAD '{path}' DELIMITED BY ',' WITH NULL 'NA' NO DEFAULTS INTO nation_csv"
+    )
+    return loaded.df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.isnull("n_name").cast("long")).alias("n_null_names"),
+        F.sum("n_regionkey").alias("sum_region"),
+    )
+
+
+@query(
+    "q55_transform_mappartitions",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q55_transform_mappartitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformNativeRserve's replacement (``TransformationHandler.scala:
+    68-124`` partition-wise R → Arrow-batched mapInPandas, SURVEY §2.14):
+    a pandas batch computes the derived column, Spark aggregates the
+    result — cross-engine checked so the Arrow round-trip itself is under
+    oracle. Closure is self-contained (no module refs) so any driver cwd
+    can unpickle it worker-side."""
+    from .operators.transform import map_partitions
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice", "l_discount")
+
+    def add_revenue(pdf):
+        pdf = pdf.copy()
+        pdf["revenue"] = pdf["l_extendedprice"] * (1.0 - pdf["l_discount"])
+        return pdf[["l_returnflag", "revenue"]]
+
+    out = map_partitions(li, add_revenue, "l_returnflag string, revenue double")
+    return out.groupBy("l_returnflag").agg(
+        F.round(F.sum("revenue"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

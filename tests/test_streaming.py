@@ -1,0 +1,150 @@
+"""Structured Streaming semantics tests (SURVEY §2.15 extension).
+
+The oracle suite already pins complete-mode window aggregates against
+batch SQL; these tests pin the *streaming-only* semantics: append-mode
+finalization and watermark-based late-data dropping across micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddf_flink_spark.streaming.core import (
+    dedup_stream,
+    events_stream,
+    run_available_now,
+    tumbling_counts,
+)
+
+from .conftest import SF_DIR
+
+
+def test_append_mode_emits_only_finalized_windows(spark):
+    """In append mode a windowed aggregate emits a window only once the
+    watermark passes its end — with AvailableNow the trailing windows
+    (within the watermark horizon of max ts) must be withheld."""
+    ev = events_stream(spark, SF_DIR)
+    complete = run_available_now(tumbling_counts(ev), "complete")
+    append = run_available_now(tumbling_counts(ev), "append")
+    n_complete, n_append = complete.count(), append.count()
+    assert n_append < n_complete
+    # everything except the un-finalized tail must agree with complete mode
+    tail_start = append.agg(F.max("window_start")).first()[0]
+    joined = (
+        complete.filter(F.col("window_start") <= tail_start)
+        .alias("c")
+        .join(
+            append.alias("a"),
+            ["window_start", "event_type", "n_events", "sum_value"],
+            "left_anti",
+        )
+    )
+    assert joined.count() == 0
+
+
+def test_watermark_drops_late_data_across_runs(spark, tmp_path):
+    """Three sequential runs sharing one checkpoint (watermark persists in
+    the commit log): run 1 sees recent data and advances the watermark to
+    11:01; run 2 delivers ~11h-late events, which must be dropped; run 3
+    delivers fresh data that finalizes the 12:00 window — whose count must
+    exclude the late rows."""
+    import pandas as pd
+
+    d = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+
+    def write(name, ids, when):
+        df = pd.DataFrame(
+            {
+                "event_id": list(ids),
+                "ts": pd.to_datetime(when) + pd.to_timedelta(range(len(list(ids))), "s"),
+                "event_type": ["click"] * len(list(ids)),
+                "value": [1.0] * len(list(ids)),
+            }
+        )
+        df.assign(ts=df["ts"].astype("datetime64[us]")).to_parquet(f"{d}/{name}.parquet")
+
+    def agg_stream():
+        schema = spark.read.parquet(d).schema
+        return (
+            spark.readStream.schema(schema)
+            .parquet(d)
+            .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → event-time type
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        )
+
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        q = (
+            agg_stream()
+            .writeStream.format("parquet")  # file sink supports checkpoint recovery
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).toPandas()
+
+    write("a", range(100), "2024-06-10 12:00:00")
+    run_once()
+
+    write("b", range(100, 110), "2024-06-10 01:00:00")  # ~11h late
+    out2 = run_once()
+    assert "2024-06-10 01:00:00" not in set(out2["window_start"].astype(str))
+
+    write("c", range(200, 210), "2024-06-10 14:00:00")  # advances watermark past 13:00
+    finalized = run_once()
+    noon = finalized[finalized["window_start"].astype(str) == "2024-06-10 12:00:00"]
+    assert len(noon) == 1
+    assert int(noon["n"].iloc[0]) == 100  # late rows excluded
+    assert "2024-06-10 01:00:00" not in set(finalized["window_start"].astype(str))
+
+
+def test_dedup_is_stateful_across_batches(spark, tmp_path):
+    """Duplicate event_ids arriving in *different* micro-batches are still
+    deduplicated — the state store carries keys across batches."""
+    import pandas as pd
+
+    d = str(tmp_path / "dedup_src")
+    os.makedirs(d)
+    base = pd.DataFrame(
+        {
+            "event_id": range(50),
+            "ts": pd.to_datetime("2024-06-10 12:00:00") + pd.to_timedelta(range(50), "s"),
+            "event_type": ["click"] * 50,
+            "value": [1.0] * 50,
+        }
+    )
+    base.assign(ts=base["ts"].astype("datetime64[us]")).to_parquet(f"{d}/a.parquet")
+    time.sleep(1.1)
+    base.assign(ts=base["ts"].astype("datetime64[us]")).to_parquet(f"{d}/b.parquet")  # identical replay
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = run_available_now(dedup_stream(stream, ["event_id"], watermark="2 hours"), "append")
+    assert out.count() == 50
+
+
+def test_events_stream_schema_matches_batch(spark):
+    from ddf_flink_spark.registry import events_table
+
+    sdf = events_stream(spark, SF_DIR)
+    bdf = events_table(spark, SF_DIR)
+    assert sdf.schema == bdf.schema
+    assert sdf.isStreaming
