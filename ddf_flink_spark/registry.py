@@ -1711,3 +1711,240 @@ def q55_transform_mappartitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("revenue"), 2).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+@query(
+    "q74_stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q74_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``,
+    streaming/stateful.py): per-user running totals in executor-side state.
+    A single AvailableNow batch emits each user's cumulative totals once,
+    which must equal the batch GROUP BY — the cross-batch accumulation
+    semantics are pinned by tests/test_streaming.py."""
+    from .streaming.core import events_stream, run_available_now
+    from .streaming.stateful import running_totals
+
+    out = run_available_now(
+        running_totals(events_stream(spark, sf_dir)), "update"
+    )
+    return out.select("user_id", "n_events", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# §2.11 binning variants, §2.12 exact-size sampling, §2.13 column-axis
+# dropNA + dict fill, §2.14 expression transform + map/reduce, §2.5
+# aggregate field-spec — the rest of the handler surfaces
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q63_binning_custom",
+    oracle="""
+    SELECT CASE
+             WHEN l_quantity >= 1 AND l_quantity <= 10 THEN '[1,10]'
+             WHEN l_quantity > 10 AND l_quantity <= 25 THEN '(10,25]'
+             WHEN l_quantity > 25 AND l_quantity <= 40 THEN '(25,40]'
+           END AS bin, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_quantity <= 40
+    GROUP BY 1
+    """,
+)
+def q63_binning_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM-breaks binning with R cut() semantics
+    (``BinningHandler.scala:23-92``, row rewrite ``utils/package.scala:
+    177-227``): include_lowest + right labels, out-of-range rows
+    (l_quantity > 40) DROPPED — the oracle mirrors labels, inclusion and
+    the drop exactly."""
+    from .operators.binning import binning
+
+    li = t(spark, sf_dir, "lineitem")
+    binned, labels = binning(
+        li, "l_quantity", breaks=[1, 10, 25, 40], include_lowest=True, right=True
+    )
+    assert labels == ["[1,10]", "(10,25]", "(25,40]"]
+    return binned.groupBy(F.col("l_quantity").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query("q64_binning_equalfreq")
+def q64_binning_equalfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALFREQ binning (``BinningHandler.scala:95-132``): quantile breaks
+    via approxQuantile (GK sketch — the mergeable-per-partition scale path,
+    like the reference's TDigest merge). Engine-specific quantile algorithm
+    → no SQL oracle; deterministic, and near-equal bucket counts are
+    asserted in tests/test_operators.py."""
+    from .operators.binning import binning
+
+    o = t(spark, sf_dir, "orders")
+    binned, _labels = binning(
+        o, "o_totalprice", binning_type="EQUALFREQ", num_bins=4, include_lowest=True
+    )
+    return (
+        binned.groupBy(F.col("o_totalprice").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+@query("q65_sample_exact")
+def q65_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size sampling (``ViewHandler.scala:17-22``, Poisson/Binomial
+    bounds ``utils/package.scala:444-548`` → RDD.takeSample implements the
+    same bounds). Seeded → rows-only deterministic; the output proves the
+    exact-n contract and that sampled rows are real rows."""
+    from .operators.views import sample_exact
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rows = sample_exact(o, 500, seed=42)
+    sampled = spark.createDataFrame(rows, o.schema)
+    joined = sampled.join(t(spark, sf_dir, "orders"), "o_orderkey", "left_semi")
+    return spark.createDataFrame(
+        [(len(rows), joined.count())], "n_sampled long, n_real long"
+    )
+
+
+@query(
+    "q66_dropna_columns_fill_dict",
+    oracle="""
+    WITH holes AS (
+      SELECT l_orderkey,
+             CASE WHEN l_orderkey % 2 = 0 THEN NULL ELSE l_comment_qty END AS mostly_null,
+             CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE l_quantity END AS some_null,
+             l_extendedprice
+      FROM (SELECT l_orderkey, l_quantity, l_quantity AS l_comment_qty,
+                   l_extendedprice FROM lineitem)
+    )
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(COALESCE(some_null, -1.0)), 2) AS sum_filled,
+           CAST(SUM(CASE WHEN some_null IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_was_null
+    FROM holes
+    """,
+)
+def q66_dropna_columns_fill_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-axis dropNA + dict fillNA (``MissingDataHandler.scala:35-61``
+    column drop, ``:119-193`` typed dict fill): ~50%-null column dropped at
+    threshold 0.3, ~10%-null column survives and is dict-filled with -1.
+    The surviving-column set is part of the hashed output (schema check)."""
+    from .operators.missing import drop_na, fill_na
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 2 == 0, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("mostly_null"),
+        F.when(F.col("l_orderkey") % 10 == 0, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("some_null"),
+        "l_extendedprice",
+    )
+    kept = drop_na(li, axis="column", thresh=int(0.7 * li.count()))
+    assert "mostly_null" not in kept.columns and "some_null" in kept.columns
+    n_was_null = kept.filter(F.isnull("some_null")).count()
+    filled = fill_na(kept, column_values={"some_null": -1.0})
+    return filled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("some_null"), 2).alias("sum_filled"),
+        F.lit(n_was_null).cast("long").alias("n_was_null"),
+    )
+
+
+@query(
+    "q67_map_reduce",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q67_map_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformMapReduceNative (``TransformationHandler.scala:16-66,
+    168-454`` — the 300-LoC R keyval protocol) as mapInPandas → shuffle →
+    applyInPandas. Both user functions are pandas; the whole R/Rserve
+    machinery collapses into two Arrow-batched closures."""
+    from .operators.transform import map_reduce
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice", "l_discount")
+
+    def map_fn(pdf):
+        pdf = pdf.copy()
+        pdf["revenue"] = pdf["l_extendedprice"] * (1.0 - pdf["l_discount"])
+        return pdf[["l_returnflag", "revenue"]]
+
+    def reduce_fn(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n": [len(pdf)],
+                "revenue": [round(float(pdf["revenue"].sum()), 2)],
+            }
+        )
+
+    return map_reduce(
+        li,
+        map_fn,
+        "l_returnflag string, revenue double",
+        ["l_returnflag"],
+        reduce_fn,
+        "l_returnflag string, n long, revenue double",
+    )
+
+
+@query(
+    "q68_transform_this_sql",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(AVG(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS avg_charge
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q68_transform_this_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform-by-expression + DDF-scoped SQL (``@this`` substitution,
+    core TableNameReplacer via ``SqlHandler.scala:15``): derive a column
+    with transform_native (selectExpr), then query the derived DDF with
+    ``select ... from @this``."""
+    from .manager import DDFManager
+
+    m = DDFManager(spark)
+    ddf = m.new_ddf(t(spark, sf_dir, "lineitem"), name="lineitem_this")
+    derived = ddf.transform_native(
+        {"charge": "l_extendedprice * (1 - l_discount) * (1 + l_tax)"}
+    )
+    out = derived.sql(
+        "SELECT l_returnflag, ROUND(AVG(charge), 4) AS avg_charge "
+        "FROM @this GROUP BY l_returnflag"
+    )
+    return out.df
+
+
+@query(
+    "q69_aggregate_fieldspec",
+    oracle="""
+    SELECT l_returnflag || ',' || l_linestatus AS group_key,
+           ROUND(MIN(l_quantity), 2) AS min_qty,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q69_aggregate_fieldspec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's keyed-map aggregate
+    (``AggregationHandler.scala:104-130``): string field-spec parsed to
+    group cols + aggs, result keyed by comma-joined group values —
+    reconstructed as a frame so the whole map is under the oracle hash."""
+    from .operators.aggregation import aggregate
+
+    li = t(spark, sf_dir, "lineitem")
+    result = aggregate(li, "l_returnflag, l_linestatus, min(l_quantity), max(l_extendedprice)")
+    rows = [(k, round(v[0], 2), round(v[1], 2)) for k, v in result.items()]
+    return spark.createDataFrame(rows, "group_key string, min_qty double, max_price double")

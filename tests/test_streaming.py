@@ -148,3 +148,45 @@ def test_events_stream_schema_matches_batch(spark):
     bdf = events_table(spark, SF_DIR)
     assert sdf.schema == bdf.schema
     assert sdf.isStreaming
+
+
+def test_stateful_totals_accumulate_across_runs(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across checkpointed
+    runs: user 1 appears in both files, so the second run's emission for
+    user 1 must carry the first run's totals forward."""
+    import pandas as pd
+
+    from ddf_flink_spark.streaming.stateful import running_totals
+
+    d = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    collected: list = []
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "value"])
+        pdf["user_id"] = pdf["user_id"].astype("int64")
+        pdf.to_parquet(f"{d}/{name}.parquet")
+
+    def run_once():
+        schema = spark.read.parquet(d).schema
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = (
+            running_totals(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, _id: collected.append(df.toPandas()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write("a", [(1, 10.0), (1, 5.0), (2, 1.0)])
+    run_once()
+    write("b", [(1, 2.0), (3, 7.0)])
+    run_once()
+
+    final = pd.concat(collected).groupby("user_id").last()
+    assert final.loc[1, "n_events"] == 3 and final.loc[1, "sum_value"] == 17.0
+    assert final.loc[2, "n_events"] == 1
+    assert final.loc[3, "sum_value"] == 7.0
