@@ -1948,3 +1948,21 @@ def q69_aggregate_fieldspec(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = aggregate(li, "l_returnflag, l_linestatus, min(l_quantity), max(l_extendedprice)")
     rows = [(k, round(v[0], 2), round(v[1], 2)) for k, v in result.items()]
     return spark.createDataFrame(rows, "group_key string, min_qty double, max_price double")
+
+
+@query("q39_similarity_ivf")
+def q39_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (functions/similarity.py ivf_build/ivf_topk):
+    KMeans coarse quantizer (seeded), nprobe-of-n_lists probing, exact
+    cosine re-rank inside probed lists — the candidate join touches
+    ~nprobe/n_lists of the corpus instead of all of it. Seeded KMeans →
+    deterministic rows; recall-vs-exact pinned by test_ivf_topk_recall.
+    No SQL oracle (iterative quantizer)."""
+    from .functions.similarity import ivf_build, ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(e, n_lists=8)
+    q = e.filter(F.col("vec_id") < 20)
+    return ivf_topk(q, assigned, centroids, k=3, nprobe=3).orderBy(
+        "query_id", "neighbor_id"
+    )

@@ -1,0 +1,163 @@
+"""End-to-end facade tests: the workflows a ddf-flink user runs today,
+replayed against DDFManager/DDF (the reference's demo + spec flows —
+``docs/demo.md``, ``BaseSpec.scala``, handler specs)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def mgr(spark):
+    from ddf_flink_spark.manager import DDFManager
+
+    return DDFManager(spark)
+
+
+@pytest.fixture(scope="module")
+def orders_ddf(mgr):
+    return mgr.load_table(SF_DIR, "orders")
+
+
+def test_load_file_v_names_and_inference(mgr, tmp_path_factory):
+    """loadFile: headerless CSV → V1..Vn names + sample-based types
+    (``FlinkDDFManager.scala:30-92``)."""
+    p = str(tmp_path_factory.mktemp("csv") / "data.csv")
+    with open(p, "w") as fh:
+        fh.write("1,1.5,true,hello\n2,2.5,false,world\n3,NA,true,x\n")
+    ddf = mgr.load_file(p)
+    assert ddf.columns == ["V1", "V2", "V3", "V4"]
+    types = [f.dataType.typeName() for f in ddf.schema.fields]
+    assert types == ["integer", "double", "boolean", "string"]
+    assert ddf.num_rows() == 3
+
+
+def test_create_load_select_roundtrip(mgr, tmp_path_factory):
+    """The reference's first demo flow: CREATE TABLE → LOAD → sql
+    (``SqlHandlerSpec.scala:16-104``)."""
+    p = str(tmp_path_factory.mktemp("csv") / "t.csv")
+    with open(p, "w") as fh:
+        fh.write("a,1\nb,2\nb,3\n")
+    mgr.sql2ddf("CREATE TABLE demo_t (k STRING, v INT)")
+    mgr.sql2ddf(f"LOAD '{p}' INTO demo_t")
+    out = mgr.sql2ddf("SELECT k, SUM(v) AS s FROM demo_t GROUP BY k")
+    got = {r["k"]: r["s"] for r in out.df.collect()}
+    assert got == {"a": 1, "b": 5}
+
+
+def test_views_project_remove_head_top(orders_ddf):
+    proj = orders_ddf.project("o_orderkey", "o_totalprice")
+    assert proj.columns == ["o_orderkey", "o_totalprice"]
+    removed = orders_ddf.remove_columns("o_orderpriority")
+    assert "o_orderpriority" not in removed.columns
+    assert len(orders_ddf.head(7)) == 7
+    top3 = orders_ddf.top(3, "o_totalprice").df.collect()
+    prices = [r["o_totalprice"] for r in top3]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_subset_and_grep(orders_ddf, mgr):
+    sub = orders_ddf.subset("o_totalprice > 100000")
+    assert sub.num_rows() == orders_ddf.df.filter("o_totalprice > 100000").count()
+    cust = mgr.load_table(SF_DIR, "customer")
+    g = cust.grep("c_name", "0001", ignore_case=True)
+    assert g.num_rows() == cust.df.filter(F.col("c_name").rlike("(?i)0001")).count()
+
+
+def test_join_merge_facades(mgr):
+    o = mgr.load_table(SF_DIR, "orders")
+    c = mgr.load_table(SF_DIR, "customer")
+    j = o.join(c, "inner", by_left_columns=["o_custkey"], by_right_columns=["c_custkey"])
+    # reference schema rule: left columns ++ right-minus-left
+    assert j.columns[: len(o.columns)] == o.columns
+    m = o.merge(o)
+    assert m.num_rows() == 2 * o.num_rows()
+
+
+def test_aggregate_map_and_group_by(orders_ddf):
+    agg = orders_ddf.aggregate("o_orderstatus, count(o_orderkey), max(o_totalprice)")
+    assert set(agg) == {r["o_orderstatus"] for r in orders_ddf.df.select("o_orderstatus").distinct().collect()}
+    g = orders_ddf.group_by(["o_orderstatus"], ["n=count(o_orderkey)"])
+    assert set(g.columns) == {"o_orderstatus", "n"}
+    scalar = orders_ddf.aggregate_on_column("avg", "o_totalprice")
+    assert scalar == pytest.approx(
+        orders_ddf.df.agg(F.avg("o_totalprice")).first()[0]
+    )
+
+
+def test_summary_and_stats(orders_ddf):
+    s = orders_ddf.summary()
+    ok = s["o_totalprice"]
+    exact = orders_ddf.df.agg(
+        F.avg("o_totalprice"), F.min("o_totalprice"), F.max("o_totalprice"), F.count("o_totalprice")
+    ).first()
+    assert ok["mean"] == pytest.approx(exact[0])
+    assert ok["min"] == exact[1] and ok["max"] == exact[2] and ok["count"] == exact[3]
+    var = orders_ddf.vector_variance("o_totalprice")
+    assert var[0] == pytest.approx(
+        orders_ddf.df.agg(F.var_samp("o_totalprice")).first()[0]
+    )
+    five = orders_ddf.five_num_summary(["o_totalprice"])["o_totalprice"]
+    assert five["min"] == exact[1] and five["max"] == exact[2]
+    assert five["min"] <= five["q1"] <= five["median"] <= five["q3"] <= five["max"]
+
+
+def test_binning_to_factor(orders_ddf):
+    b = orders_ddf.binning("o_totalprice", "EQUALINTERVAL", num_bins=4, include_lowest=True)
+    assert "o_totalprice" in b.factors
+    levels = b.factor_levels("o_totalprice")
+    assert len(levels) == 4
+    counts = b.factor_level_counts(["o_totalprice"])["o_totalprice"]
+    assert sum(counts.values()) == orders_ddf.num_rows()
+
+
+def test_missing_data_facades(mgr, spark):
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, 5.0, None), (3, None, None)], "id int, a double, b double"
+    )
+    ddf = mgr.new_ddf(df, name="na_demo")
+    assert ddf.drop_na(how="any").num_rows() == 0
+    assert ddf.drop_na(how="all").num_rows() == 3
+    filled = ddf.fill_na(agg_function="mean")
+    got = {r["id"]: (r["a"], r["b"]) for r in filled.df.collect()}
+    assert got[1][0] == pytest.approx(5.0) and got[2][1] == pytest.approx(1.0)
+
+
+def test_mutability_identity(mgr, spark):
+    ddf = mgr.new_ddf(spark.range(10).withColumnRenamed("id", "v"), name="mut_demo")
+    ddf.set_mutable(True)
+    same = ddf.subset("v > 4")
+    assert same is ddf  # identity preserved, contents changed
+    assert ddf.num_rows() == 5
+    assert mgr.get_ddf("mut_demo") is ddf
+
+
+def test_transforms_and_cv(orders_ddf):
+    scaled = orders_ddf.project("o_orderkey", "o_totalprice").transform_scale_min_max()
+    lo, hi = scaled.df.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    assert lo == pytest.approx(0.0) and hi == pytest.approx(1.0)
+    derived = orders_ddf.transform_native({"bucket": "o_totalprice > 200000"})
+    assert "bucket" in derived.columns
+    splits = orders_ddf.random_split([0.5, 0.5], seed=1)
+    assert sum(s.num_rows() for s in splits) == orders_ddf.num_rows()
+
+
+def test_persist_roundtrip(orders_ddf, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("persist"))
+    target = orders_ddf.persist(base)
+    assert os.path.exists(target)
+    back = orders_ddf.spark.read.parquet(target)
+    assert back.count() == orders_ddf.num_rows()
+
+
+def test_sql2list_tab_joined(orders_ddf):
+    cols, rows = orders_ddf.sql2list(
+        "SELECT o_orderkey, o_orderstatus FROM @this ORDER BY o_orderkey LIMIT 3"
+    )
+    assert cols == ["o_orderkey", "o_orderstatus"]
+    assert len(rows) == 3 and all("\t" in r for r in rows)
