@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["join", "merge", "JOIN_TYPES"]
+__all__ = ["join", "merge", "asof_join", "JOIN_TYPES"]
 
 JOIN_TYPES = {
     "inner": "inner",
@@ -91,3 +91,70 @@ def merge(left: DataFrame, right: DataFrame) -> DataFrame:
             f"merge requires identical columns: {left.columns} vs {right.columns}"
         )
     return left.unionByName(right)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_time: str = "ts",
+    right_time: str = "ts",
+    value_cols: list[str] | None = None,
+    allow_exact: bool = True,
+) -> DataFrame:
+    """As-of (backward) join: each left row picks the latest right row with
+    ``right_time <= left_time`` (``<`` when ``allow_exact=False``) within
+    the same ``by`` keys — the time-series enrichment operator neither the
+    reference nor vanilla SQL-92 has (DuckDB's ASOF JOIN is the oracle).
+
+    Scale formulation: tag + union + one window ``last(ignorenulls)`` over
+    (key, time) — a single shuffle on the key and one partition-local sort,
+    never a per-key collect or a range cross-join. Skewed keys follow the
+    same mitigation as any window: salt the key or bound the lookback.
+
+    Returns all left columns plus ``value_cols`` from the right (null
+    where no prior right row exists).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    value_cols = value_cols or [
+        c for c in right.columns if c not in by and c != right_time
+    ]
+    overlap = [c for c in value_cols if c in left.columns]
+    if overlap:
+        raise ValueError(f"value_cols {overlap} collide with left columns; rename first")
+
+    left_only = [c for c in left.columns if c not in by]
+    l_tagged = left.select(
+        *by,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_only],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        *[F.col(c) for c in value_cols],
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # at equal time: right rows order before left rows iff exact matches count
+    tiebreak = F.col("__is_left").asc() if allow_exact else F.col("__is_left").desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").asc(), tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *by,
+        "__t",
+        "__is_left",
+        *left_only,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        *by, F.col("__t").alias(left_time), *left_only, *value_cols
+    )

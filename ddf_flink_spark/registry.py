@@ -1966,3 +1966,67 @@ def q39_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, assigned, centroids, k=3, nprobe=3).orderBy(
         "query_id", "neighbor_id"
     )
+
+
+@query(
+    "q56_asof_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, ROUND(p.purchase_value, 4) AS purchase_value
+    FROM events e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q56_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py asof_join): enrich every event with
+    the user's most recent purchase value at that instant. Neither the
+    reference nor SQL-92 has this operator; DuckDB's native ASOF JOIN is
+    the oracle. Executed as tag + union + one window last(ignorenulls) —
+    one shuffle on user_id, no range cross-join."""
+    from .operators.joins import asof_join
+
+    ev = events_table(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        by=["user_id"],
+        value_cols=["purchase_value"],
+    )
+    return out.select("event_id", F.round("purchase_value", 4).alias("purchase_value"))
+
+
+@query(
+    "q59_range_join",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e9)
+    )
+    SELECT t.tier, COUNT(*) AS n, ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY 1
+    """,
+)
+def q59_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — non-equi join of a fact stream against a
+    small interval dimension. Spark plans it as a broadcast nested-loop
+    over the 3-row tier table (the only sane strategy: broadcast the tiny
+    side, never shuffle-sort the fact table for a theta join)."""
+    ev = events_table(spark, sf_dir)
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 75.0), ("high", 75.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(tiers),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

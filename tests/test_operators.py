@@ -165,3 +165,32 @@ def test_merge_requires_same_columns(spark):
     with pytest.raises(ValueError):
         merge(a, b)
     assert merge(a, a).count() == 2
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left time;
+    exact-time inclusion toggled by allow_exact; no-match → null."""
+    from ddf_flink_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, "l1"), ("a", 20, "l2"), ("a", 5, "l0"), ("b", 7, "l3")],
+        "k string, t long, payload string",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 15, 2.0), ("b", 9, 9.0)],
+        "k string, t long, v double",
+    )
+    out = {
+        r["payload"]: r["v"]
+        for r in asof_join(left, right, by=["k"], left_time="t", right_time="t").collect()
+    }
+    assert out == {"l0": None, "l1": 1.0, "l2": 2.0, "l3": None}
+
+    strict = {
+        r["payload"]: r["v"]
+        for r in asof_join(
+            left, right, by=["k"], left_time="t", right_time="t", allow_exact=False
+        ).collect()
+    }
+    assert strict["l1"] is None  # equal timestamp excluded
+    assert strict["l2"] == 2.0
