@@ -36,9 +36,11 @@ HEADLINE = [
     # extensions (skipped silently if not yet registered)
     "q30_dedup_exact",
     "q31_dedup_minhash",
+    "q33_dedup_simhash",
     "q34_text_quality",
     "q40_similarity_bruteforce",
     "q50_window_running_sum",
+    "q56_asof_join",
 ]
 
 

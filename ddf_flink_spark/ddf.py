@@ -185,6 +185,23 @@ class DDF:
     def merge(self, other: "DDF") -> "DDF":
         return self._derive(_joins.merge(self._df, other.df))
 
+    def asof_join(
+        self,
+        other: "DDF",
+        by: list[str],
+        left_time: str = "ts",
+        right_time: str = "ts",
+        value_cols: list[str] | None = None,
+        allow_exact: bool = True,
+    ) -> "DDF":
+        """Backward as-of join (time-series enrichment; beyond reference
+        parity — see operators/joins.py asof_join)."""
+        return self._derive(
+            _joins.asof_join(
+                self._df, other.df, by, left_time, right_time, value_cols, allow_exact
+            )
+        )
+
     # ----------------------------------------------------------- aggregation
     def aggregate(self, fields: str) -> dict:
         return _agg.aggregate(self._df, fields)

@@ -87,26 +87,26 @@ def fill_na(
 
 
 def fill_directional(
-    df: DataFrame, column: str, order_by: str, method: str = "ffill",
+    df: DataFrame, column: str, order_by, method: str = "ffill",
     partition_by: list[str] | None = None,
 ) -> DataFrame:
     """ffill/bfill — unimplemented in the reference
     (``MissingDataHandler.scala:122-127`` throws); here via window functions.
 
+    ``order_by`` may be one column or a list — pass enough keys to make
+    the order total, or tie rows make the fill nondeterministic.
+
     NOTE scale caveat: without ``partition_by`` this is a single global
     window (one partition) — callers at scale must partition.
     """
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     if method == "ffill":
-        w = Window.orderBy(order_by).rowsBetween(Window.unboundedPreceding, 0)
+        frame = (Window.unboundedPreceding, 0)
         fill = F.last(column, ignorenulls=True)
     elif method == "bfill":
-        w = Window.orderBy(order_by).rowsBetween(0, Window.unboundedFollowing)
+        frame = (0, Window.unboundedFollowing)
         fill = F.first(column, ignorenulls=True)
     else:
         raise ValueError(f"unknown method {method!r}")
-    if partition_by:
-        w = Window.partitionBy(*partition_by).orderBy(order_by).rowsBetween(
-            Window.unboundedPreceding if method == "ffill" else 0,
-            0 if method == "ffill" else Window.unboundedFollowing,
-        )
+    w = Window.partitionBy(*(partition_by or [])).orderBy(*order_cols).rowsBetween(*frame)
     return df.withColumn(column, fill.over(w))

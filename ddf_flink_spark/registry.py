@@ -2030,3 +2030,35 @@ def q59_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "q75_ffill",
+    oracle="""
+    WITH holes AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           ROUND(LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled
+    FROM holes
+    """,
+)
+def q75_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional fill (ffill) — the method the reference throws on
+    (``MissingDataHandler.scala:122-127``), implemented per-user over
+    event time (operators/missing.py fill_directional). Nulls punched
+    deterministically; oracle is LAST_VALUE IGNORE NULLS."""
+    from .operators.missing import fill_directional
+
+    ev = events_table(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    filled = fill_directional(ev, "v", order_by=["ts", "event_id"], partition_by=["user_id"])
+    return filled.select("event_id", F.round("v", 4).alias("v_filled"))
