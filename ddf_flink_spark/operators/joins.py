@@ -125,7 +125,7 @@ def asof_join(
     if overlap:
         raise ValueError(f"value_cols {overlap} collide with left columns; rename first")
 
-    left_only = [c for c in left.columns if c not in by]
+    left_only = [c for c in left.columns if c not in by and c != left_time]
     l_tagged = left.select(
         *by,
         F.col(left_time).alias("__t"),
