@@ -2062,3 +2062,45 @@ def q75_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filled = fill_directional(ev, "v", order_by=["ts", "event_id"], partition_by=["user_id"])
     return filled.select("event_id", F.round("v", 4).alias("v_filled"))
+
+
+@query(
+    "q76_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(MIN(l_discount), 2) AS min_disc,
+           ROUND(MAX(l_tax), 2) AS max_tax
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q76_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation (operators/skew.py) on a deliberately
+    hot key (l_returnflag has 3 values over all rows — exactly the skew
+    shape that melts a 1000-executor reducer). Must equal the plain
+    GROUP BY bit-for-bit; avg recombined as Σsum/Σcount."""
+    from .operators.skew import salted_aggregate
+
+    li = t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("l_orderkey", "count"),
+            "total": ("l_extendedprice", "sum"),
+            "avg_qty": ("l_quantity", "avg"),
+            "min_disc": ("l_discount", "min"),
+            "max_tax": ("l_tax", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 2).alias("total"),
+        F.round("avg_qty", 4).alias("avg_qty"),
+        F.round("min_disc", 2).alias("min_disc"),
+        F.round("max_tax", 2).alias("max_tax"),
+    )

@@ -194,3 +194,32 @@ def test_asof_join_semantics(spark):
     }
     assert strict["l1"] is None  # equal timestamp excluded
     assert strict["l2"] == 2.0
+
+
+def test_salted_aggregate_equals_plain(spark):
+    """Salted two-stage agg must equal the single-stage groupBy exactly."""
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.operators.skew import salted_aggregate
+
+    df = spark.range(10000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    salted = {
+        r["k"]: (r["n"], r["s"], r["m"])
+        for r in salted_aggregate(
+            df, ["k"], {"n": ("v", "count"), "s": ("v", "sum"), "m": ("v", "avg")}, n_salts=8
+        ).collect()
+    }
+    plain = {
+        r["k"]: (r["n"], r["s"], r["m"])
+        for r in df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"), F.avg("v").alias("m"))
+        .collect()
+    }
+    assert salted == plain
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_aggregate(df, ["k"], {"d": ("v", "median")})

@@ -94,3 +94,40 @@ def test_no_cartesian_anywhere(spark):
         except Exception:
             continue  # non-relational entries (driver-side composition)
         assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Bucketing both sides of a recurring join key pre-co-locates the
+    data: the join plans with ZERO shuffle exchanges — the tool for
+    repeated 100 TB fact-fact joins where broadcast is impossible."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        f"orders_b_{tag}"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        f"lineitem_b_{tag}"
+    )
+    ob = spark.table(f"orders_b_{tag}")
+    lb = spark.table(f"lineitem_b_{tag}")
+    joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    p = buf.getvalue()
+    try:
+        assert "Exchange" not in p, "bucketed join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE orders_b_{tag}")
+        spark.sql(f"DROP TABLE lineitem_b_{tag}")
