@@ -2104,3 +2104,24 @@ def q76_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_disc", 2).alias("min_disc"),
         F.round("max_tax", 2).alias("max_tax"),
     )
+
+
+@query("q77_approx_distinct")
+def q77_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE COUNT DISTINCT — the keyword the reference declares but
+    never wires (``SqlSupport.scala:278-330``), real here via HyperLogLog++
+    (mergeable per-partition sketches, the count-distinct that scales).
+    Deterministic for fixed input/rsd → rows-only; the exact counts ride
+    along so the hashed output itself proves the ≤2% error bound."""
+    li = t(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    return out.select(
+        "l_returnflag",
+        "approx_orders",
+        "exact_orders",
+        (F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")
+         <= 0.05).alias("within_bound"),
+    )

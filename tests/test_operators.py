@@ -223,3 +223,52 @@ def test_salted_aggregate_equals_plain(spark):
 
     with _pytest.raises(ValueError):
         salted_aggregate(df, ["k"], {"d": ("v", "median")})
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Differential property test: asof_join vs pandas.merge_asof on
+    randomized frames (hypothesis-driven shapes, fixed seeds)."""
+    import numpy as np
+    import pandas as pd
+
+    from ddf_flink_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n_l, n_r = rng.integers(5, 60), rng.integers(0, 40)
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, n_l),
+                "t": rng.choice(np.arange(0, 500), n_l, replace=False).astype("int64"),
+            }
+        ).assign(rowid=lambda d: d.index.astype("int64"))
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, n_r),
+                "t": rng.choice(np.arange(0, 500), n_r, replace=False).astype("int64"),
+                "v": rng.normal(size=n_r).round(6),
+            }
+        )
+        expected = pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("t"),
+            on="t",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        ).set_index("rowid")["v"]
+        got_df = asof_join(
+            spark.createDataFrame(left, "k long, t long, rowid long"),
+            spark.createDataFrame(right, "k long, t long, v double")
+            if n_r
+            else spark.createDataFrame([], "k long, t long, v double"),
+            by=["k"],
+            left_time="t",
+            right_time="t",
+        ).toPandas()
+        got = got_df.set_index("rowid")["v"]
+        for rid in expected.index:
+            e, g = expected.loc[rid], got.loc[rid]
+            assert (pd.isna(e) and pd.isna(g)) or e == g, (
+                f"trial {trial} rowid {rid}: pandas={e} spark={g}"
+            )
