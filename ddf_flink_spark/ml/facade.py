@@ -27,9 +27,13 @@ __all__ = ["MLFacade", "confusion_counts", "confusion_matrix"]
 def _assemble(df: DataFrame, feature_cols: list[str], out: str = "features") -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
 
-    existing = [c for c in df.columns if c == out]
-    if existing:
-        return df
+    if out in df.columns:
+        if feature_cols == [out]:
+            return df  # caller already assembled the vector column
+        raise ValueError(
+            f"column {out!r} already exists; pass feature_cols=[{out!r}] to use it "
+            "as the assembled vector, or drop/rename it first"
+        )
     return VectorAssembler(inputCols=feature_cols, outputCol=out).transform(df)
 
 

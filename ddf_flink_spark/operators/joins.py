@@ -112,6 +112,12 @@ def asof_join(
     never a per-key collect or a range cross-join. Skewed keys follow the
     same mitigation as any window: salt the key or bound the lookback.
 
+    The carried payload is ONE struct per right row (never per-column), so
+    (a) a matched right row whose value is genuinely NULL yields NULL —
+    not a stale older value — exactly like DuckDB ASOF / pandas
+    merge_asof, and (b) multiple value_cols always come from the same
+    right row (no row tearing).
+
     Returns all left columns plus ``value_cols`` from the right (null
     where no prior right row exists).
     """
@@ -126,19 +132,21 @@ def asof_join(
         raise ValueError(f"value_cols {overlap} collide with left columns; rename first")
 
     left_only = [c for c in left.columns if c not in by and c != left_time]
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    payload_type = right.select(payload.alias("p")).schema["p"].dataType
     l_tagged = left.select(
         *by,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left_only],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(payload_type).alias("__payload"),
     )
     r_tagged = right.select(
         *by,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
-        *[F.col(c) for c in value_cols],
+        payload.alias("__payload"),
     )
     u = l_tagged.unionByName(r_tagged)
     # at equal time: right rows order before left rows iff exact matches count
@@ -153,8 +161,11 @@ def asof_join(
         "__t",
         "__is_left",
         *left_only,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
     )
     return filled.filter(F.col("__is_left") == 1).select(
-        *by, F.col("__t").alias(left_time), *left_only, *value_cols
+        *by,
+        F.col("__t").alias(left_time),
+        *left_only,
+        *[F.col(f"__payload.{c}").alias(c) for c in value_cols],
     )

@@ -1767,7 +1767,8 @@ def q63_binning_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned, labels = binning(
         li, "l_quantity", breaks=[1, 10, 25, 40], include_lowest=True, right=True
     )
-    assert labels == ["[1,10]", "(10,25]", "(25,40]"]
+    if labels != ["[1,10]", "(10,25]", "(25,40]"]:
+        raise AssertionError(f"unexpected bin labels {labels}")
     return binned.groupBy(F.col("l_quantity").alias("bin")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -1845,7 +1846,8 @@ def q66_dropna_columns_fill_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
     )
     kept = drop_na(li, axis="column", thresh=int(0.7 * li.count()))
-    assert "mostly_null" not in kept.columns and "some_null" in kept.columns
+    if "mostly_null" in kept.columns or "some_null" not in kept.columns:
+        raise AssertionError(f"column-axis dropNA kept wrong columns: {kept.columns}")
     n_was_null = kept.filter(F.isnull("some_null")).count()
     filled = fill_na(kept, column_values={"some_null": -1.0})
     return filled.agg(

@@ -57,8 +57,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dir = os.path.join(tempfile.gettempdir(), f"ddf_events_stream_{tag}")
         os.makedirs(stream_dir, exist_ok=True)
         link = os.path.join(stream_dir, "events.parquet")
-        if not os.path.exists(link):
+        if os.path.islink(link) and not os.path.exists(link):
+            os.unlink(link)  # repair dangling link from a deleted sf_dir
+        try:
             os.symlink(path, link)
+        except FileExistsError:
+            pass  # another process staged it concurrently
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(stream_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

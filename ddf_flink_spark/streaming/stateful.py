@@ -30,7 +30,8 @@ def running_totals(
     is self-contained (imports pandas inside) so it unpickles on workers
     regardless of the driver's cwd.
     """
-    out_schema = f"{key_col} long, n_events long, sum_value double"
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n_events long, sum_value double"
     state_schema = "n long, s double"
 
     def update(key, pdfs, state: GroupState):

@@ -272,3 +272,35 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert (pd.isna(e) and pd.isna(g)) or e == g, (
                 f"trial {trial} rowid {rid}: pandas={e} spark={g}"
             )
+
+
+def test_asof_join_null_value_and_no_tearing(spark):
+    """A matched right row with a NULL value must yield NULL (not a stale
+    older value), and multiple value_cols must come from the SAME right
+    row — both match DuckDB ASOF / pandas merge_asof semantics."""
+    from ddf_flink_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("a", 3)], "k string, t long")
+    right = spark.createDataFrame(
+        [("a", 1, 5.0, "x"), ("a", 2, None, "y")], "k string, t long, v double, tag string"
+    )
+    row = asof_join(left, right, by=["k"], left_time="t", right_time="t").first()
+    assert row["v"] is None  # t=2 row matched; its NULL v must surface
+    assert row["tag"] == "y"  # both payload cols from the same (t=2) row
+
+
+def test_word_shingles_short_docs(spark):
+    """Docs shorter than the shingle width yield empty arrays, not a
+    sequence() crash; simhash_signatures gives them the all-ones sig."""
+    from ddf_flink_spark.functions.dedup import simhash_signatures, word_shingles
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "one"), (1, "just two"), (2, "three word doc here")],
+        "doc_id long, text string",
+    )
+    sizes = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", F.size(word_shingles("text", 3)).alias("n")).collect()}
+    assert sizes == {0: 0, 1: 0, 2: 2}
+    sigs = {r["id"]: r["sig"] for r in simhash_signatures(df, shingle_n=3).collect()}
+    assert sigs[0] == -1 and sigs[1] == -1 and sigs[2] != -1
