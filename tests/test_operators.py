@@ -304,3 +304,64 @@ def test_word_shingles_short_docs(spark):
     assert sizes == {0: 0, 1: 0, 2: 2}
     sigs = {r["id"]: r["sig"] for r in simhash_signatures(df, shingle_n=3).collect()}
     assert sigs[0] == -1 and sigs[1] == -1 and sigs[2] != -1
+
+
+def test_binning_matches_reference_cut_rules(spark):
+    """Differential property test: R-style binning vs an independent numpy
+    implementation of the cut() rules, across include_lowest/right
+    combinations and randomized breaks. Compares per-row interval
+    membership (including the out-of-range drop), then spot-checks the
+    bracket characters of the labels."""
+    import numpy as np
+    import pandas as pd
+
+    from ddf_flink_spark.operators.binning import binning, interval_labels
+
+    def expected_bin(v, breaks, include_lowest, right):
+        # R cut(): intervals (b[i], b[i+1]] when right, [b[i], b[i+1]) when
+        # left; include_lowest closes the outermost boundary.
+        n = len(breaks) - 1
+        for i in range(n):
+            lo, hi = breaks[i], breaks[i + 1]
+            if right:
+                lo_ok = v >= lo if (i == 0 and include_lowest) else v > lo
+                hi_ok = v <= hi
+            else:
+                lo_ok = v >= lo
+                hi_ok = v <= hi if (i == n - 1 and include_lowest) else v < hi
+            if lo_ok and hi_ok:
+                return i
+        return None
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        vals = np.round(rng.uniform(0, 100, 300), 3)
+        breaks = sorted(rng.choice(np.arange(5, 95), 4, replace=False).astype(float))
+        # plant exact boundary values — the interesting cases
+        vals = np.concatenate([vals, np.array(breaks)])
+        pdf = pd.DataFrame({"id": np.arange(len(vals)), "v": vals})
+        sdf = spark.createDataFrame(pdf)
+        for include_lowest in (True, False):
+            for right in (True, False):
+                labels = interval_labels(breaks, include_lowest, right)
+                got_df, out_labels = binning(
+                    sdf, "v", breaks=list(breaks), include_lowest=include_lowest, right=right
+                )
+                assert out_labels == labels
+                got = {r["id"]: labels.index(r["v"]) for r in got_df.collect()}
+                exp = {}
+                for rid, v in zip(pdf["id"], pdf["v"]):
+                    b = expected_bin(v, breaks, include_lowest, right)
+                    if b is not None:
+                        exp[rid] = b
+                assert got == exp, (
+                    f"trial {trial} il={include_lowest} right={right}: "
+                    f"membership differs ({len(got)} vs {len(exp)} rows)"
+                )
+                # bracket sanity on the labels themselves
+                if right:
+                    assert labels[0][0] == ("[" if include_lowest else "(")
+                    assert all(l.endswith("]") for l in labels)
+                else:
+                    assert all(l.startswith("[") for l in labels)
+                    assert labels[-1][-1] == ("]" if include_lowest else ")")
