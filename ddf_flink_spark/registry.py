@@ -2127,3 +2127,94 @@ def q77_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")
          <= 0.05).alias("within_bound"),
     )
+
+
+@query(
+    "q78_stream_static_join",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('low', 0), ('mid', 50), ('high', 100)
+    ),
+    u AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 'low'
+                  WHEN user_id % 3 = 1 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events
+    )
+    SELECT u.tier, COUNT(*) AS n_events, ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e JOIN u ON e.user_id = u.user_id
+    GROUP BY 1
+    """,
+)
+def q78_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming side joins a batch dimension
+    (per-micro-batch broadcast lookup — the standard enrichment pattern;
+    no state needed because the static side is re-read each batch)."""
+    from .streaming.core import events_stream, run_available_now
+
+    ev = events_stream(spark, sf_dir)
+    users = (
+        events_table(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(F.col("user_id") % 3 == 0, "low")
+            .when(F.col("user_id") % 3 == 1, "mid")
+            .otherwise("high"),
+        )
+    )
+    enriched = ev.join(F.broadcast(users), "user_id")
+    agg = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return run_available_now(agg, "complete").select("tier", "n_events", "sum_value")
+
+
+@query(
+    "q79_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id
+    FROM events p
+    JOIN events e
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase' AND e.event_type = 'error'
+     AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTES
+    """,
+)
+def q79_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (errors within 30 min after a purchase,
+    per user): both sides watermarked so the join state is bounded — rows
+    older than the interval + watermark horizon are evicted. AvailableNow
+    single-batch == the batch interval join the oracle runs."""
+    from .streaming.core import events_stream, run_available_now
+
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = run_available_now(joined.select("purchase_id", "error_id"), "append")
+    return out
