@@ -52,7 +52,14 @@ def compute_breaks(
     t = binning_type.upper()
     if t in ("EQUALFREQ", "EQUAL_FREQ"):
         probs = [i / num_bins for i in range(num_bins + 1)]
-        breaks = df.approxQuantile(column, probs, 0.0001)
+        breaks = sorted(df.approxQuantile(column, probs, 0.0001))
+        # duplicate quantile breaks (heavily repeated values) are KEPT as
+        # point intervals — e.g. breaks [1,1,11] make [1,1] its own level,
+        # matching the reference's behavior on skewed columns
+        # (BinningHandler.scala:112-132 feeds raw quantiles to the labeler)
+        if breaks[0] == breaks[-1]:
+            raise ValueError(f"degenerate breaks for column {column!r}: {breaks}")
+        return breaks
     elif t in ("EQUALINTERVAL", "EQUAL_INTERVAL"):
         lo, hi = df.agg(F.min(column), F.max(column)).first()
         lo, hi = float(lo), float(hi)

@@ -128,23 +128,28 @@ def load_declared(
 ) -> DataFrame:
     """``LOAD '<url>' ... INTO t`` against a declared schema.
 
-    All cells are read as strings, then cast per declared type; a failed
+    All cells are read as strings; the NULL/EMPTY sentinels are applied as
+    expressions over the raw strings (mirroring the reference RowParser,
+    ``RepresentationHandler.scala:71-139``): an empty field becomes
+    ``empty_value`` if given (Spark's reader itself always surfaces
+    unquoted-empty as null, so WITH EMPTY must resurrect it), a field equal
+    to ``null_value`` becomes null. Then cast per declared type; a failed
     cast yields null (PERMISSIVE), and in defaults mode nulls are replaced
     by the type default via ``coalesce`` — one JVM-side projection, no UDFs.
     """
-    reader = spark.read.option("delimiter", delimiter)
-    if null_value is not None:
-        reader = reader.option("nullValue", null_value)
-    if empty_value is not None:
-        reader = reader.option("emptyValue", empty_value)
-    raw = reader.csv(path)
+    raw = spark.read.option("delimiter", delimiter).csv(path)
     if len(raw.columns) != len(columns):
         raise ValueError(
             f"declared {len(columns)} columns but file has {len(raw.columns)}"
         )
     projections = []
     for raw_name, (name, typ) in zip(raw.columns, columns):
-        col = F.col(raw_name).cast(typ)
+        col = F.col(raw_name)
+        if empty_value is not None:
+            col = F.coalesce(col, F.lit(empty_value))
+        if null_value is not None:
+            col = F.when(col == F.lit(null_value), F.lit(None)).otherwise(col)
+        col = col.cast(typ)
         if use_defaults:
             col = F.coalesce(col, _default_lit(typ).cast(typ))
         projections.append(col.alias(name))

@@ -1,0 +1,252 @@
+"""Reference-parity tests: the reference's OWN spec assertions, replayed
+through this engine against the reference's OWN test fixtures.
+
+Fixtures are read in place from ``/root/reference/flink/src/test/resources``
+(never copied into this repo). Golden values cite the spec that asserts
+them. Where this engine deliberately diverges from a reference bug, the
+divergence is asserted and documented inline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+REF_RES = "/root/reference/flink/src/test/resources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_RES), reason="reference fixtures not available"
+)
+
+AIRLINE_COLUMNS = (
+    "Year int, Month int, DayofMonth int, DayOfWeek int, DepTime int, "
+    "CRSDepTime int, ArrTime int, CRSArrTime int, UniqueCarrier string, "
+    "FlightNum int, TailNum string, ActualElapsedTime int, CRSElapsedTime int, "
+    "AirTime int, ArrDelay int, DepDelay int, Origin string, Dest string, "
+    "Distance int, TaxiIn int, TaxiOut int, Cancelled int, CancellationCode string, "
+    "Diverted string, CarrierDelay int, WeatherDelay int, NASDelay int, "
+    "SecurityDelay int, LateAircraftDelay int"
+)  # BaseSpec.scala:48-52 airlineColumns
+
+
+@pytest.fixture(scope="module")
+def mgr(spark):
+    from ddf_flink_spark.manager import DDFManager
+
+    return DDFManager(spark)
+
+
+@pytest.fixture(scope="module")
+def airline_v(mgr):
+    """loadFile path: V1..Vn names, sample inference (BaseSpec loadDDF)."""
+    return mgr.load_file(f"{REF_RES}/airline.csv", name="airline_v")
+
+
+@pytest.fixture(scope="module")
+def airline(mgr):
+    """Declared-schema CREATE + LOAD path (BaseSpec loadAirlineDDF)."""
+    mgr.sql2ddf(f"CREATE TABLE airline ({AIRLINE_COLUMNS})")
+    return mgr.sql2ddf(f"LOAD '{REF_RES}/airline.csv' DELIMITED BY ',' WITH NULL 'NA' NO DEFAULTS INTO airline")
+
+
+@pytest.fixture(scope="module")
+def airline_na(mgr):
+    """airlineWithNA without defaults (BaseSpec loadAirlineNADDF)."""
+    mgr.sql2ddf(f"CREATE TABLE airline_na ({AIRLINE_COLUMNS})")
+    # WITH EMPTY '' keeps empty string fields as "" (the reference's
+    # univocity reader does the same); only literal "NA" marks a null
+    return mgr.sql2ddf(
+        f"LOAD '{REF_RES}/airlineWithNA.csv' WITH NULL 'NA' WITH EMPTY '' NO DEFAULTS INTO airline_na"
+    )
+
+
+@pytest.fixture(scope="module")
+def year_names(mgr):
+    mgr.sql2ddf("CREATE TABLE year_names (Year_num int, Name string)")
+    return mgr.sql2ddf(f"LOAD '{REF_RES}/year_names.csv' INTO year_names")
+
+
+def test_load_airline_shape_and_summary(airline_v):
+    """SqlHandlerSpec.scala:16-30: 29 columns, 31 rows, Year max 2010,
+    FlightNum (V10) variance 998284.8 ±1."""
+    assert len(airline_v.columns) == 29
+    assert airline_v.num_rows() == 31
+    s = airline_v.summary()
+    assert s["V1"]["max"] == 2010
+    assert s["V10"]["variance"] == pytest.approx(998284.8, abs=1.0)
+
+
+def test_sql_where(airline):
+    """SqlHandlerSpec.scala:43-55: Year>2008 AND Month>1 → exactly one
+    row, Year 2010."""
+    out = airline.sql("SELECT Year, Month FROM @this WHERE Year > 2008 AND Month > 1")
+    rows = out.df.collect()
+    assert len(rows) == 1
+    assert rows[0]["Year"] == 2010
+
+
+def test_sql_orderby_limit(airline):
+    """SqlHandlerSpec.scala:78-98: order by Year DESC limit 2."""
+    out = airline.sql("SELECT Year, Month FROM @this ORDER BY Year DESC LIMIT 2")
+    rows = out.df.collect()
+    assert len(rows) == 2
+    assert rows[0]["Year"] == 2010 and len(rows[0]) == 2
+
+
+def test_join_goldens(airline, year_names):
+    """JoinHandlerSpec.scala:17-60 shape goldens: inner output is 31
+    columns (29 left + 2 right), schema gains Name; left semi keeps only
+    the 29 left columns; left outer preserves all 31 left rows.
+
+    Row counts are computed differentially from the fixtures (the spec's
+    literal '2 rows' golden predates the current 31-row airline.csv —
+    with this fixture, matching years 2008/2010 contribute one row per
+    airline row, which is also what the reference's group-crossing
+    coGroup emits)."""
+    import pandas as pd
+
+    pdf = pd.read_csv(f"{REF_RES}/airline.csv", header=None, na_values=["NA"])
+    years = pd.read_csv(f"{REF_RES}/year_names.csv", header=None)
+    n_matching = pdf[0].isin(set(years[0])).sum()
+
+    inner = airline.join(year_names, "inner", by_left_columns=["Year"], by_right_columns=["Year_num"])
+    assert inner.num_rows() == n_matching
+    assert len(inner.columns) == 31
+    assert "Year" in inner.columns and "Name" in inner.columns
+
+    semi = airline.join(year_names, "leftsemi", by_left_columns=["Year"], by_right_columns=["Year_num"])
+    assert semi.num_rows() == n_matching  # one output row per LEFT row — the
+    # correct semi multiplicity (the reference impl crosses groups,
+    # utils/package.scala:296-305 — same count here since right is unique)
+    assert len(semi.columns) == 29
+    assert "Name" not in semi.columns
+
+    left = airline.join(year_names, "left", by_left_columns=["Year"], by_right_columns=["Year_num"])
+    assert left.num_rows() == 31
+
+
+def test_aggregate_goldens(airline_v):
+    """AggregationHandlerSpec.scala:11-47: keyed aggregate map, scalar
+    max, grouped means, correlation 0.8977."""
+    agg = airline_v.aggregate("V1, V2, min(V15), max(V16)")
+    assert len(agg["2010,3"]) == 2
+    assert airline_v.aggregate_on_column("max", "V1") == 2010
+
+    import pandas as pd
+
+    pdf = pd.read_csv(f"{REF_RES}/airline.csv", header=None, na_values=["NA"])
+    g = airline_v.group_by(["V3"], ["mean(V16)"])
+    mean_col = [c for c in g.columns if c != "V3"][0]
+    got = {r["V3"]: r[mean_col] for r in g.df.collect()}
+    exp = pdf.groupby(2)[15].mean()  # V3 = col idx 2, V16 = idx 15
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v)
+    # AggregationHandlerSpec:28 golden row "21,3": Flink's Table avg over
+    # INT columns truncates to int (21 = int(21.645)); we keep the honest
+    # double mean and check the truncation reproduces the golden
+    assert int(got[3]) == 21
+
+    two_step = airline_v.group_by(["V3"], ["mean=avg(V15)"])
+    got15 = {r["V3"]: r["mean"] for r in two_step.df.collect()}
+    # AggregationHandlerSpec:36 golden "9,3" — same truncation (9 = int(9.x))
+    assert int(got15[3]) == 9
+    assert got15[3] == pytest.approx(pdf.groupby(2)[14].mean()[3])
+
+    # AggregationHandlerSpec:45 asserts correlation 0.89 ± 1 (tolerance 1.0!);
+    # the exact Pearson r on this fixture is 0.9188 — pin to pandas
+    cor = airline_v.correlation("V15", "V16")
+    assert cor == pytest.approx(pdf[14].corr(pdf[15]))
+    assert cor == pytest.approx(0.89, abs=1.0)  # the spec's own (loose) bound
+
+
+def test_quantiles_goldens(airline_v, mgr):
+    """StatisticsHandlerSpec.scala:42-62: V5 quantiles [801,1416,1644]
+    ±20.01 (TDigest there, GK here); mtcars mpg within interpolation gap."""
+    q = airline_v.vector_quantiles("V5", [0.3, 0.5, 0.7])
+    for got, exp in zip(q, [801.0, 1416.0, 1644.0]):
+        assert got == pytest.approx(exp, abs=20.01)
+
+    mgr.sql2ddf(
+        "CREATE TABLE mtcars (mpg double, cyl int, disp double, hp int, drat double, "
+        "wt double, qsec double, vs int, am int, gear int, carb int)"
+    )
+    cars = mgr.sql2ddf(f"LOAD '{REF_RES}/mtcars' DELIMITED BY ' ' INTO mtcars")
+    mq = cars.vector_quantiles("mpg", [0.0, 0.3, 0.5, 0.3, 1.0])
+    # reference golden [10.4, 15.68, 18.95, 15.68, 33.9] is TDigest-
+    # interpolated; GK returns order statistics — allow the adjacent gap
+    for got, exp in zip(mq, [10.4, 15.68, 18.95, 15.68, 33.9]):
+        assert got == pytest.approx(exp, abs=0.5)
+
+
+def test_histogram_golden(airline_v):
+    """StatisticsHandlerSpec.scala:64-70: V15 (ArrDelay), 5 bins — first
+    bin starts at -24 with 10 rows."""
+    bins = airline_v.vector_histogram("V15", 5)
+    assert len(bins) == 5
+    x0, y0 = bins[0]
+    assert x0 == pytest.approx(-24.0)
+    assert y0 == 10
+
+
+def test_binning_goldens(airline):
+    """BinningHandlerSpec.scala:16-98 level-count maps."""
+    # equal interval, include_lowest, right: {[1,6]: 26, (6,11]: 5}
+    b = airline.binning("Month", "EQUALINTERVAL", num_bins=2, include_lowest=True, right=True)
+    counts = b.factor_level_counts(["Month"])["Month"]
+    assert counts == {"[1,6]": 26, "(6,11]": 5}
+
+    # exclude lowest, right: {(1,6]: 9, (6,11]: 5} — Month=1 rows dropped
+    b2 = airline.binning("Month", "EQUALINTERVAL", num_bins=2, include_lowest=False, right=True)
+    counts2 = b2.factor_level_counts(["Month"])["Month"]
+    assert counts2 == {"(1,6]": 9, "(6,11]": 5}
+
+    # custom breaks [2,4,6,8]: {[2,4]: 6, (4,6]: 3, (6,8]: 2}, 11 rows kept
+    b3 = airline.binning("Month", breaks=[2, 4, 6, 8], include_lowest=True, right=True)
+    counts3 = b3.factor_level_counts(["Month"])["Month"]
+    assert counts3 == {"[2,4]": 6, "(4,6]": 3, "(6,8]": 2}
+    assert b3.num_rows() == 11
+
+    # equal frequency, 2 bins: the Month column is ~55% ones, so the
+    # median break duplicates the minimum → point interval [1,1]
+    # (BinningHandlerSpec:31-41 golden {[1,1]: 17, (1,11]: 14})
+    b4 = airline.binning("Month", "EQUALFREQ", num_bins=2, include_lowest=True, right=True)
+    counts4 = b4.factor_level_counts(["Month"])["Month"]
+    assert counts4 == {"[1,1]": 17, "(1,11]": 14}
+
+    # DOCUMENTED DIVERGENCE (include_lowest with right=False): the
+    # reference labels middle/low intervals "(lo,hi)" open-open
+    # (BinningHandler.scala:64-92), silently dropping boundary values —
+    # its golden is {[1,6): 24, [6,11): 6} with Month=11 lost. We follow
+    # R cut(): contiguous [lo,hi) with include.lowest closing the top —
+    # every in-range row lands in exactly one bin.
+    b5 = airline.binning("Month", "EQUALINTERVAL", num_bins=2, include_lowest=True, right=False)
+    counts5 = b5.factor_level_counts(["Month"])["Month"]
+    assert counts5 == {"[1,6)": 24, "[6,11]": 7}
+    assert sum(counts5.values()) == 31  # no rows silently lost
+
+
+def test_missing_data_goldens(airline_na, airline_v):
+    """MissingDataHandlerSpec.scala:16-87: drop 9/31 rows, 22/29 columns;
+    fill-by-value and fill-by-dict both give sum(V29|2008) = 282."""
+    assert airline_na.drop_na(how="any").num_rows() == 9
+    assert airline_na.drop_na(how="all").num_rows() == 31
+    kept = airline_na.drop_na(axis="column", how="any")
+    assert len(kept.columns) == 22
+
+    proj = airline_v.project("V1", "V29")
+    filled = proj.fill_na(value=0)
+    assert filled.aggregate("V1, sum(V29)")["2008"][0] == pytest.approx(282.0, abs=0.1)
+
+    proj3 = airline_v.project("V1", "V28", "V29")
+    filled_d = proj3.fill_na(column_values={"V1": 2000, "V28": 0, "V29": 1})
+    # MissingDataHandlerSpec:72-79 asserts 282 for the dict fill too, but
+    # that golden is insensitive: filling V29 nulls with 1 must ADD one per
+    # formerly-null 2008 row (pandas: fillna(1) → 302); the reference only
+    # sees 282 because its aggregate pre-drops null rows (getCleanTable)
+    # whether or not the fill happened.
+    import pandas as pd
+
+    pdf = pd.read_csv(f"{REF_RES}/airline.csv", header=None, na_values=["NA"])
+    expected = pdf[pdf[0] == 2008][28].fillna(1).sum()
+    assert filled_d.aggregate("V1, sum(V29)")["2008"][0] == pytest.approx(expected, abs=0.1)
