@@ -62,6 +62,16 @@ def airline_na(mgr):
 
 
 @pytest.fixture(scope="module")
+def mtcars(mgr):
+    """BaseSpec.scala:81-88 loadMtCarsDDF (space-delimited)."""
+    mgr.sql2ddf(
+        "CREATE TABLE mtcars (mpg double, cyl int, disp double, hp int, drat double, "
+        "wt double, qsec double, vs int, am int, gear int, carb int)"
+    )
+    return mgr.sql2ddf(f"LOAD '{REF_RES}/mtcars' DELIMITED BY ' ' INTO mtcars")
+
+
+@pytest.fixture(scope="module")
 def year_names(mgr):
     mgr.sql2ddf("CREATE TABLE year_names (Year_num int, Name string)")
     return mgr.sql2ddf(f"LOAD '{REF_RES}/year_names.csv' INTO year_names")
@@ -160,19 +170,14 @@ def test_aggregate_goldens(airline_v):
     assert cor == pytest.approx(0.89, abs=1.0)  # the spec's own (loose) bound
 
 
-def test_quantiles_goldens(airline_v, mgr):
+def test_quantiles_goldens(airline_v, mgr, mtcars):
     """StatisticsHandlerSpec.scala:42-62: V5 quantiles [801,1416,1644]
     ±20.01 (TDigest there, GK here); mtcars mpg within interpolation gap."""
     q = airline_v.vector_quantiles("V5", [0.3, 0.5, 0.7])
     for got, exp in zip(q, [801.0, 1416.0, 1644.0]):
         assert got == pytest.approx(exp, abs=20.01)
 
-    mgr.sql2ddf(
-        "CREATE TABLE mtcars (mpg double, cyl int, disp double, hp int, drat double, "
-        "wt double, qsec double, vs int, am int, gear int, carb int)"
-    )
-    cars = mgr.sql2ddf(f"LOAD '{REF_RES}/mtcars' DELIMITED BY ' ' INTO mtcars")
-    mq = cars.vector_quantiles("mpg", [0.0, 0.3, 0.5, 0.3, 1.0])
+    mq = mgr.get_ddf("mtcars").vector_quantiles("mpg", [0.0, 0.3, 0.5, 0.3, 1.0])
     # reference golden [10.4, 15.68, 18.95, 15.68, 33.9] is TDigest-
     # interpolated; GK returns order statistics — allow the adjacent gap
     for got, exp in zip(mq, [10.4, 15.68, 18.95, 15.68, 33.9]):
@@ -250,3 +255,54 @@ def test_missing_data_goldens(airline_na, airline_v):
     pdf = pd.read_csv(f"{REF_RES}/airline.csv", header=None, na_values=["NA"])
     expected = pdf[pdf[0] == 2008][28].fillna(1).sum()
     assert filled_d.aggregate("V1, sum(V29)")["2008"][0] == pytest.approx(expected, abs=0.1)
+
+
+def test_views_goldens(airline, mtcars):
+    """ViewHandlerSpec.scala:12-48: remove-column arities, head sizes,
+    exact-n sample."""
+    assert len(airline.remove_columns("Year").columns) == 28
+    assert len(airline.remove_columns("DepTime").columns) == 28
+    assert len(airline.remove_columns("Year", "DepTime", "Month").columns) == 26
+    assert len(airline.head(3)) == 3
+
+    sample = mtcars.sample_n(10, seed=1)
+    assert len(sample) == 10
+    assert airline.sample(0.5, seed=1).num_rows() > 0
+
+
+def test_factor_goldens(mtcars, airline_na):
+    """SchemaHandlerSpec.scala:32-90: mtcars factor level counts for
+    vs/am/gear/carb (levels keyed by string value, as the reference's
+    levelCounts maps are); Origin has 3 levels in airlineWithNA."""
+    for c in ("vs", "am", "gear", "carb"):
+        mtcars.set_as_factor(c)
+    counts = mtcars.factor_level_counts(["vs", "am", "gear", "carb"])
+    assert counts["vs"]["1"] == 14 and counts["vs"]["0"] == 18
+    assert counts["am"]["1"] == 13
+    assert counts["gear"]["4"] == 12 and counts["gear"]["3"] == 15 and counts["gear"]["5"] == 5
+    assert counts["carb"]["1"] == 7 and counts["carb"]["2"] == 10
+
+    origin_levels = airline_na.set_as_factor("Origin").factor_levels("Origin")
+    assert len(origin_levels) == 3
+
+
+def test_ml_smoke_goldens(mgr, mtcars):
+    """MLSupporterSpec.scala:8-48 shapes: kmeans on mtcars mpg/hp predicts
+    for every row; linear regression on regressionData trains and scores."""
+    from ddf_flink_spark.ml.facade import MLFacade
+
+    facade = MLFacade(mtcars.df)
+    km = facade.kmeans(["mpg", "hp"], k=2)
+    preds = facade.apply_model(km, feature_cols=["mpg", "hp"])
+    assert preds.count() == 32
+    assert "yPredict" in preds.columns
+
+    # the fixture has a trailing comma per line (a 3rd, empty field); the
+    # reference's univocity reader silently ignored it — we declare it
+    mgr.sql2ddf("CREATE TABLE regression_data (col1 double, col2 double, trail string)")
+    reg = mgr.sql2ddf(f"LOAD '{REF_RES}/regressionData.csv' INTO regression_data")
+    reg = reg.project("col1", "col2")
+    rf = MLFacade(reg.df)
+    model = rf.linear_regression(["col1"], "col2", max_iter=10)
+    out = rf.apply_model(model, feature_cols=["col1"])
+    assert out.count() == reg.num_rows()
