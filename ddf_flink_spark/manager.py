@@ -38,6 +38,18 @@ class DDFManager:
         """``getDDFByName`` (``FlinkDDFManager``/core catalog)."""
         return self.catalog[name]
 
+    def set_ddf_name(self, ddf: DDF, name: str) -> DDF:
+        """``setDDFName`` (core manager; used e.g.
+        ``content/ViewHandlerSpec.scala:46``): re-register the DDF under a
+        new catalog name + temp view."""
+        old = ddf.name
+        ddf.name = name
+        ddf._register()
+        if old != name:
+            self.catalog.pop(old, None)
+            self.spark.catalog.dropTempView(old)
+        return ddf
+
     # ----------------------------------------------------------------- loads
     def load_file(self, path: str, delimiter: str = ",", name: str | None = None) -> DDF:
         """``loadFile(fileURL, fieldSeparator)`` (``FlinkDDFManager.scala:30-59``):
@@ -52,6 +64,15 @@ class DDFManager:
     def load_table(self, sf_dir: str, table: str) -> DDF:
         """Convenience: load one of the driver's testdata tables."""
         return self.load_parquet(f"{sf_dir.rstrip('/')}/{table}.parquet", name=table)
+
+    def load_json(self, path: str, name: str | None = None, multiline: bool = False) -> DDF:
+        """JSON source (the reference ships JSON samples under
+        ``resources/test/`` but never wired a reader); full-scan schema
+        inference via Spark's native JSON datasource."""
+        reader = self.spark.read
+        if multiline:
+            reader = reader.option("multiLine", "true")
+        return self.new_ddf(reader.json(path), name=name)
 
     # ------------------------------------------------------------------- sql
     def sql2ddf(self, command: str) -> DDF:

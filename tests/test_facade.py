@@ -161,3 +161,20 @@ def test_sql2list_tab_joined(orders_ddf):
     )
     assert cols == ["o_orderkey", "o_orderstatus"]
     assert len(rows) == 3 and all("\t" in r for r in rows)
+
+
+def test_set_ddf_name_and_json(mgr, spark, tmp_path_factory):
+    """setDDFName re-registers under the new catalog + view name
+    (ViewHandlerSpec.scala:46); JSON source infers schema natively."""
+    ddf = mgr.new_ddf(spark.range(5).withColumnRenamed("id", "v"), name="before_rename")
+    mgr.set_ddf_name(ddf, "after_rename")
+    assert mgr.get_ddf("after_rename") is ddf
+    assert "before_rename" not in mgr.catalog
+    assert spark.sql("SELECT COUNT(*) AS n FROM after_rename").first()["n"] == 5
+
+    p = str(tmp_path_factory.mktemp("json") / "d.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    j = mgr.load_json(p)
+    assert sorted(j.columns) == ["a", "b"]
+    assert j.num_rows() == 2
