@@ -41,13 +41,20 @@ class DDFManager:
     def set_ddf_name(self, ddf: DDF, name: str) -> DDF:
         """``setDDFName`` (core manager; used e.g.
         ``content/ViewHandlerSpec.scala:46``): re-register the DDF under a
-        new catalog name + temp view."""
+        new catalog name + temp view. Refuses to clobber a different DDF
+        already registered under ``name``; temp views are case-insensitive,
+        so a case-only rename must not drop the view it just created."""
+        existing = self.catalog.get(name)
+        if existing is not None and existing is not ddf:
+            raise ValueError(f"a different DDF is already registered as {name!r}")
         old = ddf.name
         ddf.name = name
         ddf._register()
-        if old != name:
+        if old.lower() != name.lower():
             self.catalog.pop(old, None)
             self.spark.catalog.dropTempView(old)
+        elif old != name:
+            self.catalog.pop(old, None)  # same view, different catalog key
         return ddf
 
     # ----------------------------------------------------------------- loads

@@ -53,13 +53,19 @@ def compute_breaks(
     if t in ("EQUALFREQ", "EQUAL_FREQ"):
         probs = [i / num_bins for i in range(num_bins + 1)]
         breaks = sorted(df.approxQuantile(column, probs, 0.0001))
-        # duplicate quantile breaks (heavily repeated values) are KEPT as
-        # point intervals — e.g. breaks [1,1,11] make [1,1] its own level,
-        # matching the reference's behavior on skewed columns
-        # (BinningHandler.scala:112-132 feeds raw quantiles to the labeler)
-        if breaks[0] == breaks[-1]:
+        if len(breaks) < 2 or breaks[0] == breaks[-1]:
             raise ValueError(f"degenerate breaks for column {column!r}: {breaks}")
-        return breaks
+        # a duplicated quantile break (heavily repeated value) is KEPT as
+        # ONE point interval — e.g. breaks [1,1,11] make [1,1] its own
+        # level, matching the reference's behavior on skewed columns
+        # (BinningHandler.scala:112-132 feeds raw quantiles to the
+        # labeler); runs longer than 2 are collapsed so interval labels
+        # (= factor levels) stay unique
+        collapsed: list[float] = []
+        for b in breaks:
+            if collapsed.count(b) < 2:
+                collapsed.append(b)
+        return collapsed
     elif t in ("EQUALINTERVAL", "EQUAL_INTERVAL"):
         lo, hi = df.agg(F.min(column), F.max(column)).first()
         lo, hi = float(lo), float(hi)

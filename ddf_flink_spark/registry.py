@@ -2132,10 +2132,7 @@ def q77_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q78_stream_static_join",
     oracle="""
-    WITH tiers(tier, lo, hi) AS (
-      VALUES ('low', 0), ('mid', 50), ('high', 100)
-    ),
-    u AS (
+    WITH u AS (
       SELECT DISTINCT user_id,
              CASE WHEN user_id % 3 = 0 THEN 'low'
                   WHEN user_id % 3 = 1 THEN 'mid'

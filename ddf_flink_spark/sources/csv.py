@@ -136,6 +136,11 @@ def load_declared(
     to ``null_value`` becomes null. Then cast per declared type; a failed
     cast yields null (PERMISSIVE), and in defaults mode nulls are replaced
     by the type default via ``coalesce`` — one JVM-side projection, no UDFs.
+
+    Known limit: Spark surfaces a ragged row's MISSING trailing fields the
+    same way as empty ones (null), so with WITH EMPTY those also take the
+    empty sentinel. Ragged rows are malformed input for a declared-schema
+    LOAD; pre-validate if the distinction matters.
     """
     raw = spark.read.option("delimiter", delimiter).csv(path)
     if len(raw.columns) != len(columns):

@@ -178,3 +178,16 @@ def test_set_ddf_name_and_json(mgr, spark, tmp_path_factory):
     j = mgr.load_json(p)
     assert sorted(j.columns) == ["a", "b"]
     assert j.num_rows() == 2
+
+
+def test_set_ddf_name_guards(mgr, spark):
+    """Case-only rename keeps the (case-insensitive) temp view; renaming
+    onto a different DDF's name raises instead of clobbering it."""
+    a = mgr.new_ddf(spark.range(5).withColumnRenamed("id", "v"), name="guard_a")
+    b = mgr.new_ddf(spark.range(7).withColumnRenamed("id", "v"), name="guard_b")
+    mgr.set_ddf_name(a, "Guard_A")  # case-only rename
+    assert spark.sql("SELECT COUNT(*) AS n FROM guard_a").first()["n"] == 5
+    assert mgr.get_ddf("Guard_A") is a
+    with pytest.raises(ValueError):
+        mgr.set_ddf_name(b, "Guard_A")
+    assert mgr.get_ddf("Guard_A") is a  # untouched

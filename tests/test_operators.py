@@ -365,3 +365,21 @@ def test_binning_matches_reference_cut_rules(spark):
                 else:
                     assert all(l.startswith("[") for l in labels)
                     assert labels[-1][-1] == ("]" if include_lowest else ")")
+
+
+def test_equalfreq_breaks_edge_cases(spark):
+    """Degenerate columns raise a descriptive error; long runs of a
+    repeated value collapse to ONE point interval (unique labels)."""
+    from ddf_flink_spark.operators.binning import compute_breaks, interval_labels
+
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    with pytest.raises(ValueError, match="degenerate"):
+        compute_breaks(nulls, "v", "EQUALFREQ", 2)
+
+    skewed = spark.createDataFrame(
+        [(1.0,)] * 90 + [(float(i),) for i in range(2, 12)], "v double"
+    )
+    breaks = compute_breaks(skewed, "v", "EQUALFREQ", 4)
+    assert breaks.count(1.0) == 2  # runs collapse to one point interval
+    labels = interval_labels(breaks, include_lowest=True, right=True)
+    assert len(labels) == len(set(labels)), f"duplicate labels: {labels}"
