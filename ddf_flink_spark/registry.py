@@ -2215,3 +2215,23 @@ def q79_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(joined.select("purchase_id", "error_id"), "append")
     return out
+
+
+@query(
+    "q80_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q80_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^k grouping combinations in one pass (pairs with q52's
+    ROLLUP; both beyond the reference's flat GROUP BY). Catalyst expands
+    the grouping sets before the single partial+final aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
