@@ -191,3 +191,14 @@ def test_set_ddf_name_guards(mgr, spark):
     with pytest.raises(ValueError):
         mgr.set_ddf_name(b, "Guard_A")
     assert mgr.get_ddf("Guard_A") is a  # untouched
+
+
+def test_manager_sql_default_limit(mgr):
+    """manager.sql caps interactive results at 1000 rows
+    (DEFAULT_LIMIT, SqlHandler.scala:255)."""
+    mgr.load_table(SF_DIR, "orders")
+    cols, rows = mgr.sql("SELECT o_orderkey FROM orders")
+    assert cols == ["o_orderkey"]
+    assert len(rows) == 1000
+    _cols2, rows2 = mgr.sql("SELECT o_orderkey FROM orders", limit=5)
+    assert len(rows2) == 5
