@@ -2258,3 +2258,44 @@ def q81_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@query(
+    "q82_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT doc_id AS id FROM documents
+    ), edges AS (
+      SELECT d.doc_id AS src, d.doc_id + 1 AS dst
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE d.doc_id % 10 < 3
+    ), bidir AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ), reach AS (
+      SELECT id, id AS root FROM nodes
+      UNION
+      SELECT b.dst AS id, r.root
+      FROM reach r JOIN bidir b ON b.src = r.id
+    )
+    SELECT id, MIN(root) AS cluster FROM reach GROUP BY id
+    """,
+)
+def q82_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster formation over near-dup pairs (functions/dedup.py
+    connected_components): chains doc→doc+1 for doc_id%10<3 form 4-node
+    components that NO pairwise operator alone can assemble — transitivity
+    needs the iterative min-label propagation. Oracle: DuckDB recursive
+    CTE computing min reachable id per node. One join+groupBy per round,
+    O(diameter) rounds, lineage checkpointed."""
+    from .functions.dedup import connected_components
+
+    d = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    edges = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("b.id") == F.col("a.id") + 1)
+        .filter(F.col("a.id") % 10 < 3)
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    return connected_components(edges, d)

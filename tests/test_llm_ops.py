@@ -174,3 +174,16 @@ def test_quality_score_range(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     mm = docs.select(quality_score("text").alias("q")).agg(F.min("q"), F.max("q")).first()
     assert 0.0 <= mm[0] <= mm[1] <= 1.0
+
+
+def test_connected_components_transitivity(spark):
+    """A~B, B~C (no A~C pair) must cluster {A,B,C} together; isolated
+    nodes stay their own cluster."""
+    from ddf_flink_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "src long, dst long"
+    )
+    got = {r["id"]: r["cluster"] for r in connected_components(edges, nodes).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}

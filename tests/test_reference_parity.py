@@ -306,3 +306,41 @@ def test_ml_smoke_goldens(mgr, mtcars):
     model = rf.linear_regression(["col1"], "col2", max_iter=10)
     out = rf.apply_model(model, feature_cols=["col1"])
     assert out.count() == reg.num_rows()
+
+
+def test_transform_goldens(airline_v):
+    """TransformationHandlerSpec.scala:13-50 replayed pandas-side:
+    expression transform appends the new column in position; map/reduce
+    keyval protocol produces (key, val); scaling summaries match."""
+    derived = airline_v.transform_native({"newcol": "V5 / V7"})
+    assert derived.columns[29] == "newcol"
+
+    subset = airline_v.project("V1", "V4")
+
+    def map_fn(pdf):
+        return pdf.rename(columns={"V1": "key", "V4": "val"})
+
+    def reduce_fn(pdf):
+        import pandas as pd
+
+        return pd.DataFrame({"key": [pdf["key"].iloc[0]], "val": [int(pdf["val"].sum())]})
+
+    mr = subset.transform_map_reduce(
+        map_fn, "key int, val int", ["key"], reduce_fn, "key int, val long"
+    )
+    assert mr.columns == ["key", "val"]
+    got = {r["key"]: r["val"] for r in mr.df.collect()}
+    import pandas as pd
+
+    pdf = pd.read_csv(f"{REF_RES}/airline.csv", header=None, na_values=["NA"])
+    exp = pdf.groupby(0)[3].sum()
+    assert got == {int(k): int(v) for k, v in exp.items()}
+
+    num = airline_v.project(*[c for c in ("V1", "V2", "V3", "V4", "V5", "V6", "V7", "V8")])
+    scaled = num.transform_scale_min_max()
+    s = scaled.summary()
+    assert s["V1"]["min"] < 1.0 and s["V1"]["max"] == 1.0  # Spec:40-44
+
+    z = num.transform_scale_standard()
+    assert z.num_rows() == 31
+    assert len(z.summary()) == 8  # Spec:46-50
