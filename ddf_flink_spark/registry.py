@@ -2299,3 +2299,164 @@ def q82_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
     )
     return connected_components(edges, d)
+
+
+# ---------------------------------------------------------------------------
+# Time-series & reshaping extensions (reference has no date functions at all
+# — SURVEY §2.9; hypertable-style rollup + pivot/unpivot beyond parity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q83_resample_gapfill",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, time_bucket(INTERVAL 6 HOURS, ts) AS bucket, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, time_bucket(INTERVAL 6 HOURS, ts)
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY user_id, time_bucket(INTERVAL 6 HOURS, ts)) AS n_obs
+      FROM events
+    ), obs AS (
+      SELECT user_id, bucket, value AS last_value, n_obs FROM ranked WHERE rn = 1
+    ), bounds AS (
+      SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 6 HOURS)) AS bucket
+      FROM bounds
+    ), j AS (
+      SELECT g.user_id, g.bucket, o.last_value, COALESCE(o.n_obs, 0) AS n_obs
+      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+    )
+    SELECT user_id, bucket,
+           ROUND(LAST_VALUE(last_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled_value,
+           n_obs
+    FROM j
+    """,
+)
+def q83_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: resample events to 6-hour buckets per user,
+    forward-filling empty buckets with the last observed value
+    (operators/timeseries.resample_gapfill). Grid generation is per-key
+    ``sequence``+``explode`` — distributed, bounded by span/interval; the
+    raw events reduce map-side in the bucket groupBy before any window."""
+    from .operators.timeseries import resample_gapfill
+
+    e = t(spark, sf_dir, "events")
+    out = resample_gapfill(
+        e,
+        ts_col="ts",
+        key_cols=["user_id"],
+        interval="6 hours",
+        interval_seconds=6 * 3600,
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+    return out.withColumn("filled_value", F.round("filled_value", 2))
+
+
+_PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q84_pivot_wide",
+    oracle="""
+    SELECT user_id,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 2)    AS click,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'error'), 2)    AS error,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'signup'), 2)   AS signup,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 2)     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q84_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long events to one wide row per user (the general form of
+    xtabs — ``analytics/AggregationHandler.scala:163-165`` aliases xtabs
+    to aggregate; a real pivot is beyond the reference). Pivot values are
+    declared explicitly so the plan is a single groupBy pass — no extra
+    distinct-values job, stable column order."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _PIVOT_EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+@query(
+    "q85_unpivot_long",
+    oracle="""
+    WITH long AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           ROUND(SUM(val), 2) AS total, COUNT(*) AS n
+    FROM long GROUP BY 1, 2
+    """,
+)
+def q85_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) three measure columns to long form then aggregate —
+    ``df.unpivot`` is a zero-shuffle row expansion (each input row yields
+    k output rows in place); only the final groupBy shuffles, and it
+    carries pre-aggregated partials."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.round(F.sum("val"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q86_median_argmax",
+    oracle="""
+    WITH j AS (
+      SELECT n_name, c_acctbal, c_name, c_custkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), ranked AS (
+      SELECT n_name, c_name,
+             ROW_NUMBER() OVER (
+               PARTITION BY n_name
+               ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+      FROM j
+    ), m AS (
+      SELECT n_name, ROUND(MEDIAN(c_acctbal), 4) AS median_acctbal,
+             COUNT(*) AS n_customers
+      FROM j GROUP BY n_name
+    )
+    SELECT m.n_name, m.median_acctbal,
+           r.c_name AS richest_customer, m.n_customers
+    FROM m JOIN ranked r ON r.n_name = m.n_name AND r.rn = 1
+    """,
+)
+def q86_median_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + arg-max per group: ``F.median`` (exact interpolated
+    percentile, partial-aggregable) and ``F.max_by`` with a (value, key)
+    struct tie-break so both engines pick the same row deterministically.
+    The nation dim broadcasts; one shuffle on n_name."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.median("c_acctbal"), 4).alias("median_acctbal"),
+            F.max_by("c_name", F.struct("c_acctbal", "c_custkey")).alias(
+                "richest_customer"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )

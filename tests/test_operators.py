@@ -383,3 +383,38 @@ def test_equalfreq_breaks_edge_cases(spark):
     assert breaks.count(1.0) == 2  # runs collapse to one point interval
     labels = interval_labels(breaks, include_lowest=True, right=True)
     assert len(labels) == len(set(labels)), f"duplicate labels: {labels}"
+
+
+def test_resample_gapfill_semantics(spark):
+    """Gap buckets materialize with n_obs=0 and carry the last observed
+    value forward; within-bucket representative is the LATEST event
+    (ts, tiebreak) — not the max or first."""
+    from datetime import datetime
+
+    from ddf_flink_spark.operators.timeseries import resample_gapfill
+
+    rows = [
+        # key "a": two events in bucket 00:00 (latest wins), gap at 01:00,
+        # one event at 02:00
+        ("a", datetime(2024, 1, 1, 0, 5), 1, 10.0),
+        ("a", datetime(2024, 1, 1, 0, 50), 2, 20.0),
+        ("a", datetime(2024, 1, 1, 2, 10), 3, 30.0),
+        # key "b": single bucket
+        ("b", datetime(2024, 1, 1, 5, 0), 4, 99.0),
+        # tie on ts within one bucket -> higher tiebreak id wins
+        ("c", datetime(2024, 1, 1, 0, 0), 5, 1.0),
+        ("c", datetime(2024, 1, 1, 0, 0), 6, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, v double")
+    out = resample_gapfill(
+        df, ts_col="ts", key_cols=["k"], interval="1 hour",
+        interval_seconds=3600, value_col="v", tiebreak_col="eid",
+    ).orderBy("k", "bucket")
+    got = [(r.k, r.bucket.hour, r.filled_value, r.n_obs) for r in out.collect()]
+    assert got == [
+        ("a", 0, 20.0, 2),   # latest of the two, not first/max
+        ("a", 1, 20.0, 0),   # gap: forward-filled, zero observations
+        ("a", 2, 30.0, 1),
+        ("b", 5, 99.0, 1),
+        ("c", 0, 2.0, 2),    # ts tie broken by eid
+    ]
