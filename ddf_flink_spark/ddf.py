@@ -279,6 +279,63 @@ class DDF:
             _missing.fill_na(self._df, value, column_values, agg_function, columns)
         )
 
+    def fill_directional(
+        self,
+        column: str,
+        order_by,
+        method: str = "ffill",
+        partition_by: list[str] | None = None,
+    ) -> "DDF":
+        """ffill/bfill — the fill method the reference throws on
+        (``etl/MissingDataHandler.scala:122-127``)."""
+        return self._derive(
+            _missing.fill_directional(self._df, column, order_by, method, partition_by)
+        )
+
+    # ----------------------------------------------------------- time series
+    def resample_gapfill(
+        self,
+        ts_col: str,
+        key_cols: list[str],
+        interval: str,
+        interval_seconds: int,
+        value_col: str,
+        tiebreak_col: str | None = None,
+    ) -> "DDF":
+        """Fixed-interval resample with forward-filled gaps
+        (operators/timeseries.resample_gapfill) — extension; the reference
+        has no temporal operators at all (SURVEY §2.9/§2.15)."""
+        from .operators.timeseries import resample_gapfill as _resample
+
+        return self._derive(
+            _resample(
+                self._df, ts_col, key_cols, interval, interval_seconds,
+                value_col, tiebreak_col,
+            ),
+            keep_factors=False,
+        )
+
+    def pivot(self, index_col: str, pivot_col: str, values: list,
+              agg: str = "sum", value_col: str | None = None) -> "DDF":
+        """Long→wide pivot with declared pivot values (single-pass plan —
+        no distinct-values pre-job). Generalizes the reference's xtabs."""
+        from pyspark.sql import functions as F
+
+        agg_fn = getattr(F, agg)
+        col = value_col if value_col is not None else index_col
+        return self._derive(
+            self._df.groupBy(index_col).pivot(pivot_col, values).agg(agg_fn(col)),
+            keep_factors=False,
+        )
+
+    def unpivot(self, ids: list[str], values: list[str],
+                var_name: str = "variable", value_name: str = "value") -> "DDF":
+        """Wide→long melt (``df.unpivot`` — zero-shuffle row expansion)."""
+        return self._derive(
+            self._df.unpivot(ids, values, var_name, value_name),
+            keep_factors=False,
+        )
+
     # -------------------------------------------------------------- sampling
     def random_split(self, weights: list[float], seed: int = 42) -> list["DDF"]:
         return [self._derive(d) for d in _sampling.random_split(self._df, weights, seed)]
