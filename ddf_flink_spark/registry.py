@@ -2460,3 +2460,64 @@ def q86_median_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
+
+
+@query(
+    "q87_dedup_apply",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents
+    ), keep AS (
+      SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM fp JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.keep_id
+    GROUP BY lang
+    """,
+)
+def q87_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup APPLICATION (not just pair detection): fingerprint
+    → canonical keep_id per group (min doc_id) → filtered corpus → summary.
+    The keep-set join is an aggregation + self-join on the fingerprint —
+    shuffle carries (md5, id), never text; this is the shape that rewrites
+    a 100 TB corpus with duplicates removed."""
+    from .functions.dedup import dedup_exact
+
+    d = t(spark, sf_dir, "documents")
+    kept = dedup_exact(d, text_col="text", id_col="doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+@query(
+    "q88_partitioned_sink",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY 1
+    """,
+)
+def q88_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned read-back:
+    write orders partitioned by o_orderpriority, re-read with a partition
+    predicate. At 100 TB the predicate never touches non-matching
+    partitions (PartitionFilters, zero data read for pruned values) —
+    locked by test_plans.py::test_partitioned_sink_prunes."""
+    import tempfile
+
+    target = tempfile.mkdtemp(prefix="ddf_part_sink_")
+    o = t(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(target)
+    back = spark.read.parquet(target).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

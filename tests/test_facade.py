@@ -202,3 +202,40 @@ def test_manager_sql_default_limit(mgr):
     assert len(rows) == 1000
     _cols2, rows2 = mgr.sql("SELECT o_orderkey FROM orders", limit=5)
     assert len(rows2) == 5
+
+
+def test_pivot_unpivot_roundtrip(mgr, spark):
+    """pivot → unpivot recovers the long-form aggregates."""
+    rows = [("u1", "click", 1.0), ("u1", "view", 2.0), ("u2", "click", 3.0)]
+    ddf = mgr.new_ddf(
+        spark.createDataFrame(rows, "user string, etype string, v double")
+    )
+    wide = ddf.pivot("user", "etype", ["click", "view"], agg="sum", value_col="v")
+    assert set(wide.columns) == {"user", "click", "view"}
+    got = {r.user: (r.click, r.view) for r in wide.df.collect()}
+    assert got == {"u1": (1.0, 2.0), "u2": (3.0, None)}
+    long = wide.unpivot(["user"], ["click", "view"], "etype", "v")
+    assert long.df.filter("v IS NOT NULL").count() == 3
+
+
+def test_resample_and_fill_directional_facades(mgr, spark):
+    from datetime import datetime
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0), 1, 1.0),
+        ("a", datetime(2024, 1, 1, 3, 0), 2, None),
+        ("a", datetime(2024, 1, 1, 6, 0), 3, 3.0),
+    ]
+    ddf = mgr.new_ddf(
+        spark.createDataFrame(rows, "k string, ts timestamp, eid int, v double")
+    )
+    filled = ddf.fill_directional("v", order_by=["ts"], partition_by=["k"])
+    assert [r.v for r in filled.df.orderBy("ts").collect()] == [1.0, 1.0, 3.0]
+
+    res = ddf.resample_gapfill(
+        ts_col="ts", key_cols=["k"], interval="1 hour", interval_seconds=3600,
+        value_col="v", tiebreak_col="eid",
+    )
+    out = res.df.orderBy("bucket").collect()
+    assert len(out) == 7  # 00:00..06:00 hourly grid
+    assert sum(r.n_obs for r in out) == 3

@@ -141,3 +141,25 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE orders_b_{tag}")
         spark.sql(f"DROP TABLE lineitem_b_{tag}")
+
+
+def test_partitioned_sink_prunes(spark, tmp_path_factory):
+    """Reading a Hive-partitioned sink with a partition predicate must
+    prune at the partition level (PartitionFilters), not post-scan."""
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.registry import t
+
+    target = str(tmp_path_factory.mktemp("part_sink"))
+    t(spark, SF_DIR, "orders").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(target)
+    back = spark.read.parquet(target).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    p = buf.getvalue()
+    line = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "IN (1-URGENT,2-HIGH)" in line, line
