@@ -32,6 +32,7 @@ __all__ = [
     "decode_media",
     "extract_features",
     "frame_sample_plan",
+    "resize_media",
 ]
 
 # The canonical multimodal layout: metadata columns + one opaque binary.
@@ -120,9 +121,41 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     on the exploded rows (parallelism = frames, not videos, which is the
     scale-critical property for long videos)."""
     n_frames = F.greatest((F.col("duration_ms") / every_ms).cast("int"), F.lit(1))
+    # sequence with an explicit step — no per-element HOF lambda
     return df.select(
         "media_id",
         F.explode(
-            F.transform(F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_ms)
+            F.sequence(F.lit(0), (n_frames - 1) * every_ms, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize stub over the canonical media layout → same columns with
+    updated (width, height) and re-encoded ``content``.
+
+    Real pixel resampling needs PIL/ffmpeg (absent here); the stand-in
+    deterministically re-encodes the bytes to a size proportional to the
+    target area so batch shapes and memory behavior are realistic. The
+    Spark-side contract — mapInPandas over Arrow batches, binary in/out,
+    metadata updated in lockstep — is the real thing.
+    """
+    out_schema = MEDIA_SCHEMA
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        def fake_resize(content: bytes) -> bytes:
+            # deterministic byte payload scaled to the target area
+            n = max(1, (target_w * target_h) // 64)
+            digest = _hashlib.md5(content).digest()
+            return (digest * (n // len(digest) + 1))[:n]
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["width"] = target_w
+            out["height"] = target_h
+            out["content"] = [fake_resize(bytes(c)) for c in pdf["content"]]
+            yield out
+
+    return df.mapInPandas(resize_batches, schema=out_schema)

@@ -2521,3 +2521,79 @@ def q88_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "q89_stratified_sample",
+)
+def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-stratum Bernoulli) sampling — ``sampleBy`` with
+    per-language fractions, seeded. Extends the reference's uniform
+    sampling surface (§2.12); at 100 TB this is the downsampling primitive
+    for class rebalancing. Rows-only: sampling is seed-deterministic for a
+    fixed partition layout, so the driver's double-run hash is stable."""
+    d = t(spark, sf_dir, "documents")
+    frac = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
+    s = d.sampleBy("lang", fractions=frac, seed=42)
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q90_ntile_binning",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_quantity,
+             NTILE(4) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, COUNT(*) AS n,
+           ROUND(MIN(l_quantity), 2) AS lo, ROUND(MAX(l_quantity), 2) AS hi
+    FROM ranked GROUP BY bucket
+    """,
+)
+def q90_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equal-frequency binning via NTILE over a tie-broken total
+    order — the exact counterpart to q64's mergeable-sketch EQUALFREQ.
+    Scale note: a global NTILE is a full sort through ONE window partition;
+    it exists for exactness parity and small/medium tables — the
+    GK-sketch path (operators/binning.py) is the 100 TB default."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    ranked = li.select("l_quantity", F.ntile(4).over(w).alias("bucket"))
+    return ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_quantity"), 2).alias("lo"),
+        F.round(F.max("l_quantity"), 2).alias("hi"),
+    )
+
+
+@query(
+    "q91_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q91_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (columnar format beyond the
+    reference's CSV-only surface — `FlinkDDFManager.scala:30-59`): write
+    orders as ORC, re-read, aggregate. Predicate/column pushdown works on
+    ORC scans the same as parquet."""
+    import tempfile
+
+    target = tempfile.mkdtemp(prefix="ddf_orc_")
+    t(spark, sf_dir, "orders").write.mode("overwrite").orc(target)
+    back = spark.read.orc(target)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )

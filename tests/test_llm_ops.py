@@ -187,3 +187,46 @@ def test_connected_components_transitivity(spark):
     )
     got = {r["id"]: r["cluster"] for r in connected_components(edges, nodes).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+
+def test_resize_media_plumbing(spark):
+    from ddf_flink_spark.functions.multimodal import resize_media
+
+    docs = spark.createDataFrame(
+        [(1, "hello world document"), (2, "another fake image source text")],
+        "doc_id long, text string",
+    )
+    media = attach_fake_media(docs, "doc_id", "text")
+    resized = resize_media(media, target_w=32, target_h=24)
+    assert resized.columns == media.columns  # layout-preserving
+    rows = resized.collect()
+    assert all(r["width"] == 32 and r["height"] == 24 for r in rows)
+    expected_len = (32 * 24) // 64
+    assert all(len(bytes(r["content"])) == expected_len for r in rows)
+    # deterministic
+    again = {r["media_id"]: bytes(r["content"]) for r in resize_media(media, 32, 24).collect()}
+    assert {r["media_id"]: bytes(r["content"]) for r in rows} == again
+
+
+def test_binary_file_source(spark, tmp_path_factory):
+    from ddf_flink_spark.functions.multimodal import resize_media
+    from ddf_flink_spark.sources.binary import load_binary_dir
+
+    d = tmp_path_factory.mktemp("media")
+    (d / "a.png").write_bytes(b"\x89PNG fake bytes")
+    (d / "b.mp4").write_bytes(b"\x00\x00ftyp fake video")
+    (d / "notes.txt").write_bytes(b"not media")
+
+    all_files = load_binary_dir(spark, str(d))
+    got = {r["kind"] for r in all_files.collect()}
+    assert got == {"image", "video", "binary"}
+
+    imgs = load_binary_dir(spark, str(d), glob="*.png")
+    rows = imgs.collect()
+    assert len(rows) == 1 and rows[0]["mime"] == "image/png"
+    assert bytes(rows[0]["content"]) == b"\x89PNG fake bytes"
+    # media_id is deterministic over the path
+    assert rows[0]["media_id"] == load_binary_dir(spark, str(d), glob="*.png").collect()[0]["media_id"]
+    # composes with the resize step (canonical layout minus the path col)
+    resized = resize_media(imgs.drop("path"), 16, 16)
+    assert resized.count() == 1
