@@ -2597,3 +2597,63 @@ def q91_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
     )
+
+
+@query(
+    "q92_exists_subquery",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q92_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — impossible in the reference's
+    single-block SELECT dialect (``SqlSupport.scala:133-150``); Catalyst
+    decorrelates it into a left-semi join (the same physical shape as
+    q09, picked automatically)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+        )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "q93_scalar_subquery",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_above_avg,
+           ROUND(AVG(o_totalprice), 4) AS avg_price_above
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def q93_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate (also beyond the
+    reference's dialect): the inner AVG runs once as its own tiny job and
+    broadcasts as a literal into the outer scan's pushed filter."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_above_avg,
+               ROUND(AVG(o_totalprice), 4) AS avg_price_above
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority
+        """
+    )

@@ -1,0 +1,204 @@
+"""Property-based tests (hypothesis) over the pure-Python surfaces, plus a
+seeded pandas differential for resample_gapfill.
+
+The reference's harness is entirely example-based (SURVEY §5); these
+generate thousands of adversarial inputs per run for the parsing/inference
+layers — the places where hand-picked examples miss edge cases. Spark-side
+operators get seeded randomized differentials instead (one Spark job per
+hypothesis example would be prohibitively slow)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ddf_flink_spark.sources.csv import infer_column_types
+from ddf_flink_spark.sql.preparser import (
+    TYPE_ALIASES,
+    CreateTable,
+    Load,
+    parse_statement,
+    substitute_this,
+)
+
+# --------------------------------------------------------- type inference
+
+_int_cells = st.integers(-10**12, 10**12).map(str)
+_double_cells = st.floats(
+    allow_nan=False, allow_infinity=False, width=32
+).map(lambda f: repr(float(f)))
+_bool_cells = st.sampled_from(["T", "F", "true", "false", "TRUE", "FALSE"])
+_na_cells = st.sampled_from(["NA", ""])
+_string_cells = st.text(
+    alphabet=st.characters(blacklist_characters=",\n\r", max_codepoint=0x2FF),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _column(cells, n):
+    return st.lists(cells, min_size=n, max_size=n)
+
+
+@given(st.integers(1, 8).flatmap(lambda n: _column(st.one_of(_int_cells, _na_cells), n)))
+def test_infer_int_columns(col):
+    rows = [[c] for c in col]
+    t = infer_column_types(rows)[0]
+    assert t == ("string" if all(c.strip() in ("NA", "") for c in col) else "int")
+
+
+@given(
+    st.integers(2, 8).flatmap(
+        lambda n: _column(st.one_of(_int_cells, _double_cells, _na_cells), n)
+    )
+)
+def test_infer_numeric_lattice_soundness(col):
+    """Whatever the lattice outputs must be able to represent every non-NA
+    cell: int ⇒ all ints; double ⇒ all floats; never boolean."""
+    rows = [[c] for c in col]
+    t = infer_column_types(rows)[0]
+    non_na = [c.strip() for c in col if c.strip() not in ("NA", "")]
+    if t == "int":
+        for c in non_na:
+            int(c)  # must not raise
+    elif t == "double":
+        for c in non_na:
+            float(c)  # must not raise
+    else:
+        assert t == "string" and not non_na
+
+
+@given(
+    st.lists(st.one_of(_int_cells, _double_cells, _bool_cells, _string_cells), min_size=1, max_size=8)
+)
+def test_infer_na_injection_never_changes_type(col):
+    """Appending NA/empty cells never changes an inferred column type."""
+    rows = [[c] for c in col]
+    with_na = rows + [["NA"], [""]]
+    assert infer_column_types(rows) == infer_column_types(with_na)
+
+
+# -------------------------------------------------------------- preparser
+
+_ident = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,15}", fullmatch=True)
+_sql_type = st.sampled_from(sorted(TYPE_ALIASES))
+
+
+@given(
+    table=_ident,
+    cols=st.lists(st.tuples(_ident, _sql_type), min_size=1, max_size=8),
+    spacing=st.sampled_from([" ", "  ", "\n "]),
+)
+def test_create_table_parse_roundtrip(table, cols, spacing):
+    body = ",".join(f"{spacing}{n}{spacing}{t}" for n, t in cols)
+    stmt = f"CREATE TABLE {table} ({body})"
+    ast = parse_statement(stmt)
+    assert isinstance(ast, CreateTable)
+    assert ast.table == table
+    assert ast.columns == [(n, TYPE_ALIASES[t]) for n, t in cols]
+
+
+_path_text = st.text(
+    alphabet=st.characters(blacklist_characters="'\n\r", min_codepoint=32, max_codepoint=126),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(
+    url=_path_text,
+    table=_ident,
+    sep=st.sampled_from([",", ";", "|", "\t"]),
+    null=st.one_of(st.none(), st.sampled_from(["NA", "null", "?"])),
+    empty=st.one_of(st.none(), st.sampled_from(["", "-"])),
+    nodef=st.booleans(),
+)
+def test_load_parse_all_option_combinations(url, table, sep, null, empty, nodef):
+    stmt = f"LOAD '{url}'"
+    if sep != ",":
+        stmt += f" DELIMITED BY '{sep}'"
+    if null is not None:
+        stmt += f" WITH NULL '{null}'"
+    if empty is not None:
+        stmt += f" WITH EMPTY '{empty}'"
+    if nodef:
+        stmt += " NO DEFAULTS"
+    stmt += f" INTO {table}"
+    ast = parse_statement(stmt)
+    assert isinstance(ast, Load)
+    assert (ast.url, ast.table) == (url, table)
+    assert ast.delimiter == sep
+    assert ast.null_value == null
+    assert ast.empty_value == empty
+    assert ast.use_defaults is (not nodef)
+
+
+@given(name=_ident, pre=_string_cells, post=_string_cells)
+def test_substitute_this_word_boundary(name, pre, post):
+    """@this substitutes as a whole token; identifiers merely containing
+    'this' are untouched."""
+    out = substitute_this("SELECT * FROM @this WHERE x > 1", name)
+    assert out == f"SELECT * FROM {name} WHERE x > 1"
+    untouched = "SELECT this_col, thistle FROM t"
+    assert substitute_this(untouched, name) == untouched
+
+
+@given(stmt=st.text(max_size=60))
+def test_parse_statement_total(stmt):
+    """parse_statement never crashes on arbitrary input: it returns an AST
+    or passes the string through (ValueError only for CREATE with a bad
+    column list, which requires the CREATE prefix)."""
+    try:
+        res = parse_statement(stmt)
+    except ValueError:
+        assert stmt.lstrip().lower().startswith("create")
+    else:
+        assert isinstance(res, (CreateTable, Load, str))
+
+
+# ---------------------------------- resample_gapfill pandas differential
+
+
+def test_resample_gapfill_matches_pandas(spark):
+    """Seeded randomized differential: resample_gapfill vs
+    pandas resample('...').last().ffill() per key."""
+    import numpy as np
+    import pandas as pd
+
+    from ddf_flink_spark.operators.timeseries import resample_gapfill
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = int(rng.integers(5, 80))
+        pdf = pd.DataFrame(
+            {
+                "k": rng.integers(0, 3, n).astype("int64"),
+                "ts": pd.to_datetime(
+                    rng.choice(np.arange(0, 3_000_000, 1), n, replace=False), unit="s"
+                ),
+                "eid": np.arange(n, dtype="int64"),
+                "v": rng.normal(size=n).round(4),
+            }
+        )
+        got = resample_gapfill(
+            spark.createDataFrame(pdf),
+            ts_col="ts",
+            key_cols=["k"],
+            interval="1 day",
+            interval_seconds=86400,
+            value_col="v",
+            tiebreak_col="eid",
+        ).toPandas()
+        for k, grp in pdf.groupby("k"):
+            exp = (
+                grp.sort_values(["ts", "eid"])
+                .set_index("ts")["v"]
+                .resample("1D")
+                .last()
+                .ffill()
+            )
+            sub = got[got.k == k].set_index("bucket").sort_index()
+            assert len(sub) == len(exp), f"trial {trial} key {k}"
+            assert (sub["filled_value"].values == exp.values).all(), (
+                f"trial {trial} key {k}"
+            )
