@@ -2657,3 +2657,30 @@ def q93_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q94_json_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def q94_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the events ``props`` JSON column
+    (`get_json_object` — JVM-side JSON path, codegen'd; no Python in the
+    row path). The reference has no JSON/nested types at all (SURVEY
+    §1.2); at scale prefer parsing ONCE into typed columns over repeated
+    per-query path extraction."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
