@@ -298,7 +298,6 @@ class DDF:
         ts_col: str,
         key_cols: list[str],
         interval: str,
-        interval_seconds: int,
         value_col: str,
         tiebreak_col: str | None = None,
     ) -> "DDF":
@@ -308,23 +307,19 @@ class DDF:
         from .operators.timeseries import resample_gapfill as _resample
 
         return self._derive(
-            _resample(
-                self._df, ts_col, key_cols, interval, interval_seconds,
-                value_col, tiebreak_col,
-            ),
+            _resample(self._df, ts_col, key_cols, interval, value_col, tiebreak_col),
             keep_factors=False,
         )
 
     def pivot(self, index_col: str, pivot_col: str, values: list,
-              agg: str = "sum", value_col: str | None = None) -> "DDF":
+              value_col: str, agg: str = "sum") -> "DDF":
         """Long→wide pivot with declared pivot values (single-pass plan —
         no distinct-values pre-job). Generalizes the reference's xtabs."""
         from pyspark.sql import functions as F
 
         agg_fn = getattr(F, agg)
-        col = value_col if value_col is not None else index_col
         return self._derive(
-            self._df.groupBy(index_col).pivot(pivot_col, values).agg(agg_fn(col)),
+            self._df.groupBy(index_col).pivot(pivot_col, values).agg(agg_fn(value_col)),
             keep_factors=False,
         )
 

@@ -27,33 +27,37 @@ def resample_gapfill(
     ts_col: str,
     key_cols: list[str],
     interval: str,
-    interval_seconds: int,
     value_col: str,
     tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Resample ``df`` to fixed ``interval`` buckets per key and
     forward-fill buckets that saw no events with the last observed value.
 
-    Per (key, bucket) the representative value is the *latest* observation
-    (``max_by`` on event time, tie-broken by ``tiebreak_col`` so the result
-    is deterministic). Empty buckets between a key's first and last bucket
-    are materialized via ``sequence`` + ``explode`` and filled with the most
-    recent preceding value (window ``last(ignorenulls=True)``).
+    Per (key, bucket) the representative value is the latest *non-null*
+    observation (``max_by`` on event time, tie-broken by ``tiebreak_col``
+    so the result is deterministic) — matching pandas
+    ``resample(...).last().ffill()``, where ``last()`` takes the last
+    valid value and a bucket with only nulls forward-fills through. Empty
+    buckets between a key's first and last bucket are materialized via
+    ``sequence`` + ``explode`` and filled with the most recent preceding
+    value (window ``last(ignorenulls=True)``).
 
     Returns columns: ``key_cols..., bucket, filled_value, n_obs``.
     """
     order: Column = (
         F.struct(ts_col, tiebreak_col) if tiebreak_col is not None else F.col(ts_col)
     )
+    # null-valued rows get a null ordering key => max_by skips them
+    valid_order = F.when(F.col(value_col).isNotNull(), order)
     bucket = F.window(F.col(ts_col), interval)["start"].alias("bucket")
     observed = df.groupBy(*key_cols, bucket).agg(
-        F.max_by(F.col(value_col), order).alias("__last"),
+        F.max_by(F.col(value_col), valid_order).alias("__last"),
         F.count(F.lit(1)).alias("n_obs"),
     )
     bounds = observed.groupBy(*key_cols).agg(
         F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx")
     )
-    step = F.expr(f"INTERVAL {interval_seconds} SECONDS")
+    step = F.expr(f"INTERVAL {interval}")
     grid = bounds.select(
         *key_cols,
         F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step)).alias("bucket"),

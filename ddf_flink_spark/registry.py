@@ -1625,13 +1625,15 @@ def q53_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """persist/unpersist round-trip (core handler ``ddf.ini:68``, pinned
     ``PersistenceHandlerSpec.scala:30-38``): DDF → parquet sink → re-read →
     aggregate; the result must equal aggregating the source directly."""
+    import os
     import tempfile
 
     from .manager import DDFManager
 
     m = DDFManager(spark)
     ddf = m.new_ddf(t(spark, sf_dir, "orders"), name="orders_persist")
-    target = ddf.persist(tempfile.mkdtemp(prefix="ddf_persist_"))
+    # fixed path + overwrite: repeated runs reuse the sink, never accumulate
+    target = ddf.persist(os.path.join(tempfile.gettempdir(), "ddf_q53_persist"))
     back = spark.read.parquet(target)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -2310,16 +2312,23 @@ def q82_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q83_resample_gapfill",
     oracle="""
-    WITH ranked AS (
-      SELECT user_id, time_bucket(INTERVAL 6 HOURS, ts) AS bucket, value,
-             ROW_NUMBER() OVER (
-               PARTITION BY user_id, time_bucket(INTERVAL 6 HOURS, ts)
-               ORDER BY ts DESC, event_id DESC) AS rn,
-             COUNT(*) OVER (
-               PARTITION BY user_id, time_bucket(INTERVAL 6 HOURS, ts)) AS n_obs
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL 6 HOURS, ts) AS bucket,
+             value, ts, event_id
       FROM events
+    ), counts AS (
+      SELECT user_id, bucket, COUNT(*) AS n_obs FROM b GROUP BY 1, 2
+    ), ranked AS (
+      SELECT user_id, bucket, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, bucket
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM b WHERE value IS NOT NULL
     ), obs AS (
-      SELECT user_id, bucket, value AS last_value, n_obs FROM ranked WHERE rn = 1
+      SELECT c.user_id, c.bucket, r.value AS last_value, c.n_obs
+      FROM counts c
+      LEFT JOIN ranked r
+        ON r.user_id = c.user_id AND r.bucket = c.bucket AND r.rn = 1
     ), bounds AS (
       SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM obs GROUP BY 1
     ), grid AS (
@@ -2351,7 +2360,6 @@ def q83_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         key_cols=["user_id"],
         interval="6 hours",
-        interval_seconds=6 * 3600,
         value_col="value",
         tiebreak_col="event_id",
     )
@@ -2509,9 +2517,10 @@ def q88_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate. At 100 TB the predicate never touches non-matching
     partitions (PartitionFilters, zero data read for pruned values) —
     locked by test_plans.py::test_partitioned_sink_prunes."""
+    import os
     import tempfile
 
-    target = tempfile.mkdtemp(prefix="ddf_part_sink_")
+    target = os.path.join(tempfile.gettempdir(), "ddf_q88_part_sink")
     o = t(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(target)
     back = spark.read.parquet(target).filter(
@@ -2588,9 +2597,10 @@ def q91_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's CSV-only surface — `FlinkDDFManager.scala:30-59`): write
     orders as ORC, re-read, aggregate. Predicate/column pushdown works on
     ORC scans the same as parquet."""
+    import os
     import tempfile
 
-    target = tempfile.mkdtemp(prefix="ddf_orc_")
+    target = os.path.join(tempfile.gettempdir(), "ddf_q91_orc")
     t(spark, sf_dir, "orders").write.mode("overwrite").orc(target)
     back = spark.read.orc(target)
     return back.groupBy("o_orderstatus").agg(

@@ -210,7 +210,7 @@ def test_pivot_unpivot_roundtrip(mgr, spark):
     ddf = mgr.new_ddf(
         spark.createDataFrame(rows, "user string, etype string, v double")
     )
-    wide = ddf.pivot("user", "etype", ["click", "view"], agg="sum", value_col="v")
+    wide = ddf.pivot("user", "etype", ["click", "view"], value_col="v", agg="sum")
     assert set(wide.columns) == {"user", "click", "view"}
     got = {r.user: (r.click, r.view) for r in wide.df.collect()}
     assert got == {"u1": (1.0, 2.0), "u2": (3.0, None)}
@@ -233,7 +233,7 @@ def test_resample_and_fill_directional_facades(mgr, spark):
     assert [r.v for r in filled.df.orderBy("ts").collect()] == [1.0, 1.0, 3.0]
 
     res = ddf.resample_gapfill(
-        ts_col="ts", key_cols=["k"], interval="1 hour", interval_seconds=3600,
+        ts_col="ts", key_cols=["k"], interval="1 hour",
         value_col="v", tiebreak_col="eid",
     )
     out = res.df.orderBy("bucket").collect()

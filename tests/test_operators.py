@@ -404,11 +404,16 @@ def test_resample_gapfill_semantics(spark):
         # tie on ts within one bucket -> higher tiebreak id wins
         ("c", datetime(2024, 1, 1, 0, 0), 5, 1.0),
         ("c", datetime(2024, 1, 1, 0, 0), 6, 2.0),
+        # key "d": a LATER null value must not mask the earlier real one
+        # (pandas .last() semantics: last non-null within the bucket)
+        ("d", datetime(2024, 1, 1, 0, 0), 7, 5.0),
+        ("d", datetime(2024, 1, 1, 0, 30), 8, None),
+        ("d", datetime(2024, 1, 1, 2, 0), 9, None),
     ]
     df = spark.createDataFrame(rows, "k string, ts timestamp, eid int, v double")
     out = resample_gapfill(
         df, ts_col="ts", key_cols=["k"], interval="1 hour",
-        interval_seconds=3600, value_col="v", tiebreak_col="eid",
+        value_col="v", tiebreak_col="eid",
     ).orderBy("k", "bucket")
     got = [(r.k, r.bucket.hour, r.filled_value, r.n_obs) for r in out.collect()]
     assert got == [
@@ -417,4 +422,7 @@ def test_resample_gapfill_semantics(spark):
         ("a", 2, 30.0, 1),
         ("b", 5, 99.0, 1),
         ("c", 0, 2.0, 2),    # ts tie broken by eid
+        ("d", 0, 5.0, 2),    # null at 0:30 doesn't mask the 0:00 value
+        ("d", 1, 5.0, 0),
+        ("d", 2, 5.0, 1),    # all-null bucket forward-fills through
     ]

@@ -133,13 +133,16 @@ def test_load_parse_all_option_combinations(url, table, sep, null, empty, nodef)
     assert ast.use_defaults is (not nodef)
 
 
-@given(name=_ident, pre=_string_cells, post=_string_cells)
+@given(name=_ident, pre=_ident, post=_ident)
 def test_substitute_this_word_boundary(name, pre, post):
-    """@this substitutes as a whole token; identifiers merely containing
-    'this' are untouched."""
-    out = substitute_this("SELECT * FROM @this WHERE x > 1", name)
-    assert out == f"SELECT * FROM {name} WHERE x > 1"
-    untouched = "SELECT this_col, thistle FROM t"
+    """@this substitutes as a whole token wherever it appears; @this
+    followed by more word characters is a different token and untouched."""
+    out = substitute_this(
+        f"SELECT {pre} FROM @this JOIN {post} ON @this.id = {post}.id", name
+    )
+    assert out == f"SELECT {pre} FROM {name} JOIN {post} ON {name}.id = {post}.id"
+    # suffix continues the word => no boundary => untouched
+    untouched = f"SELECT {pre} FROM @this{post}"
     assert substitute_this(untouched, name) == untouched
 
 
@@ -170,6 +173,8 @@ def test_resample_gapfill_matches_pandas(spark):
     rng = np.random.default_rng(11)
     for trial in range(4):
         n = int(rng.integers(5, 80))
+        v = rng.normal(size=n).round(4)
+        v[rng.random(n) < 0.3] = np.nan  # exercise null-value buckets
         pdf = pd.DataFrame(
             {
                 "k": rng.integers(0, 3, n).astype("int64"),
@@ -177,15 +182,19 @@ def test_resample_gapfill_matches_pandas(spark):
                     rng.choice(np.arange(0, 3_000_000, 1), n, replace=False), unit="s"
                 ),
                 "eid": np.arange(n, dtype="int64"),
-                "v": rng.normal(size=n).round(4),
+                "v": v,
             }
         )
+        rows = [
+            (int(r.k), r.ts.to_pydatetime(), int(r.eid),
+             None if pd.isna(r.v) else float(r.v))
+            for r in pdf.itertuples()
+        ]
         got = resample_gapfill(
-            spark.createDataFrame(pdf),
+            spark.createDataFrame(rows, "k long, ts timestamp, eid long, v double"),
             ts_col="ts",
             key_cols=["k"],
             interval="1 day",
-            interval_seconds=86400,
             value_col="v",
             tiebreak_col="eid",
         ).toPandas()
@@ -199,6 +208,7 @@ def test_resample_gapfill_matches_pandas(spark):
             )
             sub = got[got.k == k].set_index("bucket").sort_index()
             assert len(sub) == len(exp), f"trial {trial} key {k}"
-            assert (sub["filled_value"].values == exp.values).all(), (
+            a, b = sub["filled_value"].to_numpy(), exp.to_numpy()
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), (
                 f"trial {trial} key {k}"
             )
