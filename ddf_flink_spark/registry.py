@@ -2694,3 +2694,71 @@ def q94_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").cast("long").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q95_embedding_centroids",
+    oracle="""
+    SELECT label, u.i AS dim,
+           ROUND(AVG(u.x), 4) AS centroid,
+           ROUND(STDDEV_SAMP(u.x), 4) AS spread,
+           COUNT(*) AS n
+    FROM embeddings e,
+         LATERAL (SELECT UNNEST(e.embedding) AS x,
+                         generate_subscripts(e.embedding, 1) AS i) u
+    GROUP BY label, u.i
+    """,
+)
+def q95_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + spread across all embedding dimensions via
+    ``posexplode`` — array analytics WITHOUT higher-order lambdas (the
+    exploded rows run through codegen'd partial aggregation; shuffle
+    carries |labels|×|dims| partials per task, not raw vectors). This is
+    the building block behind the IVF coarse quantizer (similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(F.avg("x"), 4).alias("centroid"),
+            F.round(F.stddev_samp("x"), 4).alias("spread"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q96_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(o_totalprice, 2) AS price, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q96_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (tie-broken ROW_NUMBER ≤ k) — the grouped
+    generalization of q13's global top-k. Catalyst inserts a per-partition
+    rank-limit before the shuffle (WindowGroupLimit), so each task ships at
+    most k rows per group — the 100 TB-safe formulation."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

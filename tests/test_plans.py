@@ -163,3 +163,11 @@ def test_partitioned_sink_prunes(spark, tmp_path_factory):
     p = buf.getvalue()
     line = next(l for l in p.splitlines() if "PartitionFilters" in l)
     assert "IN (1-URGENT,2-HIGH)" in line, line
+
+
+def test_q96_topk_per_group_rank_limit_pushdown(spark):
+    """Grouped top-k must use WindowGroupLimit (per-partition rank limit
+    BEFORE the shuffle — partial + final), never rank-then-filter over the
+    full window input."""
+    p = plan_of(spark, "q96_topk_per_group")
+    assert p.count("WindowGroupLimit") >= 2, p
