@@ -2762,3 +2762,37 @@ def q96_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q97_stream_incremental_mv",
+    oracle="""
+    SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q97_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view (streaming/sink.py): update-mode
+    windowed rollup → foreachBatch epoch-log parquet sink → merge-on-read.
+    Single AvailableNow pass here (fresh checkpoint per invocation for
+    determinism); the cross-run incremental + compaction contract is
+    pinned by tests/test_streaming.py::test_incremental_rollup_mv."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.core import events_stream
+    from .streaming.sink import read_rollup, run_incremental_rollup, windowed_rollup_updates
+
+    base = os.path.join(tempfile.gettempdir(), "ddf_q97_mv")
+    mv, ckpt = os.path.join(base, "mv"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    updates = windowed_rollup_updates(events_stream(spark, sf_dir), window="6 hours")
+    run_incremental_rollup(updates, mv, ckpt)
+    return read_rollup(spark, mv).select(
+        "window_start", "event_type",
+        F.col("n_events").cast("long").alias("n_events"), "sum_value",
+    )

@@ -190,3 +190,80 @@ def test_stateful_totals_accumulate_across_runs(spark, tmp_path):
     assert final.loc[1, "n_events"] == 3 and final.loc[1, "sum_value"] == 17.0
     assert final.loc[2, "n_events"] == 1
     assert final.loc[3, "sum_value"] == 7.0
+
+
+def test_incremental_rollup_mv(spark, tmp_path):
+    """Incremental materialized view (streaming/sink.py): two runs sharing
+    one checkpoint process only new files; after each run the merge-on-read
+    view must equal a full batch recompute, and compaction must preserve it
+    while shrinking the log."""
+    import pandas as pd
+
+    from ddf_flink_spark.streaming.sink import (
+        compact_rollup,
+        read_rollup,
+        run_incremental_rollup,
+        windowed_rollup_updates,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    mv = str(tmp_path / "mv")
+    os.makedirs(src)
+
+    def write(name, start, n, etypes):
+        df = pd.DataFrame(
+            {
+                "event_id": range(n),
+                "ts": pd.to_datetime(start) + pd.to_timedelta(range(n), "min"),
+                "event_type": [etypes[i % len(etypes)] for i in range(n)],
+                "value": [float(i % 7) for i in range(n)],
+            }
+        )
+        df.assign(ts=df["ts"].astype("datetime64[us]")).to_parquet(f"{src}/{name}.parquet")
+
+    def stream():
+        schema = spark.read.parquet(src).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        return windowed_rollup_updates(raw, window="1 hour", watermark="30 minutes")
+
+    def batch_expected():
+        raw = spark.read.parquet(src).withColumn("ts", F.col("ts").cast("timestamp"))
+        return {
+            (str(r["window_start"]), r["event_type"]): (r["n"], r["s"])
+            for r in raw.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n", "s")
+            .collect()
+        }
+
+    def mv_view():
+        return {
+            (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in read_rollup(spark, mv).collect()
+        }
+
+    # run 1: first 5 hours of data
+    write("part1", "2024-06-10 00:00:00", 300, ["click", "view"])
+    run_incremental_rollup(stream(), mv, ckpt)
+    assert mv_view() == batch_expected()
+
+    # run 2: later data only (watermark-safe), one overlapping window key
+    write("part2", "2024-06-10 04:30:00", 120, ["click", "purchase"])
+    run_incremental_rollup(stream(), mv, ckpt)
+    assert mv_view() == batch_expected()
+
+    # log holds superseded epochs for updated keys; compaction shrinks it
+    log_rows = spark.read.parquet(mv).count()
+    live_rows = len(mv_view())
+    assert log_rows > live_rows
+    before = mv_view()
+    compact_rollup(spark, mv)
+    assert spark.read.parquet(mv).count() == live_rows
+    assert mv_view() == before
