@@ -372,6 +372,59 @@ class DDF:
         (``README.md:76-79``) — trivial in Spark."""
         return self._derive(_transform.transform_expressions(self._df, {column: expression}))
 
+    # ----------------------------------------------- LLM-pipeline operators
+    def dedup_exact(self, text_col: str = "text", id_col: str = "doc_id") -> "DDF":
+        """Corpus with exact duplicates removed (canonical = min id per
+        fingerprint) — functions/dedup.dedup_exact."""
+        from .functions.dedup import dedup_exact as _dedup
+
+        return self._derive(_dedup(self._df, text_col, id_col), keep_factors=False)
+
+    def near_duplicates(
+        self,
+        method: str = "minhash",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        **kwargs,
+    ) -> "DDF":
+        """Candidate near-duplicate pairs by ``minhash`` (LSH banding),
+        ``simhash`` (Hamming blocking) or ``jaccard`` (inverted-index
+        exact n-gram) — functions/dedup.py."""
+        from .functions import dedup as _d
+
+        fns = {
+            "minhash": _d.minhash_lsh_candidates,
+            "simhash": _d.simhash_near_duplicates,
+            "jaccard": _d.jaccard_candidates,
+        }
+        if method not in fns:
+            raise ValueError(f"unknown near-dup method {method!r}; one of {sorted(fns)}")
+        out = fns[method](self._df, text_col=text_col, id_col=id_col, **kwargs)
+        return self._derive(out, keep_factors=False)
+
+    def similarity_topk(
+        self,
+        queries: "DDF",
+        k: int = 5,
+        method: str = "brute",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        **kwargs,
+    ) -> "DDF":
+        """Top-k cosine neighbors of ``queries`` in this DDF's vectors:
+        ``brute`` (exact) or ``lsh`` (hyperplane-bucketed, approximate) —
+        functions/similarity.py."""
+        from .functions import similarity as _s
+
+        if method == "brute":
+            out = _s.brute_force_topk(queries._df, self._df, k, id_col, vec_col)
+        elif method == "lsh":
+            out = _s.lsh_topk(queries._df, self._df, k=k, id_col=id_col,
+                              vec_col=vec_col, **kwargs)
+        else:
+            raise ValueError(f"unknown similarity method {method!r}")
+        return self._derive(out, keep_factors=False)
+
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":
         """Mark categorical (core setAsFactor; ``BinningHandlerSpec.scala:19-22``)."""

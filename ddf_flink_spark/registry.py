@@ -2796,3 +2796,72 @@ def q97_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start", "event_type",
         F.col("n_events").cast("long").alias("n_events"), "sum_value",
     )
+
+
+@query(
+    "q98_nearest_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT label, u.i AS dim, u.x
+      FROM embeddings e,
+           LATERAL (SELECT UNNEST(e.embedding) AS x,
+                           generate_subscripts(e.embedding, 1) AS i) u
+    ), cent AS (
+      SELECT label AS clabel,
+             LIST(ROUND(c, 4) ORDER BY dim) AS cvec
+      FROM (SELECT label, dim, AVG(x) AS c FROM ex GROUP BY label, dim)
+      GROUP BY label
+    ), scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             list_cosine_similarity(e.embedding, c.cvec) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.clabel
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT label AS true_label, clabel AS predicted_label, COUNT(*) AS n
+    FROM scored WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def q98_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification over embeddings: per-label mean
+    vector (posexplode aggregation, centroids rounded to 4dp so both
+    engines rank from identical inputs) → broadcast the ≤|labels|
+    centroids against every vector → arg-max cosine per vector →
+    confusion counts. The centroid side is tiny by construction, so the
+    expansion is a bounded |labels|×n broadcast — the same shape the IVF
+    coarse quantizer uses at 100 TB."""
+    from pyspark.sql import Window
+
+    from .functions.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 4).alias("c"))
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        cosine(F.col("embedding").cast("array<double>"), F.col("cvec")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("clabel"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.col("label").alias("true_label"),
+            F.col("clabel").alias("predicted_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

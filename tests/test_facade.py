@@ -239,3 +239,25 @@ def test_resample_and_fill_directional_facades(mgr, spark):
     out = res.df.orderBy("bucket").collect()
     assert len(out) == 7  # 00:00..06:00 hourly grid
     assert sum(r.n_obs for r in out) == 3
+
+
+def test_llm_op_facades(mgr, spark):
+    """dedup_exact / near_duplicates / similarity_topk exposed on DDF."""
+    import pytest as _pytest
+
+    docs = mgr.load_table(SF_DIR, "documents")
+    kept = docs.dedup_exact()
+    assert 0 < kept.num_rows() <= docs.num_rows()
+    assert set(kept.columns) == set(docs.columns)
+
+    pairs = docs.near_duplicates(method="jaccard", threshold=0.5)
+    assert pairs.columns == ["id_a", "id_b", "jaccard"]
+    with _pytest.raises(ValueError, match="unknown near-dup"):
+        docs.near_duplicates(method="bogus")
+
+    emb = mgr.load_table(SF_DIR, "embeddings")
+    queries = mgr.new_ddf(emb.df.limit(3))
+    nn = emb.similarity_topk(queries, k=2)
+    rows = nn.df.collect()
+    assert len(rows) == 6  # 3 queries x k=2
+    assert nn.columns == ["query_id", "neighbor_id", "cos"]
