@@ -80,6 +80,7 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
+                "methodology": "steady_state_run2",
                 "queries": timings,
                 "cold_sec": round(sum(cold.values()), 4),
                 "sf": sf,

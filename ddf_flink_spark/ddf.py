@@ -378,7 +378,8 @@ class DDF:
         fingerprint) — functions/dedup.dedup_exact."""
         from .functions.dedup import dedup_exact as _dedup
 
-        return self._derive(_dedup(self._df, text_col, id_col), keep_factors=False)
+        # pure row filter — full schema survives, factor metadata carries
+        return self._derive(_dedup(self._df, text_col, id_col))
 
     def near_duplicates(
         self,
@@ -417,6 +418,10 @@ class DDF:
         from .functions import similarity as _s
 
         if method == "brute":
+            if kwargs:
+                raise TypeError(
+                    f"unexpected options for method='brute': {sorted(kwargs)}"
+                )
             out = _s.brute_force_topk(queries._df, self._df, k, id_col, vec_col)
         elif method == "lsh":
             out = _s.lsh_topk(queries._df, self._df, k=k, id_col=id_col,

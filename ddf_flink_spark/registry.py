@@ -2816,7 +2816,8 @@ def q97_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_cosine_similarity(e.embedding, c.cvec) AS cos,
              ROW_NUMBER() OVER (
                PARTITION BY e.vec_id
-               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.clabel
+               ORDER BY ROUND(list_cosine_similarity(e.embedding, c.cvec), 6) DESC,
+                        c.clabel
              ) AS rn
       FROM embeddings e CROSS JOIN cent c
     )
@@ -2855,7 +2856,11 @@ def q98_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clabel",
         cosine(F.col("embedding").cast("array<double>"), F.col("cvec")).alias("cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("clabel"))
+    # rank on 6dp-rounded cosine (repo convention, see similarity.py) so
+    # last-ulp cross-engine fp noise cannot flip the argmax
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round("cos", 6).desc(), F.col("clabel")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

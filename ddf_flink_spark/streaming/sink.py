@@ -88,17 +88,36 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
 
 
 def compact_rollup(spark: SparkSession, path: str) -> None:
-    """Rewrite the epoch log to latest-only rows (epoch reset to 0).
-    Run when log size ≫ live keys; readers before/after see identical data.
+    """Compact the epoch log: append a latest-only snapshot, then prune
+    the files it supersedes. Run when log size ≫ live keys.
 
-    Spark cannot overwrite a path it is reading from, so compaction writes
-    to a sibling staging directory and swaps it in (local-FS rename here;
-    on an object store this is the compact-then-repoint step a real table
-    format does transactionally — use Delta/Iceberg in production)."""
-    import shutil
+    Crash-safe by construction — the snapshot is APPENDED before anything
+    is deleted, so at no point is the log missing data: a crash after the
+    append leaves a larger-but-correct log (snapshot rows carry the
+    current max epoch, so merge-on-read still resolves every key), and a
+    crash mid-prune leaves some superseded files behind, which the next
+    compaction removes. Epochs appended concurrently by the stream use
+    new file names, are never in the prune list, and carry higher epochs
+    than the snapshot — they win merge-on-read either way. Do NOT run two
+    compactions concurrently (single-compactor contract), and expect
+    readers racing the prune step to need a retry; a real table format
+    (Delta/Iceberg) makes this swap transactional in production."""
+    import os
 
-    staging = f"{path.rstrip('/')}__compacting"
-    latest = read_rollup(spark, path).withColumn("_epoch", F.lit(0))
-    latest.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    shutil.move(staging, path)
+    files_before = {
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if not f.startswith(("_", "."))
+    }
+    log = spark.read.parquet(path)
+    max_epoch = log.agg(F.max("_epoch")).first()[0]
+    w = Window.partitionBy(*_KEYS).orderBy(F.col("_epoch").desc())
+    latest = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_epoch", F.lit(max_epoch))
+    )
+    latest.write.mode("append").parquet(path)
+    for f in files_before:
+        os.remove(f)
