@@ -2870,3 +2870,40 @@ def q98_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q99_higher_moments",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(AVG(l_quantity), 6) AS m1,
+           ROUND(AVG(l_quantity * l_quantity), 6) AS m2,
+           ROUND(AVG(l_quantity * l_quantity * l_quantity), 6) AS m3,
+           ROUND(
+             (AVG(l_quantity*l_quantity*l_quantity)
+               - 3 * AVG(l_quantity) * AVG(l_quantity*l_quantity)
+               + 2 * AVG(l_quantity) * AVG(l_quantity) * AVG(l_quantity))
+             / POW(AVG(l_quantity*l_quantity) - AVG(l_quantity)*AVG(l_quantity), 1.5),
+             4) AS skewness
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q99_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments per group from raw power sums — one
+    partial-aggregable pass (extends the §2.10 stats surface; built-in
+    `F.skewness` is NOT used because its bias correction differs between
+    engines — the explicit-moments formula is engine-neutral and is how a
+    mergeable moments sketch computes it at 100 TB)."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m1, m2, m3 = F.avg(q), F.avg(q * q), F.avg(q * q * q)
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(m1, 6).alias("m1"),
+        F.round(m2, 6).alias("m2"),
+        F.round(m3, 6).alias("m3"),
+        F.round(skew, 4).alias("skewness"),
+    )
