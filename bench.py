@@ -34,6 +34,7 @@ HEADLINE = [
     "q05_join_inner",
     "q11_multiway_join",
     "q13_topk",
+    "q100_tpch_q5_local_supplier",
     "q17_xtabs",
     "q18_correlation",
     # extensions (skipped silently if not yet registered)

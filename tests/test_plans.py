@@ -173,3 +173,13 @@ def test_q96_topk_per_group_rank_limit_pushdown(spark):
     # formatted explain prints each node twice (tree + detail); two distinct
     # WindowGroupLimit nodes (Partial + Final) therefore appear 4 times
     assert p.count("WindowGroupLimit") >= 4, p
+
+
+def test_q100_q5_pushdown_and_broadcasts(spark):
+    """TPC-H Q5: the date range reaches the orders scan, the region
+    predicate reaches the region scan, and every dimension joins as a
+    broadcast (the only shuffle join permitted is fact-fact)."""
+    p = plan_of(spark, "q100_tpch_q5_local_supplier")
+    assert "GreaterThanOrEqual(o_orderdate" in p and "LessThan(o_orderdate" in p
+    assert "EqualTo(r_name,ASIA)" in p
+    assert p.count("BroadcastHashJoin") >= 3
