@@ -2959,3 +2959,39 @@ def q100_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q101_rolling_time_window",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER w, 4) AS avg_1h,
+           COUNT(*) OVER w AS n_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q101_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour average per user — a RANGE (time-interval) window
+    frame, the frame class q50/q51's ROWS frames don't cover. Both
+    engines frame on identical int64 epoch-microsecond keys so boundary
+    rows agree exactly. Per-user partitions keep frame state bounded;
+    at 100 TB this is the same shape with time-bucketed pre-aggregation
+    in front when per-event granularity isn't needed."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
