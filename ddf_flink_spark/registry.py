@@ -2995,3 +2995,39 @@ def q101_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 4).alias("avg_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+
+@query(
+    "q102_neardup_pipeline",
+)
+def q102_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup removal pipeline end-to-end — the 100 TB
+    training-data shape, every stage distributed:
+    MinHash+LSH candidate pairs (q31) → connected-components cluster
+    formation (q82's operator, so A~B~C collapses transitively even when
+    A,C never paired) → canonical doc = min id per cluster → cleaned
+    corpus → per-language summary. Rows-only (xxhash64 signatures are
+    engine-specific); deterministic for fixed input, and the stage
+    operators are individually oracle/recall-checked (q31, q32, q82,
+    q87)."""
+    from .functions.dedup import connected_components, minhash_lsh_candidates
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    clusters = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")), nodes
+    )
+    keep = clusters.groupBy("cluster").agg(F.min("id").alias("keep_id"))
+    cleaned = d.join(
+        keep.select(F.col("keep_id").alias("doc_id")), "doc_id", "inner"
+    )
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
