@@ -2928,12 +2928,15 @@ def q99_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q100_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 (local-supplier volume): six tables, TWO fact tables
-    (orders⨝lineitem is the only shuffle join — both sides big; customer/
-    supplier/nation/region broadcast), the c_nationkey = s_nationkey
-    'local supplier' condition, date-range + region predicates pushed to
-    the respective scans. The hardest relational plan in the registry —
-    Catalyst orders the joins; AQE re-plans from runtime sizes."""
+    """TPC-H Q5 (local-supplier volume): six tables, TWO fact tables,
+    the c_nationkey = s_nationkey 'local supplier' condition, date-range
+    + region predicates pushed to the respective scans. supplier/nation/
+    region carry explicit broadcast hints (always tiny); customer is
+    deliberately UNHINTED — under the session's 64 MB threshold it
+    broadcasts at bench scale (plan lock: ≤1 shuffle join), while at
+    true TPC-H scale, where customer is the largest dimension, Catalyst
+    correctly degrades it to the second shuffle join instead of OOMing
+    the driver on a forced hint. AQE re-plans from runtime sizes."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -3003,24 +3006,47 @@ def q101_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q102_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup removal pipeline end-to-end — the 100 TB
     training-data shape, every stage distributed:
-    MinHash+LSH candidate pairs (q31) → connected-components cluster
-    formation (q82's operator, so A~B~C collapses transitively even when
-    A,C never paired) → canonical doc = min id per cluster → cleaned
-    corpus → per-language summary. Rows-only (xxhash64 signatures are
-    engine-specific); deterministic for fixed input, and the stage
-    operators are individually oracle/recall-checked (q31, q32, q82,
-    q87)."""
-    from .functions.dedup import connected_components, minhash_lsh_candidates
+    MinHash+LSH candidate pairs (q31, cheap recall stage) → exact-Jaccard
+    VERIFICATION restricted to candidate docs (precision stage — LSH band
+    collisions at ~0.4 probability for Jaccard-0.5 pairs must NOT become
+    delete edges) → connected-components cluster formation (q82's
+    operator, so A~B~C collapses transitively even when A,C never
+    paired) → canonical doc = min id per cluster (= the cluster label,
+    per the CC contract — no extra aggregation) → cleaned corpus →
+    per-language summary. Rows-only (xxhash64 signatures are
+    engine-specific); deterministic for fixed input; stage operators are
+    individually oracle/recall-checked (q31, q32, q82, q87)."""
+    from .functions.dedup import (
+        connected_components,
+        jaccard_candidates,
+        minhash_lsh_candidates,
+    )
 
     d = t(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    # verify: exact Jaccard computed only over docs that appear in a
+    # candidate pair (the semi-join keeps the precision stage sub-linear)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    d_cand = d.join(cand_ids, "doc_id", "left_semi")
+    verified = jaccard_candidates(d_cand, threshold=0.6, n=3).join(
+        pairs, ["id_a", "id_b"], "left_semi"
+    )
     nodes = d.select(F.col("doc_id").alias("id"))
     clusters = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")), nodes
+        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")), nodes
     )
-    keep = clusters.groupBy("cluster").agg(F.min("id").alias("keep_id"))
+    # CC returns cluster = min member id, so canonical docs are exactly
+    # the rows whose own id is the label — a filter, not a shuffle
     cleaned = d.join(
-        keep.select(F.col("keep_id").alias("doc_id")), "doc_id", "inner"
+        clusters.filter(F.col("id") == F.col("cluster")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
     )
     return (
         cleaned.groupBy("lang")

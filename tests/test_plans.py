@@ -183,3 +183,5 @@ def test_q100_q5_pushdown_and_broadcasts(spark):
     assert "GreaterThanOrEqual(o_orderdate" in p and "LessThan(o_orderdate" in p
     assert "EqualTo(r_name,ASIA)" in p
     assert p.count("BroadcastHashJoin") >= 3
+    # at most ONE shuffle join (fact-fact; one node = two formatted lines)
+    assert p.count("SortMergeJoin") <= 2, p
