@@ -35,6 +35,8 @@ HEADLINE = [
     "q11_multiway_join",
     "q13_topk",
     "q100_tpch_q5_local_supplier",
+    "q103_tpch_q3_shipping_priority",
+    "q106_promo_revenue_share",
     "q17_xtabs",
     "q18_correlation",
     # extensions (skipped silently if not yet registered)

@@ -3057,3 +3057,316 @@ def q102_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H canonical plan shapes beyond Q1/Q5 — each exercises a distinct
+# physical strategy the 100 TB posture depends on (SURVEY §2.4/§2.5/§2.7;
+# the reference's SQL dialect could express none of these multi-block or
+# conditional shapes, SqlSupport.scala:133-150 single-block SELECT only).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q103_tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q103_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): selective dimension filter feeding a
+    two-fact join, grouped revenue, top-10. The plan to want at 100 TB:
+    both date predicates push to the respective parquet scans, the
+    filtered customer side broadcasts (and degrades to shuffle join
+    gracefully above the threshold — unhinted, like q100), and the final
+    ORDER BY..LIMIT is TakeOrderedAndProject (per-partition heap), never
+    a global sort. The ranking key is rounded BEFORE ranking on both
+    engines and tie-broken on the unique l_orderkey."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-06-30")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-06-30")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q104_tpch_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q104_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): four tables, a wide grouping
+    key (customer attributes ride through the aggregate), top-20 by lost
+    revenue. nation is hint-broadcast (always tiny); customer unhinted
+    per the q100 rationale. Grouping on c_custkey + functionally-dependent
+    attributes keeps the shuffle key selective; the top-20 is again
+    TakeOrderedAndProject on a rounded, tie-broken key."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q105_tpch_q18_large_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(sum_qty, 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING ROUND(SUM(l_quantity), 2) > 250
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q105_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): aggregate-then-join — the HAVING
+    filter runs BEFORE any join, so only the ~1%% of qualifying orderkeys
+    ever reach the join stage (semi-join reduction by construction). At
+    100 TB the filtered aggregate is tiny and AQE converts the subsequent
+    joins to broadcast from observed runtime sizes — the plan a naive
+    join-then-aggregate formulation could never recover."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q106_promo_revenue_share",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY date_trunc('month', l_shipdate)
+    """,
+)
+def q106_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): fact-dim join + CONDITIONAL
+    aggregation — the CASE WHEN inside SUM computes the promo share in
+    the same single pass as total revenue (no second scan, no self-join).
+    part is unhinted: under the 64 MB session threshold it broadcasts at
+    bench scale; at 100 TB Catalyst/AQE picks shuffle join when part
+    outgrows the driver. The reference's aggregate grammar has no CASE
+    at all (SqlSupport.scala:246-257)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q107_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q107_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over BUCKETED tables — the recurring-join tool for
+    100 TB where neither side broadcasts: both tables are written
+    `bucketBy(orderkey)` with equal bucket counts, so the sort-merge join
+    plans with ZERO shuffle exchanges before the join (locked by
+    `test_plans.py::test_bucketed_join_has_no_shuffle`); the only
+    exchange left is the tiny post-join rollup. The `merge` hint keeps
+    the demonstration honest at bench scale where orders would otherwise
+    broadcast. Result semantics are bucketing-independent, hence
+    SQL-oracle-checkable. (The reference shuffles every join via coGroup,
+    utils/package.scala:258-306 — no co-location concept.)"""
+    import tempfile
+
+    suffix = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    li_tbl, o_tbl = f"bkt_li_{suffix}", f"bkt_o_{suffix}"
+    # external fixed paths + DROP IF EXISTS: idempotent across sessions
+    # (a managed table's leftover location would collide with a fresh
+    # in-memory catalog; an external path with mode=overwrite cannot)
+    base = f"{tempfile.gettempdir()}/ddf_bkt_{suffix}"
+    spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+    t(spark, sf_dir, "lineitem").write.bucketBy(16, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").format("parquet").option("path", f"{base}/lineitem").saveAsTable(
+        li_tbl
+    )
+    t(spark, sf_dir, "orders").write.bucketBy(16, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").format("parquet").option("path", f"{base}/orders").saveAsTable(
+        o_tbl
+    )
+    lb, ob = spark.table(li_tbl), spark.table(o_tbl)
+    return (
+        lb.join(ob.hint("merge"), lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q108_heavy_hitters",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) s
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def q108_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters (top-k frequent tokens) — the vocabulary/
+    stop-word discovery pass of a training-data pipeline. explode + codegen
+    count (the fast path per PERF.md's HOF lesson), map-side partial
+    aggregation collapses each partition to its local vocabulary before
+    the shuffle, and the top-20 is TakeOrderedAndProject. Token counts are
+    Zipf-skewed by nature — exactly the distribution where partial agg
+    (not salting) is the right tool, because the hot keys collapse
+    map-side."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q109_window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pctl,
+           ROUND(CUME_DIST() OVER w, 6) AS cumd,
+           NTILE(10) OVER w AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY ROUND(o_totalprice, 2), o_orderkey)
+    """,
+)
+def q109_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics (percent_rank / cume_dist / ntile) per
+    status partition — the window family q50/q51/q96/q101 don't cover.
+    The ordering key is rounded then tie-broken on the unique o_orderkey
+    so both engines assign identical ranks and decile edges. Per-key
+    partitions shard the work; no global sort appears anywhere."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.round(F.col("o_totalprice"), 2), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pctl"),
+        F.round(F.cume_dist().over(w), 6).alias("cumd"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )

@@ -185,3 +185,43 @@ def test_q100_q5_pushdown_and_broadcasts(spark):
     assert p.count("BroadcastHashJoin") >= 3
     # at most ONE shuffle join (fact-fact; one node = two formatted lines)
     assert p.count("SortMergeJoin") <= 2, p
+
+
+def test_q103_q3_topk_and_pushdown(spark):
+    """TPC-H Q3: both date predicates reach their scans; the top-10 is a
+    per-partition heap (TakeOrderedAndProject), never a global sort."""
+    p = plan_of(spark, "q103_tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_q105_q18_aggregates_before_join(spark):
+    """TPC-H Q18: the lineitem rollup + HAVING filter must run BEFORE the
+    joins (aggregate-then-join), so only qualifying orderkeys are joined.
+    In the formatted plan the first join input is a HashAggregate subtree
+    with the sum_qty filter above it, not a raw lineitem scan."""
+    p = plan_of(spark, "q105_tpch_q18_large_orders")
+    filter_line = next(
+        line for line in p.splitlines() if "Condition" in line and "sum_qty" in line
+    )
+    assert "250" in filter_line
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q108_heavy_hitters_partial_agg(spark):
+    """Token counting must partially aggregate map-side (Zipf-skewed keys
+    collapse before the shuffle) and take the top-20 via heap, not sort."""
+    p = plan_of(spark, "q108_heavy_hitters")
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q109_no_global_sort(spark):
+    """Distribution analytics partition by o_orderstatus — the window must
+    sort within hash-distributed partitions, never range-repartition the
+    whole table through one global sort."""
+    p = plan_of(spark, "q109_window_distribution")
+    assert "Window" in p
+    assert "hashpartitioning(o_orderstatus" in p
