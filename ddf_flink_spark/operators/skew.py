@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_aggregate"]
+__all__ = ["salted_aggregate", "salted_join"]
 
 _ALGEBRAIC = {"sum", "count", "min", "max", "avg"}
 
@@ -69,3 +69,46 @@ def salted_aggregate(
             )
     stage1 = salted.groupBy(*group_cols, "__salt").agg(*partials)
     return stage1.groupBy(*group_cols).agg(*finals)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Manually salted equi-join for pathological key skew.
+
+    AQE skew-join splitting (on by default in session.py) is the first
+    line of defense — it splits oversized partitions at runtime. This is
+    the explicit fallback for the cases AQE cannot fix, e.g. ONE join key
+    holding 30% of a 100 TB fact table (AQE can split the partition, but
+    every split still matches the same right-side rows through one sorted
+    stream) or when the skew is known ahead of time and the extra
+    planning pass is unwanted:
+
+      * left (big, skewed) rows get a deterministic salt in [0, n_salts)
+        hashed from the full row, so a hot key's rows spread over
+        ``n_salts`` reducers;
+      * right rows are REPLICATED once per salt value via a literal-array
+        explode (never a cartesian join);
+      * the join runs on (key, salt) — same result, n_salts-way spread.
+
+    Result is bit-identical to ``left.join(right, key)`` for inner/left
+    joins (each left row joins exactly the right rows of its key, in
+    exactly one salt bucket). Right/full joins would need a second
+    dedup pass on the replicated side and are refused.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)).cast(
+        "int"
+    )
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    cond = (l[left_key] == r[right_key]) & (l["__salt"] == r["__salt"])
+    return l.join(r, cond, how).drop("__salt")

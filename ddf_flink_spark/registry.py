@@ -3370,3 +3370,96 @@ def q109_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cumd"),
         F.ntile(10).over(w).cast("long").alias("decile"),
     )
+
+
+@query(
+    "q110_correlated_min_subquery",
+    oracle="""
+    SELECT p_type, p_partkey, p_name, ROUND(p_retailprice, 2) AS retailprice
+    FROM part p
+    WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+                           FROM part p2
+                           WHERE p2.p_type = p.p_type)
+    ORDER BY p_type, p_partkey
+    """,
+)
+def q110_correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's core pattern: a CORRELATED aggregate subquery — the
+    cheapest-per-group row selection. Catalyst decorrelates the inner
+    MIN into a grouped aggregate joined back on the correlation key, so
+    the whole query is two scans + one (broadcastable) join, not one
+    subquery execution per outer row. The reference's single-block
+    dialect cannot express any subquery (SqlSupport.scala:133-150).
+    Equality on the raw double is safe cross-engine: MIN returns one of
+    the actual stored values, so the comparison is bit-exact."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_type, p_partkey, p_name, ROUND(p_retailprice, 2) AS retailprice
+        FROM part p
+        WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+                               FROM part p2
+                               WHERE p2.p_type = p.p_type)
+        ORDER BY p_type, p_partkey
+        """
+    )
+
+
+@query(
+    "q111_grouped_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q111_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact percentiles (§2.10's quantiles were global-only in
+    the reference, StatisticsHandler.scala:124-160). Exact linear-
+    interpolated `percentile` here because the oracle needs bit-agreement;
+    the 100 TB path swaps in `approx_percentile` — same query shape, a
+    mergeable GK sketch per group instead of a per-group sort buffer."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q112_salted_join",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q112_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted fact-fact join (`operators/skew.salted_join`):
+    the left side salted by a row hash, the right side replicated per
+    salt via explode (never a cartesian), joined on (key, salt) — ONE
+    hot key spreads over n_salts reducers. The oracle is the PLAIN join:
+    salting must be result-invariant. The `merge` hint forces the
+    shuffle-join path so the demonstration is honest at bench scale
+    (broadcast would bypass the salt entirely)."""
+    from .operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").hint("merge")
+    return (
+        salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

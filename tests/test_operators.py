@@ -426,3 +426,24 @@ def test_resample_gapfill_semantics(spark):
         ("d", 1, 5.0, 0),
         ("d", 2, 5.0, 1),    # all-null bucket forward-fills through
     ]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be bit-identical to the plain join for inner and
+    left joins, including unmatched left rows (null-padded right)."""
+    from ddf_flink_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (99, "orphan")], ["k", "lv"]
+    )
+    right = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], ["rk", "rv"])
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(left, right, "k", "rk", n_salts=4, how=how).collect())
+        )
+        want = sorted(map(tuple, left.join(right, left.k == right.rk, how).collect()))
+        assert got == want, how
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, "k", "rk", how="full")

@@ -225,3 +225,21 @@ def test_q109_no_global_sort(spark):
     p = plan_of(spark, "q109_window_distribution")
     assert "Window" in p
     assert "hashpartitioning(o_orderstatus" in p
+
+
+def test_q110_subquery_decorrelates_to_join(spark):
+    """The correlated MIN subquery must decorrelate into a grouped
+    aggregate joined back on the correlation key — never a per-outer-row
+    subquery execution."""
+    p = plan_of(spark, "q110_correlated_min_subquery")
+    assert "Join" in p
+    assert "min(p_retailprice" in p
+
+
+def test_q112_salted_join_spreads_key(spark):
+    """The salted join must shuffle on (key, salt) — the hot-key spread is
+    visible in the exchange's partitioning — and must NOT broadcast."""
+    p = plan_of(spark, "q112_salted_join")
+    assert "SortMergeJoin" in p
+    assert "hashpartitioning(l_orderkey" in p and "__salt" in p
+    assert "BroadcastHashJoin" not in p
