@@ -1,0 +1,90 @@
+"""Iterative graph algorithms over DataFrames (beyond-parity extension).
+
+Cluster formation for dedup lives in ``functions/dedup.connected_components``
+(min-label propagation); this module adds PageRank — the canonical
+iterative-fixpoint shape the reference cannot express at all (its dialect
+is single-block SELECT, ``SqlSupport.scala:133-150``; no iteration,
+no recursion).
+
+Design for scale: each superstep is one join + one aggregation on
+DataFrames (Catalyst plans both; AQE sizes the shuffles). Lineage is
+truncated every superstep with ``localCheckpoint`` so the plan doesn't
+grow with iterations. The per-superstep dangling-mass term is a single
+scalar aggregate collected to the driver — the same global-coordination
+step GraphX/Pregel performs between supersteps, O(1) bytes per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 8,
+    damping: float = 0.85,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank with dangling-mass redistribution.
+
+    rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u)/outdeg(u) + dangling/N )
+
+    where ``dangling`` is the total rank held by nodes without out-edges
+    (redistributed uniformly, the standard formulation — total rank mass
+    stays 1 every iteration). Returns (id, rank).
+
+    ``edges`` are directed (pass both directions for a similarity graph).
+    Nodes absent from ``edges`` still receive the base + dangling terms.
+    """
+    n_total = nodes.count()
+    if n_total == 0:
+        return nodes.select(F.col(id_col).alias("id"), F.lit(0.0).alias("rank"))
+
+    ids = nodes.select(F.col(id_col).alias("id"))
+    out_deg = (
+        edges.groupBy(F.col(src_col).alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # (src, dst, deg) computed once and reused every superstep
+    edges_w = (
+        edges.select(F.col(src_col).alias("esrc"), F.col(dst_col).alias("edst"))
+        .join(out_deg, F.col("esrc") == out_deg.id)
+        .select("esrc", "edst", "deg")
+        .localCheckpoint()
+    )
+    ranks = ids.withColumn("rank", F.lit(1.0 / n_total))
+    for _ in range(iterations):
+        # rank mass sitting on dangling nodes (no out-edges) this round —
+        # one scalar per superstep, the Pregel-style global coordination
+        dangling = (
+            ranks.join(out_deg, "id", "left_anti").agg(F.sum("rank")).first()[0]
+            or 0.0
+        )
+        contribs = (
+            edges_w.join(ranks, edges_w.esrc == ranks.id)
+            .select(
+                F.col("edst").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        base = (1.0 - damping) / n_total + damping * dangling / n_total
+        ranks = (
+            ids.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -3463,3 +3463,91 @@ def q112_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q113_pagerank",
+)
+def q113_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the document similarity graph (MinHash+LSH candidate
+    pairs as symmetric edges) — the iterative-fixpoint algorithm class
+    (`functions/graph.pagerank`): per-superstep join + aggregate, lineage
+    truncated by localCheckpoint, dangling mass redistributed via one
+    scalar per round. Identifies hub documents (near-duplicated across
+    many others) for curation. Rows-only: xxhash64-derived edges are
+    engine-specific; the algorithm itself is differentially tested against
+    a hand-rolled reference implementation (tests/test_operators.py)."""
+    from .functions.dedup import minhash_lsh_candidates
+    from .functions.graph import pagerank
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = d.select(F.col("doc_id").alias("id"))
+    ranks = pagerank(edges, nodes, iterations=6)
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "id")
+        .limit(20)
+    )
+
+
+@query(
+    "q114_token_budget",
+    oracle="""
+    WITH f AS (
+      SELECT lang,
+             LENGTH(text) AS n_chars,
+             LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tokens,
+             LENGTH(REGEXP_REPLACE(text, '[^.,;:!?''"-]', '', 'g')) / LENGTH(text) AS punct_ratio,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 t -> t IN ('the','and','of','to','is','in','that','with','for','was')))
+               / LEN(STRING_SPLIT(LOWER(text), ' ')) AS stopword_ratio
+      FROM documents
+    ),
+    k AS (
+      SELECT lang, n_tokens,
+             (stopword_ratio >= 0.05 AND punct_ratio <= 0.2 AND n_chars >= 100) AS keep
+      FROM f
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS token_budget,
+           ROUND(SUM(CASE WHEN keep THEN 1.0 ELSE 0 END) / COUNT(*), 4) AS keep_rate
+    FROM k GROUP BY lang
+    """,
+)
+def q114_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation rollup: quality-gate each document
+    (stopword/punctuation/length signals from functions/text.py — same
+    definitions as q34), then report the per-language KEPT token budget
+    and keep rate — the numbers a data-mixing plan is built from. One
+    scan, codegen'd per-doc features, conditional aggregation; no
+    second pass for the denominators."""
+    from .functions.text import quality_features
+
+    d = t(spark, sf_dir, "documents")
+    f = quality_features("text")
+    per_doc = d.select(
+        "lang",
+        f["n_tokens"].alias("n_tokens"),
+        (
+            (f["stopword_ratio"] >= 0.05)
+            & (f["punct_ratio"] <= 0.2)
+            & (f["n_chars"] >= 100)
+        ).alias("keep"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("token_budget"),
+        F.round(
+            F.sum(F.when(F.col("keep"), 1.0).otherwise(0.0)) / F.count(F.lit(1)), 4
+        ).alias("keep_rate"),
+    )

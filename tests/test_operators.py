@@ -447,3 +447,33 @@ def test_salted_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(left, right, "k", "rk", how="full")
+
+
+def test_pagerank_matches_reference_formula(spark):
+    """functions/graph.pagerank vs a hand-rolled dict-based power
+    iteration with the same dangling-mass redistribution — including a
+    dangling node (5) and a node with no in-edges (4)."""
+    from ddf_flink_spark.functions.graph import pagerank
+
+    edge_list = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1), (4, 3), (1, 5)]
+    node_ids = [1, 2, 3, 4, 5]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["id"])
+    got = {r["id"]: r["rank"] for r in pagerank(edges, nodes, iterations=7).collect()}
+
+    d, n = 0.85, len(node_ids)
+    out = {}
+    for s, t_ in edge_list:
+        out.setdefault(s, []).append(t_)
+    ranks = {i: 1.0 / n for i in node_ids}
+    for _ in range(7):
+        dangling = sum(r for i, r in ranks.items() if i not in out)
+        base = (1 - d) / n + d * dangling / n
+        nxt = {i: base for i in node_ids}
+        for s, targets in out.items():
+            for t_ in targets:
+                nxt[t_] += d * ranks[s] / len(targets)
+        ranks = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conservation
+    for i in node_ids:
+        assert abs(got[i] - ranks[i]) < 1e-9, (i, got[i], ranks[i])
