@@ -1,0 +1,96 @@
+"""Slowly-changing-dimension (SCD type 2) batch upsert.
+
+The reference's mutability story is in-place overwrite
+(``setMutable(true)`` re-binding the DDF's contents, core
+``MutabilityHandler``, ``ddf-conf/ddf.ini:67``) — history is lost. This
+operator is the warehouse-grade alternative: applying an update batch to
+a versioned dimension EXPIRES the changed current rows (closing their
+validity interval) and APPENDS the new versions, so every historical
+state stays queryable with an as-of filter.
+
+Scale shape: three hash-joins on the business key (changed-detection,
+expire, carry-forward) + a union — all shuffle on the same key, so one
+exchange is reused; no window over the full dimension, no driver-side
+state. At 100 TB the dimension is the small side: updates join against
+it broadcast or co-partitioned, and the output is written
+partition-by-validity for time-travel scans.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_apply"]
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    eff_col: str = "eff_date",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Apply ``updates`` to a type-2 dimension.
+
+    ``dim`` holds the versioned dimension: business key(s), tracked
+    attributes, ``from_col``/``to_col`` validity interval (``to_col`` NULL
+    = current). ``updates`` carries the same non-temporal columns plus
+    ``eff_col``, one row per business key.
+
+    Rules (null-safe comparison on ``compare_cols``):
+      * update differing from the key's current row → current row expires
+        at ``eff_col``; the update becomes the new current row;
+      * update equal to the current row (or keyless) → no-op;
+      * historical (already-closed) rows pass through untouched.
+    """
+    attr_cols = [c for c in dim.columns if c not in (from_col, to_col)]
+    missing = set(attr_cols + [eff_col]) - set(updates.columns)
+    if missing:
+        raise ValueError(f"updates missing columns: {sorted(missing)}")
+
+    cur = dim.filter(F.col(to_col).isNull())
+    hist = dim.filter(F.col(to_col).isNotNull())
+
+    # qualified-name aliases: dim and updates routinely share lineage
+    # (updates derived from the dimension), which makes unqualified
+    # column objects ambiguous in the self-join
+    u = updates.select(*attr_cols, eff_col).alias("__u")
+    d = cur.alias("__d")
+    differs: Column = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"__u.{c}").eqNullSafe(F.col(f"__d.{c}")) for c in compare_cols],
+    )
+    key_match = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__u.{k}") == F.col(f"__d.{k}") for k in key_cols],
+    )
+    changed = (
+        u.join(d, key_match)
+        .filter(differs)
+        .select(*[F.col(f"__u.{c}") for c in attr_cols], F.col(f"__u.{eff_col}"))
+    )
+
+    changed_keys = changed.select(*key_cols)
+    expired = (
+        cur.join(changed.select(*key_cols, eff_col), key_cols, "inner")
+        .select(*[F.col(c) for c in attr_cols], F.col(from_col), F.col(eff_col))
+        .withColumnRenamed(eff_col, to_col)
+    )
+    unchanged_cur = cur.join(changed_keys, key_cols, "left_anti")
+    new_cur = changed.select(
+        *[F.col(c) for c in attr_cols],
+        F.col(eff_col).alias(from_col),
+        F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+    )
+    cols = attr_cols + [from_col, to_col]
+    return (
+        hist.select(*cols)
+        .unionByName(expired.select(*cols))
+        .unionByName(unchanged_cur.select(*cols))
+        .unionByName(new_cur.select(*cols))
+    )

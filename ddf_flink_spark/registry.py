@@ -3551,3 +3551,67 @@ def q114_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("keep"), 1.0).otherwise(0.0)) / F.count(F.lit(1)), 4
         ).alias("keep_rate"),
     )
+
+
+@query(
+    "q115_scd2_upsert",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal,
+             TIMESTAMP '1995-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_mktsegment, ROUND(c_acctbal * 1.1, 2) AS acctbal,
+             TIMESTAMP '2000-01-01' AS eff
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    changed AS (
+      SELECT u.* FROM upd u
+      JOIN dim d ON u.c_custkey = d.c_custkey AND d.valid_to IS NULL
+      WHERE u.acctbal IS DISTINCT FROM d.acctbal
+         OR u.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+    )
+    SELECT d.c_custkey, d.c_mktsegment, d.acctbal, d.valid_from,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.eff ELSE d.valid_to END AS valid_to,
+           (c.c_custkey IS NULL) AS is_current
+    FROM dim d LEFT JOIN changed c ON d.c_custkey = c.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, acctbal, eff AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM changed
+    """,
+)
+def q115_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 upsert (`operators/scd.scd2_apply`): a +10% account-
+    balance revision for the BUILDING segment applied to a versioned
+    customer dimension — changed current rows expire at the effective
+    date, new versions append, history stays queryable. The warehouse
+    answer to the reference's history-destroying in-place mutability
+    (core MutabilityHandler, ddf-conf/ddf.ini:67). Zero-balance customers
+    are a real no-op case (0 * 1.1 = 0) exercised by the data."""
+    from .operators.scd import scd2_apply
+
+    c = t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 1.1, 2).alias("acctbal"),
+        F.lit("2000-01-01").cast("timestamp").alias("eff"),
+    )
+    out = scd2_apply(
+        dim,
+        upd,
+        key_cols=["c_custkey"],
+        compare_cols=["acctbal", "c_mktsegment"],
+        eff_col="eff",
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())

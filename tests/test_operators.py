@@ -477,3 +477,44 @@ def test_pagerank_matches_reference_formula(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conservation
     for i in node_ids:
         assert abs(got[i] - ranks[i]) < 1e-9, (i, got[i], ranks[i])
+
+
+def test_scd2_apply_semantics(spark):
+    """scd2_apply: changed rows expire + re-version, equal updates are
+    no-ops, null-safe comparison, historical rows pass through."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.operators.scd import scd2_apply
+
+    t0, t1, t2 = datetime(2020, 1, 1), datetime(2021, 1, 1), datetime(2022, 1, 1)
+    dim = spark.createDataFrame(
+        [
+            (1, "a", t0, t1),   # historical row — must pass through
+            (1, "b", t1, None), # current, update changes it
+            (2, "x", t0, None), # current, update equal → no-op
+            (3, None, t0, None),# current, null attr; update null → no-op
+            (4, "q", t0, None), # current, no update
+        ],
+        ["k", "attr", "valid_from", "valid_to"],
+    )
+    upd = spark.createDataFrame(
+        [(1, "c", t2), (2, "x", t2), (3, None, t2), (99, "new", t2)],
+        ["k", "attr", "eff"],
+    )
+    out = scd2_apply(dim, upd, ["k"], ["attr"], eff_col="eff")
+    rows = {(r.k, r.attr, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, "a", t0, t1),    # history untouched
+        (1, "b", t1, t2),    # expired at eff
+        (1, "c", t2, None),  # new current
+        (2, "x", t0, None),  # no-op
+        (3, None, t0, None), # null == null → no-op
+        (4, "q", t0, None),  # untouched
+        # key 99 has no current row → insert is out of scope (no-op)
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        scd2_apply(dim, upd.drop("attr"), ["k"], ["attr"], eff_col="eff")
