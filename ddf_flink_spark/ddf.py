@@ -202,6 +202,40 @@ class DDF:
             )
         )
 
+    def salted_join(
+        self,
+        other: "DDF",
+        left_key: str,
+        right_key: str,
+        n_salts: int = 8,
+        how: str = "inner",
+    ) -> "DDF":
+        """Skew-safe equi-join for pathological hot keys (beyond reference
+        parity — see operators/skew.salted_join)."""
+        from .operators.skew import salted_join as _salted_join
+
+        return self._derive(
+            _salted_join(self._df, other.df, left_key, right_key, n_salts, how)
+        )
+
+    def scd2_apply(
+        self,
+        updates: "DDF",
+        key_cols: list[str],
+        compare_cols: list[str],
+        eff_col: str = "eff_date",
+        from_col: str = "valid_from",
+        to_col: str = "valid_to",
+    ) -> "DDF":
+        """Type-2 slowly-changing-dimension upsert (history-preserving
+        alternative to set_mutable in-place rebinding — see
+        operators/scd.scd2_apply)."""
+        from .operators.scd import scd2_apply as _scd2
+
+        return self._derive(
+            _scd2(self._df, updates.df, key_cols, compare_cols, eff_col, from_col, to_col)
+        )
+
     # ----------------------------------------------------------- aggregation
     def aggregate(self, fields: str) -> dict:
         return _agg.aggregate(self._df, fields)

@@ -3615,3 +3615,48 @@ def q115_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         eff_col="eff",
     )
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+@query(
+    "q116_stream_windowed_topk",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type) AS rnk
+      FROM agg
+    )
+    SELECT window_start, event_type, n_events, rnk
+    FROM r WHERE rnk <= 2
+    """,
+)
+def q116_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: watermarked tumbling-window counts computed
+    by Structured Streaming (q70's stateful aggregation), then top-2 per
+    window ranked on the materialized sink — the standard split for
+    streaming top-k, since rank-over-window isn't an incremental
+    streaming operator: the stream maintains the (window, type) counts,
+    the cheap rank runs on the tiny aggregated result. Tie-broken
+    (n_events DESC, event_type) so both engines pick identical rows."""
+    from pyspark.sql import Window
+
+    from .streaming.core import events_stream, run_available_now, tumbling_counts
+
+    out = run_available_now(tumbling_counts(events_stream(spark, sf_dir)), "complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        out.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "window_start",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "rnk",
+        )
+    )

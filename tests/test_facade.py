@@ -261,3 +261,36 @@ def test_llm_op_facades(mgr, spark):
     rows = nn.df.collect()
     assert len(rows) == 6  # 3 queries x k=2
     assert nn.columns == ["query_id", "neighbor_id", "cos"]
+
+
+def test_salted_join_and_scd2_facades(mgr):
+    """salted_join / scd2_apply exposed on DDF, result-equivalent to the
+    plain operations."""
+    li = mgr.load_table(SF_DIR, "lineitem")
+    o = mgr.load_table(SF_DIR, "orders")
+    sj = li.salted_join(o, "l_orderkey", "o_orderkey", n_salts=4)
+    plain = li.df.join(o.df, li.df.l_orderkey == o.df.o_orderkey)
+    assert sj.num_rows() == plain.count()
+    assert set(sj.columns) == set(plain.columns)
+
+    from pyspark.sql import functions as F
+
+    c = mgr.load_table(SF_DIR, "customer")
+    dim = mgr.new_ddf(
+        c.df.select(
+            "c_custkey",
+            "c_acctbal",
+            F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    upd = mgr.new_ddf(
+        c.df.limit(10).select(
+            "c_custkey",
+            (F.col("c_acctbal") + 1).alias("c_acctbal"),
+            F.lit("2000-01-01").cast("timestamp").alias("eff"),
+        )
+    )
+    versioned = dim.scd2_apply(upd, ["c_custkey"], ["c_acctbal"], eff_col="eff")
+    assert versioned.num_rows() == dim.num_rows() + 10
+    assert versioned.df.filter("valid_to IS NOT NULL").count() == 10
