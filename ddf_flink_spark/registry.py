@@ -3660,3 +3660,72 @@ def q116_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@query(
+    "q117_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_viewers,
+           COUNT(t_click) AS n_clickers,
+           COUNT(t_purchase) AS n_buyers,
+           ROUND(AVG(epoch(t_purchase) - epoch(t_view)), 4) AS avg_secs_to_convert
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q117_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click after it → purchase after
+    that): each stage is a conditional MIN over the previous stage's
+    anchor — three small keyed aggregations chained by joins, each
+    shuffling only (user, ts) pairs. This formulation is
+    incremental-friendly and skew-proof (per-user state is two
+    timestamps), unlike collect-events-per-user-and-scan, which holds a
+    user's whole history in one task. The reference has no event-sequence
+    capability at all."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_viewers"),
+            F.count("t_click").alias("n_clickers"),
+            F.count("t_purchase").alias("n_buyers"),
+            F.round(
+                F.avg(F.unix_micros("t_purchase") / 1e6 - F.unix_micros("t_view") / 1e6),
+                4,
+            ).alias("avg_secs_to_convert"),
+        )
+    )
