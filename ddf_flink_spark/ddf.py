@@ -160,6 +160,13 @@ class DDF:
     def sample_n(self, n: int, with_replacement: bool = False, seed: int = 42) -> list:
         return _views.sample_exact(self._df, n, with_replacement, seed)
 
+    def sample_weighted(self, weight_col: str, n: int, seed: int = 42) -> "DDF":
+        """Weighted sample without replacement (Efraimidis-Spirakis;
+        beyond reference parity — see operators/sampling.sample_weighted)."""
+        from .operators.sampling import sample_weighted as _sw
+
+        return self._derive(_sw(self._df, weight_col, n, seed))
+
     # ----------------------------------------------------------------- joins
     def join(
         self,

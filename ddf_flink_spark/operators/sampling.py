@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["random_split", "cv_random", "cv_k_fold"]
+__all__ = ["random_split", "cv_random", "cv_k_fold", "sample_weighted"]
 
 
 def random_split(df: DataFrame, weights: list[float], seed: int = 42) -> list[DataFrame]:
@@ -50,3 +50,27 @@ def cv_k_fold(df: DataFrame, k: int, seed: int = 42) -> list[tuple[DataFrame, Da
         train = with_bucket.filter(F.col("__fold") != i).drop("__fold")
         out.append((train, test))
     return out
+
+
+def sample_weighted(
+    df: DataFrame, weight_col: str, n: int, seed: int = 42
+) -> DataFrame:
+    """Weighted random sample of ``n`` rows without replacement
+    (Efraimidis-Spirakis A-ES): each row draws u ~ U(0,1) and keys on
+    u^(1/w); the n largest keys are a weighted sample — P(row in sample)
+    is proportional to its weight, exactly, without replacement.
+
+    The data-mixing primitive of a training pipeline ("sample sources
+    proportional to quality×size caps"). Distributed as a top-n
+    (TakeOrdered: per-partition heap + driver merge of n candidates) —
+    no global sort, no per-partition reservoir state, no driver loop.
+    Rows with weight ≤ 0 are excluded (their inclusion probability is 0).
+    """
+    key = F.pow(F.rand(seed), F.lit(1.0) / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.desc("__wkey"))
+        .limit(n)
+        .drop("__wkey")
+    )

@@ -3729,3 +3729,81 @@ def q117_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_secs_to_convert"),
         )
     )
+
+
+@query(
+    "q118_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           ROUND(AVG(LEAST(GREATEST(l_extendedprice, lo), hi)), 4) AS winsorized_mean,
+           ROUND(AVG(l_extendedprice), 4) AS raw_mean
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q118_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip at p01/p99) — the outlier-taming
+    pass of a numeric-feature pipeline. Two aggregations over one scan
+    lineage: the tiny per-group bound table (3 rows) BROADCASTS back
+    onto the fact, so the clip is a map-side projection, not a window
+    over the group. Exact percentiles here for the oracle;
+    approx_percentile is the drop-in at 100 TB (same two-phase shape)."""
+    li = t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("lo"))
+                    | (F.col("l_extendedprice") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+        )
+    )
+
+
+@query(
+    "q119_weighted_sample",
+)
+def q119_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted corpus sample (`operators/sampling.sample_weighted`,
+    Efraimidis-Spirakis u^(1/w) keys + distributed top-n) — the
+    data-mixing primitive: sample documents proportional to length so
+    the token mass, not the doc count, follows the target mix. Rows-only
+    (rand(seed) is layout-dependent, not portable to DuckDB); the
+    proportionality contract is unit-tested
+    (test_sample_weighted_proportional). Deterministic for a fixed
+    layout; summarized per-language so the check is shape-stable."""
+    from .operators.sampling import sample_weighted
+
+    d = t(spark, sf_dir, "documents")
+    s = sample_weighted(d, "n_chars", 200, seed=11)
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("chars_sampled"),
+        )
+        .orderBy("lang")
+    )

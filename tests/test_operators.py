@@ -518,3 +518,69 @@ def test_scd2_apply_semantics(spark):
 
     with _pytest.raises(ValueError):
         scd2_apply(dim, upd.drop("attr"), ["k"], ["attr"], eff_col="eff")
+
+
+def test_sample_weighted_proportional(spark):
+    """Efraimidis-Spirakis weighted sampling: heavy rows dominate the
+    sample in proportion to weight; weight<=0 rows never appear; the
+    sample is exactly n rows without replacement."""
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.operators.sampling import sample_weighted
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") < 2000, 1.0).otherwise(9.0).alias("w"),
+    )
+    # add excluded rows
+    df = df.unionByName(
+        spark.createDataFrame([(99990, 0.0), (99991, -1.0)], ["id", "w"])
+    )
+    s = sample_weighted(df, "w", 400, seed=7).collect()
+    assert len(s) == 400
+    ids = [r["id"] for r in s]
+    assert len(set(ids)) == 400  # without replacement
+    assert all(i < 4000 for i in ids)  # w<=0 excluded
+    heavy = sum(1 for i in ids if i >= 2000)
+    # expected heavy fraction = 9/(9+1) = 0.9 of draws (approx for
+    # without-replacement at 10% sampling rate); allow wide tolerance
+    assert 0.78 <= heavy / 400 <= 0.98, heavy
+
+
+def test_salted_join_randomized_differential(spark):
+    """Seeded randomized differential: salted_join == plain join on
+    random key distributions (incl. heavy skew and null-free keys)."""
+    import random
+
+    from ddf_flink_spark.operators.skew import salted_join
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        left = [(rng.choice([1, 1, 1, 2, 3, rng.randint(4, 8)]), rng.randint(0, 99))
+                for _ in range(200)]
+        right = [(rng.randint(1, 8), rng.choice("abcdef")) for _ in range(40)]
+        ldf = spark.createDataFrame(left, ["k", "v"])
+        rdf = spark.createDataFrame(right, ["rk", "rv"])
+        for how in ("inner", "left"):
+            got = sorted(map(tuple, salted_join(ldf, rdf, "k", "rk", 4, how).collect()))
+            want = sorted(map(tuple, ldf.join(rdf, ldf.k == rdf.rk, how).collect()))
+            assert got == want, (seed, how)
+
+
+def test_scd2_idempotent(spark):
+    """Applying the same update batch twice is a no-op the second time
+    (the new current rows equal the updates, so nothing differs)."""
+    from datetime import datetime
+
+    from ddf_flink_spark.operators.scd import scd2_apply
+
+    t0, t2 = datetime(2020, 1, 1), datetime(2022, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, 10.0, t0, None), (2, 20.0, t0, None), (3, 30.0, t0, None)],
+        "k long, val double, valid_from timestamp, valid_to timestamp",
+    )
+    upd = spark.createDataFrame([(1, 11.0, t2), (2, 20.0, t2)], ["k", "val", "eff"])
+    once = scd2_apply(dim, upd, ["k"], ["val"], eff_col="eff")
+    twice = scd2_apply(once, upd, ["k"], ["val"], eff_col="eff")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.filter("valid_to IS NULL").count() == 3  # one current row per key
