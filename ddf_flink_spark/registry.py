@@ -3843,3 +3843,57 @@ def q120_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / 2).cast("long").alias("n"),
         F.round(F.sum("c_acctbal") / 2, 2).alias("total_bal"),
     )
+
+
+@query(
+    "q121_incremental_dedup",
+    oracle="""
+    WITH old AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    new AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    vs_old AS (
+      SELECT n.* FROM new n
+      WHERE NOT EXISTS (SELECT 1 FROM old o WHERE md5(o.text) = md5(n.text))
+    ),
+    keep AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM vs_old
+    )
+    SELECT lang,
+           COUNT(*) AS n_ingested,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_ingested
+    FROM keep WHERE rn = 1
+    GROUP BY lang
+    """,
+)
+def q121_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingestion dedup — the shape that keeps 100 TB dedup
+    affordable: a new batch (doc_id % 5 = 0 here) is deduped against the
+    EXISTING corpus via hash anti-join (new × old-index, never
+    old × old re-work) and then within itself (min-id per content hash).
+    The old side in production is the persisted fingerprint index
+    (q36's (md5, id) table — constant bytes/doc), so each increment
+    costs |new| × lookup, not a corpus-wide recompute. Cross-engine on
+    md5 hex strings."""
+    d = t(spark, sf_dir, "documents")
+    h = F.md5("text")
+    old = d.filter(F.col("doc_id") % 5 != 0).select(h.alias("h"))
+    new = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "n_chars", h.alias("h")
+    )
+    vs_old = new.join(old, "h", "left_anti")
+    within = vs_old.groupBy("h").agg(
+        F.min_by(
+            F.struct("doc_id", "lang", "n_chars"), F.col("doc_id")
+        ).alias("keep")
+    )
+    return (
+        within.select("keep.doc_id", "keep.lang", "keep.n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_ingested"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("chars_ingested"),
+        )
+    )
