@@ -46,12 +46,16 @@ def pagerank(
     if n_total == 0:
         return nodes.select(F.col(id_col).alias("id"), F.lit(0.0).alias("rank"))
 
-    ids = nodes.select(F.col(id_col).alias("id"))
+    ids = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
+    # degrees and weighted edges are BOTH checkpointed: every superstep
+    # reads them (the dangling-mass anti-join reads out_deg too), and
+    # their upstream lineage — e.g. a whole candidate-pair pipeline —
+    # must not re-execute per iteration
     out_deg = (
         edges.groupBy(F.col(src_col).alias("id"))
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
     )
-    # (src, dst, deg) computed once and reused every superstep
     edges_w = (
         edges.select(F.col(src_col).alias("esrc"), F.col(dst_col).alias("edst"))
         .join(out_deg, F.col("esrc") == out_deg.id)

@@ -57,8 +57,11 @@ def sample_weighted(
 ) -> DataFrame:
     """Weighted random sample of ``n`` rows without replacement
     (Efraimidis-Spirakis A-ES): each row draws u ~ U(0,1) and keys on
-    u^(1/w); the n largest keys are a weighted sample — P(row in sample)
-    is proportional to its weight, exactly, without replacement.
+    u^(1/w); the n largest keys realize n successive weight-proportional
+    draws without replacement. (Inclusion probabilities are therefore
+    only approximately proportional to weight — exact proportional
+    inclusion is strict πps sampling, a different scheme; the
+    approximation tightens as n/N shrinks.)
 
     The data-mixing primitive of a training pipeline ("sample sources
     proportional to quality×size caps"). Distributed as a top-n

@@ -46,8 +46,15 @@ def scd2_apply(
       * update differing from the key's current row → current row expires
         at ``eff_col``; the update becomes the new current row;
       * update equal to the current row (or keyless) → no-op;
+      * update whose ``eff_col`` is at or before the current row's
+        ``from_col`` (stale / out-of-order) → ignored, never an inverted
+        interval; late-arriving history needs an explicit rewrite;
       * historical (already-closed) rows pass through untouched.
     """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not compare_cols:
+        raise ValueError("compare_cols must be non-empty")
     attr_cols = [c for c in dim.columns if c not in (from_col, to_col)]
     missing = set(attr_cols + [eff_col]) - set(updates.columns)
     if missing:
@@ -69,9 +76,14 @@ def scd2_apply(
         lambda a, b: a & b,
         [F.col(f"__u.{k}") == F.col(f"__d.{k}") for k in key_cols],
     )
+    # an update effective at or before the current row's start would
+    # produce an inverted interval (valid_to < valid_from) and overlap
+    # closed history; such stale/out-of-order updates are ignored —
+    # late-arriving history requires an explicit rewrite, not an upsert
+    in_order = F.col(f"__u.{eff_col}") > F.col(f"__d.{from_col}")
     changed = (
         u.join(d, key_match)
-        .filter(differs)
+        .filter(differs & in_order)
         .select(*[F.col(f"__u.{c}") for c in attr_cols], F.col(f"__u.{eff_col}"))
     )
 

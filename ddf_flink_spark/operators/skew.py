@@ -103,9 +103,14 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)).cast(
-        "int"
-    )
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    # monotonically_increasing_id is unique PER ROW, so even bit-identical
+    # rows of a hot key round-robin across salt buckets (a row-content
+    # hash would send duplicate rows — the classic hot-key shape — to one
+    # bucket and defeat the spread). The salt value never affects the
+    # result: the right side is replicated for every salt.
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
     l = left.withColumn("__salt", salt)
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -3275,9 +3275,10 @@ def q107_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Result semantics are bucketing-independent, hence
     SQL-oracle-checkable. (The reference shuffles every join via coGroup,
     utils/package.scala:258-306 — no co-location concept.)"""
+    import re
     import tempfile
 
-    suffix = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    suffix = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
     li_tbl, o_tbl = f"bkt_li_{suffix}", f"bkt_o_{suffix}"
     # external fixed paths + DROP IF EXISTS: idempotent across sessions
     # (a managed table's leftover location would collide with a fresh
@@ -3812,7 +3813,8 @@ def q119_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q120_csv_json_roundtrip",
     oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total_bal
+    SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total_bal,
+           CAST(0 AS BIGINT) AS n_mismatch
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -3820,13 +3822,16 @@ def q120_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV and JSON SINKS (the reference only reads CSV and writes
     nothing but its basic-persistence store — SURVEY §2.1): write the
     customer dim to headered CSV and to JSON-lines, read both back with
-    declared schemas (no inference drift), verify they agree via an
-    inner-join equality count folded into the aggregate. Text formats
-    are interchange paths, not analytics storage — timestamps/doubles
-    round-trip through strings, so production sinks stay columnar
-    (q53/q88/q91); this query pins the interchange path works."""
+    declared schemas (no inference drift), and join the two read-backs
+    on the key, counting rows where ANY column disagrees null-safely —
+    the oracle pins that count to zero per segment, so a round-trip
+    defect (e.g. empty-string→NULL in one format but not the other)
+    fails the hash even when counts and sums survive. Text formats are
+    interchange paths, not analytics storage — production sinks stay
+    columnar (q53/q88/q91)."""
     import os
     import tempfile
+    from functools import reduce
 
     base = os.path.join(tempfile.gettempdir(), "ddf_q120")
     c = t(spark, sf_dir, "customer")
@@ -3836,27 +3841,45 @@ def q120_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = c.schema
     back_csv = spark.read.schema(schema).option("header", "true").csv(csv_path)
     back_json = spark.read.schema(schema).json(json_path)
-    # both round-trips must agree row-for-row; union them and halve the
-    # counts so any divergence breaks the oracle equality
-    both = back_csv.unionByName(back_json)
-    return both.groupBy("c_mktsegment").agg(
-        (F.count(F.lit(1)) / 2).cast("long").alias("n"),
-        F.round(F.sum("c_acctbal") / 2, 2).alias("total_bal"),
+    cols = [x for x in c.columns if x != "c_custkey"]
+    differs = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"__c.{x}").eqNullSafe(F.col(f"__j.{x}")) for x in cols],
+    )
+    mism = (
+        back_csv.alias("__c")
+        .join(back_json.alias("__j"), "c_custkey", "full")
+        .groupBy(F.col("__c.c_mktsegment").alias("c_mktsegment"))
+        .agg(
+            F.sum(F.when(differs, 1).otherwise(0)).cast("long").alias("n_mismatch")
+        )
+    )
+    return (
+        back_csv.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .join(mism, "c_mktsegment")
     )
 
 
 @query(
     "q121_incremental_dedup",
     oracle="""
-    WITH old AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-    new AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    WITH fp AS (
+      SELECT *, MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    ),
+    old AS (SELECT * FROM fp WHERE doc_id % 5 <> 0),
+    new AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
     vs_old AS (
       SELECT n.* FROM new n
-      WHERE NOT EXISTS (SELECT 1 FROM old o WHERE md5(o.text) = md5(n.text))
+      WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.h = n.h)
     ),
     keep AS (
       SELECT doc_id, lang, n_chars,
-             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
       FROM vs_old
     )
     SELECT lang,
@@ -3874,10 +3897,14 @@ def q121_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     old × old re-work) and then within itself (min-id per content hash).
     The old side in production is the persisted fingerprint index
     (q36's (md5, id) table — constant bytes/doc), so each increment
-    costs |new| × lookup, not a corpus-wide recompute. Cross-engine on
-    md5 hex strings."""
+    costs |new| × lookup, not a corpus-wide recompute. Uses the SAME
+    normalized fingerprint as q36's index (functions/text.fingerprint:
+    md5 of trimmed/lowercased/whitespace-collapsed text) so the two
+    stages actually interoperate; cross-engine on md5 hex strings."""
+    from .functions.text import fingerprint
+
     d = t(spark, sf_dir, "documents")
-    h = F.md5("text")
+    h = fingerprint("text")
     old = d.filter(F.col("doc_id") % 5 != 0).select(h.alias("h"))
     new = d.filter(F.col("doc_id") % 5 == 0).select(
         "doc_id", "lang", "n_chars", h.alias("h")

@@ -634,3 +634,24 @@ def test_csv_corrupt_record_handling(spark, tmp_path):
         assert df.filter("a IS NOT NULL").count() == 2
     finally:
         df.unpersist()
+
+
+def test_scd2_ignores_stale_updates(spark):
+    """An update effective at or before the current row's valid_from is
+    stale — it must be ignored, never producing an inverted interval."""
+    from datetime import datetime
+
+    from ddf_flink_spark.operators.scd import scd2_apply
+
+    t0, t_old = datetime(2020, 1, 1), datetime(2019, 6, 1)
+    dim = spark.createDataFrame(
+        [(1, 10.0, t0, None)],
+        "k long, val double, valid_from timestamp, valid_to timestamp",
+    )
+    upd = spark.createDataFrame([(1, 99.0, t_old)], ["k", "val", "eff"])
+    out = scd2_apply(dim, upd, ["k"], ["val"], eff_col="eff")
+    assert sorted(map(tuple, out.collect())) == [(1, 10.0, t0, None)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compare_cols"):
+        scd2_apply(dim, upd, ["k"], [], eff_col="eff")

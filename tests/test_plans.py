@@ -200,14 +200,25 @@ def test_q103_q3_topk_and_pushdown(spark):
 def test_q105_q18_aggregates_before_join(spark):
     """TPC-H Q18: the lineitem rollup + HAVING filter must run BEFORE the
     joins (aggregate-then-join), so only qualifying orderkeys are joined.
-    In the formatted plan the first join input is a HashAggregate subtree
-    with the sum_qty filter above it, not a raw lineitem scan."""
+    The formatted tree prints parent-then-children depth-first, so an
+    aggregate feeding a join appears AFTER (deeper than) the join line;
+    a regressed join-then-aggregate plan would print the aggregate above
+    (before) every join."""
     p = plan_of(spark, "q105_tpch_q18_large_orders")
     filter_line = next(
         line for line in p.splitlines() if "Condition" in line and "sum_qty" in line
     )
     assert "250" in filter_line
     assert "TakeOrderedAndProject" in p
+    tree = p.split("\n\n")[0].splitlines()  # the tree section only
+    join_idx = min(
+        i for i, l in enumerate(tree) if "Join" in l
+    )
+    agg_idx = min(i for i, l in enumerate(tree) if "HashAggregate" in l)
+    assert join_idx < agg_idx, (
+        "lineitem aggregate must be a join INPUT (printed under the join), "
+        f"but first HashAggregate at line {agg_idx} precedes first join at {join_idx}"
+    )
 
 
 def test_q108_heavy_hitters_partial_agg(spark):
