@@ -37,6 +37,8 @@ HEADLINE = [
     "q100_tpch_q5_local_supplier",
     "q103_tpch_q3_shipping_priority",
     "q106_promo_revenue_share",
+    "q124_tpch_q13_custdist",
+    "q127_tpch_q21_waiting_supplier",
     "q17_xtabs",
     "q18_correlation",
     # extensions (skipped silently if not yet registered)

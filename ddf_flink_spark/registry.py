@@ -3924,3 +3924,469 @@ def q121_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars_ingested"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H plan-shape completions: the remaining classic query archetypes
+# (EXISTS-with-interval, CASE-class counts, outer-join distribution,
+# distinct-count with NOT IN, disjunctive join predicate, double-correlated
+# EXISTS/NOT EXISTS, anti join + scalar subquery, nation-pair volume).
+# The reference's single-block dialect (SqlSupport.scala:133-150) can
+# express none of these; each lands on a distinct Catalyst plan feature.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q122_tpch_q4_exists_interval",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q122_tpch_q4_exists_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS whose
+    predicate is an *interval comparison between both sides'* columns
+    (shipdate > orderdate + 60d — the commit<receipt proxy on this
+    schema). Catalyst decorrelates to a left-semi join on l_orderkey with
+    the interval predicate as a join condition; the orders date range is
+    pushed to the parquet scan, so the semi join's build side is one
+    year of orders, not the table."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q123_tpch_q12_priority_class",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q123_tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / priority classes): fact-fact join
+    with a cross-table interval predicate, then CASE-classified
+    conditional counts. The classification runs inside the partial
+    (map-side) aggregate, so the shuffle carries 3 rows per partition
+    regardless of scale."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q124_tpch_q13_custdist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q124_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with an extra non-key ON condition (the filter must NOT become a
+    WHERE — that would turn the join inner and lose zero-order
+    customers), COUNT of the nullable side, then a second aggregation
+    over the first's result. Two shuffles by construction (custkey, then
+    c_count) — the second input is |customers| rows, already tiny."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q125_tpch_q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, CAST(FLOOR(p_size / 10) AS INT) AS size_bucket,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, size_bucket
+    ORDER BY supplier_cnt DESC, p_brand, size_bucket
+    """,
+)
+def q125_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier variety per part class): COUNT DISTINCT
+    over a join, with a NOT IN subquery exclusion (suppliers in deficit).
+    NOT IN compiles to a null-aware anti join — here both columns are
+    non-null keys so it degenerates to a plain (broadcastable) anti join.
+    The distinct-count shuffles (group, suppkey) pairs — partial
+    dedup map-side — then counts per group."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.floor(F.col("p_size") / 10).cast("int").alias("size_bucket"),
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "size_bucket")
+    )
+
+
+@query(
+    "q126_tpch_q19_disjunctive",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q126_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate): an OR
+    of AND-groups that each mix columns from BOTH join sides. Catalyst
+    extracts the per-side disjunctions (p_brand/p_size on part,
+    l_quantity on lineitem) and pushes them below the join as scan
+    filters, keeping only the cross-side residual in the join — the
+    difference between scanning 3 brands' parts and scanning the table."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q127_tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q127_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting — the hardest
+    classic plan): EXISTS *and* NOT EXISTS, both correlated to the same
+    fact row on (orderkey, suppkey-inequality, shipdate). Catalyst
+    decorrelates to a left-semi join then a left-anti join against two
+    rescans of lineitem on l_orderkey — three shuffles on the same key,
+    which AQE can co-plan; never a per-row subquery. Finds each stalled
+    order's last-shipping supplier among multi-supplier orders."""
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "q128_tpch_q22_dormant_customers",
+    oracle="""
+    SELECT CAST(c_nationkey % 5 AS INT) AS cntry_group,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    GROUP BY cntry_group
+    ORDER BY cntry_group
+    """,
+)
+def q128_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): an uncorrelated scalar
+    subquery (the positive-balance average — one tiny job, folded into
+    the scan filter as a literal) combined with a correlated NOT EXISTS
+    (no big-ticket orders — a left-anti join on custkey). Well-funded
+    customers with no large orders, grouped by country group."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT CAST(c_nationkey % 5 AS INT) AS cntry_group,
+               COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
+        GROUP BY cntry_group
+        ORDER BY cntry_group
+        """
+    )
+
+
+@query(
+    "q129_tpch_q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s_suppkey = l_suppkey
+    JOIN orders o ON o_orderkey = l_orderkey
+    JOIN customer c ON c_custkey = o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q129_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between nation pairs): a five-way
+    join where the selective predicate is a DISJUNCTION over a pair of
+    dimension attributes reachable only through different join paths
+    (supplier→nation vs customer→nation). Each nation branch filters to
+    2 of 25 rows and broadcasts; the disjunctive pair condition applies
+    after both enrichments. Grouped by (supp_nation, cust_nation, year)."""
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s_suppkey = l_suppkey
+        JOIN orders o ON o_orderkey = l_orderkey
+        JOIN customer c ON c_custkey = o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: benchmark decontamination + intra-document
+# repetition — the two corpus-hygiene passes q30-q37 don't cover.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q130_decontamination",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS ts
+                 FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 4)) AS i) s
+      WHERE LEN(ts) >= 5
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE source IN ('src0', 'src1')),
+    hits AS (
+      SELECT DISTINCT doc_id, source FROM sh
+      WHERE source NOT IN ('src0', 'src1') AND g IN (SELECT g FROM bench)
+    )
+    SELECT source, COUNT(*) AS contaminated,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM hits GROUP BY source ORDER BY source
+    """,
+)
+def q130_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — flag training documents that share any
+    word 5-gram with a held-out benchmark set (sources src0/src1 stand in
+    for the eval suite). The benchmark's distinct shingle set is tiny and
+    BROADCAST, so the corpus-side scan is embarrassingly parallel: one
+    pass, a broadcast left-semi join, no shuffle of corpus text. At
+    100 TB the benchmark index stays a few MB (eval sets don't scale with
+    the corpus), so this shape is shuffle-free regardless of corpus size.
+    Shingles via functions/dedup.exploded_shingles (HOF-free hot path)."""
+    from .functions.dedup import exploded_shingles
+
+    d = t(spark, sf_dir, "documents")
+    bench_sources = ("src0", "src1")
+    is_bench = F.col("source").isin(*bench_sources)
+    bench_g = (
+        exploded_shingles(d.filter(is_bench), "text", "doc_id", 5)
+        .select("g")
+        .distinct()
+    )
+    corpus_sh = exploded_shingles(d.filter(~is_bench), "text", "doc_id", 5)
+    hit_ids = (
+        corpus_sh.join(F.broadcast(bench_g), "g", "left_semi")
+        .select("id")
+        .distinct()
+    )
+    return (
+        hit_ids.join(d, hit_ids.id == d.doc_id)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("contaminated"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q131_intra_doc_repetition",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS ts
+                 FROM documents),
+    tot AS (SELECT doc_id, source, GREATEST(LEN(ts) - 2, 0) AS total FROM tok),
+    dis AS (
+      SELECT doc_id, COUNT(DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS d
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
+      WHERE LEN(ts) >= 3
+      GROUP BY doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(1.0 - d / total), 4) AS avg_repetition,
+           CAST(SUM(CASE WHEN 1.0 - d / total > 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive
+    FROM tot JOIN dis USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+)
+def q131_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition scoring — the duplicated-n-gram fraction
+    (1 - distinct/total 3-grams) per document, the standard boilerplate/
+    loop-generation signal for corpus filtering. One shingle explode +
+    per-doc count (map-side combinable), joined to the per-doc total —
+    no cross-document work at all, so it scales linearly with corpus
+    bytes. Docs shorter than the gram width are excluded (no denominator)."""
+    from .functions.dedup import exploded_shingles
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    tot = d.select(
+        "doc_id",
+        "source",
+        F.greatest(F.size(toks) - 2, F.lit(0)).alias("total"),
+    )
+    dis = (
+        exploded_shingles(d, "text", "doc_id", 3)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    rep = F.lit(1.0) - F.col("d") / F.col("total")
+    return (
+        tot.join(dis, tot.doc_id == dis.id)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(rep), 4).alias("avg_repetition"),
+            F.sum(F.when(rep > 0.001, 1).otherwise(0)).cast("long").alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )

@@ -254,3 +254,36 @@ def test_q112_salted_join_spreads_key(spark):
     assert "SortMergeJoin" in p
     assert "hashpartitioning(l_orderkey" in p and "__salt" in p
     assert "BroadcastHashJoin" not in p
+
+
+def test_q126_q19_disjunction_pushes_per_side(spark):
+    """The OR-of-AND-groups predicate mixes columns from both join sides;
+    Catalyst must extract each side's disjunction and push it into that
+    side's parquet scan (3 brands' parts, bounded quantities) instead of
+    filtering after the join."""
+    p = plan_of(spark, "q126_tpch_q19_disjunctive")
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in p  # lineitem-side Or pushed
+    assert "EqualTo(p_brand,Brand#12)" in p  # part-side Or pushed
+    assert "CartesianProduct" not in p
+
+
+def test_q127_q21_decorrelates_to_semi_and_anti(spark):
+    """EXISTS and NOT EXISTS (both correlated on orderkey + suppkey
+    inequality + shipdate comparison) must decorrelate into a left-semi
+    and a left-anti join against lineitem rescans — never a per-outer-row
+    subquery or a cartesian product."""
+    p = plan_of(spark, "q127_tpch_q21_waiting_supplier")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "EqualTo(o_orderstatus,F)" in p  # status filter reaches the scan
+
+
+def test_q130_decontamination_broadcasts_benchmark(spark):
+    """The benchmark shingle index must broadcast (it is corpus-size
+    independent) and the source split must reach the parquet scans, so
+    the corpus pass is a shuffle-free single scan."""
+    p = plan_of(spark, "q130_decontamination")
+    assert "BroadcastHashJoin LeftSemi" in p
+    assert "In(source, [src0,src1])" in p
+    assert "Not(In(source, [src0,src1]))" in p
