@@ -24,6 +24,8 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "redact_pii",
+    "token_chunks",
     "STOPWORDS",
 ]
 
@@ -137,3 +139,64 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.trim(F.lower(c)), "\\s+", " ")
     return F.md5(normalized)
+
+
+# Regexes shared with the DuckDB oracles: plain ASCII classes, no
+# backreferences/lookaround, so Java regex (Spark) and RE2 (DuckDB) agree.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Redact PII spans (emails, IPv4 addresses) with fixed placeholder
+    tokens — the scrubbing pass every training corpus gets before use.
+
+    Pure ``regexp_replace`` composition: JVM-side, codegen'd, no UDF —
+    a 100 TB corpus pays one map stage. Patterns are RE2-compatible so
+    external systems (and the DuckDB oracle) compute byte-identical
+    output."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, IPV4_RE, "<IP>")
+
+
+def token_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window packing primitive for LLM training data.
+
+    Windows start at token 1, 1+stride, 1+2·stride, …, one per stride up
+    to the document length, so every token lands in ≥1 chunk, consecutive
+    full windows overlap by ``size - stride`` tokens, and the final
+    window is simply shorter (never padded, never dropped). One
+    ``sequence`` + ``posexplode`` + ``slice`` per document: linear in
+    corpus bytes, zero cross-document work, and the output inherits the
+    input's partitioning (no shuffle).
+
+    Returns (id, chunk_id, chunk_text, chunk_tokens); chunk_id is the
+    0-based window index within the document."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks), F.lit(1)),
+        F.lit(stride),
+    )
+    piece = F.slice(F.col("ts"), F.col("start"), size)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("ts"),
+            F.posexplode(starts).alias("chunk_id", "start"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.concat_ws(" ", piece).alias("chunk_text"),
+            F.size(piece).alias("chunk_tokens"),
+        )
+    )

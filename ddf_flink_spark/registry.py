@@ -4390,3 +4390,231 @@ def q131_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime-optimization demonstrations (the two pruning mechanisms that
+# matter most at 100 TB) + two more corpus-pipeline passes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q132_dynamic_partition_pruning",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE EXTRACT(YEAR FROM l_shipdate) IN (1992, 1995, 1998, 2001, 2004)
+    GROUP BY l_year
+    ORDER BY l_year
+    """,
+)
+def q132_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact table is written Hive-partitioned
+    by ship year, then joined to a year dimension whose selective filter is
+    only known at runtime — Spark builds the dim's key set during execution
+    and skips non-matching fact *directories* (q88 showed static pruning;
+    this is the join-driven variant that makes star-schema scans at 100 TB
+    touch only the partitions the dim selects). Plan shows
+    ``dynamicpruningexpression`` on the fact scan's partition filter."""
+    import os
+    import tempfile
+
+    target = os.path.join(tempfile.gettempdir(), "ddf_q132_dpp_fact")
+    li = t(spark, sf_dir, "lineitem").withColumn("l_year", F.year("l_shipdate"))
+    li.write.mode("overwrite").partitionBy("l_year").parquet(target)
+    fact = spark.read.parquet(target)
+    years = spark.range(1990, 2006).select(
+        F.col("id").cast("int").alias("l_year"),
+        (F.col("id") % 3 == 0).alias("flag"),
+    )
+    return (
+        fact.join(years.filter(F.col("flag")).select("l_year"), "l_year")
+        .groupBy("l_year")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_year")
+    )
+
+
+BLOOM_JOIN_CONF = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
+
+def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unmaterialized selective fact-dim join q133 runs (and the plan
+    lock inspects) — must be optimized under ``BLOOM_JOIN_CONF`` for the
+    runtime filter to inject."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q133_runtime_bloom_join",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 450000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q133_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME Bloom-filter join pruning: when a selective dim is too big
+    to broadcast (the 100 TB norm — here forced by disabling broadcast),
+    Spark injects a ``bloom_filter_agg`` on the dim's join keys and a
+    ``might_contain`` probe below the fact's shuffle, discarding ~99% of
+    fact rows BEFORE the exchange instead of after the join. The query
+    executes inside this callable under that conf (saved/restored so the
+    session's other queries keep their broadcast plans) and returns the
+    materialized 3-row result; values are conf-independent, which the
+    plain-join oracle checks."""
+    j = bloom_join_frame(spark, sf_dir)
+    saved = {k: spark.conf.get(k) for k in BLOOM_JOIN_CONF}
+    for k, v in BLOOM_JOIN_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        rows = j.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.createDataFrame(rows, j.schema)
+
+
+@query(
+    "q134_pii_redaction",
+    oracle="""
+    WITH synth AS (
+      SELECT source,
+             (CASE WHEN doc_id % 3 = 0
+                   THEN 'contact ' || REPLACE(source, 'src', 'user') || '@example.com '
+                   ELSE '' END)
+             || text ||
+             (CASE WHEN doc_id % 4 = 0
+                   THEN ' from 10.0.' || CAST(doc_id % 255 AS VARCHAR) || '.7'
+                   ELSE '' END) AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT source, t,
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS r
+      FROM synth
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN LENGTH(t) <> LENGTH(r) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pii_docs,
+           CAST(SUM(LENGTH(t) - LENGTH(r)) AS BIGINT) AS chars_removed,
+           CAST(SUM(LENGTH(r)) AS BIGINT) AS out_chars
+    FROM red GROUP BY source ORDER BY source
+    """,
+)
+def q134_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION (functions/text.redact_pii): scrub emails and IPv4
+    addresses with placeholder tokens — pure codegen'd regexp_replace, no
+    UDF, one map stage at any scale. The synthetic corpus has no PII, so
+    the query plants deterministic emails (docs ≡0 mod 3) and IPs (≡0 mod
+    4) first and then verifies the scrub cross-engine: identical RE2-safe
+    patterns run in DuckDB, and the per-source removed-char accounting
+    must agree exactly."""
+    from .functions.text import redact_pii
+
+    d = t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("contact "),
+                F.regexp_replace(F.col("source"), "src", "user"),
+                F.lit("@example.com "),
+            ),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 255).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = d.select("source", synth.alias("t"))
+    red = base.withColumn("r", redact_pii("t"))
+    changed = F.length("t") != F.length("r")
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(changed, 1).otherwise(0)).cast("long").alias("n_pii_docs"),
+            F.sum(F.length("t") - F.length("r")).cast("long").alias("chars_removed"),
+            F.sum(F.length("r")).cast("long").alias("out_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q135_token_chunking",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS ts
+                 FROM documents),
+    st AS (
+      SELECT doc_id, source, ts,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ts), 1), 48)) AS s
+      FROM tok
+    ),
+    ch AS (
+      SELECT source,
+             ARRAY_TO_STRING(ts[s:s+63], ' ') AS chunk_text,
+             LEN(ts[s:s+63]) AS chunk_tokens
+      FROM st
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           ROUND(AVG(chunk_tokens), 4) AS avg_chunk_tokens,
+           CAST(SUM(LENGTH(chunk_text)) AS BIGINT) AS chars_checksum
+    FROM ch GROUP BY source ORDER BY source
+    """,
+)
+def q135_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-WINDOW CHUNKING (functions/text.token_chunks): split every
+    document into 64-token windows with stride 48 (16-token overlap) —
+    the context-window packing step between corpus curation and training.
+    sequence + posexplode + slice per document: linear, shuffle-free,
+    partitioning-preserving. The per-source chunk counts, mean chunk
+    width (ragged tails included) and char checksum are verified against
+    DuckDB's list-slicing formulation."""
+    from .functions.text import token_chunks
+
+    d = t(spark, sf_dir, "documents")
+    ch = token_chunks(d, "text", "doc_id", size=64, stride=48)
+    return (
+        ch.join(d.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.round(F.avg("chunk_tokens"), 4).alias("avg_chunk_tokens"),
+            F.sum(F.length("chunk_text")).cast("long").alias("chars_checksum"),
+        )
+        .orderBy("source")
+    )

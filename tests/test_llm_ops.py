@@ -230,3 +230,54 @@ def test_binary_file_source(spark, tmp_path_factory):
     # composes with the resize step (canonical layout minus the path col)
     resized = resize_media(imgs.drop("path"), 16, 16)
     assert resized.count() == 1
+
+
+def test_redact_pii_semantics(spark):
+    """No email/IP pattern survives redaction; clean text is unchanged."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.functions.text import EMAIL_RE, IPV4_RE, redact_pii
+
+    rows = [
+        ("reach me at jane.doe+x@sub.example.org thanks",),
+        ("server 192.168.001.7 then 8.8.8.8 done",),
+        ("no pii here at all",),
+        ("both a@b.io and 10.0.0.1 present",),
+    ]
+    df = spark.createDataFrame(rows, ["t"]).withColumn("r", redact_pii("t"))
+    out = {row["t"]: row["r"] for row in df.collect()}
+    for t_in, r_out in out.items():
+        assert not re.search(EMAIL_RE, r_out)
+        assert not re.search(IPV4_RE, r_out)
+    assert out["no pii here at all"] == "no pii here at all"
+    assert out["both a@b.io and 10.0.0.1 present"] == "both <EMAIL> and <IP> present"
+
+
+def test_token_chunks_cover_and_overlap(spark):
+    """Every token appears in ≥1 chunk; full windows are `size` wide,
+    consecutive windows overlap by size-stride, and stitching chunks
+    (dropping each successor's overlap) reconstructs the document."""
+    from ddf_flink_spark.functions.text import token_chunks
+
+    size, stride = 8, 5
+    text = " ".join(f"w{i}" for i in range(23))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+    ch = (
+        token_chunks(df, "text", "doc_id", size=size, stride=stride)
+        .orderBy("id", "chunk_id")
+        .collect()
+    )
+    by_doc = {}
+    for row in ch:
+        by_doc.setdefault(row["id"], []).append(row)
+    # doc 1: starts at 0,5,10,15,20 (0-based) over 23 tokens
+    chunks = [r["chunk_text"].split(" ") for r in by_doc[1]]
+    assert [r["chunk_tokens"] for r in by_doc[1]] == [8, 8, 8, 8, 3]
+    stitched = chunks[0] + [c for ck in chunks[1:] for c in ck[size - stride:]]
+    assert stitched == text.split(" ")
+    for prev, nxt in zip(chunks, chunks[1:]):
+        assert prev[stride:] == nxt[: size - stride][: len(prev) - stride]
+    # doc 2 fits in one window
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"

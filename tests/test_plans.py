@@ -287,3 +287,30 @@ def test_q130_decontamination_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin LeftSemi" in p
     assert "In(source, [src0,src1])" in p
     assert "Not(In(source, [src0,src1]))" in p
+
+
+def test_q132_dynamic_partition_pruning_fires(spark):
+    """The year-partitioned fact scan must carry a runtime
+    dynamicpruning partition filter fed by the dim side — at 100 TB this
+    is the difference between scanning 5 and 14 year directories."""
+    p = plan_of(spark, "q132_dynamic_partition_pruning")
+    assert "dynamicpruning" in p.lower()
+
+
+def test_q133_bloom_filter_injects_under_conf(spark):
+    """With broadcast off (the too-big-to-broadcast dim regime), the
+    optimizer must inject a bloom_filter_agg on the selective dim's keys
+    and a might_contain probe on the fact side below its shuffle."""
+    from ddf_flink_spark.registry import BLOOM_JOIN_CONF, bloom_join_frame
+
+    saved = {k: spark.conf.get(k) for k in BLOOM_JOIN_CONF}
+    for k, v in BLOOM_JOIN_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        j = bloom_join_frame(spark, SF_DIR)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt
+        assert "might_contain" in opt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
