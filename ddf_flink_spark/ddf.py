@@ -167,6 +167,15 @@ class DDF:
 
         return self._derive(_sw(self._df, weight_col, n, seed))
 
+    def sample_to_budget(
+        self, group_col: str, weight_col: str, budget: float, order_col: str
+    ) -> "DDF":
+        """Budget-capped per-group selection — deterministic corpus mixing
+        (see operators/sampling.sample_to_budget)."""
+        from .operators.sampling import sample_to_budget as _sb
+
+        return self._derive(_sb(self._df, group_col, weight_col, budget, order_col))
+
     # ----------------------------------------------------------------- joins
     def join(
         self,

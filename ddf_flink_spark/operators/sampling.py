@@ -18,8 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["random_split", "cv_random", "cv_k_fold", "sample_weighted"]
+__all__ = ["random_split", "cv_random", "cv_k_fold", "sample_weighted", "sample_to_budget"]
 
 
 def random_split(df: DataFrame, weights: list[float], seed: int = 42) -> list[DataFrame]:
@@ -76,4 +77,34 @@ def sample_weighted(
         .orderBy(F.desc("__wkey"))
         .limit(n)
         .drop("__wkey")
+    )
+
+
+def sample_to_budget(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: float,
+    order_col: str,
+) -> DataFrame:
+    """Budget-capped per-group selection — the corpus-mixing primitive:
+    keep each group's rows, in deterministic ``order_col`` order, until
+    the group's cumulative ``weight_col`` (chars/tokens/bytes) exceeds
+    ``budget``.
+
+    One hash-partitioned window per group (running sum + filter): a
+    single shuffle on the group key, no driver-side state, and the
+    per-group sort is bounded by group size — at 100 TB with per-source
+    groups this is exactly the shape the sort-based window operator
+    spills gracefully on. Deterministic (no RNG): the same inputs always
+    select the same rows, which is what makes training mixes
+    reproducible and oracle-checkable (vs fraction sampling's
+    engine-specific RNG)."""
+    w = Window.partitionBy(group_col).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.withColumn("__cum_weight", F.sum(weight_col).over(w))
+        .filter(F.col("__cum_weight") <= budget)
+        .drop("__cum_weight")
     )

@@ -4618,3 +4618,45 @@ def q135_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q136_corpus_mixing",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, lang, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_chars
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked WHERE cum_chars <= 5000
+    GROUP BY source ORDER BY source
+    """,
+)
+def q136_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS MIXING under per-source char budgets
+    (`operators/sampling.sample_to_budget`): each source contributes
+    docs in deterministic doc_id order until its 5000-char budget is
+    exhausted — the reproducible (RNG-free) way to assemble a training
+    mix with target per-domain proportions. One window shuffle on
+    source; the id_checksum pins that both engines select the SAME
+    documents, not just the same counts."""
+    from .operators.sampling import sample_to_budget
+
+    d = t(spark, sf_dir, "documents")
+    kept = sample_to_budget(
+        d, group_col="source", weight_col="n_chars", budget=5000, order_col="doc_id"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -294,3 +294,23 @@ def test_salted_join_and_scd2_facades(mgr):
     versioned = dim.scd2_apply(upd, ["c_custkey"], ["c_acctbal"], eff_col="eff")
     assert versioned.num_rows() == dim.num_rows() + 10
     assert versioned.df.filter("valid_to IS NOT NULL").count() == 10
+
+
+def test_sample_to_budget_facade(mgr):
+    """Budget-capped mixing: per-source cumulative chars never exceed the
+    budget, selection is prefix-closed in doc_id order, and the facade
+    preserves schema."""
+    docs = mgr.load_table(SF_DIR, "documents")
+    kept = docs.sample_to_budget("source", "n_chars", 5000, "doc_id")
+    assert set(kept.columns) == set(docs.columns)
+    rows = kept.df.toPandas().sort_values(["source", "doc_id"])
+    for _src, grp in rows.groupby("source"):
+        assert grp["n_chars"].sum() <= 5000
+    # prefix-closed: every kept doc's predecessors (same source, smaller id,
+    # still within budget) are also kept
+    all_rows = docs.df.toPandas()[["doc_id", "source", "n_chars"]]
+    for src, grp in all_rows.sort_values("doc_id").groupby("source"):
+        cum = grp["n_chars"].cumsum()
+        expect = set(grp.loc[cum <= 5000, "doc_id"])
+        got = set(rows.loc[rows["source"] == src, "doc_id"])
+        assert got == expect
