@@ -170,20 +170,26 @@ def token_chunks(
     """Split each document into overlapping token-window chunks — the
     context-window packing primitive for LLM training data.
 
-    Windows start at token 1, 1+stride, 1+2·stride, …, one per stride up
-    to the document length, so every token lands in ≥1 chunk, consecutive
-    full windows overlap by ``size - stride`` tokens, and the final
-    window is simply shorter (never padded, never dropped). One
+    Windows start at token 1, 1+stride, 1+2·stride, … and stop as soon
+    as the previous window already reaches the document end (a start is
+    emitted only while ``start - stride + size - 1 < n``), so every
+    token lands in ≥1 chunk, consecutive full windows overlap by
+    ``size - stride`` tokens, the final window may be shorter (never
+    padded), and no window is fully contained in its predecessor. One
     ``sequence`` + ``posexplode`` + ``slice`` per document: linear in
     corpus bytes, zero cross-document work, and the output inherits the
     input's partitioning (no shuffle).
 
+    Text is whitespace-split AS-IS — chunking packages the original
+    training text, so unlike the shingle/count paths (``tokens()``) it
+    must NOT normalize case.
+
     Returns (id, chunk_id, chunk_text, chunk_tokens); chunk_id is the
     0-based window index within the document."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    toks = F.split(F.col(text_col), " ")
     starts = F.sequence(
         F.lit(1),
-        F.greatest(F.size(toks), F.lit(1)),
+        F.greatest(F.size(toks) - size + stride, F.lit(1)),
         F.lit(stride),
     )
     piece = F.slice(F.col("ts"), F.col("start"), size)

@@ -99,7 +99,13 @@ def sample_to_budget(
     spills gracefully on. Deterministic (no RNG): the same inputs always
     select the same rows, which is what makes training mixes
     reproducible and oracle-checkable (vs fraction sampling's
-    engine-specific RNG)."""
+    engine-specific RNG).
+
+    PRECONDITION: ``order_col`` must be unique within each group (a doc
+    id, not a timestamp with ties) — with ties the running sum's order,
+    and therefore the selected prefix, would depend on shuffle arrival
+    order, which is exactly the nondeterminism this operator exists to
+    rule out."""
     w = Window.partitionBy(group_col).orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -4366,9 +4366,10 @@ def q131_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cross-document work at all, so it scales linearly with corpus
     bytes. Docs shorter than the gram width are excluded (no denominator)."""
     from .functions.dedup import exploded_shingles
+    from .functions.text import tokens
 
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    toks = tokens("text")  # the canonical normalized tokenization shingles use
     tot = d.select(
         "doc_id",
         "source",
@@ -4398,6 +4399,9 @@ def q131_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_Q132_WRITTEN: set[str] = set()
+
+
 @query(
     "q132_dynamic_partition_pruning",
     oracle="""
@@ -4417,13 +4421,24 @@ def q132_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     and skips non-matching fact *directories* (q88 showed static pruning;
     this is the join-driven variant that makes star-schema scans at 100 TB
     touch only the partitions the dim selects). Plan shows
-    ``dynamicpruningexpression`` on the fact scan's partition filter."""
+    ``dynamicpruningexpression`` on the fact scan's partition filter.
+
+    The partitioned fact copy is the largest table, so it is written
+    once per (session, sf_dir) into a session-scoped path — re-invoking
+    (or merely explaining) the query reuses it, and concurrent sessions
+    never clobber each other's partition files mid-read."""
     import os
     import tempfile
 
-    target = os.path.join(tempfile.gettempdir(), "ddf_q132_dpp_fact")
-    li = t(spark, sf_dir, "lineitem").withColumn("l_year", F.year("l_shipdate"))
-    li.write.mode("overwrite").partitionBy("l_year").parquet(target)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"ddf_q132_dpp_fact_{spark.sparkContext.applicationId}",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    if target not in _Q132_WRITTEN:
+        li = t(spark, sf_dir, "lineitem").withColumn("l_year", F.year("l_shipdate"))
+        li.write.mode("overwrite").partitionBy("l_year").parquet(target)
+        _Q132_WRITTEN.add(target)
     fact = spark.read.parquet(target)
     years = spark.range(1990, 2006).select(
         F.col("id").cast("int").alias("l_year"),
@@ -4521,8 +4536,9 @@ def q133_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN LENGTH(t) <> LENGTH(r) THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_pii_docs,
+           CAST(SUM(CASE WHEN REGEXP_MATCHES(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                           OR REGEXP_MATCHES(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
            CAST(SUM(LENGTH(t) - LENGTH(r)) AS BIGINT) AS chars_removed,
            CAST(SUM(LENGTH(r)) AS BIGINT) AS out_chars
     FROM red GROUP BY source ORDER BY source
@@ -4535,8 +4551,10 @@ def q134_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query plants deterministic emails (docs ≡0 mod 3) and IPs (≡0 mod
     4) first and then verifies the scrub cross-engine: identical RE2-safe
     patterns run in DuckDB, and the per-source removed-char accounting
-    must agree exactly."""
-    from .functions.text import redact_pii
+    must agree exactly. PII docs are counted by pattern MATCH (not by
+    length delta — a placeholder can be exactly as long as what it
+    replaced)."""
+    from .functions.text import EMAIL_RE, IPV4_RE, redact_pii
 
     d = t(spark, sf_dir, "documents")
     synth = F.concat(
@@ -4560,12 +4578,12 @@ def q134_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select("source", synth.alias("t"))
     red = base.withColumn("r", redact_pii("t"))
-    changed = F.length("t") != F.length("r")
+    has_pii = F.col("t").rlike(EMAIL_RE) | F.col("t").rlike(IPV4_RE)
     return (
         red.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(changed, 1).otherwise(0)).cast("long").alias("n_pii_docs"),
+            F.sum(F.when(has_pii, 1).otherwise(0)).cast("long").alias("n_pii_docs"),
             F.sum(F.length("t") - F.length("r")).cast("long").alias("chars_removed"),
             F.sum(F.length("r")).cast("long").alias("out_chars"),
         )
@@ -4576,11 +4594,11 @@ def q134_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q135_token_chunking",
     oracle="""
-    WITH tok AS (SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS ts
+    WITH tok AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ts
                  FROM documents),
     st AS (
       SELECT doc_id, source, ts,
-             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ts), 1), 48)) AS s
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ts) - 64 + 48, 1), 48)) AS s
       FROM tok
     ),
     ch AS (

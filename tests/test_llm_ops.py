@@ -256,14 +256,17 @@ def test_redact_pii_semantics(spark):
 
 
 def test_token_chunks_cover_and_overlap(spark):
-    """Every token appears in ≥1 chunk; full windows are `size` wide,
-    consecutive windows overlap by size-stride, and stitching chunks
-    (dropping each successor's overlap) reconstructs the document."""
+    """Every token appears in ≥1 chunk; no chunk is contained in its
+    predecessor; original casing is preserved; stitching chunks (dropping
+    each successor's overlap) reconstructs the document."""
     from ddf_flink_spark.functions.text import token_chunks
 
     size, stride = 8, 5
     text = " ".join(f"w{i}" for i in range(23))
-    df = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+    df = spark.createDataFrame(
+        [(1, text), (2, "Short Doc"), (3, " ".join(f"t{i}" for i in range(6)))],
+        ["doc_id", "text"],
+    )
     ch = (
         token_chunks(df, "text", "doc_id", size=size, stride=stride)
         .orderBy("id", "chunk_id")
@@ -272,12 +275,16 @@ def test_token_chunks_cover_and_overlap(spark):
     by_doc = {}
     for row in ch:
         by_doc.setdefault(row["id"], []).append(row)
-    # doc 1: starts at 0,5,10,15,20 (0-based) over 23 tokens
+    # doc 1 (23 tokens): starts 1,6,11,16 — the start at 21 would be fully
+    # inside the window at 16 (which already reaches token 23), so no
+    # degenerate tail chunk is emitted
     chunks = [r["chunk_text"].split(" ") for r in by_doc[1]]
-    assert [r["chunk_tokens"] for r in by_doc[1]] == [8, 8, 8, 8, 3]
+    assert [r["chunk_tokens"] for r in by_doc[1]] == [8, 8, 8, 8]
     stitched = chunks[0] + [c for ck in chunks[1:] for c in ck[size - stride:]]
     assert stitched == text.split(" ")
     for prev, nxt in zip(chunks, chunks[1:]):
         assert prev[stride:] == nxt[: size - stride][: len(prev) - stride]
-    # doc 2 fits in one window
-    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
+    # doc 2 fits in one window and keeps its original casing
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "Short Doc"
+    # doc 3 (6 tokens, fits in one window): start 6 would be redundant
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_tokens"] == 6
