@@ -4678,3 +4678,258 @@ def q136_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H catalog completion: with q137-q142 every one of the 22 TPC-H query
+# archetypes expressible on this schema has an oracle-checked analog
+# (partsupp-based Q9/Q11/Q20 are adapted: cost/stock proxies from part and
+# lineitem). The reference dialect supports none of them beyond Q1/Q6 shapes.
+# ---------------------------------------------------------------------------
+
+
+def _tpch_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for name in names:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@query(
+    "q137_tpch_q6_revenue_filter",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q137_tpch_q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-aggregate —
+    every predicate pushes to the parquet scan, zero joins, one partial+
+    final agg. The cheapest archetype, and the one where scan pruning is
+    the entire cost model."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q138_tpch_q8_market_share",
+    oracle="""
+    WITH allsales AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM allsales GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q138_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): seven-way snowflake join — nation
+    joined TWICE through different paths (customer→nation→region for the
+    market, supplier→nation for the share) — then a conditional-ratio
+    aggregate per year. All dimension hops broadcast; the fact is
+    scanned once."""
+    _tpch_views(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    return spark.sql(
+        """
+        WITH allsales AS (
+          SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+        )
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / SUM(volume), 4) AS mkt_share
+        FROM allsales GROUP BY o_year ORDER BY o_year
+        """
+    )
+
+
+@query(
+    "q139_tpch_q9_profit_by_nation",
+    oracle="""
+    SELECT n_name AS supp_nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.01 AS DECIMAL(3,2))
+                      * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%blue%'
+    GROUP BY supp_nation, o_year
+    ORDER BY supp_nation, o_year DESC
+    """,
+)
+def q139_tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: no partsupp table in this
+    schema, so unit cost is proxied by p_retailprice/100 — the plan shape
+    (substring-filtered part dim, five-way join, profit expression inside
+    the aggregate, group by nation×year) is Q9's. The LIKE filter can't
+    push as a parquet predicate but prunes the broadcast build side.
+    The profit sum runs in DECIMAL: prices carry 2 fractional digits, so
+    decimal arithmetic is EXACT and order-independent — the double
+    formulation's +/- cancellation amplified summation-order noise past
+    the 2-decimal rounding boundary (a cross-RUN hash instability)."""
+    _tpch_views(spark, sf_dir, "lineitem", "orders", "supplier", "part", "nation")
+    return spark.sql(
+        """
+        SELECT n_name AS supp_nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                        - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.01 AS DECIMAL(3,2))
+                          * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%blue%'
+        GROUP BY supp_nation, o_year
+        ORDER BY supp_nation, o_year DESC
+        """
+    )
+
+
+@query(
+    "q140_tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q140_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a derived revenue view referenced twice —
+    once as the join input, once inside the scalar MAX subquery. Catalyst
+    evaluates the tiny per-supplier aggregate, broadcasts the scalar max
+    back into the filter, and keeps ties (all argmax suppliers), exactly
+    the view-based original's semantics."""
+    _tpch_views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@query(
+    "q141_tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#5'
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q141_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): a correlated AVERAGE
+    subquery per part — the per-group-threshold archetype. Catalyst
+    decorrelates the inner AVG into a grouped aggregate over lineitem
+    joined back on partkey (one extra scan + broadcastable join), never
+    a per-row rescan; q110 is the MIN variant of the same mechanism."""
+    _tpch_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#5'
+          AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@query(
+    "q142_tpch_q20_agg_semi_supplier",
+    oracle="""
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 2200
+    )
+    ORDER BY s_name
+    """,
+)
+def q142_tpch_q20_agg_semi_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: no partsupp
+    availability column, so the stock condition becomes an aggregate
+    threshold over shipped quantity of 'red' parts. The shape is Q20's
+    signature: an IN subquery whose body is itself a filtered
+    join+GROUP BY+HAVING — the aggregate runs first, reduces to a tiny
+    key set, and semi-joins the supplier dim."""
+    _tpch_views(spark, sf_dir, "lineitem", "supplier", "part", "nation")
+    return spark.sql(
+        """
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'red%'
+          GROUP BY l_suppkey
+          HAVING SUM(l_quantity) > 2200
+        )
+        ORDER BY s_name
+        """
+    )
