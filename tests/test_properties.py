@@ -212,3 +212,72 @@ def test_resample_gapfill_matches_pandas(spark):
             assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), (
                 f"trial {trial} key {k}"
             )
+
+
+def test_token_chunks_matches_python_reference(spark):
+    """Seeded randomized differential: token_chunks vs a transparent
+    pure-Python re-derivation of the window rule (starts every `stride`
+    while the previous window hasn't reached the end; slices clamp)."""
+    import numpy as np
+
+    from ddf_flink_spark.functions.text import token_chunks
+
+    rng = np.random.default_rng(7)
+    docs = []
+    for i in range(40):
+        n = int(rng.integers(0, 40))
+        docs.append((i, " ".join(f"T{int(rng.integers(0, 9))}x{j}" for j in range(n))))
+    size = int(rng.integers(3, 12))
+    stride = int(rng.integers(1, size + 1))
+
+    def py_chunks(text):
+        toks = text.split(" ")
+        n = len(toks)
+        out, s = [], 1
+        stop = max(n - size + stride, 1)
+        while s <= stop:
+            piece = toks[s - 1 : s - 1 + size]
+            out.append((" ".join(piece), len(piece)))
+            s += stride
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id"], r["chunk_id"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in token_chunks(df, "text", "doc_id", size=size, stride=stride).collect()
+    }
+    expect = {
+        (i, ci): ch
+        for i, text in docs
+        for ci, ch in enumerate(py_chunks(text))
+    }
+    assert got == expect
+
+
+def test_sample_to_budget_matches_pandas(spark):
+    """Seeded randomized differential: sample_to_budget vs pandas
+    groupby-cumsum prefix selection on a unique order key."""
+    import numpy as np
+    import pandas as pd
+
+    from ddf_flink_spark.operators.sampling import sample_to_budget
+
+    rng = np.random.default_rng(23)
+    for _trial in range(3):
+        n = int(rng.integers(10, 120))
+        pdf = pd.DataFrame(
+            {
+                "g": rng.integers(0, 4, n).astype("int64"),
+                "key": rng.permutation(n).astype("int64"),
+                "w": rng.integers(1, 50, n).astype("int64"),
+            }
+        )
+        budget = int(rng.integers(20, 200))
+        got = sample_to_budget(
+            spark.createDataFrame(pdf), "g", "w", budget, "key"
+        ).toPandas()
+        srt = pdf.sort_values(["g", "key"])
+        keep = srt[srt.groupby("g")["w"].cumsum() <= budget]
+        assert sorted(map(tuple, got[["g", "key", "w"]].values.tolist())) == sorted(
+            map(tuple, keep[["g", "key", "w"]].values.tolist())
+        )
