@@ -4933,3 +4933,54 @@ def q142_tpch_q20_agg_semi_supplier(spark: SparkSession, sf_dir: str) -> DataFra
         ORDER BY s_name
         """
     )
+
+
+def _q143_oracle() -> str:
+    from .functions.layout import morton_key_sql
+
+    mk = morton_key_sql("l_partkey % 1024", "l_suppkey % 1024", bits=10)
+    return f"""
+    WITH keyed AS (
+      SELECT ({mk}) AS mk, l_orderkey, l_linenumber
+      FROM lineitem
+      WHERE l_partkey % 1024 BETWEEN 100 AND 199
+        AND l_suppkey % 1024 BETWEEN 10 AND 59
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(MIN(mk) AS BIGINT) AS mk_min,
+           CAST(MAX(mk) AS BIGINT) AS mk_max,
+           CAST(SUM(mk) AS BIGINT) AS mk_checksum,
+           CAST(SUM(l_orderkey * 7 + l_linenumber) AS BIGINT) AS row_checksum
+    FROM keyed
+    """
+
+
+@query("q143_morton_layout", oracle=_q143_oracle())
+def q143_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout key (`functions/layout.morton_key`): bit-interleave
+    of two dimensions, computed by one codegen'd bit-op expression and
+    verified bit-identical against the SQL emission (`morton_key_sql`)
+    that external engines would use. The aggregate runs over a 2-D box
+    predicate — exactly the query class a Morton-sorted table layout
+    serves: with data written `repartitionByRange(morton).sortWithinPartitions`,
+    parquet row-group min/max stats stay tight on BOTH dimensions and
+    the box scan skips most row groups on either axis (single-key sorts
+    only prune one). The reference has no layout machinery (its sort is
+    single-node, utils/package.scala:369-378)."""
+    from .functions.layout import morton_key
+
+    li = t(spark, sf_dir, "lineitem")
+    px = F.col("l_partkey") % 1024
+    sx = F.col("l_suppkey") % 1024
+    keyed = li.filter(px.between(100, 199) & sx.between(10, 59)).select(
+        morton_key(px, sx, bits=10).alias("mk"), "l_orderkey", "l_linenumber"
+    )
+    return keyed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("mk").cast("long").alias("mk_min"),
+        F.max("mk").cast("long").alias("mk_max"),
+        F.sum("mk").cast("long").alias("mk_checksum"),
+        F.sum(F.col("l_orderkey") * 7 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("row_checksum"),
+    )

@@ -655,3 +655,31 @@ def test_scd2_ignores_stale_updates(spark):
 
     with _pytest.raises(ValueError, match="compare_cols"):
         scd2_apply(dim, upd, ["k"], [], eff_col="eff")
+
+
+def test_morton_key_interleave_roundtrip(spark):
+    """The Z-order key de-interleaves back to the exact (x, y) inputs, and
+    the Spark expression agrees with the SQL emission evaluated by Spark's
+    own SQL parser (the cross-engine contract)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.functions.layout import morton_key, morton_key_sql
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(0, 1 << 10), rng.randrange(0, 1 << 10)) for _ in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = df.select(
+        "x",
+        "y",
+        morton_key("x", "y", bits=10).alias("mk"),
+        F.expr(morton_key_sql("x", "y", bits=10)).alias("mk_sql"),
+    ).collect()
+    for r in out:
+        assert r["mk"] == r["mk_sql"]
+        x = y = 0
+        for i in range(10):
+            x |= ((r["mk"] >> (2 * i)) & 1) << i
+            y |= ((r["mk"] >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r["x"], r["y"])
