@@ -203,14 +203,16 @@ def q03_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_brand
     FROM part
-    WHERE REGEXP_MATCHES(p_name, 'green')
+    WHERE REGEXP_MATCHES(p_name, 'red|ring')
     """,
 )
 def q04_grep_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex row filter — the grep the reference refuses
     (``content/ViewHandler.scala:43-50``), native in Spark via rlike."""
     p = t(spark, sf_dir, "part")
-    return p.filter(F.col("p_name").rlike("green")).select("p_partkey", "p_name", "p_brand")
+    return p.filter(F.col("p_name").rlike("red|ring")).select(
+        "p_partkey", "p_name", "p_brand"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -306,13 +308,23 @@ def q09_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_totalprice > 300000)
     """,
 )
 def q10_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI — absent from the reference (SURVEY §2.4 'not present'),
-    free in Spark; included as the NOT EXISTS building block."""
-    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    free in Spark; included as the NOT EXISTS building block. The right
+    side is FILTERED (no big urgent order) so the result is non-trivial
+    at every scale factor — an anti join against the bare orders table is
+    empty here (every customer has orders), which would make the oracle
+    hash-match vacuous."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
