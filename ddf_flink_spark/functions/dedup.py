@@ -35,6 +35,7 @@ __all__ = [
     "word_shingles",
     "exploded_shingles",
     "jaccard_candidates",
+    "md5_long",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "simhash_signatures",
@@ -42,6 +43,22 @@ __all__ = [
     "simhash_near_duplicates",
     "connected_components",
 ]
+
+
+def md5_long(col: Column | str, salt: int | None = None) -> Column:
+    """Cross-engine 60-bit hash: the first 15 hex chars of MD5, parsed as a
+    bigint. Unlike xxhash64 (JVM-specific), ANY engine with md5 computes
+    the identical value — DuckDB mirror:
+    ``CAST(('0x' || SUBSTRING(md5(expr), 1, 15)) AS BIGINT)``.
+    ``salt`` prepends ``"<salt>:"`` to derive independent hash-family
+    members (mirror: ``md5(CAST(i AS VARCHAR) || ':' || expr)``).
+
+    ~3-4× more expensive per value than xxhash64, so the xx family is the
+    default scale path; this is the interchange/verification path."""
+    c = F.col(col) if isinstance(col, str) else col
+    if salt is not None:
+        c = F.concat(F.lit(f"{salt}:"), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 # ------------------------------------------------------------------- exact
@@ -160,6 +177,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """k min-hash values per document: h_i(doc) = min over shingles of
     xxhash64(i, base) where base = xxhash64(shingle). One explode + one
@@ -169,11 +187,25 @@ def minhash_signatures(
     The shingle *string* is hashed exactly once; the k family members are
     derived by re-hashing the fixed-width 64-bit base (integer-input
     xxhash64 is ~10× cheaper than string hashing, so signature cost is
-    ~O(shingles) rather than O(k·shingles) string hashes)."""
-    sh = exploded_shingles(df, text_col, id_col, shingle_n).select(
-        "id", F.xxhash64("g").alias("hg")
-    )
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("hg"))).alias(f"h{i}") for i in range(num_hashes)]
+    ~O(shingles) rather than O(k·shingles) string hashes).
+
+    ``hash_family="md5"`` switches to the cross-engine ``md5_long`` family
+    (h_i = md5_long of ``"i:" + shingle``) so an external engine — the
+    DuckDB oracle, or any other system sharing a corpus — reproduces the
+    signatures bit-for-bit. Slower (k string hashes per shingle); use for
+    interchange and verification, xx for production scale."""
+    sh = exploded_shingles(df, text_col, id_col, shingle_n)
+    if hash_family == "md5":
+        mins = [
+            F.min(md5_long(F.col("g"), salt=i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        sh = sh.select("id", F.xxhash64("g").alias("hg"))
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("hg"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return sh.groupBy("id").agg(*mins)
 
 
@@ -184,6 +216,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """LSH banding: split the k-signature into ``bands`` rows of k/bands
     hashes; docs agreeing on ALL hashes of any band become a candidate
@@ -192,11 +225,22 @@ def minhash_lsh_candidates(
 
     Shuffle profile at scale: (band_id, band_hash, id) triples — constant
     per doc — then groupBy bucket. Returns distinct (id_a, id_b) pairs.
+
+    ``hash_family="md5"`` uses the cross-engine signature family and a
+    comma-joined band key (instead of an xxhash64 of the band's hashes)
+    so external engines reproduce the buckets exactly.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_family)
+
+    def bucket_key(bi: int) -> Column:
+        members = [F.col(f"h{bi * r + j}") for j in range(r)]
+        if hash_family == "md5":
+            return F.concat_ws(",", *[m.cast("string") for m in members])
+        return F.xxhash64(*members).cast("string")
+
     band_rows = sig.select(
         "id",
         F.explode(
@@ -204,7 +248,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)]).alias("bucket"),
+                        bucket_key(bi).alias("bucket"),
                     )
                     for bi in range(bands)
                 ]
@@ -226,11 +270,11 @@ def minhash_lsh_candidates(
 
 
 # ----------------------------------------------------------------- SimHash
-def _sig_from_bit_counts(n: Column) -> Column:
-    """OR together the per-bit majority masks given columns b0..b63 and
-    shingle count ``n`` (ties → bit set, matching the ≥ vote)."""
+def _sig_from_bit_counts(n: Column, bits: int = 64) -> Column:
+    """OR together the per-bit majority masks given columns b0..b{bits-1}
+    and shingle count ``n`` (ties → bit set, matching the ≥ vote)."""
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         mask = (1 << i) if i < 63 else -(1 << 63)  # i=63 is the sign bit
         sig = sig.bitwiseOR(
             F.when(F.col(f"b{i}") * 2 >= n, F.lit(mask).cast("long")).otherwise(
@@ -241,7 +285,11 @@ def _sig_from_bit_counts(n: Column) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """(id, sig) 64-bit SimHash per document — per-shingle xxhash64,
     per-bit majority vote, reassembled into one long.
@@ -254,22 +302,30 @@ def simhash_signatures(
     interpreted per element, never codegen'd.
 
     Documents with no shingles (shorter than ``shingle_n`` words) get the
-    all-ones signature, matching the ≥-tie vote on an empty set."""
-    sh = exploded_shingles(df, text_col, id_col, shingle_n).select(
-        "id", F.xxhash64("g").alias("h")
-    )
+    all-ones signature, matching the ≥-tie vote on an empty set.
+
+    ``hash_family="md5"`` uses the cross-engine 60-bit ``md5_long`` hash
+    (so the signature is 60 bits and any md5-capable engine reproduces it
+    exactly); the default xx family is the cheaper 64-bit scale path."""
+    bits = 60 if hash_family == "md5" else 64
+    sh = exploded_shingles(df, text_col, id_col, shingle_n)
+    if hash_family == "md5":
+        sh = sh.select("id", md5_long(F.col("g")).alias("h"))
+    else:
+        sh = sh.select("id", F.xxhash64("g").alias("h"))
     bit_sums = [
         F.sum(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)).cast("long")).alias(
             f"b{i}"
         )
-        for i in range(64)
+        for i in range(bits)
     ]
     agg = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
-    sigs = agg.select("id", _sig_from_bit_counts(F.col("n")).alias("sig"))
+    sigs = agg.select("id", _sig_from_bit_counts(F.col("n"), bits).alias("sig"))
+    empty_sig = -1 if bits == 64 else (1 << bits) - 1
     # re-attach shingle-less docs (explode dropped them): empty vote → all ones
     all_ids = df.select(F.col(id_col).alias("id"))
     return all_ids.join(sigs, "id", "left").select(
-        "id", F.coalesce("sig", F.lit(-1).cast("long")).alias("sig")
+        "id", F.coalesce("sig", F.lit(empty_sig).cast("long")).alias("sig")
     )
 
 

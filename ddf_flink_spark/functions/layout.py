@@ -52,6 +52,8 @@ def morton_key_sql(x: str, y: str, bits: int = 16) -> str:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
     terms = []
     for i in range(bits):
-        terms.append(f"(({x} & {1 << i}) << {i})")
-        terms.append(f"(({y} & {1 << i}) << {i + 1})")
+        # Operands are parenthesized so arbitrary expressions (e.g. 'a | b',
+        # comparisons) can never re-associate with the surrounding & / <<.
+        terms.append(f"((({x}) & {1 << i}) << {i})")
+        terms.append(f"((({y}) & {1 << i}) << {i + 1})")
     return " | ".join(terms)

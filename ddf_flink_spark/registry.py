@@ -80,13 +80,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    Spark's vectorized reader rejects; read nanos as long (legacy conf) and
-    convert to a microsecond timestamp JVM-side (``ts div 1000`` stays in
-    integer arithmetic — no precision loss)."""
+    """The events table's ``ts`` has shipped as both TIMESTAMP(NANOS) —
+    which Spark's vectorized reader rejects — and plain microsecond
+    TIMESTAMP, depending on the generator version. Handle both: nanos are
+    read as long (legacy conf) and converted JVM-side (``ts div 1000``
+    stays in integer arithmetic — no precision loss); native timestamps
+    (incl. TIMESTAMP_NTZ under Spark's NTZ inference) are cast to the
+    session-zoned type (identity under the UTC session timezone)."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------
@@ -4332,14 +4339,18 @@ def q130_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
         .distinct()
     )
-    corpus_sh = exploded_shingles(d.filter(~is_bench), "text", "doc_id", 5)
+    corpus = d.filter(~is_bench)
+    corpus_sh = exploded_shingles(corpus, "text", "doc_id", 5)
     hit_ids = (
         corpus_sh.join(F.broadcast(bench_g), "g", "left_semi")
         .select("id")
         .distinct()
     )
+    # Join back to the same frame the shingles came from (not the full
+    # documents table) so correctness never depends on doc_id being unique
+    # across benchmark and corpus sources.
     return (
-        hit_ids.join(d, hit_ids.id == d.doc_id)
+        hit_ids.join(corpus, hit_ids.id == corpus.doc_id)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("contaminated"),
@@ -4412,6 +4423,7 @@ def q131_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q132_WRITTEN: set[str] = set()
+_Q132_CLEANUP_ROOTS: set[str] = set()
 
 
 @query(
@@ -4438,16 +4450,23 @@ def q132_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     The partitioned fact copy is the largest table, so it is written
     once per (session, sf_dir) into a session-scoped path — re-invoking
     (or merely explaining) the query reuses it, and concurrent sessions
-    never clobber each other's partition files mid-read."""
+    never clobber each other's partition files mid-read. The session root
+    is removed at interpreter exit so repeated sessions don't leak copies
+    of the largest table into the temp dir."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
-    target = os.path.join(
+    root = os.path.join(
         tempfile.gettempdir(),
         f"ddf_q132_dpp_fact_{spark.sparkContext.applicationId}",
-        os.path.basename(sf_dir.rstrip("/")),
     )
+    target = os.path.join(root, os.path.basename(sf_dir.rstrip("/")))
     if target not in _Q132_WRITTEN:
+        if root not in _Q132_CLEANUP_ROOTS:
+            _Q132_CLEANUP_ROOTS.add(root)
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
         li = t(spark, sf_dir, "lineitem").withColumn("l_year", F.year("l_shipdate"))
         li.write.mode("overwrite").partitionBy("l_year").parquet(target)
         _Q132_WRITTEN.add(target)
@@ -4996,3 +5015,104 @@ def q143_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("row_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine near-dup verification: the MD5-family MinHash/SimHash
+# variants whose signatures any md5-capable engine reproduces exactly —
+# upgrading the (engine-specific, xxhash64) q31/q33 families to a fully
+# DuckDB-oracle-checked pipeline. Same distributed shape as the xx path.
+# ---------------------------------------------------------------------------
+
+
+def _q144_oracle() -> str:
+    # Mirrors minhash_lsh_candidates(hash_family="md5"): 16 hashes, 4 bands
+    # of 4, 3-gram shingles; h_i = 60-bit parse of md5("i:" + shingle).
+    return """
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
+      WHERE LEN(ts) >= 3
+    ),
+    hm AS (
+      SELECT doc_id, i,
+             MIN(CAST(('0x' || SUBSTRING(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT)) AS h
+      FROM sh, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS i) hh
+      GROUP BY doc_id, i
+    ),
+    band AS (
+      SELECT doc_id, i // 4 AS band,
+             STRING_AGG(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
+      FROM hm GROUP BY doc_id, i // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q144_minhash_crossengine", oracle=_q144_oracle())
+def q144_minhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with the CROSS-ENGINE md5 hash family
+    (16 hashes, 4 bands): DuckDB recomputes the identical signatures and
+    band buckets from scratch, so the entire pipeline — shingling,
+    min-hash family, banding, candidate join — is hash-checked end to end
+    (q31 is the same pipeline on the cheaper engine-specific xxhash64
+    family). Shuffle profile is unchanged: constant bytes/doc."""
+    from .functions.dedup import minhash_lsh_candidates
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, hash_family="md5"
+    ).orderBy("id_a", "id_b")
+
+
+def _q145_oracle() -> str:
+    # Mirrors simhash_signatures(hash_family="md5"): 60-bit md5_long per
+    # 2-gram shingle, per-bit ≥-majority vote, empty docs → all-ones.
+    bit_sums = ",\n             ".join(
+        f"SUM((h >> {i}) & 1) AS b{i}" for i in range(60)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN 2 * b{i} >= n THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS i) s
+      WHERE LEN(ts) >= 2
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || SUBSTRING(md5(g), 1, 15)) AS BIGINT) AS h
+      FROM sh
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {bit_sums}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM agg)
+    SELECT d.doc_id AS id,
+           COALESCE(s.sig, {(1 << 60) - 1}) AS sig
+    FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+    ORDER BY id
+    """
+
+
+@query("q145_simhash_crossengine", oracle=_q145_oracle())
+def q145_simhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash signatures with the CROSS-ENGINE md5 hash
+    family (60-bit): DuckDB recomputes every signature from scratch —
+    shingling, per-bit majority vote, tie handling, empty-doc all-ones —
+    so the signature computation q33's Hamming-blocking consumes is
+    bit-for-bit verified (the pair-generation layer on top is pinned by
+    the q33 unit/property tests). Same aggregation shape as the xx path:
+    61 codegen'd integer SUMs, map-side combinable."""
+    from .functions.dedup import simhash_signatures
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_signatures(d, hash_family="md5").orderBy("id")

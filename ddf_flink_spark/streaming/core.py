@@ -65,7 +65,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # another process staged it concurrently
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # ts has shipped as TIMESTAMP(NANOS) (read as long under the legacy
+    # conf) and as a plain timestamp, generator-version dependent.
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
