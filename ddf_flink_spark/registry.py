@@ -5116,3 +5116,247 @@ def q145_simhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return simhash_signatures(d, hash_family="md5").orderBy("id")
+
+
+def _q146_oracle() -> str:
+    # Mirrors ml/kmeans.kmeans_lloyd(k=4, iters=2, round_digits=4): init =
+    # 4 lowest-id vectors rounded to 4 digits; assignment ranks on
+    # ROUND(dist, 6) with cluster tie-break; update = per-dim mean rounded
+    # to 4 digits; empty clusters keep the previous centroid.
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT 4)
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    a2 AS (SELECT id, cluster, dist FROM s2 WHERE rn = 1)
+    SELECT cluster, COUNT(*) AS n_points,
+           ROUND(AVG(dist), 4) AS avg_dist,
+           CAST(SUM(id) AS BIGINT) AS id_checksum
+    FROM a2 GROUP BY cluster ORDER BY cluster
+    """
+
+
+@query("q146_kmeans_fixed_iters", oracle=_q146_oracle())
+def q146_kmeans_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE ML, oracle-checked: two deterministic Lloyd k-means
+    iterations (ml/kmeans.kmeans_lloyd — lowest-id init, round-6 ranked
+    squared-L2 argmin, round-4 centroid updates) that DuckDB replays
+    exactly, membership and all — upgrading the clustering family beyond
+    q62's rows-only check (pyspark.ml's k-means|| init is seeded but not
+    cross-engine-reproducible). id_checksum pins the exact membership of
+    every cluster, not just its size."""
+    from .ml.kmeans import kmeans_lloyd
+
+    emb = t(spark, sf_dir, "embeddings")
+    final = kmeans_lloyd(emb, "embedding", "vec_id", k=4, iters=2)
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+            F.sum("id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "q147_variant_json",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             json_extract_string(props, '$.missing') AS m
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           ROUND(AVG(k), 4) AS avg_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM p GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q147_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing on Spark 4's VARIANT type: ``props`` is
+    parsed ONCE per row (``parse_json`` → binary variant) and every field
+    access is a cheap ``variant_get``/``try_variant_get`` over the parsed
+    form — the parse-once-extract-many pattern that replaces q94's
+    repeated per-path JSON parsing (at 100 TB, re-tokenizing JSON text per
+    extraction is the dominant cost; variant pays it once, and a variant
+    column persisted in parquet is shredded columnar). ``try_variant_get``
+    on an absent path proves the null path is total, not throwing."""
+    e = t(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("pv"))
+    k = F.variant_get("pv", "$.k", "long")
+    missing = F.try_variant_get("pv", "$.missing", "string")
+    return (
+        v.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q148_stream_left_outer_join",
+    oracle="""
+    WITH mp AS (SELECT date_trunc('milliseconds', MAX(ts)) AS m FROM events
+                WHERE event_type = 'purchase'),
+    me AS (SELECT date_trunc('milliseconds', MAX(ts)) AS m FROM events
+           WHERE event_type = 'error'),
+    cutoff AS (SELECT LEAST(mp.m, me.m) - INTERVAL 90 MINUTES AS c FROM mp, me)
+    SELECT p.event_id AS purchase_id,
+           e.event_id AS error_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTES
+    WHERE p.ts < (SELECT c FROM cutoff)
+    ORDER BY purchase_id, error_id
+    """,
+)
+def q148_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase is emitted,
+    null-padded when no error follows within 30 min. Unlike the inner
+    variant (q79 — eager emission), outer results only materialize when
+    the watermark CLOSES a purchase's join horizon; on a finite replay the
+    final watermark is min(side max event time, ms-truncated) - delay, so
+    purchases inside the last delay+interval (90 min) stay pending in the
+    state store when the query terminates. That closure rule IS the
+    contract — both this query and the oracle apply the identical cutoff
+    (p_ts < final watermark - interval), making the finite-replay result
+    exactly the batch left join over finalized rows, which is what an
+    incremental production pipeline would have durably emitted at this
+    point in the stream. Join state on both sides is evicted at the
+    interval + watermark horizon — bounded regardless of stream length."""
+    from .streaming.core import events_stream, run_available_now
+
+    ev = events_stream(spark, sf_dir)
+    batch = events_table(spark, sf_dir)
+    side_max = batch.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).alias("me"),
+    ).select(
+        F.least(
+            F.date_trunc("millisecond", "mp"), F.date_trunc("millisecond", "me")
+        ).alias("m")
+    )
+    cutoff = side_max.first()["m"]
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    out = run_available_now(joined.select("purchase_id", "error_id", "p_ts"), "append")
+    return (
+        out.filter(F.col("p_ts") < F.lit(cutoff) - F.expr("INTERVAL 90 MINUTES"))
+        .select("purchase_id", "error_id")
+        .orderBy("purchase_id", "error_id")
+    )
+
+
+@query(
+    "q149_udtf_repeated_spans",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts
+                 FROM documents WHERE doc_id < 500),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
+      WHERE LEN(ts) >= 3
+    ),
+    counted AS (
+      SELECT doc_id, pos, gram,
+             COUNT(*) OVER (PARTITION BY doc_id, gram) AS n_occurrences
+      FROM grams
+    )
+    SELECT doc_id, pos, gram, CAST(n_occurrences AS INT) AS n_occurrences
+    FROM counted WHERE n_occurrences > 1
+    ORDER BY doc_id, pos, gram
+    """,
+)
+def q149_udtf_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) from SQL via LATERAL: locate
+    every within-document repeated 3-gram occurrence — the span-level
+    companion to q131's repetition fraction, feeding boilerplate masking.
+    The UDTF path exists because the reference's entire Python-UDF
+    surface was an unimplemented TODO (reference README.md:76-79); the
+    oracle pins the Python row logic against a pure-SQL window
+    formulation. Python-in-the-row-path is the slow lane (PERF.md), so
+    the declarative operators stay the default; the per-doc positional
+    index here is the shape that genuinely fits imperative code."""
+    from .functions.udtfs import register_udtfs
+
+    d = t(spark, sf_dir, "documents")
+    register_udtfs(spark)
+    d.filter(F.col("doc_id") < 500).createOrReplaceTempView("q149_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.gram, s.n_occurrences
+        FROM q149_docs d, LATERAL repeated_spans(d.text) s
+        ORDER BY doc_id, pos, gram
+        """
+    )
