@@ -5360,3 +5360,47 @@ def q149_udtf_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos, gram
         """
     )
+
+
+@query(
+    "q150_python_datasource",
+    oracle="""
+    SELECT i % 16 AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM((i * 1103515245 + 12345) % 2147483648) AS BIGINT) AS sum_val,
+           CAST(MIN((i * 1103515245 + 12345) % 2147483648) AS BIGINT) AS min_val
+    FROM generate_series(20000, 39999) t(i)
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q150_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON DATA SOURCE (Spark 4 ``pyspark.sql.datasource``):
+    a deterministic LCG table served by `sources/pyds.SynthRowsDataSource`
+    with planner-integrated range-partitioned parallel reads and
+    ``pushFilters`` predicate pushdown — the id-range predicate below is
+    consumed at planning time and clamps the partition ranges, so pruned
+    rows are never generated (the Python-source analog of parquet's
+    PushedFilters). The oracle recomputes the identical table from
+    ``generate_series`` arithmetic. The reference could only add inputs
+    by writing a JVM InputFormat (utils/package.scala:401-442)."""
+    from .sources.pyds import register
+
+    ensure_shipped(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    df = (
+        spark.read.format("synthrows")
+        .option("n", 100000)
+        .option("numpartitions", 8)
+        .load()
+    )
+    return (
+        df.filter((F.col("id") >= 20000) & (F.col("id") < 40000))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").cast("long").alias("sum_val"),
+            F.min("val").cast("long").alias("min_val"),
+        )
+        .orderBy("bucket")
+    )

@@ -683,3 +683,26 @@ def test_morton_key_interleave_roundtrip(spark):
             x |= ((r["mk"] >> (2 * i)) & 1) << i
             y |= ((r["mk"] >> (2 * i + 1)) & 1) << i
         assert (x, y) == (r["x"], r["y"])
+
+
+def test_python_datasource_pushdown_clamps_partitions():
+    """pushFilters on the synthrows source consumes id-range predicates at
+    planning time: the partition ranges cover exactly the surviving id
+    span (partition pruning), and unsupported filters are handed back."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from ddf_flink_spark.sources.pyds import _SynthReader
+
+    r = _SynthReader({"n": "100000", "numpartitions": "8"})
+    leftover = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("id",), 20000), LessThan(("id",), 40000),
+             EqualTo(("bucket",), 3)]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["EqualTo"]  # bucket stays row-side
+    parts = r.partitions()
+    assert parts[0].start == 20000 and parts[-1].end == 40000
+    assert sum(p.end - p.start for p in parts) == 20000
+    rows = list(r.read(parts[0]))
+    assert rows[0] == (20000, (20000 * 1103515245 + 12345) % 2**31, 20000 % 16)
