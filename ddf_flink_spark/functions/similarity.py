@@ -267,3 +267,52 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
     )
+
+
+def srp_signature_crossengine(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    dims: int = 64,
+    scale: int = 10000,
+) -> DataFrame:
+    """Sign-random-projection (cosine SimHash) signature that ANY engine
+    reproduces bit-for-bit:
+
+    * hyperplane signs are md5-derived, not RNG-derived — sign(i, d) =
+      +1 if ``md5_long(f"{i}:{d}")`` is even else -1 — so the "random"
+      planes are a pure function any md5-capable engine regenerates;
+    * components are quantized to integers (``round(x * scale)``) BEFORE
+      the dot product, so the projection arithmetic is exact bigint math
+      — no float summation-order knife edges at the sign threshold;
+    * bit i = (dot_i >= 0); signature = Σ bit_i << i.
+
+    Execution shape: the signs are plan-time literals (computed in Python
+    with hashlib — same md5 contract), so each plane's projection is one
+    codegen'd ``zip_with``/``aggregate`` over the quantized vector: a
+    single map pass, no explode, no shuffle — linear scan at any corpus
+    size. ``hyperplane_signature`` is the seeded xxhash-flavored
+    production variant; this is the interchange/verification form
+    (same trade as dedup.md5_long vs xxhash64)."""
+    import hashlib
+
+    def sign(i: int, d: int) -> int:
+        h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    out = df.select(F.col(id_col).alias("id"), qv.alias("qv"))
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        signs = F.array(*[F.lit(sign(i, d)) for d in range(dims)])
+        dot_i = F.aggregate(
+            F.zip_with("qv", signs, lambda x, s: x * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return out.select("id", sig.alias("sig"))

@@ -5404,3 +5404,48 @@ def q150_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q151_srp_lsh_crossengine",
+    oracle="""
+    WITH signs AS (
+      SELECT i.i AS plane, d.d AS dim,
+             CASE WHEN CAST(('0x' || SUBSTRING(
+                    md5(CAST(i.i AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS i) i,
+           (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS d) d
+    ),
+    qv AS (
+      SELECT vec_id AS id, u.i - 1 AS dim,
+             CAST(ROUND(CAST(u.x AS DOUBLE) * 10000) AS BIGINT) AS q
+      FROM embeddings e,
+           LATERAL (SELECT UNNEST(e.embedding) AS x,
+                           generate_subscripts(e.embedding, 1) AS i) u
+    ),
+    dots AS (
+      SELECT id, plane, SUM(q * s) AS dot
+      FROM qv JOIN signs ON signs.dim = qv.dim
+      GROUP BY id, plane
+    )
+    SELECT id,
+           CAST(SUM(CASE WHEN dot >= 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS sig
+    FROM dots GROUP BY id ORDER BY id
+    """,
+)
+def q151_srp_lsh_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH signatures (cosine SimHash) with
+    md5-derived hyperplanes and integer-quantized exact projections
+    (`functions/similarity.srp_signature_crossengine`) — DuckDB
+    regenerates the hyperplanes from the same md5 contract and recomputes
+    every 16-bit signature identically. This closes the oracle gap on the
+    embedding-LSH family the way q144/q145 did for the shingle families:
+    q42's production variant (seeded xxhash hyperplanes, float dots)
+    remains the throughput path. Spark side is one codegen'd map pass —
+    plan-time literal sign arrays, no explode, no shuffle."""
+    from .functions.similarity import srp_signature_crossengine
+
+    emb = t(spark, sf_dir, "embeddings")
+    return srp_signature_crossengine(emb).orderBy("id")
