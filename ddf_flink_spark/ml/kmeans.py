@@ -18,9 +18,10 @@ bit-for-bit:
 * update — per-dimension mean, rounded to ``round_digits`` (rounding each
   iteration re-synchronizes engines whose summation order differs).
 
-Scale shape: assignment is a broadcast of k·d literal doubles into a
-map-side explode+min_by (no shuffle of vectors); the update is one
-posexplode + (cluster, dim) partial-aggregated groupBy per iteration.
+Scale shape: assignment is a pure map — k·d literal doubles folded into
+an ``array_min`` argmin per row, no explode, no shuffle of vectors; the
+update is one posexplode + (cluster, dim) partial-aggregated groupBy per
+iteration.
 Centroids (k·d values — model state, not data) are the only thing
 collected to the driver, matching the collect() discipline in PERF.md.
 The per-element HOF distance is acceptable here because k is small and
@@ -36,39 +37,40 @@ __all__ = ["kmeans_lloyd"]
 
 
 def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """(id, v, cluster, dist) — nearest centroid per row, deterministic."""
-    cent_arr = F.array(
+    """(id, v, cluster, dist) — nearest centroid per row, deterministic.
+
+    Pure MAP: per-centroid distances land in an array and ``array_min``
+    over (rounded dist, cluster id) structs picks the argmin with the
+    tie-break in the ordering — no explode, no groupBy, so assignment
+    never shuffles the vectors (the earlier explode+min_by form
+    re-shuffled the corpus by id every iteration)."""
+    dist_arr = F.array(
         *[
-            F.struct(
-                F.lit(ci).alias("cluster"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "v",
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
             )
-            for ci, c in enumerate(cents)
+            for c in cents
         ]
     )
-    scored = emb.select("id", "v", F.explode(cent_arr).alias("k")).select(
-        "id",
-        "v",
-        F.col("k.cluster").alias("cluster"),
-        F.sqrt(
-            F.aggregate(
-                F.zip_with("v", F.col("k.c"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("dist"),
+    best = F.array_min(
+        F.zip_with(
+            dist_arr,
+            F.array(*[F.lit(ci) for ci in range(len(cents))]),
+            lambda d, ci: F.struct(
+                F.round(d, 6).alias("rd"), ci.alias("cluster"), d.alias("dist")
+            ),
+        )
     )
-    best = scored.groupBy("id").agg(
-        F.min_by(
-            F.struct("cluster", "dist", "v"),
-            F.struct(F.round("dist", 6).alias("rd"), F.col("cluster")),
-        ).alias("b")
-    )
-    return best.select(
-        "id",
-        F.col("b.v").alias("v"),
-        F.col("b.cluster").alias("cluster"),
-        F.col("b.dist").alias("dist"),
+    return emb.select(
+        "id", "v", best["cluster"].alias("cluster"), best["dist"].alias("dist")
     )
 
 

@@ -314,3 +314,43 @@ def test_q133_bloom_filter_injects_under_conf(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """Lloyd assignment is a pure map (array_min argmin over plan-time
+    centroid literals): no Exchange anywhere — the corpus vectors are
+    never shuffled, only the k·d centroid values move (as literals)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.ml.kmeans import _assign
+
+    emb = (
+        QUERIES["q146_kmeans_fixed_iters"].__globals__["t"](spark, SF_DIR, "embeddings")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    )
+    assigned = _assign(emb, [[0.0] * 64, [1.0] * 64])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assigned.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_srp_signature_is_shuffle_free(spark):
+    """q151's sign-random-projection signature is one codegen'd map pass:
+    plan-time literal hyperplanes, no explode/join/Exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ddf_flink_spark.functions.similarity import srp_signature_crossengine
+    from ddf_flink_spark.registry import t
+
+    sigs = srp_signature_crossengine(t(spark, SF_DIR, "embeddings"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sigs.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "Generate" not in p  # no explode
