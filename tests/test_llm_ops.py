@@ -288,3 +288,54 @@ def test_token_chunks_cover_and_overlap(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "Short Doc"
     # doc 3 (6 tokens, fits in one window): start 6 would be redundant
     assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_tokens"] == 6
+
+
+def test_md5_long_matches_hashlib(spark):
+    """The cross-engine hash contract: md5_long == int(md5 hex[:15], 16),
+    salted form prepends '<salt>:'. Pinned against Python's hashlib on
+    ASCII, unicode, empty, and whitespace-heavy strings so the DuckDB
+    oracle emission and any third engine agree by construction."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.functions.dedup import md5_long
+
+    vals = ["", "a", "hello world", "naïve café ☃", "  spaced  out  ",
+            "x" * 500, "tab\tsep", "0:prefixed", "émoji 🎉 mix"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {r["s"]: (r["h"], r["hs"]) for r in df.select(
+        "s", md5_long("s").alias("h"), md5_long(F.col("s"), salt=7).alias("hs")
+    ).collect()}
+    for v in vals:
+        exp = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        exp_s = int(hashlib.md5(f"7:{v}".encode()).hexdigest()[:15], 16)
+        assert got[v] == (exp, exp_s), v
+
+
+def test_srp_signature_matches_python_reference(spark):
+    """Differential: the SRP signature (q151) recomputed in pure Python
+    (hashlib planes + exact integer dots) equals the Spark expression for
+    every embedding row at sf0.001."""
+    import hashlib
+
+    from ddf_flink_spark.functions.similarity import srp_signature_crossengine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+
+    def sign(i, d):
+        return 1 if int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1
+
+    def py_sig(vec):
+        q = [round(float(x) * 10000) for x in vec]
+        s = 0
+        for i in range(16):
+            dot = sum(qd * sign(i, d) for d, qd in enumerate(q))
+            if dot >= 0:
+                s |= 1 << i
+        return s
+
+    expected = {r["vec_id"]: py_sig(r["embedding"]) for r in rows}
+    got = {r["id"]: r["sig"] for r in srp_signature_crossengine(emb).collect()}
+    assert got == expected
