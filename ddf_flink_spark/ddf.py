@@ -108,6 +108,16 @@ class DDF:
         self._df.cache()
         return self
 
+    def scale_audit(self) -> list[str]:
+        """Lint this DDF's physical plan for 100 TB scale hazards
+        (cartesian products, single-partition funnels, row-at-a-time
+        Python, unpushed filters, full sorts under limits). Empty list =
+        clean. See ``plans/audit.py``; the reference had no plan
+        introspection at all (no optimizer — SURVEY §4.1)."""
+        from .plans.audit import audit_plan
+
+        return audit_plan(self._df)
+
     def persist(self, path: str) -> str:
         """Persistence sink (core handler, ``ddf.ini:68``; pinned by
         ``PersistenceHandlerSpec.scala:30-38``) → parquet."""

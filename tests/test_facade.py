@@ -314,3 +314,18 @@ def test_sample_to_budget_facade(mgr):
         expect = set(grp.loc[cum <= 5000, "doc_id"])
         got = set(rows.loc[rows["source"] == src, "doc_id"])
         assert got == expect
+
+
+def test_ddf_scale_audit(mgr):
+    """DDF.scale_audit lints the wrapped plan: clean on a pushed-filter
+    aggregate, flags a deliberate cross join."""
+    lineitem = mgr.load_table(SF_DIR, "lineitem")
+    clean = lineitem.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM @this "
+        "WHERE l_quantity > 45 GROUP BY l_returnflag"
+    )
+    assert clean.scale_audit() == []
+    crossed = mgr.new_ddf(
+        lineitem.df.limit(5).crossJoin(lineitem.df.limit(5).selectExpr("l_orderkey AS r"))
+    )
+    assert any(f.startswith("cartesian-product") for f in crossed.scale_audit())

@@ -354,3 +354,41 @@ def test_srp_signature_is_shuffle_free(spark):
     p = buf.getvalue()
     assert "Exchange" not in p
     assert "Generate" not in p  # no explode
+
+
+def test_scale_audit_catches_seeded_hazards(spark):
+    """Each hazard class the auditor knows is caught on a plan built to
+    contain it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.plans.audit import audit_plan
+
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "jd")
+
+    cart = a.crossJoin(b)
+    assert any(f.startswith("cartesian-product") for f in audit_plan(cart))
+
+    gw = a.withColumn("rs", F.sum("id").over(Window.orderBy("id")))
+    assert any(f.startswith("single-partition") for f in audit_plan(gw))
+
+    from pyspark.sql.functions import udf
+
+    slow = a.withColumn("u", udf(lambda x: x + 1, "long")("id"))
+    assert any(f.startswith("python-row-udf") for f in audit_plan(slow))
+
+
+def test_scale_audit_headliners_clean(spark):
+    """The TPC-H headline plans audit clean — no cartesian products,
+    no single-partition funnels, no Python row UDFs, filters pushed.
+    (Queries whose OUTPUT is a 1-row aggregate legitimately end in a
+    single-partition final agg and are not in this list.)"""
+    from ddf_flink_spark.registry import QUERIES
+    from ddf_flink_spark.plans.audit import audit_plan
+
+    for name in ["q01_pricing_summary", "q100_tpch_q5_local_supplier",
+                 "q103_tpch_q3_shipping_priority", "q124_tpch_q13_custdist",
+                 "q127_tpch_q21_waiting_supplier"]:
+        findings = audit_plan(QUERIES[name](spark, SF_DIR))
+        assert findings == [], f"{name}: {findings}"
