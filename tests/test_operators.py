@@ -706,3 +706,28 @@ def test_python_datasource_pushdown_clamps_partitions():
     assert sum(p.end - p.start for p in parts) == 20000
     rows = list(r.read(parts[0]))
     assert rows[0] == (20000, (20000 * 1103515245 + 12345) % 2**31, 20000 % 16)
+
+
+def test_morton_key_sql_parenthesizes_compound_operands():
+    """The SQL emission must bind compound operand expressions (|, ^,
+    comparisons) tighter than the emitted & / << — regression for the
+    unparenthesized form, where 'a | b' re-associated and produced a
+    different key. Verified by evaluating the emitted SQL in DuckDB
+    against a pure-Python interleave of the same operand values."""
+    import duckdb
+
+    from ddf_flink_spark.functions.layout import morton_key_sql
+
+    def py_interleave(x: int, y: int, bits: int) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    con = duckdb.connect()
+    sql = morton_key_sql("a | b", "c + 1", bits=8)
+    got = con.execute(
+        f"SELECT ({sql}) FROM (SELECT 12 AS a, 129 AS b, 76 AS c)"
+    ).fetchone()[0]
+    assert got == py_interleave(12 | 129, 76 + 1, 8)
