@@ -30,6 +30,7 @@ def pagerank(
     id_col: str = "id",
     src_col: str = "src",
     dst_col: str = "dst",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank with dangling-mass redistribution.
 
@@ -41,6 +42,13 @@ def pagerank(
 
     ``edges`` are directed (pass both directions for a similarity graph).
     Nodes absent from ``edges`` still receive the base + dangling terms.
+
+    ``round_digits`` rounds every node's rank after each iteration (and
+    the dangling scalar to ``round_digits + 2``): float-summation order
+    then can't leak into the next iteration, so an external engine
+    replaying the same rounded recurrence (registry q153's DuckDB oracle)
+    reproduces every rank exactly — the same re-synchronization trick as
+    ``ml/kmeans`` centroid rounding. None (default) = full precision.
     """
     n_total = nodes.count()
     if n_total == 0:
@@ -70,6 +78,8 @@ def pagerank(
             ranks.join(out_deg, "id", "left_anti").agg(F.sum("rank")).first()[0]
             or 0.0
         )
+        if round_digits is not None:
+            dangling = round(dangling, round_digits + 2)
         contribs = (
             edges_w.join(ranks, edges_w.esrc == ranks.id)
             .select(
@@ -80,15 +90,14 @@ def pagerank(
             .agg(F.sum("contrib").alias("in_mass"))
         )
         base = (1.0 - damping) / n_total + damping * dangling / n_total
+        new_rank = F.lit(base) + F.lit(damping) * F.coalesce(
+            F.col("in_mass"), F.lit(0.0)
+        )
+        if round_digits is not None:
+            new_rank = F.round(new_rank, round_digits)
         ranks = (
             ids.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                ).alias("rank"),
-            )
+            .select("id", new_rank.alias("rank"))
             .localCheckpoint()
         )
     return ranks

@@ -5449,3 +5449,196 @@ def q151_srp_lsh_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return srp_signature_crossengine(emb).orderBy("id")
+
+
+@query(
+    "q152_neardup_pipeline_crossengine",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
+      WHERE LEN(ts) >= 3
+    ),
+    hm AS (
+      SELECT doc_id, i,
+             MIN(CAST(('0x' || SUBSTRING(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT)) AS h
+      FROM sh, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS i) hh
+      GROUP BY doc_id, i
+    ),
+    band AS (
+      SELECT doc_id, i // 4 AS band,
+             STRING_AGG(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
+      FROM hm GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+    ),
+    cdocs AS (
+      SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM cand UNION ALL SELECT id_b AS id FROM cand
+      )
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh
+      WHERE doc_id IN (SELECT id FROM cdocs) GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh_n
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      WHERE a.doc_id IN (SELECT id FROM cdocs)
+        AND b.doc_id IN (SELECT id FROM cdocs)
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT s.id_a, s.id_b
+      FROM shared s
+      JOIN cand USING (id_a, id_b)
+      JOIN sizes sa ON sa.doc_id = s.id_a
+      JOIN sizes sb ON sb.doc_id = s.id_b
+      WHERE ROUND(s.sh_n / (sa.sz + sb.sz - s.sh_n), 4) >= 0.6
+    ),
+    bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS root FROM documents
+      UNION
+      SELECT b.dst AS id, r.root FROM reach r JOIN bidir b ON b.src = r.id
+    ),
+    clusters AS (SELECT id, MIN(root) AS cluster FROM reach GROUP BY id)
+    SELECT d.source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(d.doc_id) AS BIGINT) AS kept_checksum
+    FROM documents d JOIN clusters c ON c.id = d.doc_id AND c.cluster = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q152_neardup_pipeline_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL near-dup removal pipeline, ORACLE-CHECKED END TO END:
+    md5-family MinHash+LSH candidates (16 hashes, 4 bands) → exact-Jaccard
+    verification (≥ 0.6) restricted to candidate docs → connected-components
+    cluster formation → canonical keep (min id per cluster) → per-source
+    survivor rollup. DuckDB replays every stage — the LSH S-curve, the
+    precision gate, and transitive clustering via a recursive CTE — so the
+    whole corpus-cleaning pipeline (not just its stages) is hash-verified.
+    q102 is the same pipeline on the cheaper xxhash64 family (rows-only);
+    the distributed shape is identical: constant bytes/doc shuffles,
+    candidate-restricted verification, O(diameter) CC rounds."""
+    from .functions.dedup import (
+        connected_components,
+        jaccard_candidates,
+        minhash_lsh_candidates,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_family="md5")
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    d_cand = d.join(cand_ids, "doc_id", "left_semi")
+    verified = jaccard_candidates(d_cand, threshold=0.6, n=3).join(
+        pairs, ["id_a", "id_b"], "left_semi"
+    )
+    nodes = d.select(F.col("doc_id").alias("id"))
+    clusters = connected_components(
+        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")), nodes
+    )
+    kept = d.join(
+        clusters.filter(F.col("id") == F.col("cluster")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("kept_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q153_oracle(iters: int = 3) -> str:
+    # Mirrors functions/graph.pagerank(round_digits=6) on the deterministic
+    # arithmetic graph below: ranks rounded to 6 each iteration, dangling
+    # mass to 8, base term computed with the identical IEEE op order.
+    parts = [
+        """
+    WITH docs AS (SELECT doc_id AS id FROM documents),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS (
+      SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
+      WHERE d.doc_id % 10 < 3
+        AND d.doc_id + 1 <= (SELECT MAX(doc_id) FROM documents)
+      UNION ALL
+      SELECT d.doc_id AS src,
+             (d.doc_id * 7) % (SELECT n FROM nn) AS dst
+      FROM documents d
+      WHERE d.doc_id % 5 = 0
+        AND (d.doc_id * 7) % (SELECT n FROM nn) != d.doc_id
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM docs)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+    dang{k} AS (
+      SELECT ROUND(COALESCE(SUM(rank), 0), 8) AS dm FROM r{p}
+      WHERE id NOT IN (SELECT src FROM deg)
+    ),
+    mass{k} AS (
+      SELECT e.dst AS id, SUM(r.rank / deg.deg) AS m
+      FROM edges e
+      JOIN r{p} r ON r.id = e.src
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT d.id,
+             ROUND(
+               ((1.0 - 0.85) / (SELECT n FROM nn))
+               + ((0.85 * (SELECT dm FROM dang{k})) / (SELECT n FROM nn))
+               + 0.85 * COALESCE(m.m, 0.0), 6) AS rank
+      FROM docs d LEFT JOIN mass{k} m ON m.id = d.id
+    )""")
+    parts.append(f"""
+    SELECT id, rank FROM r{iters} ORDER BY rank DESC, id LIMIT 20""")
+    return "".join(parts)
+
+
+@query("q153_pagerank_fixed_iters", oracle=_q153_oracle())
+def q153_pagerank_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE GRAPH ALGORITHM, oracle-checked: three PageRank power
+    iterations with dangling-mass redistribution over a deterministic
+    arithmetic graph on the documents table, ranks re-rounded each
+    iteration (`functions/graph.pagerank(round_digits=6)`) so DuckDB
+    replays the exact recurrence — the kmeans round-sync trick applied to
+    the fixpoint family. q113 is the full-precision production variant on
+    the similarity graph (rows-only). Top-20 by rank, tie-broken by id."""
+    from .functions.graph import pagerank
+
+    d = t(spark, sf_dir, "documents")
+    n = d.count()
+    ids = d.select(F.col("doc_id").alias("id"))
+    e1 = (
+        d.filter((F.col("doc_id") % 10 < 3) & (F.col("doc_id") + 1 <= n - 1))
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+    )
+    e2 = (
+        d.filter((F.col("doc_id") % 5 == 0) & ((F.col("doc_id") * 7) % n != F.col("doc_id")))
+        .select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7) % n).alias("dst"))
+    )
+    ranks = pagerank(e1.unionByName(e2), ids, iterations=3, round_digits=6)
+    return ranks.orderBy(F.desc("rank"), "id").limit(20)
