@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["random_split", "cv_random", "cv_k_fold", "sample_weighted", "sample_to_budget"]
+__all__ = [
+    "random_split",
+    "cv_random",
+    "cv_k_fold",
+    "sample_weighted",
+    "sample_weighted_deterministic",
+    "sample_to_budget",
+]
 
 
 def random_split(df: DataFrame, weights: list[float], seed: int = 42) -> list[DataFrame]:
@@ -75,6 +82,35 @@ def sample_weighted(
         df.filter(F.col(weight_col) > 0)
         .withColumn("__wkey", key)
         .orderBy(F.desc("__wkey"))
+        .limit(n)
+        .drop("__wkey")
+    )
+
+
+def sample_weighted_deterministic(
+    df: DataFrame, weight_col: str, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """``sample_weighted`` with the randomness replaced by an md5-keyed
+    uniform — u(row) = (md5_long(id) + 1) / (2^60 + 1) — so the SAME rows
+    are selected by any engine, any run, any partitioning: the
+    reproducible-data-mixing contract (rerun the pipeline next quarter,
+    or in a different engine, and the training mix is identical).
+
+    Ranking uses ln(u)/w, monotone-equivalent to the A-ES key u^(1/w),
+    ROUNDED to 8 digits with an id tie-break so libm ulp differences
+    between engines cannot reorder the frontier. Same distributed shape
+    as ``sample_weighted``: a top-n heap, no global sort. Rows with
+    weight <= 0 are excluded."""
+    from ..functions.dedup import md5_long
+
+    u = (md5_long(F.col(id_col).cast("string")) + F.lit(1)).cast("double") / F.lit(
+        float(2**60 + 1)
+    )
+    key = F.round(F.log(u) / F.col(weight_col), 8)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.desc("__wkey"), F.col(id_col))
         .limit(n)
         .drop("__wkey")
     )

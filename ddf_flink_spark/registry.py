@@ -5642,3 +5642,40 @@ def q153_pagerank_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(e1.unionByName(e2), ids, iterations=3, round_digits=6)
     return ranks.orderBy(F.desc("rank"), "id").limit(20)
+
+
+@query(
+    "q154_weighted_sample_crossengine",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tokens,
+             (CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+               / 1152921504606846977.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens,
+             ROUND(LN(u) / n_tokens, 8) AS wkey
+      FROM w WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens
+    FROM keyed ORDER BY wkey DESC, doc_id LIMIT 100
+    """,
+)
+def q154_weighted_sample_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPRODUCIBLE weighted sampling (Efraimidis-Spirakis with the
+    randomness replaced by an md5-keyed uniform,
+    `operators/sampling.sample_weighted_deterministic`): the same 100
+    token-weighted documents are selected by any engine, any run, any
+    partitioning — the data-mixing contract that makes a training mix
+    auditable and re-buildable. DuckDB re-derives u from the identical
+    md5 key and replays the ln(u)/w ranking (round-8, id tie-break).
+    q119 is the seeded-RNG engine-native variant (rows-only)."""
+    from .functions.text import token_count
+    from .operators.sampling import sample_weighted_deterministic
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return sample_weighted_deterministic(d, "n_tokens", 100).orderBy("doc_id")
