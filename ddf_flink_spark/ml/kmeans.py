@@ -81,9 +81,12 @@ def kmeans_lloyd(
     k: int = 4,
     iters: int = 2,
     round_digits: int = 4,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Run ``iters`` deterministic Lloyd iterations; returns the final
-    (id, cluster, dist) assignment. A cluster that loses every member
+    (id, cluster, dist) assignment — or, with ``return_centroids``, the
+    tuple (assignment, centroids) so downstream quantizer users (IVF —
+    registry q155) can probe cells. A cluster that loses every member
     keeps its previous centroid (mirrored by the oracle's LEFT JOIN +
     COALESCE)."""
     emb = df.select(
@@ -113,4 +116,7 @@ def kmeans_lloyd(
             else cents[ci]
             for ci in range(k)
         ]
-    return _assign(emb, cents).select("id", "cluster", "dist")
+    final = _assign(emb, cents).select("id", "cluster", "dist")
+    if return_centroids:
+        return final, cents
+    return final

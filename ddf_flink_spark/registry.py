@@ -5679,3 +5679,145 @@ def q154_weighted_sample_crossengine(spark: SparkSession, sf_dir: str) -> DataFr
         "doc_id", token_count("text").alias("n_tokens")
     )
     return sample_weighted_deterministic(d, "n_tokens", 100).orderBy("doc_id")
+
+
+def _q155_oracle() -> str:
+    # The deterministic-kmeans quantizer CTEs (identical to _q146_oracle's
+    # chain) + IVF probe/search: nprobe=2 nearest cells per query, exact
+    # cosine ranking within the probed cells (q40's round-6-rank pattern).
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT 4)
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
+    q AS (SELECT id, v FROM emb WHERE id < 10),
+    probe AS (
+      SELECT q.id AS qid, c.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.id
+               ORDER BY ROUND(list_distance(q.v, c.c), 6), c.cluster
+             ) AS prn
+      FROM q CROSS JOIN c2 c
+    ),
+    cand AS (
+      SELECT p.qid, cells.id AS nid
+      FROM probe p JOIN cells ON cells.cluster = p.cluster
+      WHERE p.prn <= 2 AND cells.id != p.qid
+    ),
+    scored AS (
+      SELECT c.qid, c.nid, list_cosine_similarity(eq.v, en.v) AS cos
+      FROM cand c
+      JOIN emb eq ON eq.id = c.qid
+      JOIN emb en ON en.id = c.nid
+    ),
+    ranked AS (
+      SELECT qid, nid, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY ROUND(cos, 6) DESC, nid) AS rn
+      FROM scored
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, ROUND(cos, 4) AS cos
+    FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
+    """
+
+
+@query("q155_ivf_crossengine", oracle=_q155_oracle())
+def q155_ivf_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF APPROXIMATE-NEAREST-NEIGHBOR SEARCH, oracle-checked end to
+    end: the deterministic Lloyd quantizer (q146) builds the coarse
+    cells, each query probes its nprobe=2 nearest centroids, and exact
+    cosine ranks only the vectors in the probed cells — the inverted-file
+    pruning that makes billion-vector search tractable (search cost ~
+    nprobe/k of the corpus). DuckDB replays quantizer, cell assignment,
+    probe selection, and in-cell ranking identically. q39 is the
+    pyspark.ml-quantizer production variant (rows-only)."""
+    from pyspark.sql import Window
+
+    from .functions.similarity import cosine
+    from .ml.kmeans import kmeans_lloyd
+
+    raw = t(spark, sf_dir, "embeddings")
+    emb = raw.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    assign, cents = kmeans_lloyd(raw, k=4, iters=2, return_centroids=True)
+    cells = assign.select("id", "cluster")
+    queries = emb.filter(F.col("id") < 10)
+    dist_arr = F.array(
+        *[
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "v",
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            for c in cents
+        ]
+    )
+    scored_cents = F.zip_with(
+        dist_arr,
+        F.array(*[F.lit(ci) for ci in range(len(cents))]),
+        lambda d, ci: F.struct(F.round(d, 6).alias("rd"), ci.alias("cluster")),
+    )
+    probes = queries.select(
+        F.col("id").alias("qid"),
+        F.explode(F.slice(F.array_sort(scored_cents), 1, 2)).alias("p"),
+    ).select("qid", F.col("p.cluster").alias("cluster"))
+    cand = (
+        probes.join(cells, "cluster")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", F.col("id").alias("nid"))
+    )
+    eq = emb.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+    en = emb.select(F.col("id").alias("nid"), F.col("v").alias("nv"))
+    scored = cand.join(eq, "qid").join(en, "nid").select(
+        "qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.round("cos", 6).desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round("cos", 4).alias("cos"),
+        )
+        .orderBy("query_id", "neighbor_id")
+    )
