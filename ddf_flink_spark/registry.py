@@ -5821,3 +5821,57 @@ def q155_ivf_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "neighbor_id")
     )
+
+
+@query(
+    "q156_multimodal_dedup",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             REPEAT(SUBSTRING(text, 1, 16), 4) AS payload
+      FROM documents
+    ),
+    fp AS (
+      SELECT media_id, md5(payload) AS fp,
+             OCTET_LENGTH(ENCODE(payload)) AS n_bytes
+      FROM media
+    ),
+    grp AS (
+      SELECT fp, COUNT(*) AS n_copies, MIN(media_id) AS keep_id,
+             MIN(n_bytes) AS n_bytes
+      FROM fp GROUP BY fp
+    )
+    SELECT fp, n_copies, keep_id, n_bytes
+    FROM grp WHERE n_copies > 1
+    ORDER BY n_copies DESC, fp
+    """,
+)
+def q156_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL content-hash dedup, oracle-checked: media blobs
+    (opaque ``binary`` column, functions/multimodal.attach_fake_media)
+    are fingerprinted BY BYTES (md5 of the binary — never decoded) and
+    grouped — the image/audio dedup pass every multimodal corpus gets,
+    and it never ships or decodes the bytes: the shuffle carries
+    (md5, id, len) only. The oracle recomputes the same fingerprints
+    from the payload the fake media derives from, pinning the
+    binary-column plumbing (encode → md5(binary) → group) exactly; the
+    decode/feature path stays q43 (pandas-UDF, rows-only by nature)."""
+    from .functions.multimodal import attach_fake_media
+
+    d = t(spark, sf_dir, "documents")
+    media = attach_fake_media(d, "doc_id", "text")
+    fp = media.select(
+        "media_id",
+        F.md5("content").alias("fp"),
+        F.length("content").alias("n_bytes"),
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("keep_id"),
+            F.min("n_bytes").cast("long").alias("n_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy(F.desc("n_copies"), "fp")
+    )
