@@ -170,11 +170,25 @@ class DDF:
     def sample_n(self, n: int, with_replacement: bool = False, seed: int = 42) -> list:
         return _views.sample_exact(self._df, n, with_replacement, seed)
 
-    def sample_weighted(self, weight_col: str, n: int, seed: int = 42) -> "DDF":
+    def sample_weighted(
+        self,
+        weight_col: str,
+        n: int,
+        seed: int = 42,
+        deterministic_id_col: str | None = None,
+    ) -> "DDF":
         """Weighted sample without replacement (Efraimidis-Spirakis;
-        beyond reference parity — see operators/sampling.sample_weighted)."""
+        beyond reference parity — see operators/sampling.sample_weighted).
+        Pass ``deterministic_id_col`` to replace the seeded RNG with the
+        md5-keyed reproducible variant (same selection on any engine, any
+        run, any partitioning — registry q154's contract)."""
         from .operators.sampling import sample_weighted as _sw
+        from .operators.sampling import sample_weighted_deterministic as _swd
 
+        if deterministic_id_col is not None:
+            return self._derive(
+                _swd(self._df, weight_col, n, id_col=deterministic_id_col)
+            )
         return self._derive(_sw(self._df, weight_col, n, seed))
 
     def sample_to_budget(
