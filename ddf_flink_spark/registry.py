@@ -5875,3 +5875,88 @@ def q156_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .orderBy(F.desc("n_copies"), "fp")
     )
+
+
+def _q157_oracle() -> str:
+    # 24-dim hour-of-day activity profile per user (round-6 per-cell
+    # means, 0-filled), exact cosine among (query users < 20) × all.
+    cells = ",\n             ".join(
+        f"ROUND(COALESCE(AVG(CASE WHEN h = {h} THEN value END), 0), 6) AS c{h}"
+        for h in range(24)
+    )
+    vec = "[" + ", ".join(f"c{h}" for h in range(24)) + "]"
+    return f"""
+    WITH hr AS (
+      SELECT user_id, EXTRACT(HOUR FROM ts) AS h, value FROM events
+    ),
+    prof AS (
+      SELECT user_id,
+             {cells}
+      FROM hr GROUP BY user_id
+    ),
+    vecs AS (SELECT user_id, CAST({vec} AS DOUBLE[]) AS v FROM prof),
+    scored AS (
+      SELECT q.user_id AS query_user, c.user_id AS match_user,
+             list_cosine_similarity(q.v, c.v) AS cos
+      FROM vecs q JOIN vecs c ON q.user_id != c.user_id
+      WHERE q.user_id < 20
+    ),
+    ranked AS (
+      SELECT query_user, match_user, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_user
+                                ORDER BY ROUND(cos, 6) DESC, match_user) AS rn
+      FROM scored
+    )
+    SELECT query_user, match_user, ROUND(cos, 4) AS cos
+    FROM ranked WHERE rn <= 3 ORDER BY query_user, match_user
+    """
+
+
+@query("q157_user_profile_similarity", oracle=_q157_oracle())
+def q157_user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES SIMILARITY SEARCH over behavioral profiles: each
+    user's events collapse to a 24-dim hour-of-day activity vector (one
+    conditional-agg pass — no pivot shuffle per dimension), then cosine
+    top-3 neighbors for the query users — "find users with similar
+    activity patterns", the profile-similarity shape the retrieved
+    EDBT/ICDE time-series-search papers distribute. At scale the profile
+    build is one groupBy (24 floats/user out) and the pair stage is the
+    q40 bounded-seed pattern; the LSH/IVF variants (q42/q151/q155) are
+    the full-corpus path. Cell means round-6 so DuckDB's replay feeds
+    identical vectors to the identical ranking."""
+    e = t(spark, sf_dir, "events")
+    cells = [
+        F.round(
+            F.coalesce(F.avg(F.when(F.hour("ts") == h, F.col("value"))), F.lit(0.0)),
+            6,
+        ).alias(f"c{h}")
+        for h in range(24)
+    ]
+    prof = e.groupBy("user_id").agg(*cells)
+    vecs = prof.select(
+        "user_id", F.array(*[F.col(f"c{h}") for h in range(24)]).alias("v")
+    )
+    from pyspark.sql import Window
+
+    from .functions.similarity import cosine
+
+    q = vecs.filter(F.col("user_id") < 20).select(
+        F.col("user_id").alias("query_user"), F.col("v").alias("qv")
+    )
+    c = vecs.select(F.col("user_id").alias("match_user"), F.col("v").alias("cv"))
+    # broadcast the BOUNDED query side; the candidate side streams
+    # partition-parallel (q40's seed-set pattern — never broadcast the corpus)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_user") != F.col("match_user"))
+        .select("query_user", "match_user", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_user").orderBy(
+        F.round("cos", 6).desc(), F.col("match_user")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_user", "match_user", F.round("cos", 4).alias("cos"))
+        .orderBy("query_user", "match_user")
+    )
