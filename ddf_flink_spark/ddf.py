@@ -415,10 +415,10 @@ class DDF:
             for tr, te in _sampling.cv_random(self._df, k, train_size, seed)
         ]
 
-    def cv_k_fold(self, k: int, seed: int = 42):
+    def cv_k_fold(self, k: int, seed: int = 42, id_col: str | None = None):
         return [
             (self._derive(tr), self._derive(te))
-            for tr, te in _sampling.cv_k_fold(self._df, k, seed)
+            for tr, te in _sampling.cv_k_fold(self._df, k, seed, id_col=id_col)
         ]
 
     # ------------------------------------------------------------- transform

@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_media",
+    "attach_ppm_media",
+    "attach_wav_media",
     "decode_media",
+    "decode_ppm",
+    "decode_wav",
     "extract_features",
     "frame_sample_plan",
     "resize_media",
@@ -56,6 +60,171 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit(0).alias("duration_ms"),
         fake_bytes.alias("content"),
     )
+
+
+def attach_wav_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize REAL 8-bit mono PCM WAV files (stdlib ``wave`` writer —
+    correct RIFF/fmt/data chunks) deterministically from an id column:
+    sample[i] = (id % 251 + 37·i) mod 256, n = 64 + id % 64, 8 kHz.
+    The generating arithmetic is pure integer math on the id, so a SQL
+    oracle can replay the decoded stats exactly (q43's md5-discipline:
+    the bytes are real, the ground truth is closed-form)."""
+    out_schema = MEDIA_SCHEMA
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import pandas as _pd
+
+        def make_wav(doc_id: int) -> bytes:
+            a, n = doc_id % 251, 64 + doc_id % 64
+            samples = bytes((a + 37 * i) % 256 for i in range(n))
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(1)
+                w.setframerate(8000)
+                w.writeframes(samples)
+            return buf.getvalue()
+
+        for pdf in batches:
+            ids = pdf["media_id"].astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "mime": "audio/wav",
+                    "width": 0,
+                    "height": 0,
+                    "duration_ms": ((64 + ids % 64) * 1000 // 8000).astype("int32"),
+                    "content": [make_wav(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        encode_batches, schema=out_schema
+    )
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each ``content`` blob with the stdlib
+    ``wave`` reader (RIFF chunk walk — not a fake) and emit per-file
+    sample statistics. Arrow-batched ``mapInPandas``; the shuffle-free
+    map shape is identical at 100 TB (decode parallelism = files)."""
+    out_schema = (
+        "media_id bigint, sample_rate int, n_samples int, "
+        "mean_sample double, rms double"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import math as _math
+        import wave as _wave
+
+        import pandas as _pd
+
+        def parse(blob: bytes) -> tuple[int, int, float, float]:
+            with _wave.open(_io.BytesIO(bytes(blob)), "rb") as w:
+                sr, n = w.getframerate(), w.getnframes()
+                vals = w.readframes(n)  # 8-bit PCM: unsigned bytes
+            mean = sum(vals) / n
+            rms = _math.sqrt(sum(v * v for v in vals) / n)
+            return sr, n, mean, rms
+
+        for pdf in batches:
+            parsed = [parse(c) for c in pdf["content"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [p[0] for p in parsed],
+                    "n_samples": [p[1] for p in parsed],
+                    "mean_sample": [p[2] for p in parsed],
+                    "rms": [p[3] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=out_schema)
+
+
+def attach_ppm_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize REAL binary PPM (P6) images deterministically from an
+    id: w = 4 + id % 13, h = 3 + id % 11, raw RGB byte j =
+    (id + 17·j) mod 256. Proper ``P6\\n{w} {h}\\n255\\n`` header + packed
+    pixel payload — any image tool reads these files."""
+    out_schema = MEDIA_SCHEMA
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def make_ppm(doc_id: int) -> bytes:
+            w, h = 4 + doc_id % 13, 3 + doc_id % 11
+            header = f"P6\n{w} {h}\n255\n".encode()
+            pixels = bytes((doc_id + 17 * j) % 256 for j in range(3 * w * h))
+            return header + pixels
+
+        for pdf in batches:
+            ids = pdf["media_id"].astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "mime": "image/x-portable-pixmap",
+                    "width": (4 + ids % 13).astype("int32"),
+                    "height": (3 + ids % 11).astype("int32"),
+                    "duration_ms": 0,
+                    "content": [make_ppm(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        encode_batches, schema=out_schema
+    )
+
+
+def decode_ppm(df: DataFrame) -> DataFrame:
+    """REAL image decode: parse the P6 header from the bytes (regex over
+    the binary — width/height come from the FILE, not the metadata
+    columns), reshape the raw payload to (h, w, 3) with numpy, and emit
+    per-channel means — the decode → per-image-stats pass of an image
+    dedup/quality pipeline."""
+    out_schema = (
+        "media_id bigint, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+
+        import numpy as _np
+        import pandas as _pd
+
+        hdr = _re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+        def parse(blob: bytes) -> tuple[int, int, float, float, float]:
+            b = bytes(blob)
+            m = hdr.match(b)
+            if m is None:
+                raise ValueError("not a P6 PPM")
+            w, h = int(m.group(1)), int(m.group(2))
+            arr = _np.frombuffer(b[m.end():], dtype=_np.uint8)
+            px = arr[: 3 * w * h].reshape(h, w, 3).astype(_np.float64)
+            return w, h, px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean()
+
+        for pdf in batches:
+            parsed = [parse(c) for c in pdf["content"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [p[0] for p in parsed],
+                    "height": [p[1] for p in parsed],
+                    "mean_r": [p[2] for p in parsed],
+                    "mean_g": [p[3] for p in parsed],
+                    "mean_b": [p[4] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=out_schema)
 
 
 def decode_media(

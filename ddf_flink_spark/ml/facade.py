@@ -48,6 +48,35 @@ class MLFacade:
     def __init__(self, df: DataFrame):
         self.df = df
 
+    # ------------------------------------------------------------- dispatch
+    #: methodKey → facade, mirroring the reference's config-string
+    #: indirection (``ddf-conf/ddf.ini:74-77``: svm / mlr / als / kMeans →
+    #: Flink class names, resolved reflectively by
+    #: ``FlinkMLSupporter.scala:26-36`` + ``ReflectHelper``). Spark build:
+    #: the keys resolve to the typed facades below — no reflection needed,
+    #: and unknown keys fail loudly instead of a ClassNotFoundException.
+    _TRAIN_KEYS = {
+        "svm": "svm",
+        "mlr": "linear_regression",
+        "linearregression": "linear_regression",
+        "als": "als",
+        "collaborativefiltering": "als",
+        "kmeans": "kmeans",
+    }
+
+    def train(self, method_key: str, params: dict | None = None):
+        """``train(methodKey, params)`` — the reference's string-key entry
+        point (``FlinkMLSupporter.scala:26-36``): the key is looked up in
+        config (``ddf.ini:74-77``) and dispatched. ``params`` maps to the
+        typed facade's kwargs (the ParameterMap equivalent)."""
+        name = self._TRAIN_KEYS.get(method_key.replace("_", "").lower())
+        if name is None:
+            raise KeyError(
+                f"unknown train method key {method_key!r}; "
+                f"known: {sorted(set(self._TRAIN_KEYS))}"
+            )
+        return getattr(self, name)(**(params or {}))
+
     # -------------------------------------------------------------- facades
     def kmeans(self, feature_cols: list[str], k: int = 2, max_iter: int = 20, seed: int = 42):
         """KMeans (replaces the vendored Flink KMeans; k-means|| init)."""

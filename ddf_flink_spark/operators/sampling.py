@@ -6,12 +6,16 @@ scala`` — CVRandom = k independent seeded train/test filters (``:39-49,
 102-132``). Fraction/exact sampling lives in views (``content/ViewHandler.
 scala:17-41``).
 
-Spark build: a single ``F.rand(seed)`` bucket column drives k-fold —
-each fold is a filter over the same deterministic random column, so the
-folds are pairwise disjoint and exhaustive without any shuffle beyond the
-scan (and the rand column is recomputed identically per fold because the
-seed pins the value per row-position; we materialize it via a cached
-projection to be safe at scale).
+Spark build: k-fold assigns each row a bucket and carves k train/test
+filter pairs from it. With an ``id_col`` the bucket is
+``md5_long(seed || id) % k`` — a pure column expression, deterministic
+under ANY partitioning/recomputation (executor loss, AQE re-plan) and
+reproducible cross-engine, so fold membership is part of the data, not
+of the execution. Without an id the bucket falls back to ``F.rand(seed)``
+and the bucketed frame is ``.cache()``-materialized: ``rand(seed)`` is
+only deterministic per (partition, row-position), so an uncached plan
+that recomputes the scan under different partitioning would silently
+break train/test disjointness.
 """
 
 from __future__ import annotations
@@ -46,12 +50,29 @@ def cv_random(
     return out
 
 
-def cv_k_fold(df: DataFrame, k: int, seed: int = 42) -> list[tuple[DataFrame, DataFrame]]:
+def cv_k_fold(
+    df: DataFrame, k: int, seed: int = 42, id_col: str | None = None
+) -> list[tuple[DataFrame, DataFrame]]:
     """k-fold pairwise-disjoint splits (``CrossValidation.scala:56-65,102-132``).
 
-    One rand column, k filters: fold i's test = bucket i, train = the rest.
+    One bucket column, k filters: fold i's test = bucket i, train = the rest.
+    With ``id_col``, bucket = ``md5_long(seed || id) % k`` — deterministic
+    under recomputation/repartitioning and identical in any engine
+    (DuckDB mirror of :func:`~ddf_flink_spark.functions.dedup.md5_long`),
+    so folds are stable without materialization. Without an id the bucket
+    is ``rand(seed)`` and the frame is cached: ``rand`` pins values only
+    per (partition, row-position), so recomputation under a different
+    split would otherwise break disjointness.
     """
-    with_bucket = df.withColumn("__fold", (F.rand(seed) * k).cast("int"))
+    if id_col is not None:
+        from ..functions.dedup import md5_long
+
+        bucket = F.pmod(md5_long(F.col(id_col).cast("string"), salt=seed), F.lit(k))
+        with_bucket = df.withColumn("__fold", bucket)
+    else:
+        with_bucket = df.withColumn(
+            "__fold", (F.rand(seed) * k).cast("int")
+        ).cache()
     out = []
     for i in range(k):
         test = with_bucket.filter(F.col("__fold") == i).drop("__fold")

@@ -105,3 +105,18 @@ def test_rmse_r2_evaluators(spark, lineitem):
     assert 0.0 <= r2 <= 1.0
     assert rmse > 0
     assert r2 == pytest.approx(model.summary.r2, rel=1e-9)
+
+
+def test_train_string_key_dispatch(spark, lineitem):
+    # the reference's train(methodKey, params) entry point
+    # (FlinkMLSupporter.scala:26-36, ddf-conf/ddf.ini:74-77)
+    facade = MLFacade(lineitem)
+    m = facade.train(
+        "mlr", {"feature_cols": ["l_quantity"], "label_col": "l_extendedprice"}
+    )
+    assert hasattr(m, "coefficients")
+    # kMeans key is case-insensitive like the ini key "kMeans"
+    m2 = facade.train("kMeans", {"feature_cols": ["l_quantity", "l_discount"], "k": 2})
+    assert len(m2.clusterCenters()) == 2
+    with pytest.raises(KeyError, match="unknown train method"):
+        facade.train("gradientBoost")

@@ -123,6 +123,25 @@ def test_cv_k_fold_disjoint_exhaustive(spark):
     assert tr0.count() + te0.count() == 1000
 
 
+def test_cv_k_fold_deterministic_stable_under_repartition(spark):
+    # hash-bucketed folds must assign every id to the same fold no matter
+    # how the input is partitioned (the rand(seed) recompute hazard)
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    base = cv_k_fold(df, k=5, seed=7, id_col="k")
+    repart = cv_k_fold(df.repartition(7), k=5, seed=7, id_col="k")
+    for (_, te_a), (_, te_b) in zip(base, repart):
+        ids_a = {r[0] for r in te_a.collect()}
+        ids_b = {r[0] for r in te_b.collect()}
+        assert ids_a == ids_b
+    # still disjoint + exhaustive
+    total = sum(te.count() for _, te in base)
+    assert total == 1000
+    ids = [set(r[0] for r in te.collect()) for _, te in base]
+    for i in range(5):
+        for j in range(i + 1, 5):
+            assert not (ids[i] & ids[j])
+
+
 def test_cv_random_sizes(spark):
     df = spark.range(1000)
     splits = cv_random(df, k=3, train_size=0.75, seed=1)

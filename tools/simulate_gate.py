@@ -1,0 +1,98 @@
+"""Simulate the driver correctness gate: run every registry query at sf0.01,
+collect rows, run the DuckDB oracle, and report per-query wall time.
+
+Usage: python tools/simulate_gate.py [--sf SF_DIR] [--only q...] [--skip-oracle]
+Prints a sorted timing table and a JSON summary at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--skip-oracle", action="store_true")
+    args = ap.parse_args()
+
+    from ddf_flink_spark.registry import ORACLES, QUERIES
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("simulate-gate")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    names = args.only or list(QUERIES)
+    timings: dict[str, dict] = {}
+    t_total = time.time()
+    for name in names:
+        fn = QUERIES[name]
+        rec: dict = {}
+        t0 = time.time()
+        try:
+            df = fn(spark, args.sf)
+            rows = df.collect()
+            rec["spark_s"] = round(time.time() - t0, 2)
+            rec["rows"] = len(rows)
+        except Exception as e:  # noqa: BLE001
+            rec["spark_s"] = round(time.time() - t0, 2)
+            rec["err"] = f"{type(e).__name__}: {e}"
+            traceback.print_exc(limit=3)
+        if not args.skip_oracle and name in ORACLES and "err" not in rec:
+            t1 = time.time()
+            try:
+                orows = con.execute(ORACLES[name]).fetchall()
+                rec["duck_s"] = round(time.time() - t1, 2)
+                rec["oracle_rows"] = len(orows)
+                rec["rows_match"] = len(orows) == rec["rows"]
+            except Exception as e:  # noqa: BLE001
+                rec["duck_s"] = round(time.time() - t1, 2)
+                rec["err"] = f"oracle {type(e).__name__}: {e}"
+        timings[name] = rec
+        tot = rec.get("spark_s", 0) + rec.get("duck_s", 0)
+        flag = " ERR" if "err" in rec else (
+            "" if rec.get("rows_match", True) else " ROWS-MISMATCH")
+        print(f"{name:45s} {tot:7.2f}s  rows={rec.get('rows', '-')}{flag}", flush=True)
+
+    wall = round(time.time() - t_total, 1)
+    slow = sorted(
+        timings, key=lambda n: -(timings[n].get("spark_s", 0) + timings[n].get("duck_s", 0))
+    )[:15]
+    errs = [n for n in timings if "err" in timings[n]]
+    mismatch = [n for n in timings if timings[n].get("rows_match") is False]
+    print(json.dumps({
+        "wall_s": wall, "n": len(names), "errors": errs, "rows_mismatch": mismatch,
+        "slowest": {n: timings[n] for n in slow},
+    }, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
