@@ -305,7 +305,19 @@ def srp_signature_crossengine(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * scale).cast("long"),
     )
-    out = df.select(F.col(id_col).alias("id"), qv.alias("qv"))
+    # zip_with null-pads on length mismatch, which would silently zero
+    # bits (short vector) or drop components (long vector) — fail loudly.
+    dim_check = F.when(
+        F.size(F.col(vec_col)) == dims, qv
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"srp_signature_crossengine: expected {dims}-dim vector, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
+    out = df.select(F.col(id_col).alias("id"), dim_check.alias("qv"))
     sig = F.lit(0).cast("long")
     for i in range(n_planes):
         signs = F.array(*[F.lit(sign(i, d)) for d in range(dims)])

@@ -82,7 +82,7 @@ def kmeans_lloyd(
     iters: int = 2,
     round_digits: int = 4,
     return_centroids: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, list[list[float]]]":
     """Run ``iters`` deterministic Lloyd iterations; returns the final
     (id, cluster, dist) assignment — or, with ``return_centroids``, the
     tuple (assignment, centroids) so downstream quantizer users (IVF —
@@ -98,6 +98,11 @@ def kmeans_lloyd(
         .select(F.transform("v", lambda x: F.round(x, round_digits)).alias("c"))
         .collect()
     )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"kmeans_lloyd: k={k} but the input has only {len(init_rows)} rows; "
+            "need at least k rows to seed k centroids"
+        )
     cents: list[list[float]] = [list(r["c"]) for r in init_rows]
     for _ in range(iters):
         assigned = _assign(emb, cents)

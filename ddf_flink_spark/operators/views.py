@@ -83,3 +83,36 @@ def sample_exact(
     the same bounds, so delegate.
     """
     return df.rdd.takeSample(with_replacement, n, seed)
+
+
+def sample_fraction_deterministic(
+    df: DataFrame, fraction: float, id_col: str, seed: int = 0
+) -> DataFrame:
+    """Fraction sampling with the RNG replaced by an md5-keyed uniform:
+    keep a row iff ``md5_long(seed:id) / 2^60 < fraction``. Selection is a
+    property of the DATA (same rows chosen by any engine, any run, any
+    partitioning) — the reproducible variant of :func:`sample_fraction`,
+    which inherits Spark's per-partition RNG. Pure column expression: no
+    shuffle, pushes through the scan like any filter."""
+    from ..functions.dedup import md5_long
+
+    u = md5_long(F.col(id_col).cast("string"), salt=seed).cast("double") / F.lit(
+        float(2**60)
+    )
+    return df.filter(u < fraction)
+
+
+def sample_exact_deterministic(
+    df: DataFrame, n: int, id_col: str, seed: int = 0
+) -> DataFrame:
+    """Exact-n sampling without an RNG: the n rows with the smallest
+    ``md5_long(seed:id)`` — a uniform without-replacement draw (hash-min
+    sketch selection), identical across engines/runs/partitionings.
+    Distributed as TakeOrderedAndProject (per-partition heap + driver
+    merge of n candidates) — never a global sort. The reproducible
+    variant of :func:`sample_exact` (which keeps Spark's takeSample
+    bounds as the engine-native path)."""
+    from ..functions.dedup import md5_long
+
+    key = md5_long(F.col(id_col).cast("string"), salt=seed)
+    return df.withColumn("__skey", key).orderBy("__skey").limit(n).drop("__skey")

@@ -74,15 +74,51 @@ def audit_plan(df: DataFrame) -> list[str]:
             "python-row-udf: BatchEvalPython — row-at-a-time Python in "
             "the hot path; use built-ins or an Arrow pandas UDF"
         )
-    # Parquet scan with an empty pushdown list but a Filter right above it.
-    for scan in re.finditer(r"Scan parquet[^\n]*\n(?:[^\n]*\n){0,12}?\s*PushedFilters: \[\]", plan):
-        if re.search(r"\(\d+\) Filter\b", plan):
-            findings.append(
-                "unpushed-filter: parquet scan has PushedFilters: [] while "
-                "a Filter runs above it — predicate not reaching the scan "
-                "(cast/UDF around the column?)"
+    # Parquet scan with an empty pushdown list whose DIRECT parent in the
+    # numbered plan tree is a Filter (a Filter elsewhere in a multi-scan
+    # plan — e.g. above the OTHER, pushed scan — is not a finding).
+    empty_pushdown_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"^\((\d+)\) Scan parquet[^\n]*\n(?:(?!^\(\d+\))[^\n]*\n){0,12}?"
+            r"\s*PushedFilters: \[\]",
+            plan,
+            re.M,
+        )
+    }
+    if empty_pushdown_ids:
+        tree = plan.split("\n\n", 1)[0].splitlines()
+        for sid in empty_pushdown_ids:
+            scan_ix = next(
+                (
+                    i
+                    for i, ln in enumerate(tree)
+                    if re.search(rf"Scan parquet\s*\({sid}\)", ln)
+                ),
+                None,
             )
-            break
+            if scan_ix is None:
+                continue
+
+            def _indent(ln: str) -> int:
+                stripped = ln.lstrip(" :+|-")
+                return len(ln) - len(stripped)
+
+            depth = _indent(tree[scan_ix])
+            parent = next(
+                (
+                    tree[i]
+                    for i in range(scan_ix - 1, -1, -1)
+                    if _indent(tree[i]) < depth
+                ),
+                "",
+            )
+            if re.search(r"\bFilter \(\d+\)", parent):
+                findings.append(
+                    f"unpushed-filter: parquet scan ({sid}) has PushedFilters: "
+                    "[] while its parent Filter runs above it — predicate not "
+                    "reaching the scan (cast/UDF around the column?)"
+                )
     if re.search(r"GlobalLimit", plan) and re.search(r"\(\d+\) Sort\b", plan) and "TakeOrderedAndProject" not in plan:
         findings.append(
             "global-limit-sort: Sort feeding GlobalLimit instead of "

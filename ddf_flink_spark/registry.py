@@ -4239,33 +4239,76 @@ def q126_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q127_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting — the hardest
-    classic plan): EXISTS *and* NOT EXISTS, both correlated to the same
-    fact row on (orderkey, suppkey-inequality, shipdate). Catalyst
-    decorrelates to a left-semi join then a left-anti join against two
-    rescans of lineitem on l_orderkey — three shuffles on the same key,
-    which AQE can co-plan; never a per-row subquery. Finds each stalled
-    order's last-shipping supplier among multi-supplier orders."""
-    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT s_name, COUNT(*) AS numwait
-        FROM supplier
-        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        JOIN orders ON o_orderkey = l1.l_orderkey
-        WHERE o_orderstatus = 'F'
-          AND EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_shipdate > l1.l_shipdate)
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name
-        LIMIT 10
-        """
+    classic plan), reformulated SINGLE-PASS: the EXISTS / NOT EXISTS pair
+    decorrelates naively to semi+anti joins against two rescans of
+    lineitem (three shuffles of the fact table — the r2 plan). Here the
+    correlation collapses into window aggregates over ONE lineitem
+    exchange on l_orderkey:
+
+      other_max(row) = max shipdate among the order's OTHER suppliers
+                     = top1 if this supplier doesn't (solely) hold the
+                       order max, else the second-best supplier max
+
+    computed from per-(order,supplier) maxima — the w_ok windows run
+    first so the hash(l_orderkey) exchange is planned once and the
+    (l_orderkey, l_suppkey) window reuses it (subset-clustering), adding
+    only a sort. A row waits iff the order has ≥2 suppliers and
+    l_shipdate ≥ other_max. One fact shuffle instead of three; at 100 TB
+    that is the difference between one and three full-corpus exchanges.
+    The oracle keeps the textbook EXISTS/NOT EXISTS formulation — the
+    rewrite is verified equivalent, not assumed."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    w_ok = Window.partitionBy("l_orderkey")
+    w_ok_sk = Window.partitionBy("l_orderkey", "l_suppkey")
+    staged = (
+        li.withColumn("top1", F.max("l_shipdate").over(w_ok))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w_ok)))
+        .withColumn("my_smax", F.max("l_shipdate").over(w_ok_sk))
+    )
+    scored = (
+        staged.withColumn(
+            "cnt_top",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("my_smax") == F.col("top1"), F.col("l_suppkey"))
+                ).over(w_ok)
+            ),
+        )
+        .withColumn(
+            "top2",
+            F.max(
+                F.when(F.col("my_smax") < F.col("top1"), F.col("my_smax"))
+            ).over(w_ok),
+        )
+        .withColumn(
+            "other_max",
+            F.when(
+                (F.col("my_smax") < F.col("top1")) | (F.col("cnt_top") >= 2),
+                F.col("top1"),
+            ).otherwise(F.col("top2")),
+        )
+        .filter(
+            (F.col("n_supp") >= 2) & (F.col("l_shipdate") >= F.col("other_max"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        scored.join(o, scored.l_orderkey == o.o_orderkey)
+        .join(s, scored.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
     )
 
 
@@ -5695,9 +5738,12 @@ def q153_pagerank_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     n = d.count()
+    # max(doc_id), not n-1: identical by construction to the oracle's
+    # MAX(doc_id) even if doc_id is ever non-dense or non-zero-based
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
     ids = d.select(F.col("doc_id").alias("id"))
     e1 = (
-        d.filter((F.col("doc_id") % 10 < 3) & (F.col("doc_id") + 1 <= n - 1))
+        d.filter((F.col("doc_id") % 10 < 3) & (F.col("doc_id") + 1 <= max_id))
         .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
     )
     e2 = (
@@ -6066,3 +6112,68 @@ def q158_cv_kfold_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(total) - F.col("n_test")).cast("long").alias("n_train"),
         "n_test",
     ).orderBy("fold_id")
+
+
+@query(
+    "q160_sample_fraction_crossengine",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_sampled,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE CAST(('0x' || SUBSTRING(md5('0:' || CAST(l_orderkey * 10 + l_linenumber
+                                                   AS VARCHAR)), 1, 15)) AS BIGINT)
+          / CAST(1152921504606846976 AS DOUBLE) < 0.1
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q160_sample_fraction_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fraction sampling (operators/views.py
+    sample_fraction_deterministic): row selection keys on
+    ``md5_long(seed:id)`` instead of an engine RNG, so DuckDB selects the
+    IDENTICAL rows — the whole sample is hash-checked, not just its size
+    (q44 stays as the engine-native ``df.sample`` production path).
+    2^60 = 1152921504606846976 is the md5_long range. Selection is a
+    pushable filter: zero shuffle, scan-time evaluation."""
+    from .operators.views import sample_fraction_deterministic
+
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "__rid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    s = sample_fraction_deterministic(li, 0.1, "__rid", seed=0)
+    return (
+        s.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q161_sample_exact_crossengine",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY CAST(('0x' || SUBSTRING(md5('0:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                    AS BIGINT)
+      LIMIT 500
+    ) ORDER BY o_orderkey
+    """,
+)
+def q161_sample_exact_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-n sampling (operators/views.py
+    sample_exact_deterministic): the 500 rows with the smallest
+    ``md5_long(seed:id)`` — a uniform without-replacement draw that any
+    engine reproduces row-for-row (q65 keeps RDD.takeSample as the
+    engine-native path). Plan shape: TakeOrderedAndProject — bounded
+    driver merge, no global sort, no RNG state."""
+    from .operators.views import sample_exact_deterministic
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    s = sample_exact_deterministic(o, 500, "o_orderkey", seed=0)
+    return s.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    ).orderBy("o_orderkey")
