@@ -51,6 +51,7 @@ HEADLINE = [
     "q40_similarity_bruteforce",
     "q50_window_running_sum",
     "q56_asof_join",
+    "q152_neardup_pipeline_crossengine",
 ]
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "lsh_topk",
     "ivf_build",
     "ivf_topk",
+    "quantize_embeddings",
 ]
 
 
@@ -328,3 +329,44 @@ def srp_signature_crossengine(
         )
         sig = sig + F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
     return out.select("id", sig.alias("sig"))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_levels: int = 127,
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of an embedding column —
+    the 4× memory/bandwidth cut that makes billion-vector ANN fit in
+    executor memory (scan int8 codes, rerank survivors at full
+    precision). scale_d = max|x_d| / n_levels (one bounded-output
+    aggregation: dims rows, whatever the corpus size); code =
+    clamp(floor(x/scale + 0.5), ±n_levels).
+
+    Everything is cross-engine exact: max is order-independent,
+    floor(x/s + 0.5) has no round-half tie ambiguity (unlike ROUND,
+    whose half-even/half-up convention differs across engines), and the
+    scales ride into the map stage as plan-time literals — the quantize
+    pass itself is a zero-shuffle codegen'd projection. Returns
+    (id, codes array<int>).
+    """
+    from pyspark.sql import Row
+
+    dims_scales = (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+        .groupBy("dim")
+        .agg((F.max(F.abs("x")) / n_levels).alias("sc"))
+        .orderBy("dim")
+        .collect()
+    )
+    scales = [r["sc"] for r in dims_scales]  # bounded: one value per dimension
+    sc_arr = F.array(*[F.lit(float(s)) for s in scales])
+    codes = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        sc_arr,
+        lambda x, s: F.greatest(
+            F.least(F.floor(x / s + 0.5), F.lit(n_levels)), F.lit(-n_levels)
+        ).cast("int"),
+    )
+    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))

@@ -26,6 +26,7 @@ __all__ = [
     "fingerprint",
     "redact_pii",
     "token_chunks",
+    "bigram_lm_scores",
     "STOPWORDS",
 ]
 
@@ -205,4 +206,62 @@ def token_chunks(
             F.concat_ws(" ", piece).alias("chunk_text"),
             F.size(piece).alias("chunk_tokens"),
         )
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document bigram language-model perplexity — the classic
+    corpus-LM quality filter of LLM data pipelines (CCNet-style: train a
+    cheap LM on the corpus, flag documents the model finds surprising).
+    The model IS the corpus: add-one-smoothed bigram probabilities
+
+        P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)
+
+    and each document scores perplexity = exp(mean -ln P over its
+    bigrams). Returns (id, n_bigrams, ppl).
+
+    Distribution: tokenize → one explode for unigram counts, one
+    zip_with+explode for bigrams; counts are two hash aggregations;
+    scoring joins the exploded bigrams back to the two count tables on
+    their natural keys. At 100 TB the count tables are Zipf-shaped but
+    BOUNDED by vocabulary (≪ corpus), and every join key is a token —
+    no driver state, no per-doc Python.
+
+    Oracle-ability: nll is rounded to 6 digits and summed as
+    DECIMAL(28,6) — exact, order-independent — so any engine reproduces
+    the identical perplexity despite double-summation order differing
+    (the q154 round-sync discipline applied to float reductions)."""
+    from pyspark.sql.types import DecimalType
+
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    uni = base.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.select(F.countDistinct("w")).collect()[0][0]
+    pairs = F.zip_with(
+        "t",
+        F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        base.select("id", F.explode(pairs).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    nll = F.round(
+        -F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.lit(float(vocab)))), 6
+    )
+    scored = (
+        bg.join(bcnt, ["w1", "w2"])
+        .join(ucnt, bg.w1 == ucnt.w)
+        .select("id", nll.cast(DecimalType(28, 6)).alias("nll"))
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.exp(F.sum("nll").cast("double") / F.count(F.lit(1))), 4
+        ).alias("ppl"),
     )

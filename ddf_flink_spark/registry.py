@@ -4634,19 +4634,16 @@ def q133_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark injects a ``bloom_filter_agg`` on the dim's join keys and a
     ``might_contain`` probe below the fact's shuffle, discarding ~99% of
     fact rows BEFORE the exchange instead of after the join. The query
-    executes inside this callable under that conf (saved/restored so the
-    session's other queries keep their broadcast plans) and returns the
-    materialized 3-row result; values are conf-independent, which the
-    plain-join oracle checks."""
-    j = bloom_join_frame(spark, sf_dir)
-    saved = {k: spark.conf.get(k) for k in BLOOM_JOIN_CONF}
+    executes in a CHILD session (``spark.newSession()`` — same
+    SparkContext and cached data, its own isolated SQLConf) so the conf
+    override can never race with queries running concurrently on the
+    caller's session, and returns the materialized 3-row result; values
+    are conf-independent, which the plain-join oracle checks."""
+    child = spark.newSession()
     for k, v in BLOOM_JOIN_CONF.items():
-        spark.conf.set(k, v)
-    try:
-        rows = j.collect()
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
+        child.conf.set(k, v)
+    j = bloom_join_frame(child, sf_dir)
+    rows = j.collect()
     return spark.createDataFrame(rows, j.schema)
 
 
@@ -6177,3 +6174,96 @@ def q161_sample_exact_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame
     return s.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q162_bigram_lm_perplexity",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    ucnt AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY w),
+    v AS (SELECT COUNT(DISTINCT w) AS vocab FROM uni),
+    bg AS (SELECT doc_id, unnest(list_zip(t, t[2:])) AS p FROM toks),
+    bg2 AS (SELECT doc_id, struct_extract(p, 1) AS w1, struct_extract(p, 2) AS w2
+            FROM bg WHERE struct_extract(p, 2) IS NOT NULL),
+    bcnt AS (SELECT w1, w2, COUNT(*) AS cb FROM bg2 GROUP BY w1, w2),
+    scored AS (
+      SELECT b.doc_id,
+             ROUND(-LN((c.cb + 1.0) / (u.cu + (SELECT vocab FROM v))), 6) AS nll
+      FROM bg2 b
+      JOIN bcnt c ON b.w1 = c.w1 AND b.w2 = c.w2
+      JOIN ucnt u ON b.w1 = u.w
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(EXP(CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)), 4) AS ppl
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q162_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-LM QUALITY SCORING (functions/text.bigram_lm_scores): an
+    add-one-smoothed bigram LM is trained ON the corpus (two hash
+    aggregations) and every document is scored with its perplexity — the
+    CCNet-shaped "cheap LM flags surprising documents" filter of LLM
+    data pipelines. Per-bigram nll is round-6 and summed as
+    DECIMAL(28,6) (exact, order-independent), so DuckDB replays the
+    identical perplexities — a float-reduction pipeline made
+    cross-engine-deterministic by the round-sync discipline."""
+    from .functions.text import bigram_lm_scores
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        bigram_lm_scores(d, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q163_embedding_quantization",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    sc AS (SELECT dim, MAX(ABS(x)) / 127 AS s FROM x GROUP BY dim),
+    codes AS (
+      SELECT x.vec_id, x.dim,
+             CAST(GREATEST(LEAST(FLOOR(x.x / sc.s + 0.5), 127), -127) AS INT) AS code
+      FROM x JOIN sc ON sc.dim = x.dim
+    )
+    SELECT vec_id,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           CAST(SUM(code * dim) AS BIGINT) AS code_checksum,
+           CAST(MAX(ABS(code)) AS INT) AS max_abs_code
+    FROM codes GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def q163_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 EMBEDDING QUANTIZATION (functions/similarity.
+    quantize_embeddings): per-dimension symmetric scales from one
+    bounded aggregation, then a zero-shuffle codegen'd quantize
+    projection — the 4× footprint cut for billion-vector ANN scans. The
+    oracle recomputes every code in DuckDB and compares exact integer
+    checksums per vector (sum, dim-weighted sum, max|code|) — no float
+    comparison anywhere, so the check is watertight cross-engine.
+    floor(x/s + 0.5) replaces ROUND to dodge engines' half-tie
+    conventions. posexplode emits 1-based dims here to mirror DuckDB's
+    1-based generate_subscripts."""
+    from .functions.similarity import quantize_embeddings
+
+    e = t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e, "embedding", "vec_id")
+    exploded = q.select("id", F.posexplode("codes").alias("dim0", "code")).select(
+        "id", (F.col("dim0") + 1).alias("dim"), "code"
+    )
+    return (
+        exploded.groupBy("id")
+        .agg(
+            F.sum("code").cast("long").alias("code_sum"),
+            F.sum(F.col("code") * F.col("dim")).cast("long").alias("code_checksum"),
+            F.max(F.abs("code")).cast("int").alias("max_abs_code"),
+        )
+        .select(F.col("id").alias("vec_id"), "code_sum", "code_checksum", "max_abs_code")
+        .orderBy("vec_id")
+    )

@@ -339,3 +339,45 @@ def test_srp_signature_matches_python_reference(spark):
     expected = {r["vec_id"]: py_sig(r["embedding"]) for r in rows}
     got = {r["id"]: r["sig"] for r in srp_signature_crossengine(emb).collect()}
     assert got == expected
+
+
+def test_bigram_lm_scores_closed_form(spark):
+    # tiny corpus, hand-computable: model trained on BOTH docs
+    import math
+
+    from ddf_flink_spark.functions.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # unigrams: a:3 b:3 c:1  V=3
+    # bigrams:  (a,b):3 (b,a):1 (b,c):1
+    out = {r["id"]: r for r in bigram_lm_scores(df, "text", "doc_id").collect()}
+    V = 3
+
+    def p(cb, cu):
+        return (cb + 1) / (cu + V)
+
+    # doc1 bigrams: (a,b),(b,a),(a,b) ; doc2: (a,b),(b,c)
+    for doc, bgs in {1: [(3, 3), (1, 3), (3, 3)], 2: [(3, 3), (1, 3)]}.items():
+        nlls = [round(-math.log(p(cb, cu)), 6) for cb, cu in bgs]
+        ppl = round(math.exp(sum(nlls) / len(nlls)), 4)
+        assert out[doc]["n_bigrams"] == len(bgs)
+        assert float(out[doc]["ppl"]) == ppl
+    # single-token doc produces no bigrams and drops out
+    df2 = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert bigram_lm_scores(df2, "text", "doc_id").count() == 0
+
+
+def test_quantize_embeddings_codes_and_clamp(spark):
+    from ddf_flink_spark.functions.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [0.5, 2.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # dim scales: max|x|/127 -> 1/127, 2/127
+    out = {r["id"]: r["codes"] for r in quantize_embeddings(df).collect()}
+    assert out[1] == [127, -127]
+    assert out[2] == [64, 127]  # floor(0.5*127 + 0.5) = floor(64.0) = 64
+    assert out[3] == [-127, 0]
