@@ -431,29 +431,47 @@ def connected_components(
     one join + one groupBy; ``localCheckpoint`` truncates the lineage so
     plans don't grow with iterations. Returns (id, cluster) where cluster
     is the minimum member id — deterministic.
+
+    Scale shape: the loop runs ONLY over edge-endpoint nodes (for
+    near-dup graphs a small fraction of the corpus — candidates already
+    survived LSH banding); isolated nodes join back with label = id in
+    one final pass, so per-round cost tracks the candidate subgraph, not
+    the corpus. Convergence is detected by the label sum (labels only
+    ever decrease under min-propagation, so an unchanged DECIMAL(38,0)
+    sum ⟺ a fixpoint) — one aggregation per round instead of a
+    join+count.
     """
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     bidir = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    edge_nodes = (
+        bidir.select(F.col("src").alias("id"))
+        .unionByName(bidir.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = edge_nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for _ in range(max_iter):
         neighbor_labels = (
             bidir.join(labels, bidir.dst == labels.id)
             .select(F.col("src").alias("id"), "label")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
             break
-    return labels.select("id", F.col("label").alias("cluster"))
+        prev_sum = cur_sum
+    # isolated nodes (never in any edge) are their own cluster
+    return all_nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("label", "id").alias("cluster")
+    )
