@@ -442,9 +442,12 @@ def connected_components(
     join+count.
     """
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # materialize the loop-invariant edge set ONCE: every iteration joins
+    # against it, and its upstream is typically an expensive candidate
+    # pipeline (LSH + verification) that must not re-execute per round
     bidir = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     all_nodes = nodes.select(F.col(id_col).alias("id"))
     edge_nodes = (
         bidir.select(F.col("src").alias("id"))

@@ -5642,7 +5642,12 @@ def q152_neardup_pipeline_crossengine(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     d = t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_family="md5")
+    # the candidate pairs feed BOTH the corpus restriction and the
+    # verification semi-join — materialize so the md5 signature job
+    # (the pipeline's dominant cost) runs exactly once
+    pairs = minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, hash_family="md5"
+    ).localCheckpoint()
     cand_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
