@@ -91,7 +91,7 @@ def kmeans_lloyd(
     COALESCE)."""
     emb = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).localCheckpoint()  # read per iteration — never re-execute upstream lineage
     init_rows = (
         emb.orderBy("id")
         .limit(k)
