@@ -6272,3 +6272,141 @@ def q163_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("vec_id"), "code_sum", "code_checksum", "max_abs_code")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q164_paragraph_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) / 10 AS INT) AS chunk_id,
+             array_to_string(list_slice(t, s, s + 9), ' ') AS chunk_text,
+             LEN(list_slice(t, s, s + 9)) AS chunk_tokens
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, GREATEST(LEN(t), 1) + 1, 10)) AS s
+            FROM toks)
+    ),
+    freq AS (
+      SELECT md5(chunk_text) AS fp, COUNT(*) AS n_occ
+      FROM chunks GROUP BY md5(chunk_text)
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           ROUND(SUM(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS boiler_ratio,
+           CAST(SUM(CASE WHEN f.n_occ < 2 THEN c.chunk_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM chunks c JOIN freq f ON f.fp = md5(c.chunk_text)
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def q164_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-DOCUMENT (paragraph/chunk-level) DEDUP — the boilerplate
+    removal pass of web-corpus pipelines: repeated spans (headers,
+    footers, navigation, license blocks) recur across documents even
+    when no two documents are near-duplicates. Documents split into
+    fixed 10-token chunks (functions/text.token_chunks, size=stride=10 —
+    shuffle-free), chunks fingerprint by md5, corpus-frequency ≥ 2 marks
+    a chunk boilerplate, and each document reports its chunk counts,
+    boilerplate ratio, and surviving token mass. Scale: the only shuffle
+    keys on (md5, count) — constant bytes per chunk, never the text;
+    the pattern is q30 exact-dedup applied below document granularity.
+    DuckDB replays chunking, fingerprints, and thresholds exactly."""
+    from .functions.text import token_chunks
+
+    d = t(spark, sf_dir, "documents")
+    chunks = token_chunks(d, "text", "doc_id", size=10, stride=10).select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        F.md5("chunk_text").alias("fp"),
+        "chunk_tokens",
+    )
+    freq = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
+    joined = chunks.join(freq, "fp")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_occ") >= 2).cast("long")).alias("n_boiler"),
+            F.round(
+                F.sum((F.col("n_occ") >= 2).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("boiler_ratio"),
+            F.sum(
+                F.when(F.col("n_occ") < 2, F.col("chunk_tokens")).otherwise(0)
+            ).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q165_vocab_coverage",
+    oracle="""
+    WITH uni AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    tot AS (SELECT SUM(c) AS total FROM wc),
+    ranked AS (
+      SELECT w, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk,
+             SUM(c) OVER (ORDER BY c DESC, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM wc
+    ),
+    levels AS (SELECT unnest([50, 90, 95, 99]) AS level_pct)
+    SELECT l.level_pct,
+           CAST(MIN(r.rk) AS BIGINT) AS vocab_size,
+           CAST(MIN(r.cum) AS BIGINT) AS covered_tokens
+    FROM levels l JOIN ranked r
+      ON r.cum * 100 >= l.level_pct * (SELECT total FROM tot)
+    GROUP BY l.level_pct ORDER BY l.level_pct
+    """,
+)
+def q165_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER VOCABULARY SIZING: the smallest vocabulary (by corpus
+    frequency, ties broken lexically) covering 50/90/95/99% of token
+    occurrences — the Zipf-curve report that sizes a tokenizer before
+    training one. The comparison ``cum·100 ≥ level·total`` is pure
+    bigint arithmetic — no float thresholds, so any engine agrees
+    exactly. Scale: token counting is corpus-size map+agg; the ranking
+    window runs over the VOCABULARY (≪ corpus — the global window is
+    vocab-bounded, exempted in the audit with that rationale)."""
+    from pyspark.sql import Window
+
+    from .functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    uni = d.select(F.explode(tokens("text")).alias("w"))
+    wc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = wc.agg(F.sum("c")).collect()[0][0]
+    w_ord = Window.orderBy(F.desc("c"), "w")
+    ranked = wc.select(
+        "w",
+        "c",
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum("c").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    levels = spark.createDataFrame([(50,), (90,), (95,), (99,)], "level_pct int")
+    return (
+        ranked.join(
+            F.broadcast(levels),
+            F.col("cum") * 100 >= F.col("level_pct") * F.lit(int(total)),
+        )
+        .groupBy("level_pct")
+        .agg(
+            F.min("rk").cast("long").alias("vocab_size"),
+            F.min("cum").cast("long").alias("covered_tokens"),
+        )
+        .orderBy("level_pct")
+    )

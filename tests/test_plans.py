@@ -427,6 +427,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     "q141_tpch_q17_small_qty_revenue": {"single-partition"},  # 1-row agg
     "q143_morton_layout": {"single-partition"},  # 1-row box aggregate
     "q158_cv_kfold_deterministic": {"single-partition"},  # 5-row fold sizes
+    # window over VOCAB (≪ corpus); non-equi join against the fixed 4-row
+    # coverage-levels side (bounded broadcast)
+    "q165_vocab_coverage": {"single-partition", "cartesian-product"},
     # Deliberately bounded non-equi joins: one side is a fixed seed set /
     # k centroids / k range bounds — the documented brute-force baselines.
     "q40_similarity_bruteforce": {"cartesian-product"},

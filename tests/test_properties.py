@@ -281,3 +281,66 @@ def test_sample_to_budget_matches_pandas(spark):
         assert sorted(map(tuple, got[["g", "key", "w"]].values.tolist())) == sorted(
             map(tuple, keep[["g", "key", "w"]].values.tolist())
         )
+
+
+# ---------------------------------------------------------------- round 3
+def test_bigram_lm_matches_pure_python_on_random_corpus(spark):
+    """Differential: bigram_lm_scores vs an independent pure-Python LM on
+    a seeded random corpus (same add-one smoothing, same round-sync)."""
+    import math
+    import random
+
+    from ddf_flink_spark.functions.text import bigram_lm_scores
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # pure-python reference
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    for _, text in docs:
+        ws = text.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    V = len(uni)
+    expect = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        nlls = [
+            round(-math.log((bi[(a, b)] + 1) / (uni[a] + V)), 6)
+            for a, b in zip(ws, ws[1:])
+        ]
+        if nlls:
+            expect[doc_id] = (len(nlls), round(math.exp(sum(nlls) / len(nlls)), 4))
+
+    got = {
+        r["id"]: (r["n_bigrams"], float(r["ppl"]))
+        for r in bigram_lm_scores(df, "text", "doc_id").collect()
+    }
+    assert got == expect
+
+
+def test_quantize_dequantize_error_bound(spark):
+    """Property: |x - code*scale| <= scale/2 for every in-range component
+    (quantization error of round-to-nearest is at most half a step)."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import quantize_embeddings
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-3, 3) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = {r["id"]: r["codes"] for r in quantize_embeddings(df).collect()}
+    maxabs = [max(abs(v[d]) for _, v in rows) for d in range(8)]
+    scales = [m / 127 for m in maxabs]
+    for i, vec in rows:
+        for d, x in enumerate(vec):
+            err = abs(x - codes[i][d] * scales[d])
+            assert err <= scales[d] / 2 + 1e-12, (i, d, x, codes[i][d])
