@@ -6410,3 +6410,48 @@ def q165_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level_pct")
     )
+
+
+@query(
+    "q166_jsonl_roundtrip",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q166_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL SOURCE/SINK round-trip (sources/jsonl.py): documents export
+    to gzip JSONL shards (the standard LLM corpus layout), read back
+    through the bounded 5-line driver-side schema inference (the
+    reference's ``loadFile`` sample discipline applied to JSON — never
+    Spark's full-scan inference, which is an extra corpus pass at
+    100 TB), and the per-source rollup must equal the rollup of the
+    ORIGINAL table — lossless ingestion, hash-checked. gzip shards are
+    non-splittable: parallelism = shard count (here one per input
+    partition), which is why corpora ship as many shards."""
+    import shutil
+    import tempfile
+
+    from .sources.jsonl import read_jsonl, write_jsonl
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tmp = tempfile.mkdtemp(prefix="q166_jsonl_")
+    try:
+        write_jsonl(d, f"{tmp}/docs", compression="gzip")
+        back = read_jsonl(spark, f"{tmp}/docs")
+        out = (
+            back.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+            )
+            .orderBy("source")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

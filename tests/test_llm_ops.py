@@ -381,3 +381,28 @@ def test_quantize_embeddings_codes_and_clamp(spark):
     assert out[1] == [127, -127]
     assert out[2] == [64, 127]  # floor(0.5*127 + 0.5) = floor(64.0) = 64
     assert out[3] == [-127, 0]
+
+
+def test_jsonl_source_inference_and_roundtrip(spark, tmp_path_factory):
+    from ddf_flink_spark.sources.jsonl import (
+        infer_jsonl_schema,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    # lattice: int+double -> double; null-skipping; bool kept; mixed -> string
+    schema = infer_jsonl_schema(
+        ['{"a": 1, "b": null, "c": true, "d": 2}', '{"a": 1.5, "b": "x", "c": false, "d": "y"}']
+    )
+    assert schema == "a double, b string, c boolean, d string"
+
+    df = spark.createDataFrame(
+        [(1, "hello world", 0.5), (2, "bye", -1.0)], "id long, text string, w double"
+    )
+    target = str(tmp_path_factory.mktemp("jsonl")) + "/out"
+    write_jsonl(df, target, compression="gzip")
+    back = read_jsonl(spark, target)
+    assert dict(back.dtypes) == {"id": "bigint", "text": "string", "w": "double"}
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
