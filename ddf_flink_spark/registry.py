@@ -6455,3 +6455,49 @@ def q166_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q167_sequence_packing",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id AS id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    offs AS (
+      SELECT id, n,
+             COALESCE(SUM(n) OVER (ORDER BY id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS "offset"
+      FROM counts
+    ),
+    spans AS (
+      SELECT id, n, "offset",
+             unnest(range(CAST(FLOOR("offset" / 512) AS BIGINT),
+                          CAST(FLOOR(("offset" + n - 1) / 512) AS BIGINT) + 1))
+               AS window_id
+      FROM offs WHERE n > 0
+    )
+    SELECT id, window_id,
+           GREATEST(window_id * 512 - "offset", 0) AS tok_start,
+           LEAST(window_id * 512 + 512 - "offset", n) AS tok_end,
+           LEAST(window_id * 512 + 512 - "offset", n)
+             - GREATEST(window_id * 512 - "offset", 0) AS n_tokens
+    FROM spans ORDER BY id, window_id
+    """,
+)
+def q167_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN PACKING for pretraining (functions/packing.pack_sequences):
+    the corpus token stream, concatenated in doc order, is cut into
+    512-token context windows; each output row is a (document, window)
+    intersection with the in-document token slice the loader feeds that
+    window. The global offset is a DISTRIBUTED two-phase prefix scan
+    (range-partition + per-partition totals + one Arrow pass adding
+    partition offsets) — never a single-partition global window, which
+    is how the same layout computes at 100 TB. All-integer arithmetic;
+    DuckDB replays the identical layout with its global window (fine at
+    oracle scale)."""
+    from .functions.packing import pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    return pack_sequences(d, "text", "doc_id", context=512)

@@ -406,3 +406,41 @@ def test_jsonl_source_inference_and_roundtrip(spark, tmp_path_factory):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in df.collect()
     )
+
+
+def test_pack_sequences_partition_invariant_and_exhaustive(spark):
+    from ddf_flink_spark.functions.packing import exclusive_prefix_sum, pack_sequences
+
+    docs = [(i, " ".join(f"t{j}" for j in range(3 + (i * 7) % 40))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pack_sequences(df, context=64).collect()
+    # every token of every doc is assigned exactly once, in order
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, text in docs:
+        n = len(text.split(" "))
+        rows = sorted(by_doc[i], key=lambda r: r["window_id"])
+        assert rows[0]["tok_start"] == 0
+        assert rows[-1]["tok_end"] == n
+        for a, b in zip(rows, rows[1:]):
+            assert a["tok_end"] == b["tok_start"]  # contiguous, no gap/overlap
+    # each full window holds exactly `context` tokens
+    win_tokens: dict[int, int] = {}
+    for r in out:
+        win_tokens[r["window_id"]] = win_tokens.get(r["window_id"], 0) + r["n_tokens"]
+    total = sum(len(t.split(" ")) for _, t in docs)
+    assert sum(win_tokens.values()) == total
+    full_windows = sorted(win_tokens)[:-1]
+    assert all(win_tokens[w] == 64 for w in full_windows)
+    # layout is partitioning-invariant (the distributed-scan contract)
+    out_repart = pack_sequences(df.repartition(13), context=64).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out_repart))
+    # prefix sum with explicit partition count agrees too
+    counts = df.selectExpr("doc_id AS id", "CAST(size(split(text, ' ')) AS LONG) AS n")
+    a = {r["id"]: r["offset"] for r in exclusive_prefix_sum(counts, "n", "id").collect()}
+    b = {
+        r["id"]: r["offset"]
+        for r in exclusive_prefix_sum(counts, "n", "id", num_partitions=7).collect()
+    }
+    assert a == b
