@@ -2660,7 +2660,7 @@ def q90_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = t(spark, sf_dir, "lineitem")
     w = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    ranked = li.select("l_quantity", F.ntile(4).over(w).alias("bucket"))
+    ranked = li.select("l_quantity", F.ntile(4).over(w).cast("long").alias("bucket"))
     return ranked.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("l_quantity"), 2).alias("lo"),
@@ -2843,7 +2843,9 @@ def q96_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("price"),
             F.row_number().over(w).alias("rn"),
         )
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= 3)  # filter on the RAW rank: WindowGroupLimit
+        # fires on rownum<=k, then the long cast (DuckDB BIGINT alignment)
+        .withColumn("rn", F.col("rn").cast("long"))
     )
 
 
@@ -5284,7 +5286,7 @@ def q146_kmeans_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     final = kmeans_lloyd(emb, "embedding", "vec_id", k=4, iters=2)
     return (
-        final.groupBy("cluster")
+        final.groupBy(F.col("cluster").cast("long").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_points"),
             F.round(F.avg("dist"), 4).alias("avg_dist"),
@@ -5459,7 +5461,7 @@ def q149_udtf_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.filter(F.col("doc_id") < 500).createOrReplaceTempView("q149_docs")
     return spark.sql(
         """
-        SELECT d.doc_id, s.pos, s.gram, s.n_occurrences
+        SELECT d.doc_id, CAST(s.pos AS BIGINT) AS pos, s.gram, s.n_occurrences
         FROM q149_docs d, LATERAL repeated_spans(d.text) s
         ORDER BY doc_id, pos, gram
         """
@@ -5500,7 +5502,7 @@ def q150_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         df.filter((F.col("id") >= 20000) & (F.col("id") < 40000))
-        .groupBy("bucket")
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("val").cast("long").alias("sum_val"),
@@ -5788,7 +5790,7 @@ def q154_weighted_sample_crossengine(spark: SparkSession, sf_dir: str) -> DataFr
     from .operators.sampling import sample_weighted_deterministic
 
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", token_count("text").alias("n_tokens")
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
     return sample_weighted_deterministic(d, "n_tokens", 100).orderBy("doc_id")
 
@@ -6103,7 +6105,7 @@ def q158_cv_kfold_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = None
     for i, (train, test) in enumerate(folds):
         row = test.agg(F.count(F.lit(1)).alias("n_test")).select(
-            F.lit(i).alias("fold_id"),
+            F.lit(i).cast("long").alias("fold_id"),
             F.lit(0).cast("long").alias("n_train"),
             F.col("n_test").cast("long"),
         )
@@ -6466,9 +6468,9 @@ def q166_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     offs AS (
       SELECT id, n,
-             COALESCE(SUM(n) OVER (ORDER BY id
+             CAST(COALESCE(SUM(n) OVER (ORDER BY id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS "offset"
+                  AS BIGINT) AS "offset"
       FROM counts
     ),
     spans AS (
