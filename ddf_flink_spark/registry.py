@@ -6503,3 +6503,57 @@ def q167_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return pack_sequences(d, "text", "doc_id", context=512)
+
+
+@query(
+    "q168_stream_jsonl_ingest",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q168_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CORPUS INGESTION: documents land as gzip JSONL shards
+    (sources/jsonl.py), a ``readStream`` file source picks them up with
+    an explicit schema (streams cannot infer), the stream is unioned
+    with itself — modeling shard re-delivery, the normal failure mode of
+    a landing zone — and streaming dedup on doc_id restores exact
+    multiplicity. The per-source rollup must equal the batch rollup of
+    the original table: ingestion is lossless AND exactly-once under
+    duplicate delivery. Dedup here is replay/backfill-scoped
+    (``dropDuplicates`` — bounded input); continuous 100 TB ingestion
+    uses the watermarked variant (q73) whose state evicts."""
+    import shutil
+    import tempfile
+
+    from .sources.jsonl import write_jsonl
+    from .streaming.core import run_available_now
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    tmp = tempfile.mkdtemp(prefix="q168_jsonl_stream_")
+    try:
+        write_jsonl(d, f"{tmp}/landing", compression="gzip")
+        stream = spark.readStream.schema("doc_id bigint, source string").json(
+            f"{tmp}/landing"
+        )
+        redelivered = stream.union(
+            spark.readStream.schema("doc_id bigint, source string").json(
+                f"{tmp}/landing"
+            )
+        )
+        deduped = redelivered.dropDuplicates(["doc_id"])
+        out = run_available_now(deduped, "append")
+        res = (
+            out.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+            )
+            .orderBy("source")
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
