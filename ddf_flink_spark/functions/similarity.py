@@ -365,8 +365,14 @@ def quantize_embeddings(
     codes = F.zip_with(
         F.col(vec_col).cast("array<double>"),
         sc_arr,
-        lambda x, s: F.greatest(
-            F.least(F.floor(x / s + 0.5), F.lit(n_levels)), F.lit(-n_levels)
-        ).cast("int"),
+        # scale 0 ⟺ the dimension is all-zero ⟹ every code is 0 (guards
+        # the ANSI divide-by-zero on degenerate dimensions)
+        lambda x, s: F.when(s == 0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.least(F.floor(x / s + 0.5), F.lit(n_levels)), F.lit(-n_levels)
+            )
+        )
+        .cast("int"),
     )
     return df.select(F.col(id_col).alias("id"), codes.alias("codes"))

@@ -444,3 +444,18 @@ def test_pack_sequences_partition_invariant_and_exhaustive(spark):
         for r in exclusive_prefix_sum(counts, "n", "id", num_partitions=7).collect()
     }
     assert a == b
+
+
+def test_quantize_zero_dimension_and_empty_lm(spark):
+    from ddf_flink_spark.functions.similarity import quantize_embeddings
+    from ddf_flink_spark.functions.text import bigram_lm_scores
+
+    # an all-zero dimension must quantize to code 0, not divide-by-zero
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-2.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r["id"]: r["codes"] for r in quantize_embeddings(df).collect()}
+    assert out[1] == [64, 0] and out[2] == [-127, 0]
+    # an empty corpus scores no documents (no crash on vocab=0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bigram_lm_scores(empty).count() == 0
