@@ -6557,3 +6557,51 @@ def q168_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q169_hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             COUNT(*) AS n, SUM(value) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT event_type, strftime(time_bucket(INTERVAL 1 DAY, h), '%Y-%m-%d') AS day,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             ROUND(SUM(sv), 2) AS sum_value,
+             CAST(COUNT(*) AS BIGINT) AS n_hours_active
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_events, sum_value, n_hours_active
+    FROM daily ORDER BY event_type, day
+    """,
+)
+def q169_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERTABLE-STYLE CASCADING ROLLUP (continuous-aggregate
+    hierarchy): the daily level aggregates the HOURLY level's partials
+    (sum of counts, sum of sums), never the raw events — the property
+    that makes multi-resolution time-series serving cheap at 100 TB:
+    each coarser materialization reads the finer one (|hours| rows, not
+    |events|), and re-aggregable partials (count/sum — not avg) are what
+    make the cascade lossless. ``n_hours_active`` (a COUNT over the fine
+    level) is only computable because the cascade exists. DuckDB replays
+    both levels; results are identical to aggregating raw events by
+    construction."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    return (
+        hourly.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+            F.count(F.lit(1)).cast("long").alias("n_hours_active"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -344,3 +344,54 @@ def test_quantize_dequantize_error_bound(spark):
         for d, x in enumerate(vec):
             err = abs(x - codes[i][d] * scales[d])
             assert err <= scales[d] / 2 + 1e-12, (i, d, x, codes[i][d])
+
+
+def test_jsonl_inference_lattice_hypothesis():
+    """infer_jsonl_schema: the resolved type always admits every sampled
+    value (soundness) and never widens past string (lattice top)."""
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ddf_flink_spark.sources.jsonl import infer_jsonl_schema
+
+    scalar = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**31), max_value=2**31),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(alphabet="abcXYZ09_", max_size=8),
+    )
+    rows = st.lists(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c"]), scalar, min_size=1, max_size=3
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @given(rows)
+    @settings(max_examples=60, deadline=None)
+    def check(objs):
+        lines = [json.dumps(o) for o in objs]
+        schema = infer_jsonl_schema(lines)
+        resolved = {}
+        for part in (schema.split(", ") if schema else []):
+            k, t = part.split(" ", 1)
+            resolved[k] = t
+        for o in objs:
+            for k, v in o.items():
+                t = resolved[k]
+                if v is None:
+                    continue  # any type admits null
+                if isinstance(v, bool):
+                    assert t in ("boolean", "string")
+                elif isinstance(v, int):
+                    assert t in ("bigint", "double", "string")
+                elif isinstance(v, float):
+                    assert t in ("double", "string")
+                else:
+                    assert t == "string"
+
+    check()
