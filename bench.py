@@ -85,6 +85,10 @@ def main() -> None:
             else:
                 timings[name] = min(timings.get(name, elapsed), elapsed)
 
+    # the 19-query set benchmarked in rounds 1-2 — kept as a stable
+    # subtotal so round-over-round comparisons aren't confounded by
+    # headliners added later (q152 joined in round 3)
+    r2_set = [n for n in HEADLINE if n != "q152_neardup_pipeline_crossengine"]
     print(
         json.dumps(
             {
@@ -93,6 +97,9 @@ def main() -> None:
                 "unit": "sec",
                 "methodology": "steady_state_min_of_2_warm",
                 "queries": timings,
+                "core19_sec": round(
+                    sum(timings[n] for n in r2_set if n in timings), 4
+                ),
                 "cold_sec": round(sum(cold.values()), 4),
                 "sf": sf,
             }
