@@ -6605,3 +6605,110 @@ def q169_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def _q170_oracle(threshold: float = 0.42) -> str:
+    # Clustering CTEs identical to _q146_oracle (same deterministic Lloyd);
+    # then SemDeDup within clusters: pairs only inside a cluster, round-6
+    # cosine >= threshold drops the higher id.
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT 4)
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    a2 AS (SELECT id, v, cluster FROM s2 WHERE rn = 1),
+    drops AS (
+      SELECT DISTINCT b.id
+      FROM a2 a JOIN a2 b
+        ON a.cluster = b.cluster AND a.id < b.id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    )
+    SELECT a2.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN d.id IS NULL THEN a2.id ELSE 0 END) AS BIGINT)
+             AS kept_checksum
+    FROM a2 LEFT JOIN drops d ON d.id = a2.id
+    GROUP BY a2.cluster ORDER BY a2.cluster
+    """
+
+
+@query("q170_semantic_dedup", oracle=_q170_oracle())
+def q170_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DEDUP (SemDeDup-shaped, public method: cluster the
+    embedding space, then compare pairs ONLY within a cluster and drop
+    near-duplicates): the deterministic Lloyd quantizer (q146 machinery)
+    partitions the corpus, within-cluster round-6 cosine ≥ 0.42 drops
+    the higher id, and the rollup reports kept/dropped per cluster. The
+    clustering IS the blocking: the pair space is Σ(nᵢ²) over cluster
+    sizes, tuned by k — at 100 TB you grow k so clusters stay bounded,
+    and the pair stage shuffles on cluster id only. DuckDB replays the
+    full pipeline (Lloyd rounds + pair gate) exactly."""
+    from .functions.similarity import cosine
+    from .ml.kmeans import kmeans_lloyd
+
+    e = t(spark, sf_dir, "embeddings")
+    assigned = kmeans_lloyd(e, "embedding", "vec_id", k=4, iters=2)
+    vecs = e.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    members = assigned.select("id", "cluster").join(vecs, "id").localCheckpoint()
+    a = members.select(
+        F.col("cluster"), F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = members.select(
+        F.col("cluster"), F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    drops = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.42)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    kept_flag = members.join(drops.withColumn("__dropped", F.lit(1)), "id", "left")
+    return (
+        kept_flag.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(F.col("__dropped").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("__dropped").isNull(), F.col("id")).otherwise(0))
+            .cast("long")
+            .alias("kept_checksum"),
+        )
+        .orderBy("cluster")
+    )
