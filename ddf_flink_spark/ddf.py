@@ -504,6 +504,71 @@ class DDF:
             raise ValueError(f"unknown similarity method {method!r}")
         return self._derive(out, keep_factors=False)
 
+    def lm_perplexity(
+        self, text_col: str = "text", id_col: str = "doc_id"
+    ) -> "DDF":
+        """Per-document corpus-LM perplexity (functions/text.
+        bigram_lm_scores) — the cheap-LM quality filter."""
+        from .functions.text import bigram_lm_scores
+
+        return self._derive(
+            bigram_lm_scores(self._df, text_col, id_col), keep_factors=False
+        )
+
+    def quantize_embeddings(
+        self, vec_col: str = "embedding", id_col: str = "vec_id", n_levels: int = 127
+    ) -> "DDF":
+        """Symmetric per-dimension int8 codes (functions/similarity.
+        quantize_embeddings)."""
+        from .functions.similarity import quantize_embeddings as _q
+
+        return self._derive(
+            _q(self._df, vec_col, id_col, n_levels), keep_factors=False
+        )
+
+    def pack_sequences(
+        self, text_col: str = "text", id_col: str = "doc_id", context: int = 512
+    ) -> "DDF":
+        """(doc, window, token-slice) pretraining packing layout
+        (functions/packing.pack_sequences; distributed prefix scan)."""
+        from .functions.packing import pack_sequences as _p
+
+        return self._derive(
+            _p(self._df, text_col, id_col, context), keep_factors=False
+        )
+
+    def paragraph_boilerplate(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        chunk_tokens: int = 10,
+        min_occurrences: int = 2,
+    ) -> "DDF":
+        """Per-document boilerplate report: fixed token chunks
+        fingerprinted corpus-wide, chunks recurring >= min_occurrences
+        marked boilerplate (functions/text.token_chunks + md5 grouping —
+        the q164 shape)."""
+        from pyspark.sql import functions as F
+
+        from .functions.text import token_chunks
+
+        chunks = token_chunks(
+            self._df, text_col, id_col, size=chunk_tokens, stride=chunk_tokens
+        ).select(
+            F.col("id"), F.md5("chunk_text").alias("fp"), "chunk_tokens"
+        )
+        freq = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
+        joined = chunks.join(freq, "fp")
+        out = joined.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_occ") >= min_occurrences).cast("long")).alias("n_boiler"),
+            F.sum(
+                F.when(F.col("n_occ") < min_occurrences, F.col("chunk_tokens"))
+                .otherwise(0)
+            ).cast("long").alias("kept_tokens"),
+        )
+        return self._derive(out, keep_factors=False)
+
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":
         """Mark categorical (core setAsFactor; ``BinningHandlerSpec.scala:19-22``)."""

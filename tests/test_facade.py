@@ -329,3 +329,31 @@ def test_ddf_scale_audit(mgr):
         lineitem.df.limit(5).crossJoin(lineitem.df.limit(5).selectExpr("l_orderkey AS r"))
     )
     assert any(f.startswith("cartesian-product") for f in crossed.scale_audit())
+
+
+def test_round3_llm_facades(mgr, spark):
+    docs = mgr.new_ddf(
+        spark.createDataFrame(
+            [(1, "a b c d e f g h i j k l"), (2, "a b c d e f g h i j k l"), (3, "x y z")],
+            "doc_id long, text string",
+        )
+    )
+    ppl = docs.lm_perplexity().df
+    assert {"id", "n_bigrams", "ppl"} <= set(ppl.columns)
+    assert ppl.count() == 3
+
+    packed = docs.pack_sequences(context=8).df
+    assert packed.filter("n_tokens > 0").count() >= 3
+
+    boiler = docs.paragraph_boilerplate(chunk_tokens=4).df.collect()
+    by_id = {r["id"]: r for r in boiler}
+    assert by_id[1]["n_boiler"] == 3  # doc1 and doc2 are identical: all chunks repeat
+    assert by_id[3]["n_boiler"] == 0
+
+    emb = mgr.new_ddf(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    codes = {r["id"]: r["codes"] for r in emb.quantize_embeddings().df.collect()}
+    assert codes[1] == [127, 0] and codes[2] == [0, 127]
