@@ -6712,3 +6712,133 @@ def q170_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "q171_tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             ROUND(MIN(l_extendedprice / l_quantity), 2) AS ps_supplycost
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM part
+    JOIN ps       ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_type = 'STANDARD' AND p_size <= 15 AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q171_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted to this schema: no
+    partsupp table, so supply cost is derived as the best observed unit
+    price per (part, supplier) from lineitem — the same derived-ps
+    discipline as the Q9/Q11/Q20 adaptations. The shape is Q2's
+    signature: a correlated scalar MIN whose correlation key (p_partkey)
+    reaches through a three-table dimension chain, restricted to one
+    region on BOTH sides. Catalyst decorrelates the inner MIN into a
+    grouped aggregate over the region-filtered ps and joins it back on
+    partkey — one extra aggregate, never a per-row rescan — and the
+    region/nation/supplier dims broadcast. ORDER BY ... LIMIT 100 uses a
+    unique tie-broken key (acctbal, nation, supplier, part) so both
+    engines pick identical rows; the unit-price MIN is rounded to 2
+    digits on both sides (IEEE division + MIN are bit-identical
+    cross-engine). Reference has no multi-block dialect at all
+    (TableParser.scala:41-70 single-block grammar)."""
+    _tpch_views(spark, sf_dir, "part", "supplier", "nation", "region", "lineitem")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 ROUND(MIN(l_extendedprice / l_quantity), 2) AS ps_supplycost
+          FROM lineitem
+          WHERE l_quantity > 0
+          GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+        FROM part
+        JOIN ps       ON p_partkey = ps_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE p_type = 'STANDARD' AND p_size <= 15 AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT MIN(ps2.ps_supplycost)
+            FROM ps ps2
+            JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+            JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """
+    )
+
+
+@query(
+    "q172_tpch_q11_important_stock",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS part_value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_7', 'NATION_19')
+      GROUP BY l_partkey
+    )
+    SELECT ps_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM ps
+    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM ps)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q172_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: stock value
+    per part is the discounted revenue shipped by the target nations'
+    suppliers (derived-ps discipline; no partsupp table). The archetype
+    is the GLOBAL-FRACTION HAVING: a grouped aggregate kept only where
+    it exceeds a scalar fraction of the SAME aggregate's grand total —
+    the derived table is referenced twice and Catalyst evaluates the
+    tiny grand-total branch first, broadcasting one scalar into the
+    filter. The value sum runs in DECIMAL on both engines (prices carry
+    2 fractional digits, discounts 2), so the grand total and the
+    threshold comparison are exact and summation-order-independent —
+    the one formulation where a float SUM could flip rows at the
+    threshold boundary cross-engine. Nation filter pushes below the
+    supplier join; supplier/nation broadcast."""
+    _tpch_views(spark, sf_dir, "supplier", "nation", "lineitem")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS part_value
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE n_name IN ('NATION_7', 'NATION_19')
+          GROUP BY l_partkey
+        )
+        SELECT ps_partkey, CAST(part_value AS DOUBLE) AS part_value
+        FROM ps
+        WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM ps)
+        ORDER BY part_value DESC, ps_partkey
+        """
+    )
