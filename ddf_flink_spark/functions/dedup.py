@@ -35,6 +35,7 @@ __all__ = [
     "word_shingles",
     "exploded_shingles",
     "jaccard_candidates",
+    "fuzzy_near_duplicates",
     "md5_long",
     "minhash_signatures",
     "minhash_lsh_candidates",
@@ -167,6 +168,63 @@ def jaccard_candidates(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def fuzzy_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 5,
+    prefix_len: int = 120,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Record-linkage fuzzy join: inverted-index blocking + edit-distance
+    verification — the classic two-stage linkage pipeline (block cheaply,
+    verify expensively on candidates only).
+
+    Stage 1 (blocking): pairs sharing ≥ ``min_shared`` word n-grams, via
+    the same inverted-index self-join as :func:`jaccard_candidates` — the
+    pair space is bounded by co-occurring shingles, never O(n²).
+    Stage 2 (verify): normalized Levenshtein similarity on a bounded
+    ``prefix_len``-char prefix of each candidate's text —
+    ``1 - lev(pa, pb) / max(len(pa), len(pb))`` — computed by the
+    codegen'd JVM ``levenshtein`` expression. Bounding the prefix bounds
+    the O(m·n) DP cost per pair to a constant, which is what makes the
+    verify stage safe at corpus scale; candidates are joined back to the
+    prefix projection (two hash joins on id), so full text never rides
+    the pair shuffle.
+
+    Returns (id_a, id_b, edit_sim) with edit_sim rounded to 4 digits and
+    ≥ ``threshold``. Reference has no string-distance surface at all
+    (grep itself throws: ``TableHandler.scala`` refuses regex rows)."""
+    sh = exploded_shingles(df, text_col, id_col, n)
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    pre = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("p"),
+    )
+    pa = pre.select(F.col("id").alias("id_a"), F.col("p").alias("pa"))
+    pb = pre.select(F.col("id").alias("id_b"), F.col("p").alias("pb"))
+    sim = F.round(
+        1
+        - F.levenshtein(F.col("pa"), F.col("pb"))
+        / F.greatest(F.length("pa"), F.length("pb")),
+        4,
+    )
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("edit_sim", sim)
+        .filter(F.col("edit_sim") >= threshold)
+        .select("id_a", "id_b", "edit_sim")
     )
 
 

@@ -1,0 +1,61 @@
+"""Mergeable cardinality sketches: the KMV (k-minimum-values) estimator.
+
+The production approximate-distinct path is Spark's built-in
+HyperLogLog++ (``approx_count_distinct``, registry q77) — constant
+memory, JVM-side, but engine-specific (its estimate is not reproducible
+outside Spark). KMV is the interchange/verification member of the same
+family: hash every value with the cross-engine 60-bit md5 hash
+(:func:`~ddf_flink_spark.functions.dedup.md5_long`), keep the k smallest
+DISTINCT hash fractions u ∈ (0,1), and estimate D ≈ (k-1)/u_(k)
+[Bar-Yossef et al. 2002, "Counting distinct elements in a data stream"].
+Any md5-capable engine reproduces the identical k values and therefore
+the identical estimate — so the sketch itself is oracle-checkable, not
+just its error bound.
+
+Scale shape: the hash projection is a map-only pass; the distinct on the
+60-bit hash is the one shuffle (carrying 8-byte values, never the raw
+column); the k-smallest selection is a TakeOrdered heap (per-partition
+top-k, driver merge of k values), never a global sort. The sketch state
+is k doubles, trivially mergeable across partitions/days by keeping the
+k smallest of the union — the property that makes KMV the right shape
+for incremental 100 TB cardinality tracking.
+
+Reference parity: the reference has no sketch surface at all; its only
+distinct path is exact GROUP BY (``AggregationHandler.scala``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+
+__all__ = ["kmv_fractions", "kmv_distinct"]
+
+# md5_long yields 60-bit values in [0, 2^60); +1 and dividing by 2^60+1
+# maps them into (0, 1) exclusive — u = 0 would make the estimator
+# divide by zero, u = 1 would under-count.
+_KMV_DENOM = float(2**60 + 1)
+
+
+def kmv_fractions(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
+    """The k smallest distinct hash fractions of ``col`` — the sketch
+    itself, as a k-row DataFrame (u DOUBLE). Mergeable: union two
+    sketches and keep the k smallest."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = (md5_long(c.cast("string")) + F.lit(1)).cast("double") / F.lit(_KMV_DENOM)
+    return df.select(u.alias("u")).distinct().orderBy("u").limit(k)
+
+
+def kmv_distinct(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
+    """One-row (k, est_distinct) cardinality estimate from the KMV
+    sketch: D ≈ (k-1) / max(u of the k smallest). If the column has
+    fewer than k distinct values the sketch holds ALL of them and the
+    estimate degrades gracefully toward the biased small-range form;
+    callers needing exactness below k should count exactly (the sketch
+    size k IS the exact/approximate crossover)."""
+    return kmv_fractions(df, col, k).agg(
+        F.lit(k).cast("long").alias("k"),
+        F.round((F.lit(k) - 1) / F.max("u"), 4).alias("est_distinct"),
+    )

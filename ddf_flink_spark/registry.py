@@ -6842,3 +6842,185 @@ def q172_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY part_value DESC, ps_partkey
         """
     )
+
+
+@query(
+    "q173_fuzzy_join_edit_distance",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
+    tri AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
+      WHERE LEN(ts) >= 3
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    pre AS (SELECT doc_id, SUBSTRING(text, 1, 120) AS p FROM documents)
+    SELECT id_a, id_b,
+           ROUND(1 - levenshtein(pa.p, pb.p)
+                     / GREATEST(LEN(pa.p), LEN(pb.p)), 4) AS edit_sim
+    FROM cand
+    JOIN pre pa ON pa.doc_id = id_a
+    JOIN pre pb ON pb.doc_id = id_b
+    WHERE ROUND(1 - levenshtein(pa.p, pb.p)
+                    / GREATEST(LEN(pa.p), LEN(pb.p)), 4) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def q173_fuzzy_join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORD-LINKAGE FUZZY JOIN (functions/dedup.py
+    fuzzy_near_duplicates): inverted-index blocking (pairs sharing ≥ 5
+    word-3-grams) + normalized-Levenshtein verification on a bounded
+    120-char prefix — the block-then-verify linkage pipeline. The
+    blocking join bounds the pair space exactly as q32; the edit-distance
+    DP runs only on candidates and only over constant-length prefixes
+    (codegen'd JVM levenshtein), so the verify stage's cost is O(pairs),
+    not O(pairs · doc²). DuckDB replays the identical pipeline —
+    levenshtein has standard semantics in both engines."""
+    from .functions.dedup import fuzzy_near_duplicates
+
+    d = t(spark, sf_dir, "documents")
+    return fuzzy_near_duplicates(
+        d, n=3, min_shared=5, prefix_len=120, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q174_kmv_distinct_sketch",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT
+        CAST(CAST(('0x' || SUBSTRING(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) + 1 AS DOUBLE) / 1152921504606846977.0 AS u
+      FROM lineitem
+    ),
+    sk AS (SELECT u FROM u ORDER BY u LIMIT 256)
+    SELECT CAST(256 AS BIGINT) AS k,
+           ROUND((256 - 1) / MAX(u), 4) AS est_distinct,
+           (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+             AS exact_distinct
+    FROM sk
+    """,
+)
+def q174_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV CARDINALITY SKETCH (functions/sketches.py): k=256 minimum
+    md5-hash fractions of l_partkey, estimate (k-1)/u_(k) — the
+    mergeable, CROSS-ENGINE-REPRODUCIBLE member of the approximate
+    distinct family (q77's HLL++ is the engine-native production twin;
+    its estimate can't be replayed outside Spark, this one is replayed
+    by DuckDB to the last digit). The exact count rides along so the
+    row also witnesses the estimator's accuracy (k=256 → ~6% rel-σ).
+    Shuffle carries 8-byte hashes only; selection is a TakeOrdered heap."""
+    from .functions.sketches import kmv_distinct
+
+    li = t(spark, sf_dir, "lineitem")
+    sk = kmv_distinct(li, "l_partkey", k=256)
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    return sk.crossJoin(F.broadcast(exact))
+
+
+@query(
+    "q175_bm25_retrieval",
+    oracle="""
+    WITH docs AS (SELECT doc_id AS id, STRING_SPLIT(LOWER(text), ' ') AS ts
+                  FROM documents),
+    dl AS (SELECT id, LEN(ts) AS dl FROM docs),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
+    tf AS (
+      SELECT id, t AS term, COUNT(*) AS tf
+      FROM docs, LATERAL UNNEST(ts) AS u(t)
+      WHERE t IN ('spark', 'join', 'window')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.id,
+             ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl * n_docs / total_tokens)),
+                   6) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN tot
+    )
+    SELECT id AS doc_id,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
+    FROM scored GROUP BY 1
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q175_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 LEXICAL RETRIEVAL (functions/retrieval.py bm25_topk): rank
+    the corpus for a 3-term query with Okapi BM25 — the inverted-index
+    complement to the embedding ANN family (q39/q40/q42/q155). Document
+    length is a map-only size(split(...)); only the query terms'
+    postings explode and shuffle; df and the corpus scalars broadcast;
+    the top-20 is a TakeOrdered heap with id tie-break. Per-term scores
+    round to 6 and sum in DECIMAL (q162 discipline) so libm ln-ulp and
+    summation order can't flip the cross-engine hash."""
+    from .functions.retrieval import bm25_topk
+
+    d = t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "join", "window"], topk=20)
+
+
+@query(
+    "q176_grouped_ols",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS grp,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+      FROM lineitem GROUP BY 1
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           ROUND(CAST((n * sxy - sx * sy) AS DOUBLE)
+                 / CAST((n * sxx - sx * sx) AS DOUBLE), 6) AS slope,
+           ROUND(CAST(sy AS DOUBLE) / n
+                 - CAST((n * sxy - sx * sy) AS DOUBLE)
+                   / CAST((n * sxx - sx * sx) AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / n, 6) AS intercept
+    FROM s ORDER BY grp
+    """,
+)
+def q176_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED CLOSED-FORM OLS: per-group simple linear regression
+    (price ~ quantity per returnflag) from the five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) — the distributed form of
+    per-segment model fitting: ONE partial-aggregable pass, no iteration,
+    no driver-side math. The sums run in DECIMAL so they are exact and
+    order-independent; slope/intercept divide AFTER aggregation, in
+    doubles, from identical exact inputs — bit-identical cross-engine.
+    Extends the ML family (q60 is the global-OLS twin via summary
+    statistics; ml/facade.py linear_regression is the pyspark.ml path)."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") / F.col("n")
+        - slope * F.col("sx").cast("double") / F.col("n")
+    )
+    return s.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    ).orderBy("grp")

@@ -459,3 +459,66 @@ def test_quantize_zero_dimension_and_empty_lm(spark):
     # an empty corpus scores no documents (no crash on vocab=0)
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bigram_lm_scores(empty).count() == 0
+
+
+def test_fuzzy_near_duplicates_semantics(spark):
+    """Identical prefixes → sim 1.0; one-char edit on a 10-char prefix
+    → sim 0.9; unrelated texts are blocked out entirely."""
+    from ddf_flink_spark.functions.dedup import fuzzy_near_duplicates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0
+        (2, base.replace("kappa", "kappb")),  # 1-char edit near the end
+        (3, "totally different words with no shared trigrams here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = fuzzy_near_duplicates(
+        df, n=3, min_shared=2, prefix_len=200, threshold=0.5
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.edit_sim for r in out}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.9 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_kmv_distinct_accuracy(spark):
+    """KMV estimate lands within 3 rel-σ (= 3/sqrt(k-2)) of the truth on
+    a 10k-distinct column, and the sketch is the k smallest fractions."""
+    from ddf_flink_spark.functions.sketches import kmv_distinct, kmv_fractions
+
+    n, k = 10_000, 256
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = kmv_distinct(df, "v", k=k).collect()[0]
+    assert est.k == k
+    rel_err = abs(est.est_distinct - n) / n
+    assert rel_err < 3.0 / (k - 2) ** 0.5, rel_err
+    fr = [r.u for r in kmv_fractions(df, "v", k=k).collect()]
+    assert len(fr) == k and fr == sorted(fr) and all(0 < u < 1 for u in fr)
+
+
+def test_kmv_small_range_holds_all_values(spark):
+    """Below k distinct values the sketch holds every distinct hash."""
+    from ddf_flink_spark.functions.sketches import kmv_fractions
+
+    df = spark.range(40).select((F.col("id") % 7).alias("v"))
+    assert kmv_fractions(df, "v", k=256).count() == 7
+
+
+def test_bm25_ranks_term_frequency(spark):
+    """A doc stuffed with the query term outranks one mentioning it once;
+    docs without any query term don't appear; empty query raises."""
+    from ddf_flink_spark.functions.retrieval import bm25_topk
+
+    rows = [
+        (0, "spark spark spark spark runs fast"),
+        (1, "spark is one of many engines here today"),
+        (2, "duck goose swan heron stork crane ibis"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, ["spark"], topk=10).collect()
+    assert [r.doc_id for r in out] == [0, 1]
+    assert out[0].bm25 > out[1].bm25 > 0
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])

@@ -439,6 +439,14 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     "q157_user_profile_similarity": {"cartesian-product"},
     # Genuinely imperative UDTF demo, input capped at 500 docs.
     "q149_udtf_repeated_spans": {"python-row-udf"},
+    # Global-fraction HAVING: the scalar grand-total branch is a 1-row agg.
+    "q172_tpch_q11_important_stock": {"single-partition"},
+    # KMV sketch: final agg folds the k=256-row sketch (O(k) output);
+    # exact-count witness crossJoins a broadcast 1-row frame.
+    "q174_kmv_distinct_sketch": {"single-partition", "cartesian-product"},
+    # BM25: corpus scalars (N, total_tokens) are a broadcast 1-row frame
+    # crossJoined into the scoring side; their agg is the 1-row funnel.
+    "q175_bm25_retrieval": {"single-partition", "cartesian-product"},
 }
 
 
