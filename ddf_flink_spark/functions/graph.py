@@ -19,7 +19,61 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
+
+
+def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
+    """Exact triangle count by DEGREE-ORDERED ORIENTATION [Schank &
+    Wagner 2005; the compact-forward algorithm]: orient every undirected
+    edge from its lower-(degree, id) endpoint to the higher, then count
+    directed paths a→b→c closed by a→c. The orientation makes the wedge
+    join's fan-out per node O(√m) instead of O(max-degree) — the step
+    that keeps the join volume bounded on power-law graphs, where an
+    unoriented wedge enumeration explodes on hub nodes (the 100 TB
+    skew story: a hub with degree 10⁶ contributes 10¹² unoriented
+    wedges but only ~m^{1/2}-bounded oriented ones).
+
+    ``edges`` must carry each undirected edge ONCE (u < v, deduped).
+    Two shuffles (degree agg + orientation join), then two self-joins of
+    the oriented edge list. Returns one row (n_nodes, n_edges,
+    n_triangles). Spark-side twin of the DuckDB oracle in registry q178."""
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges")))
+    )
+    return counts.crossJoin(F.broadcast(tri)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
 
 
 def pagerank(

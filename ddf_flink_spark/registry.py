@@ -6750,15 +6750,18 @@ def q171_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFram
     discipline as the Q9/Q11/Q20 adaptations. The shape is Q2's
     signature: a correlated scalar MIN whose correlation key (p_partkey)
     reaches through a three-table dimension chain, restricted to one
-    region on BOTH sides. Catalyst decorrelates the inner MIN into a
-    grouped aggregate over the region-filtered ps and joins it back on
-    partkey — one extra aggregate, never a per-row rescan — and the
-    region/nation/supplier dims broadcast. ORDER BY ... LIMIT 100 uses a
-    unique tie-broken key (acctbal, nation, supplier, part) so both
-    engines pick identical rows; the unit-price MIN is rounded to 2
-    digits on both sides (IEEE division + MIN are bit-identical
-    cross-engine). Reference has no multi-block dialect at all
-    (TableParser.scala:41-70 single-block grammar)."""
+    region on BOTH sides. The ORACLE keeps the textbook correlated form;
+    the SPARK side is the equivalent single-pass formulation — a
+    correlated scalar MIN whose correlation key is the partition key IS
+    a min-over-window, so instead of letting Catalyst decorrelate into
+    a second derivation of ps (two lineitem scans), ps is derived ONCE
+    and the per-part minimum rides a window over the region-filtered
+    rows (measured: 2 lineitem scans → 1, the dominant cost at scale).
+    ORDER BY ... LIMIT 100 uses a unique tie-broken key (acctbal,
+    nation, supplier, part) so both engines pick identical rows; the
+    unit-price MIN is rounded to 2 digits on both sides (IEEE division
+    + MIN are bit-identical cross-engine). Reference has no multi-block
+    dialect at all (TableParser.scala:41-70 single-block grammar)."""
     _tpch_views(spark, sf_dir, "part", "supplier", "nation", "region", "lineitem")
     return spark.sql(
         """
@@ -6768,22 +6771,24 @@ def q171_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFram
           FROM lineitem
           WHERE l_quantity > 0
           GROUP BY l_partkey, l_suppkey
+        ),
+        eu AS (
+          SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+          FROM ps
+          JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ),
+        best AS (
+          SELECT *, MIN(ps_supplycost) OVER (PARTITION BY ps_partkey)
+                      AS min_cost
+          FROM eu
         )
         SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
-        FROM part
-        JOIN ps       ON p_partkey = ps_partkey
-        JOIN supplier ON s_suppkey = ps_suppkey
-        JOIN nation   ON s_nationkey = n_nationkey
-        JOIN region   ON n_regionkey = r_regionkey
-        WHERE p_type = 'STANDARD' AND p_size <= 15 AND r_name = 'EUROPE'
-          AND ps_supplycost = (
-            SELECT MIN(ps2.ps_supplycost)
-            FROM ps ps2
-            JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
-            JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
-            JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
-            WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
-          )
+        FROM best JOIN part ON p_partkey = ps_partkey
+        WHERE p_type = 'STANDARD' AND p_size <= 15
+          AND ps_supplycost = min_cost
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         LIMIT 100
         """
@@ -7024,3 +7029,116 @@ def q176_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     ).orderBy("grp")
+
+
+@query(
+    "q177_mad_outliers",
+    oracle="""
+    WITH m1 AS (
+      SELECT l_returnflag AS grp, MEDIAN(l_extendedprice) AS med,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    m2 AS (
+      SELECT grp, med, n, MEDIAN(ABS(l_extendedprice - med)) AS mad
+      FROM lineitem JOIN m1 ON l_returnflag = grp
+      GROUP BY grp, med, n
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           ROUND(med, 4) AS med, ROUND(mad, 4) AS mad,
+           CAST(SUM(CASE WHEN ABS(l_extendedprice - med) > 3 * 1.4826 * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem JOIN m2 ON l_returnflag = grp
+    GROUP BY grp, n, med, mad
+    ORDER BY grp
+    """,
+)
+def q177_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST OUTLIER DETECTION by median absolute deviation: per-group
+    exact median, then MAD = median(|x − med|), then count of rows
+    beyond 3·1.4826·MAD (the Gaussian-consistency-scaled robust z
+    threshold) — the data-cleaning archetype where mean/stddev (q118's
+    winsorize twin) would be dragged by the very outliers being hunted.
+    Three grouped passes by construction (each stage needs the previous
+    scalar per group); the per-group results are tiny broadcast frames,
+    so every pass is scan + broadcast join + partial-aggregable
+    median/sum — no corpus-sized shuffle. Exact F.median on both sides
+    (q86 discipline); DuckDB replays identically."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    m1 = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.median(x).alias("med"), F.count(F.lit(1)).alias("n")
+    )
+    j1 = li.join(F.broadcast(m1), li.l_returnflag == m1.grp)
+    m2 = j1.groupBy("grp", "med", "n").agg(
+        F.median(F.abs(x - F.col("med"))).alias("mad")
+    )
+    j2 = li.join(F.broadcast(m2), li.l_returnflag == m2.grp)
+    return (
+        j2.groupBy("grp", "n", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(x - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "q178_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nodes AS (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs),
+    deg AS (SELECT node, COUNT(*) AS d FROM nodes GROUP BY 1),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN u ELSE v END AS a,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN v ELSE u END AS b
+      FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM oriented e1
+            JOIN oriented e2 ON e2.a = e1.b
+            JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def q178_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING (functions/graph.py triangle_count) over the
+    part co-occurrence graph — parts are adjacent when they appear in
+    the same order (the market-basket projection; baskets here max out
+    at 13 items, and at scale the standard guard is a basket-size cap
+    before pair expansion, exactly like q32's stop-shingle bound).
+    Degree-ordered orientation bounds the wedge join to O(m^{3/2})
+    total volume regardless of hub skew — the third member of the graph
+    family (q113/q153 PageRank). DuckDB replays the identical
+    orientation and closure joins."""
+    from .functions.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_count(pairs)

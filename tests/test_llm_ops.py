@@ -522,3 +522,21 @@ def test_bm25_ranks_term_frequency(spark):
     assert out[0].bm25 > out[1].bm25 > 0
     with pytest.raises(ValueError):
         bm25_topk(df, [])
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; C4 (square) has none; a hub star has none —
+    the degree orientation must not lose or double-count any."""
+    from ddf_flink_spark.functions.graph import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], ["u", "v"]
+    )
+    r = triangle_count(k4).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+    square = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], ["u", "v"])
+    assert triangle_count(square).collect()[0].n_triangles == 0
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["u", "v"])
+    assert triangle_count(star).collect()[0].n_triangles == 0

@@ -447,6 +447,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # BM25: corpus scalars (N, total_tokens) are a broadcast 1-row frame
     # crossJoined into the scoring side; their agg is the 1-row funnel.
     "q175_bm25_retrieval": {"single-partition", "cartesian-product"},
+    # Triangle count: the three result scalars are 1-row aggregates
+    # crossJoined as broadcast 1-row frames.
+    "q178_triangle_count": {"single-partition", "cartesian-product"},
 }
 
 
