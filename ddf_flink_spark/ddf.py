@@ -471,6 +471,7 @@ class DDF:
             "minhash": _d.minhash_lsh_candidates,
             "simhash": _d.simhash_near_duplicates,
             "jaccard": _d.jaccard_candidates,
+            "fuzzy": _d.fuzzy_near_duplicates,
         }
         if method not in fns:
             raise ValueError(f"unknown near-dup method {method!r}; one of {sorted(fns)}")
@@ -568,6 +569,37 @@ class DDF:
             ).cast("long").alias("kept_tokens"),
         )
         return self._derive(out, keep_factors=False)
+
+    def distinct_sketch(self, column: str, k: int = 256) -> "DDF":
+        """One-row KMV cardinality estimate (functions/sketches.
+        kmv_distinct) — cross-engine-reproducible; ``approx_count_
+        distinct`` remains the engine-native fast path."""
+        from .functions.sketches import kmv_distinct as _kmv
+
+        return self._derive(_kmv(self._df, column, k), keep_factors=False)
+
+    def search_bm25(
+        self,
+        query_terms: list[str],
+        topk: int = 20,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "DDF":
+        """Top-k BM25 lexical retrieval over this corpus
+        (functions/retrieval.bm25_topk)."""
+        from .functions.retrieval import bm25_topk as _bm25
+
+        return self._derive(
+            _bm25(self._df, query_terms, text_col, id_col, topk=topk),
+            keep_factors=False,
+        )
+
+    def triangle_count(self, u_col: str = "u", v_col: str = "v") -> "DDF":
+        """Exact triangle count of this DDF's undirected edge list
+        (functions/graph.triangle_count; degree-ordered orientation)."""
+        from .functions.graph import triangle_count as _tri
+
+        return self._derive(_tri(self._df, u_col, v_col), keep_factors=False)
 
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":

@@ -357,3 +357,32 @@ def test_round3_llm_facades(mgr, spark):
     )
     codes = {r["id"]: r["codes"] for r in emb.quantize_embeddings().df.collect()}
     assert codes[1] == [127, 0] and codes[2] == [0, 127]
+
+
+def test_new_analytics_facades(mgr, spark):
+    docs = mgr.new_ddf(
+        spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta thetb"),
+                (3, "spark spark spark query engine"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    fuzzy = docs.near_duplicates(
+        method="fuzzy", min_shared=2, prefix_len=100, threshold=0.5
+    ).df.collect()
+    assert [(r.id_a, r.id_b) for r in fuzzy] == [(1, 2)]
+
+    sk = docs.distinct_sketch("doc_id", k=16).df.collect()[0]
+    assert sk.k == 16 and sk.est_distinct > 0
+
+    hits = docs.search_bm25(["spark"], topk=5).df.collect()
+    assert [r.doc_id for r in hits] == [3]
+
+    edges = mgr.new_ddf(
+        spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], "u long, v long")
+    )
+    tri = edges.triangle_count().df.collect()[0]
+    assert (tri.n_edges, tri.n_triangles) == (4, 1)
