@@ -7142,3 +7142,52 @@ def q178_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(pairs)
+
+
+@query(
+    "q179_pandas_udaf_geomean",
+    oracle="""
+    SELECT l_returnflag AS grp,
+           ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS geomean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q179_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM AGGREGATE via Arrow-batched GROUPED-AGG PANDAS UDF: the
+    per-group geometric mean computed inside a vectorized Python
+    aggregate — the one Python-UDF API member the surface didn't yet
+    exercise (q55 covers mapInPandas, q67 applyInPandas, q74 stateful
+    applyInPandasWithState, q149 UDTF). The UDAF is deliberately a
+    function a user CAN'T hand to the built-in agg set as-is; its
+    built-in twin EXP(AVG(LN(x))) is what the oracle replays — and what
+    production code should use (PERF.md: Python aggregation pays Arrow
+    transfer per group batch; built-ins stay in codegen). Partial
+    aggregation does NOT apply to grouped-agg pandas UDFs (full shuffle
+    of raw rows per group) — exactly the scale cost the docstring twin
+    avoids, which is why this entry is a correctness surface, not a
+    headliner."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: the module-wide
+    # `from __future__ import annotations` stringizes type hints, so
+    # Spark's hint-based GROUPED_AGG inference can't see Series->scalar.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a separate
+    # built-in aggregation joined back on the tiny group key
+    gm = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.round(geomean(F.col("l_extendedprice")), 4).alias("geomean")
+    )
+    cnt = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return gm.join(cnt, "grp").orderBy("grp")
