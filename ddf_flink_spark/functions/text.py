@@ -26,6 +26,7 @@ __all__ = [
     "fingerprint",
     "redact_pii",
     "token_chunks",
+    "cdc_chunks",
     "bigram_lm_scores",
     "STOPWORDS",
 ]
@@ -206,6 +207,73 @@ def token_chunks(
             F.concat_ws(" ", piece).alias("chunk_text"),
             F.size(piece).alias("chunk_tokens"),
         )
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    divisor: int = 8,
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING: split each document at positions where
+    the rolling hash of the trailing ``window`` tokens is ≡ 0 mod
+    ``divisor`` — the dedup-friendly chunking discipline (rsync/LBFS
+    lineage): because boundaries depend only on LOCAL content, inserting
+    a paragraph shifts at most the chunks it touches, so unchanged
+    regions keep their fingerprints — unlike fixed-stride chunks
+    (:func:`token_chunks`/q164), where one inserted token re-fingerprints
+    every downstream chunk of the document.
+
+    Expected chunk length is ``divisor`` tokens. The "rolling hash" is
+    the cross-engine md5 of each token 4-gram (built shingle-style via
+    zipped shifted slices — zero HOFs), a boundary cut AFTER the gram's
+    last token; chunk membership is a per-document prefix sum of
+    boundary flags (window frame ending 1 PRECEDING), and chunk text
+    reassembles via ``array_sort(collect_list(struct(pos, tok)))`` +
+    field extraction — all codegen'd. Work is linear in corpus tokens;
+    the only shuffles are the per-document window and the (id, chunk)
+    groupBy, both partitioned by doc — no cross-document traffic.
+
+    Returns (id, chunk_id, chunk_text, n_toks, fp) — fp is the md5 hex
+    of the chunk text, the cross-document dedup key (registry q180 rolls
+    shared-chunk stats from it)."""
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_long
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    m = F.greatest(F.size(toks) - (window - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(window)])
+    grams = df.select(
+        F.col(id_col).alias("id"), F.posexplode(zipped).alias("j", "z")
+    ).select(
+        "id",
+        (F.col("j") + window - 1).alias("pos"),
+        F.concat_ws(" ", *[F.col(f"z.{i}") for i in range(window)]).alias("g"),
+    )
+    flags = grams.select(
+        "id", "pos", (md5_long(F.col("g")) % divisor == 0).cast("int").alias("b")
+    )
+    tokrows = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    assigned = (
+        tokrows.join(flags, ["id", "pos"], "left")
+        .withColumn("chunk_id", F.coalesce(F.sum("b").over(w), F.lit(0)))
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "tok")))
+    return (
+        assigned.groupBy("id", "chunk_id")
+        .agg(
+            F.array_join(ordered.getField("tok"), " ").alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+        .withColumn("fp", F.md5("chunk_text"))
     )
 
 

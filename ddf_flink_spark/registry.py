@@ -7191,3 +7191,73 @@ def q179_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n")
     )
     return gm.join(cnt, "grp").orderBy("grp")
+
+
+@query(
+    "q180_content_defined_chunking",
+    oracle="""
+    WITH docs AS (SELECT doc_id AS id, STRING_SPLIT(LOWER(text), ' ') AS ts
+                  FROM documents),
+    toks AS (
+      SELECT id, i - 1 AS pos, ts[i] AS tok
+      FROM docs, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts))) AS i) s
+    ),
+    flags AS (
+      SELECT id, i + 2 AS pos,
+             CASE WHEN CAST(('0x' || SUBSTRING(md5(
+                      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+                    ), 1, 15)) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS b
+      FROM docs, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 3)) AS i) s
+      WHERE LEN(ts) >= 4
+    ),
+    jt AS (
+      SELECT t.id, t.pos, t.tok, COALESCE(f.b, 0) AS b
+      FROM toks t LEFT JOIN flags f ON f.id = t.id AND f.pos = t.pos
+    ),
+    ch AS (
+      SELECT id, pos, tok,
+             COALESCE(SUM(b) OVER (PARTITION BY id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM jt
+    ),
+    chunks AS (
+      SELECT id, chunk_id, STRING_AGG(tok, ' ' ORDER BY pos) AS chunk_text,
+             COUNT(*) AS n_toks
+      FROM ch GROUP BY 1, 2
+    ),
+    fps AS (SELECT id, md5(chunk_text) AS fp, n_toks FROM chunks),
+    freq AS (SELECT fp, COUNT(DISTINCT id) AS nd FROM fps GROUP BY 1)
+    SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM fps JOIN freq USING (fp)
+    GROUP BY 1 ORDER BY doc_id
+    """,
+)
+def q180_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING + cross-document shared-chunk rollup
+    (functions/text.cdc_chunks): rolling-md5 boundaries (expected chunk
+    = 8 tokens), chunk fingerprints, and a per-document report of how
+    much of the doc is duplicated elsewhere — the insertion-robust
+    complement to q164's fixed-stride boilerplate dedup: a one-token
+    insertion re-fingerprints O(1) chunks here vs O(doc) there. The
+    chunk-frequency join is the only cross-document stage and it
+    carries (fp, id) pairs only. DuckDB replays boundaries, prefix-sum
+    chunk assignment, STRING_AGG reassembly, and the dedup rollup
+    exactly."""
+    from .functions.text import cdc_chunks
+
+    d = t(spark, sf_dir, "documents")
+    chunks = cdc_chunks(d, window=4, divisor=8)
+    freq = chunks.groupBy("fp").agg(F.countDistinct("id").alias("nd"))
+    return (
+        chunks.join(freq, "fp")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("nd") > 1).cast("long")).cast("long").alias("n_shared_chunks"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

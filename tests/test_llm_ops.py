@@ -540,3 +540,32 @@ def test_triangle_count_known_graphs(spark):
 
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["u", "v"])
     assert triangle_count(star).collect()[0].n_triangles == 0
+
+
+def test_cdc_chunks_insertion_locality(spark):
+    """The CDC property: inserting one token near the front changes only
+    the chunk(s) around the edit — most fingerprints survive, whereas
+    fixed-stride chunking would shift every downstream chunk."""
+    from ddf_flink_spark.functions.text import cdc_chunks
+
+    import random
+    rng = random.Random(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = [rng.choice(words) for _ in range(400)]
+    edited = base[:5] + ["INSERTED"] + base[5:]
+    df = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(edited))], ["doc_id", "text"]
+    )
+    rows = cdc_chunks(df, window=4, divisor=8).collect()
+    fps = {0: set(), 1: set()}
+    for r in rows:
+        fps[r.id].add(r.fp)
+    n_base = len(fps[0])
+    shared = len(fps[0] & fps[1])
+    # all but the chunk(s) covering the edit keep their fingerprints
+    assert shared >= n_base - 3, (n_base, shared)
+    # token conservation: every token lands in exactly one chunk
+    tok_sum = {r.id: 0 for r in rows}
+    for r in rows:
+        tok_sum[r.id] += r.n_toks
+    assert tok_sum == {0: 400, 1: 401}
