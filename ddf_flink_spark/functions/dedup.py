@@ -62,6 +62,22 @@ def md5_long(col: Column | str, salt: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+# Cross-engine MinHash rehash family: affine maps mod the Mersenne prime
+# 2^31 - 1 over base = md5_long(shingle) % P. All operands stay < 2^62,
+# so BIGINT arithmetic is exact (no overflow) in any engine. The (a, b)
+# constants are plan-time literals derived from Knuth/Numerical-Recipes
+# multipliers; a_i is never 0 mod P.
+MINHASH_MERSENNE_P = 2**31 - 1
+
+
+def _minhash_a(i: int) -> int:
+    return ((2 * i + 1) * 2654435761) % MINHASH_MERSENNE_P
+
+
+def _minhash_b(i: int) -> int:
+    return (i * 1013904223) % MINHASH_MERSENNE_P
+
+
 # ------------------------------------------------------------------- exact
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of identical (normalized) documents: fingerprint → groupBy.
@@ -247,15 +263,22 @@ def minhash_signatures(
     xxhash64 is ~10× cheaper than string hashing, so signature cost is
     ~O(shingles) rather than O(k·shingles) string hashes).
 
-    ``hash_family="md5"`` switches to the cross-engine ``md5_long`` family
-    (h_i = md5_long of ``"i:" + shingle``) so an external engine — the
-    DuckDB oracle, or any other system sharing a corpus — reproduces the
-    signatures bit-for-bit. Slower (k string hashes per shingle); use for
-    interchange and verification, xx for production scale."""
+    ``hash_family="md5"`` switches to the cross-engine family: ONE
+    ``md5_long`` per shingle, then k affine integer rehashes
+    ``h_i = (a_i·(base mod P) + b_i) mod P`` with P = 2³¹−1 and
+    plan-time literal (a_i, b_i) — pure BIGINT arithmetic any engine
+    replays exactly (the same one-string-hash discipline as the xx
+    family; the earlier k-md5s-per-shingle formulation measured ~2.4×
+    slower at sf0.1 on the full q152 pipeline). Use md5 for interchange
+    and verification, xx for production scale."""
     sh = exploded_shingles(df, text_col, id_col, shingle_n)
     if hash_family == "md5":
+        p = MINHASH_MERSENNE_P
+        base = md5_long(F.col("g")) % F.lit(p)
         mins = [
-            F.min(md5_long(F.col("g"), salt=i)).alias(f"h{i}")
+            F.min(
+                (F.lit(_minhash_a(i)) * base + F.lit(_minhash_b(i))) % F.lit(p)
+            ).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     else:

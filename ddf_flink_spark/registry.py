@@ -5143,7 +5143,9 @@ def _q144_oracle() -> str:
     ),
     hm AS (
       SELECT doc_id, i,
-             MIN(CAST(('0x' || SUBSTRING(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT)) AS h
+             MIN(((((2*i + 1) * 2654435761) % 2147483647)
+                  * (CAST(('0x' || SUBSTRING(md5(g), 1, 15)) AS BIGINT) % 2147483647)
+                  + (i * 1013904223) % 2147483647) % 2147483647) AS h
       FROM sh, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS i) hh
       GROUP BY doc_id, i
     ),
@@ -5570,7 +5572,9 @@ def q151_srp_lsh_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hm AS (
       SELECT doc_id, i,
-             MIN(CAST(('0x' || SUBSTRING(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT)) AS h
+             MIN(((((2*i + 1) * 2654435761) % 2147483647)
+                  * (CAST(('0x' || SUBSTRING(md5(g), 1, 15)) AS BIGINT) % 2147483647)
+                  + (i * 1013904223) % 2147483647) % 2147483647) AS h
       FROM sh, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS i) hh
       GROUP BY doc_id, i
     ),
