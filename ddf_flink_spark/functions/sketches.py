@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 
 from .dedup import md5_long
 
-__all__ = ["kmv_fractions", "kmv_distinct"]
+__all__ = [
+    "kmv_fractions",
+    "kmv_distinct",
+    "countmin_counters",
+    "countmin_estimate",
+]
 
 # md5_long yields 60-bit values in [0, 2^60); +1 and dividing by 2^60+1
 # maps them into (0, 1) exclusive — u = 0 would make the estimator
@@ -58,4 +63,76 @@ def kmv_distinct(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
     return kmv_fractions(df, col, k).agg(
         F.lit(k).cast("long").alias("k"),
         F.round((F.lit(k) - 1) / F.max("u"), 4).alias("est_distinct"),
+    )
+
+
+def _cm_bucket_col(base_mod_p: Column, r: int, width: int) -> Column:
+    """Row-r bucket: the MinHash affine family reapplied, then % width."""
+    from .dedup import MINHASH_MERSENNE_P, _minhash_a, _minhash_b
+
+    return (
+        (F.lit(_minhash_a(r)) * base_mod_p + F.lit(_minhash_b(r)))
+        % F.lit(MINHASH_MERSENNE_P)
+    ) % F.lit(width)
+
+
+def countmin_counters(
+    df: DataFrame, col: str | Column, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """COUNT-MIN SKETCH counter table [Cormode & Muthukrishnan 2005]:
+    ``depth`` independent hash rows of ``width`` counters each;
+    counter(r, c) = #items whose row-r hash lands in bucket c. Point
+    estimate for any key = min over rows of its counters — always an
+    OVERestimate (collisions only add), with ε ≈ e/width relative to
+    the stream mass at δ ≈ e^-depth confidence.
+
+    Cross-engine by construction: base = md5_long(key) once, row hashes
+    from the same affine mod-Mersenne family as the MinHash md5 path —
+    DuckDB rebuilds the identical counter table. The sketch is depth×width
+    integers, trivially mergeable by cell-wise addition (the property
+    that makes CMS the per-partition/per-day heavy-hitter accumulator
+    at 100 TB: sketch each shard, add the grids). One explode (depth
+    rows/item) + one groupBy on (r, bucket) — bounded output whatever
+    the corpus size. q108's exact groupBy heavy-hitters is the
+    small-corpus twin."""
+    from .dedup import MINHASH_MERSENNE_P, md5_long
+
+    c = F.col(col) if isinstance(col, str) else col
+    base = md5_long(c.cast("string")) % F.lit(MINHASH_MERSENNE_P)
+    rows = F.array(*[_cm_bucket_col(base, r, width) for r in range(depth)])
+    return (
+        df.select(F.posexplode(rows).alias("r", "bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_estimate(
+    spark,
+    counters: DataFrame,
+    probe_keys: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``probe_keys`` from a
+    :func:`countmin_counters` table: min over the key's depth counters
+    (missing counter cell → 0). The probe buckets are computed
+    DRIVER-SIDE with hashlib's md5 (bit-identical to ``md5_long``; see
+    test_md5_long_matches_hashlib) so the probe frame is a tiny literal
+    broadcast — the counter table is never rescanned per key."""
+    import hashlib
+
+    from .dedup import MINHASH_MERSENNE_P, _minhash_a, _minhash_b
+
+    rows = []
+    for k in probe_keys:
+        base = int(hashlib.md5(k.encode()).hexdigest()[:15], 16) % MINHASH_MERSENNE_P
+        for r in range(depth):
+            b = ((_minhash_a(r) * base + _minhash_b(r)) % MINHASH_MERSENNE_P) % width
+            rows.append((k, r, b))
+    probes = spark.createDataFrame(rows, "key string, r int, bucket int")
+    return (
+        probes.join(counters, ["r", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
     )

@@ -7265,3 +7265,206 @@ def q180_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q181_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROUND(SUM(value), 4) AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+      GROUP BY 1, 2
+    ),
+    new AS (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROUND(SUM(value), 4) AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-04'
+      GROUP BY 1, 2
+    ),
+    diff AS (
+      SELECT COALESCE(o.user_id, n2.user_id) AS user_id,
+             CASE
+               WHEN o.user_id IS NULL THEN 'added'
+               WHEN n2.user_id IS NULL THEN 'removed'
+               WHEN o.n != n2.n OR o.sum_value != n2.sum_value THEN 'changed'
+               ELSE 'unchanged'
+             END AS change_type
+      FROM old o FULL OUTER JOIN new n2
+        ON o.user_id = n2.user_id AND o.event_type = n2.event_type
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(user_id) AS BIGINT) AS user_id_checksum
+    FROM diff GROUP BY 1 ORDER BY 1
+    """,
+)
+def q181_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF — the CDC/table-diff archetype: aggregate two time
+    windows of the fact stream to the same (user, event_type) profile
+    grain, FULL OUTER join on the key, and classify every key as
+    added / removed / changed / unchanged (the q115 SCD2 twin looks
+    forward — applying deltas; this looks backward — deriving them).
+    One shuffle per snapshot on the profile key plus the co-partitioned
+    outer join; at scale both snapshots hash-partition on the same key,
+    so AQE plans the join shuffle-free on the already-partitioned aggs.
+    Time predicates push to the scan. float sums are rounded before the
+    equality test on both sides so fp summation order can't flip a
+    'changed' verdict."""
+    ev = t(spark, sf_dir, "events")
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        return (
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+
+    o = snap("2024-01-02", "2024-01-03").alias("o")
+    n2 = snap("2024-01-03", "2024-01-04").alias("n2")
+    joined = o.join(
+        n2,
+        (F.col("o.user_id") == F.col("n2.user_id"))
+        & (F.col("o.event_type") == F.col("n2.event_type")),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("o.user_id").isNull(), "added")
+        .when(F.col("n2.user_id").isNull(), "removed")
+        .when(
+            (F.col("o.n") != F.col("n2.n"))
+            | (F.col("o.sum_value") != F.col("n2.sum_value")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.user_id"), F.col("n2.user_id")).alias("user_id"),
+            change.alias("change_type"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("user_id").cast("long").alias("user_id_checksum"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@query(
+    "q182_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(MEDIAN(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_med
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q182_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING MEDIAN per user over a trailing 7-event window — robust
+    time-series smoothing (the windowed twin of q177's MAD: a level
+    estimate outliers can't drag). Spark forbids median with a window
+    FRAME, so the frame's values ride ``collect_list`` over the window
+    (bounded: ≤ 7 elements), are ``array_sort``ed, and the median is
+    picked/averaged by parity — all codegen'd array expressions, cost
+    O(frame·log frame) per row with a constant frame. One shuffle
+    (partition by user); order key (ts, event_id) is unique so frame
+    contents are engine-deterministic. DuckDB runs its native framed
+    MEDIAN over the same ordering."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid = (n + 1) / 2
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, mid.cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        )
+        / 2
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(med, 4).alias("rolling_med")
+    ).orderBy("event_id")
+
+
+@query(
+    "q183_countmin_sketch",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(('0x' || SUBSTRING(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2147483647 AS b
+      FROM lineitem
+    ),
+    counters AS (
+      SELECT r,
+             ((((2*r + 1) * 2654435761) % 2147483647) * b
+              + (r * 1013904223) % 2147483647) % 2147483647 % 1024 AS bucket,
+             COUNT(*) AS c
+      FROM base, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS r) s
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT k,
+             CAST(('0x' || SUBSTRING(md5(k), 1, 15)) AS BIGINT) % 2147483647 AS pb
+      FROM (VALUES ('1'), ('42'), ('500'), ('1999'), ('123456789')) t(k)
+    ),
+    pb AS (
+      SELECT k, r,
+             ((((2*r + 1) * 2654435761) % 2147483647) * pb
+              + (r * 1013904223) % 2147483647) % 2147483647 % 1024 AS bucket
+      FROM probes, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS r) s
+    ),
+    est AS (
+      SELECT k AS key, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est
+      FROM pb LEFT JOIN counters USING (r, bucket)
+      GROUP BY 1
+    )
+    SELECT key, est,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE CAST(l_partkey AS VARCHAR) = key) AS true_n
+    FROM est ORDER BY key
+    """,
+)
+def q183_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH point-frequency estimates
+    (functions/sketches.countmin_counters/estimate): a 4×1024 counter
+    grid over l_partkey, probed for five keys (incl. one absent), with
+    the exact counts alongside — every row witnesses the CMS guarantee
+    est ≥ true. Same affine mod-Mersenne hash family as the MinHash md5
+    path, so DuckDB rebuilds the identical grid; the grid is mergeable
+    by cell-wise addition (the shard-then-add accumulator shape for
+    100 TB streams, where q108's exact heavy-hitter groupBy is the
+    bounded-cardinality twin)."""
+    from .functions.sketches import countmin_counters, countmin_estimate
+
+    li = t(spark, sf_dir, "lineitem")
+    keys = ["1", "42", "500", "1999", "123456789"]
+    counters = countmin_counters(li, "l_partkey", depth=4, width=1024)
+    est = countmin_estimate(spark, counters, keys, depth=4, width=1024)
+    truth = (
+        li.select(F.col("l_partkey").cast("string").alias("key"))
+        .filter(F.col("key").isin(keys))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("tn"))
+    )
+    return (
+        est.join(F.broadcast(truth), "key", "left")
+        .select(
+            "key",
+            "est",
+            F.coalesce(F.col("tn"), F.lit(0)).cast("long").alias("true_n"),
+        )
+        .orderBy("key")
+    )

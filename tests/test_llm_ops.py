@@ -569,3 +569,23 @@ def test_cdc_chunks_insertion_locality(spark):
     for r in rows:
         tok_sum[r.id] += r.n_toks
     assert tok_sum == {0: 400, 1: 401}
+
+
+def test_countmin_upper_bound_property(spark):
+    """CMS estimates are always >= truth, and with a grid much larger
+    than the key space they are exact for every probed key."""
+    from ddf_flink_spark.functions.sketches import (
+        countmin_counters,
+        countmin_estimate,
+    )
+
+    df = spark.range(3000).select((F.col("id") % 100).alias("v"))
+    counters = countmin_counters(df, "v", depth=4, width=1024)
+    est = {
+        r.key: r.est
+        for r in countmin_estimate(
+            spark, counters, ["0", "57", "99", "12345"], depth=4, width=1024
+        ).collect()
+    }
+    assert est["0"] == 30 and est["57"] == 30 and est["99"] == 30
+    assert est["12345"] >= 0  # absent key: bounded above by collisions only
