@@ -7468,3 +7468,93 @@ def q183_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@query(
+    "q184_stream_countmin",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(('0x' || SUBSTRING(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2147483647 AS b
+      FROM lineitem
+    ),
+    counters AS (
+      SELECT r,
+             ((((2*r + 1) * 2654435761) % 2147483647) * b
+              + (r * 1013904223) % 2147483647) % 2147483647 % 1024 AS bucket,
+             COUNT(*) AS c
+      FROM base, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS r) s
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c) AS BIGINT) AS total_mass,
+           CAST(MAX(c) AS BIGINT) AS max_cell,
+           CAST(SUM(c * c) AS BIGINT) AS l2_checksum
+    FROM counters
+    """,
+)
+def q184_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SKETCH MAINTENANCE: the count-min grid built
+    INCREMENTALLY over a micro-batched stream of key shards
+    (foreachBatch: per-batch grid, cell-wise ADD into the accumulator —
+    the mergeability that makes CMS the right shape for continuous
+    100 TB streams: per-batch work is one bounded groupBy, carried state
+    is the 4×1024 grid, never the keys) — and the final grid must equal
+    the single-pass batch grid, which is what the oracle rebuilds. The
+    driver-side accumulator is O(grid) = 4096 cells by construction —
+    a documented exception to the no-driver-state rule, because the
+    sketch IS the bounded state. Grid equality is asserted cell-wise
+    in-query (not just on the rollup): a mismatch nulls the checksum."""
+    import tempfile
+    import uuid
+    from collections import defaultdict
+
+    from .functions.sketches import countmin_counters
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+    tmp = tempfile.mkdtemp(prefix="q184_cms_stream_")
+    li.repartition(8).write.mode("overwrite").parquet(f"{tmp}/landing")
+
+    acc: dict[tuple[int, int], int] = defaultdict(int)
+
+    def merge_batch(bdf: DataFrame, epoch: int) -> None:
+        for row in countmin_counters(bdf, "l_partkey", 4, 1024).collect():
+            acc[(row.r, row.bucket)] += row.c
+
+    stream = (
+        spark.readStream.schema("l_partkey bigint")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(f"{tmp}/landing")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cms_"))
+        .queryName(f"cms_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.createDataFrame(
+        [(r, b, c) for (r, b), c in acc.items()], "r int, bucket int, c long"
+    )
+    batch = countmin_counters(li, "l_partkey", 4, 1024)
+    # cell-wise equality with the batch grid: any diverging cell would
+    # survive the full-outer join with unequal counts and null the sums
+    diverged = (
+        streamed.alias("s")
+        .join(batch.alias("b2"), ["r", "bucket"], "full_outer")
+        .filter(
+            F.col("s.c").isNull()
+            | F.col("b2.c").isNull()
+            | (F.col("s.c") != F.col("b2.c"))
+        )
+    )
+    assert diverged.count() == 0, "streamed CMS grid diverged from batch"
+    return streamed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("c").cast("long").alias("total_mass"),
+        F.max("c").cast("long").alias("max_cell"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("l2_checksum"),
+    )

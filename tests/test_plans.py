@@ -450,6 +450,8 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # Triangle count: the three result scalars are 1-row aggregates
     # crossJoined as broadcast 1-row frames.
     "q178_triangle_count": {"single-partition", "cartesian-product"},
+    # Streaming CMS: final 1-row rollup folds the 4096-cell grid.
+    "q184_stream_countmin": {"single-partition"},
 }
 
 
