@@ -32,6 +32,7 @@ __all__ = [
     "ivf_build",
     "ivf_topk",
     "quantize_embeddings",
+    "pca_power_iteration",
 ]
 
 
@@ -376,3 +377,100 @@ def quantize_embeddings(
         .cast("int"),
     )
     return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def pca_power_iteration(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 2,
+) -> DataFrame:
+    """Top principal component of the embedding cloud by POWER ITERATION
+    — the spectral member of the embedding-analytics family (centroids,
+    ANN, quantization): v ← normalize(Xᶜᵀ(Xᶜ v)), Xᶜ the centered data,
+    started from the uniform unit vector. Each iteration is TWO linear
+    passes (per-vector score s = xᶜ·v, then per-dimension y = Σ s·xᶜ) —
+    the covariance matrix is NEVER materialized, which is the point at
+    scale: O(n·d) work and O(d) state per round instead of O(d²)
+    anything; the exploded (id, dim, value) frame is loop-invariant and
+    localCheckpointed once.
+
+    Cross-engine determinism (the q146/q162 discipline, applied to
+    every float reduction): inputs are pre-rounded to 6 digits, all
+    sums (mean, dot, projection, norm) run over round-9 products in
+    DECIMAL — exact and order-independent — and v re-rounds to 6 after
+    each normalization, so any engine replays the identical trajectory.
+    The O(d) centroid-style driver collect per round is the bounded
+    exception the kmeans path documents.
+
+    Returns d rows: (dim, loading, eigval) — loading the round-6
+    component, eigval the Rayleigh estimate ‖Xᶜᵀ Xᶜ v‖/n of the top
+    covariance eigenvalue (round 4), identical on every row."""
+    dim_n = len(df.select(vec_col).first()[0])
+    n_rows = df.count()
+
+    exploded = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+        )
+        .select("id", "dim", F.round(F.col("x"), 6).alias("xr"))
+        .localCheckpoint()
+    )
+    mu = exploded.groupBy("dim").agg(
+        (
+            F.sum(F.col("xr").cast("decimal(18,6)")).cast("double") / F.lit(n_rows)
+        ).alias("mu")
+    )
+    centered = (
+        exploded.join(F.broadcast(mu), "dim")
+        .select("id", "dim", (F.col("xr") - F.col("mu")).alias("c"))
+        .localCheckpoint()
+    )
+
+    v = [round(1.0 / dim_n**0.5, 6)] * dim_n
+    eigval = None
+    for _ in range(iters):
+        v_arr = F.array(*[F.lit(float(x)) for x in v])
+        s = (
+            centered.withColumn("v_d", F.element_at(v_arr, F.col("dim") + 1))
+            .groupBy("id")
+            .agg(
+                F.sum(
+                    F.round(F.col("c") * F.col("v_d"), 9).cast("decimal(30,9)")
+                )
+                .cast("double")
+                .alias("s")
+            )
+        )
+        y = (
+            centered.join(s, "id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("c") * F.col("s"), 9).cast("decimal(30,9)")
+                )
+                .cast("double")
+                .alias("y")
+            )
+        )
+        norm = y.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("y") * F.col("y"), 9).cast("decimal(38,9)"))
+                .cast("double")
+            ).alias("nrm")
+        )
+        rows = (
+            y.crossJoin(F.broadcast(norm))
+            .select("dim", F.round(F.col("y") / F.col("nrm"), 6).alias("vd"))
+            .collect()
+        )
+        nrm_val = norm.collect()[0]["nrm"]
+        eigval = round(nrm_val / n_rows, 4)
+        v = [0.0] * dim_n
+        for r in rows:
+            v[r["dim"]] = r["vd"]
+
+    out = [(d_, float(v[d_]), float(eigval)) for d_ in range(dim_n)]
+    spark = df.sparkSession
+    return spark.createDataFrame(out, "dim int, loading double, eigval double")

@@ -7558,3 +7558,71 @@ def q184_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("long").alias("max_cell"),
         F.sum(F.col("c") * F.col("c")).cast("long").alias("l2_checksum"),
     )
+
+
+@query(
+    "q185_pca_power_iteration",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id AS id, i - 1 AS dim,
+             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS xr
+      FROM embeddings,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i) s
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    mu AS (
+      SELECT dim, CAST(SUM(CAST(xr AS DECIMAL(18,6))) AS DOUBLE) / nn.n AS mu
+      FROM ex, nn GROUP BY dim, nn.n
+    ),
+    c AS (SELECT id, ex.dim, xr - mu AS c FROM ex JOIN mu USING (dim)),
+    s1 AS (
+      SELECT id,
+             CAST(SUM(CAST(ROUND(c * 0.125, 9) AS DECIMAL(30,9))) AS DOUBLE) AS s
+      FROM c GROUP BY id
+    ),
+    y1 AS (
+      SELECT dim,
+             CAST(SUM(CAST(ROUND(c.c * s1.s, 9) AS DECIMAL(30,9))) AS DOUBLE) AS y
+      FROM c JOIN s1 USING (id) GROUP BY dim
+    ),
+    n1 AS (
+      SELECT SQRT(CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(38,9))) AS DOUBLE))
+               AS nrm
+      FROM y1
+    ),
+    v1 AS (SELECT dim, ROUND(y / nrm, 6) AS vd FROM y1, n1),
+    s2 AS (
+      SELECT id,
+             CAST(SUM(CAST(ROUND(c.c * v1.vd, 9) AS DECIMAL(30,9))) AS DOUBLE) AS s
+      FROM c JOIN v1 USING (dim) GROUP BY id
+    ),
+    y2 AS (
+      SELECT dim,
+             CAST(SUM(CAST(ROUND(c.c * s2.s, 9) AS DECIMAL(30,9))) AS DOUBLE) AS y
+      FROM c JOIN s2 USING (id) GROUP BY dim
+    ),
+    n2 AS (
+      SELECT SQRT(CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(38,9))) AS DOUBLE))
+               AS nrm
+      FROM y2
+    ),
+    v2 AS (SELECT dim, ROUND(y / nrm, 6) AS vd FROM y2, n2)
+    SELECT CAST(v2.dim AS INT) AS dim, v2.vd AS loading,
+           ROUND(n2.nrm / nn.n, 4) AS eigval
+    FROM v2, n2, nn ORDER BY dim
+    """,
+)
+def q185_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding cloud
+    (functions/similarity.pca_power_iteration): two power-iteration
+    rounds, covariance NEVER materialized — each round is two linear
+    passes (per-vector projection, per-dim back-projection) with O(d)
+    carried state, the spectral analog of the deterministic-Lloyd
+    discipline (q146). Every float reduction is a DECIMAL sum of
+    round-9 products and v re-rounds to 6 per round, so DuckDB replays
+    the exact trajectory — loadings AND Rayleigh eigenvalue match to
+    the last digit. v₀ = uniform 1/√64 = 0.125 exactly."""
+    from .functions.similarity import pca_power_iteration
+
+    e = t(spark, sf_dir, "embeddings")
+    return pca_power_iteration(e, "embedding", "vec_id", iters=2)

@@ -589,3 +589,21 @@ def test_countmin_upper_bound_property(spark):
     }
     assert est["0"] == 30 and est["57"] == 30 and est["99"] == 30
     assert est["12345"] >= 0  # absent key: bounded above by collisions only
+
+
+def test_pca_power_iteration_recovers_planted_direction(spark):
+    """Vectors spread along axis 0 with small noise on axis 1: the top
+    component concentrates on dim 0 and the eigenvalue approximates the
+    axis-0 variance; the loading vector is unit-norm."""
+    from ddf_flink_spark.functions.similarity import pca_power_iteration
+
+    rows = [(i, [float(i - 10), 0.01 * (i % 3 - 1), 0.0, 0.0]) for i in range(21)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_power_iteration(df, iters=2).collect()
+    load = {r.dim: r.loading for r in out}
+    assert abs(abs(load[0]) - 1.0) < 1e-3
+    assert all(abs(load[d]) < 0.05 for d in (1, 2, 3))
+    var0 = sum((i - 10) ** 2 for i in range(21)) / 21
+    assert abs(out[0].eigval - var0) / var0 < 0.05
+    norm = sum(v * v for v in load.values()) ** 0.5
+    assert abs(norm - 1.0) < 1e-3
