@@ -601,6 +601,47 @@ class DDF:
 
         return self._derive(_tri(self._df, u_col, v_col), keep_factors=False)
 
+    def cdc_chunks(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        window: int = 4,
+        divisor: int = 8,
+    ) -> "DDF":
+        """Content-defined chunks with md5 fingerprints
+        (functions/text.cdc_chunks; insertion-robust boundaries)."""
+        from .functions.text import cdc_chunks as _cdc
+
+        return self._derive(
+            _cdc(self._df, text_col, id_col, window, divisor), keep_factors=False
+        )
+
+    def frequency_estimates(
+        self, column: str, probe_keys: list[str], depth: int = 4, width: int = 1024
+    ) -> "DDF":
+        """Count-min point-frequency estimates for ``probe_keys``
+        (functions/sketches.countmin_counters/estimate; est ≥ true)."""
+        from .functions.sketches import countmin_counters, countmin_estimate
+
+        counters = countmin_counters(self._df, column, depth, width)
+        return self._derive(
+            countmin_estimate(
+                self._df.sparkSession, counters, probe_keys, depth, width
+            ),
+            keep_factors=False,
+        )
+
+    def pca_top_component(
+        self, vec_col: str = "embedding", id_col: str = "vec_id", iters: int = 2
+    ) -> "DDF":
+        """Top principal component by power iteration
+        (functions/similarity.pca_power_iteration)."""
+        from .functions.similarity import pca_power_iteration as _pca
+
+        return self._derive(
+            _pca(self._df, vec_col, id_col, iters), keep_factors=False
+        )
+
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":
         """Mark categorical (core setAsFactor; ``BinningHandlerSpec.scala:19-22``)."""

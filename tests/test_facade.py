@@ -386,3 +386,31 @@ def test_new_analytics_facades(mgr, spark):
     )
     tri = edges.triangle_count().df.collect()[0]
     assert (tri.n_edges, tri.n_triangles) == (4, 1)
+
+
+def test_round3_sketch_and_spectral_facades(mgr, spark):
+    docs = mgr.new_ddf(
+        spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta eta theta " * 3)
+             for i in range(4)],
+            "doc_id long, text string",
+        )
+    )
+    chunks = docs.cdc_chunks().df
+    assert {"id", "chunk_id", "chunk_text", "n_toks", "fp"} <= set(chunks.columns)
+    assert chunks.count() >= 4
+
+    est = {
+        r.key: r.est
+        for r in docs.frequency_estimates("doc_id", ["0", "3", "99"]).df.collect()
+    }
+    assert est["0"] == 1 and est["3"] == 1
+
+    emb = mgr.new_ddf(
+        spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(8)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    pc = emb.pca_top_component().df.collect()
+    assert abs(abs(pc[0].loading) - 1.0) < 1e-3
