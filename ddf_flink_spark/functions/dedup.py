@@ -24,7 +24,7 @@ shingle); the cross-engine-stable fingerprint path uses MD5 (see
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint
@@ -35,6 +35,7 @@ __all__ = [
     "word_shingles",
     "exploded_shingles",
     "jaccard_candidates",
+    "prefix_filter_jaccard",
     "fuzzy_near_duplicates",
     "md5_long",
     "minhash_signatures",
@@ -181,6 +182,86 @@ def jaccard_candidates(
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prefix_filter_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact token-set Jaccard join with PREFIX FILTERING [Chaudhuri et
+    al. 2006 SSJoin; Xiao et al. 2008 PPJoin]: order each document's
+    distinct tokens by global rarity (corpus frequency asc, token asc)
+    and index only its PREFIX of length |d| − ⌈t·|d|⌉ + 1 — any pair
+    with Jaccard ≥ t must share at least one prefix token, so the
+    inverted index shrinks from every posting to the rare head of each
+    document while remaining lossless. The candidate-space win scales
+    with the VOCABULARY'S FREQUENCY SKEW — the rarest tokens have the
+    shortest postings and only those are joined. On a Zipfian corpus
+    with doc-specific rare tokens the cut is dramatic (unit test:
+    1830 → 1 candidate pairs, identical output); on the synthetic
+    testdata corpus, whose ~100-word vocabulary has NO rare tokens,
+    the measured cut is only ~1% (124,745 → 123,582 pairs at t=0.7) —
+    prefix filtering is the natural-text scale path, not a win on
+    skew-free vocabularies.
+
+    No global token rank is materialized: the per-document ordering
+    uses the (freq, token) key directly in a per-doc window, so the
+    vocabulary is never funneled through one partition. Candidates are
+    verified with the exact shared-token count over the full posting
+    list, restricted by semi-join to candidate docs.
+
+    Returns (id_a, id_b, jaccard) — identical output to the unfiltered
+    exact join, which is what the registry oracle (q186) computes."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias(
+            "tok"
+        ),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    wdoc = Window.partitionBy("id").orderBy(F.col("tf").asc(), F.col("tok").asc())
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("pos", F.row_number().over(wdoc))
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "tok")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cdocs = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    ctoks = toks.join(cdocs, "id", "left_semi")
+    shared = (
+        ctoks.alias("a")
+        .join(ctoks.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("sh"))
+        .join(cand, ["id_a", "id_b"], "left_semi")
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("sh") / (F.col("sz_a") + F.col("sz_b") - F.col("sh")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

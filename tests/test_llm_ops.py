@@ -607,3 +607,54 @@ def test_pca_power_iteration_recovers_planted_direction(spark):
     assert abs(out[0].eigval - var0) / var0 < 0.05
     norm = sum(v * v for v in load.values()) ** 0.5
     assert abs(norm - 1.0) < 1e-3
+
+
+def test_prefix_filter_jaccard_prunes_and_stays_exact(spark):
+    """On a Zipfian corpus with doc-specific rare tokens the prefix
+    index generates far fewer candidate pairs than the full inverted
+    index while producing the IDENTICAL result set."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from ddf_flink_spark.functions.dedup import prefix_filter_jaccard
+
+    rng = random.Random(11)
+    common = [f"common{i}" for i in range(8)]
+    docs = []
+    for d in range(60):
+        toks = [rng.choice(common) for _ in range(20)] + [f"rare{d}_{j}" for j in range(10)]
+        rng.shuffle(toks)
+        docs.append((d, " ".join(toks)))
+    # plant one near-identical pair
+    docs.append((60, docs[0][1]))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    out = {(r.id_a, r.id_b): r.jaccard for r in prefix_filter_jaccard(df, threshold=0.7).collect()}
+    assert (0, 60) in out and out[(0, 60)] == 1.0
+
+    toks = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("tok"),
+    )
+    full = (
+        toks.alias("a")
+        .join(toks.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id"), F.col("b.id")).distinct().count()
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("id").orderBy(F.col("tf").asc(), F.col("tok").asc())
+    prefix = (
+        toks.join(freq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(0.7) * F.col("sz")) + 1)
+        .select("id", "tok")
+    )
+    pruned = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id"), F.col("b.id")).distinct().count()
+    )
+    assert pruned * 10 < full, (pruned, full)
