@@ -7665,3 +7665,68 @@ def q186_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return prefix_filter_jaccard(d, threshold=0.7).orderBy("id_a", "id_b")
+
+
+@query(
+    "q187_join_skew_report",
+    oracle="""
+    WITH kf AS (
+      SELECT l_orderkey AS key, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys,
+             SUM(n_rows) AS total_rows,
+             MAX(n_rows) AS max_freq,
+             MEDIAN(n_rows) AS p50_freq,
+             CAST(QUANTILE_CONT(n_rows, 0.99) AS DOUBLE) AS p99_freq
+      FROM kf
+    )
+    SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(n_rows / total_rows, 6) AS pct_of_total,
+           ROUND(max_freq * n_keys / CAST(total_rows AS DOUBLE), 4)
+             AS skew_factor,
+           ROUND(p50_freq, 4) AS p50_freq, ROUND(p99_freq, 4) AS p99_freq
+    FROM kf, stats
+    ORDER BY n_rows DESC, key LIMIT 5
+    """,
+)
+def q187_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SKEW DIAGNOSTIC: per-key frequency profile of a join key —
+    the top heavy hitters with their share of the table, plus the
+    distribution scalars (max/median/p99 frequency and the skew factor
+    max·n_keys/total = how many times hotter the hottest key runs than
+    uniform). This is the measurement side of the skew story whose
+    mitigation side the suite already ships (q112 salted join, q76
+    salted agg, AQE skew-join in session defaults): at 100 TB you run
+    THIS first to decide whether to salt and by how much (the skew
+    factor IS the salt-bucket lower bound). One groupBy on the key;
+    the distribution scalars are an O(n_keys) aggregate broadcast back;
+    top-5 is a TakeOrdered heap."""
+    li = t(spark, sf_dir, "lineitem")
+    kf = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = kf.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_freq"),
+        F.median("n_rows").alias("p50_freq"),
+        F.percentile(F.col("n_rows"), F.lit(0.99)).alias("p99_freq"),
+    )
+    return (
+        kf.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("total_rows"), 6).alias("pct_of_total"),
+            F.round(
+                F.col("max_freq") * F.col("n_keys") / F.col("total_rows").cast("double"),
+                4,
+            ).alias("skew_factor"),
+            F.round("p50_freq", 4).alias("p50_freq"),
+            F.round("p99_freq", 4).alias("p99_freq"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(5)
+    )
