@@ -33,6 +33,7 @@ __all__ = [
     "ivf_topk",
     "quantize_embeddings",
     "pca_power_iteration",
+    "pq_search",
 ]
 
 
@@ -474,3 +475,97 @@ def pca_power_iteration(
     out = [(d_, float(v[d_]), float(eigval)) for d_ in range(dim_n)]
     spark = df.sparkSession
     return spark.createDataFrame(out, "dim int, loading double, eigval double")
+
+
+def pq_search(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN [Jégou et al. 2011]: split each vector
+    into ``m`` subspaces, learn a tiny per-subspace codebook (the
+    deterministic-Lloyd quantizer — q146 machinery — per slice), encode
+    every vector as m small codes, and answer a query by ASYMMETRIC
+    DISTANCE: per-subspace squared distances from the query to each
+    codeword are precomputed into an m×k lookup table, so scoring a
+    corpus vector is m table lookups + adds — no float math per
+    candidate. This is the memory-bound ANN shape: the index is m
+    log2(k)-bit codes per vector (here 4 codes vs 64 floats, a 64×
+    compression), the LUT is m·k cells broadcast to every executor, and
+    the scan is a codes-join-LUT aggregation — at 100 TB the codes
+    table replaces the raw vectors entirely. Completes the index family
+    (brute q40 / SRP-LSH q42 / IVF q39).
+
+    Determinism (the q185 discipline): the query is the lowest-id
+    vector rounded to 6; LUT cells are DECIMAL sums of round-9 squared
+    differences computed IN-ENGINE (no Python arithmetic, so engine
+    rounding semantics match the oracle exactly); ADC totals are exact
+    DECIMAL sums of LUT cells. Returns topk (neighbor_id, pq_dist2)
+    ranked ascending with id tie-break, query excluded."""
+    from ..ml.kmeans import kmeans_lloyd
+
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"pq_search: dim {dim} not divisible by m={m}")
+    w = dim // m
+    emb = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).localCheckpoint()
+
+    codes = None
+    cents: list[list[list[float]]] = []
+    for j in range(m):
+        sub = emb.select("id", F.slice("v", j * w + 1, w).alias("embedding"))
+        assigned, c = kmeans_lloyd(
+            sub, "embedding", "id", k=k, iters=iters, return_centroids=True
+        )
+        cents.append(c)
+        aj = assigned.select("id", F.col("cluster").alias(f"code{j}"))
+        codes = aj if codes is None else codes.join(aj, "id")
+
+    qrow = (
+        emb.orderBy("id")
+        .limit(1)
+        .select("id", F.transform("v", lambda x: F.round(x, 6)).alias("q"))
+        .collect()[0]
+    )
+    qid, qv = qrow["id"], list(qrow["q"])
+
+    lut_rows = []
+    for j in range(m):
+        for c in range(k):
+            for dpos in range(w):
+                lut_rows.append(
+                    (j, c, float(qv[j * w + dpos]), float(cents[j][c][dpos]))
+                )
+    lut = (
+        spark.createDataFrame(lut_rows, "j int, code int, qd double, cd double")
+        .groupBy("j", "code")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("qd") - F.col("cd")) * (F.col("qd") - F.col("cd")), 9
+                ).cast("decimal(30,9)")
+            ).alias("sq")
+        )
+    )
+    codes_long = codes.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"code{j}") for j in range(m)])).alias(
+            "j", "code"
+        ),
+    )
+    return (
+        codes_long.join(F.broadcast(lut), ["j", "code"])
+        .groupBy("id")
+        .agg(F.round(F.sum("sq").cast("double"), 6).alias("pq_dist2"))
+        .filter(F.col("id") != qid)
+        .orderBy("pq_dist2", "id")
+        .limit(topk)
+        .select(F.col("id").alias("neighbor_id"), "pq_dist2")
+    )

@@ -7730,3 +7730,98 @@ def q187_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), "key")
         .limit(5)
     )
+
+
+def _q188_oracle(m: int = 4, w: int = 16, k: int = 4) -> str:
+    # Mirrors functions/similarity.pq_search(m=4, k=4, iters=2): per
+    # subspace, the q146 deterministic-Lloyd chain on the sliced
+    # vectors; then the round-6 query, in-engine round-9 DECIMAL LUT,
+    # and exact ADC sums.
+    blocks = []
+    code_units = []
+    lut_units = []
+    for j in range(m):
+        lo, hi = j * w + 1, j * w + w
+        assign = f"""
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb{j} e CROSS JOIN {{cent}} c
+    """
+        update = f"""
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {{assigned}} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+        blocks.append(f"""
+    emb{j} AS (SELECT id, list_slice(v, {lo}, {hi}) AS v FROM emb),
+    c0_{j} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb{j} ORDER BY id LIMIT {k})
+    ),
+    s0_{j} AS ({assign.format(cent=f"c0_{j}")}),
+    a0_{j} AS (SELECT id, v, cluster FROM s0_{j} WHERE rn = 1),
+    m1_{j} AS ({update.format(assigned=f"a0_{j}")}),
+    c1n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1_{j} GROUP BY cluster),
+    c1_{j} AS (SELECT c0_{j}.cluster, COALESCE(c1n_{j}.c, c0_{j}.c) AS c
+               FROM c0_{j} LEFT JOIN c1n_{j} USING (cluster)),
+    s1_{j} AS ({assign.format(cent=f"c1_{j}")}),
+    a1_{j} AS (SELECT id, v, cluster FROM s1_{j} WHERE rn = 1),
+    m2_{j} AS ({update.format(assigned=f"a1_{j}")}),
+    c2n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2_{j} GROUP BY cluster),
+    c2_{j} AS (SELECT c1_{j}.cluster, COALESCE(c2n_{j}.c, c1_{j}.c) AS c
+               FROM c1_{j} LEFT JOIN c2n_{j} USING (cluster)),
+    s2_{j} AS ({assign.format(cent=f"c2_{j}")}),
+    a2_{j} AS (SELECT id, cluster FROM s2_{j} WHERE rn = 1),
+    lutsrc{j} AS (
+      SELECT c.cluster AS code, c.c AS cv, list_slice(q.q, {lo}, {hi}) AS qv
+      FROM c2_{j} c CROSS JOIN q
+    ),
+    lut{j} AS (
+      SELECT {j} AS j, code,
+             SUM(CAST(ROUND((u.qx - u.cx) * (u.qx - u.cx), 9)
+                      AS DECIMAL(30,9))) AS sq
+      FROM lutsrc{j},
+           LATERAL (SELECT UNNEST(qv) AS qx, UNNEST(cv) AS cx) u
+      GROUP BY 1, 2
+    )""")
+        code_units.append(f"SELECT id, {j} AS j, cluster AS code FROM a2_{j}")
+        lut_units.append(f"SELECT * FROM lut{j}")
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    q AS (SELECT id, list_transform(v, x -> ROUND(x, 6)) AS q
+          FROM (SELECT id, v FROM emb ORDER BY id LIMIT 1)),
+    {",".join(blocks)},
+    codes AS ({" UNION ALL ".join(code_units)}),
+    lut AS ({" UNION ALL ".join(lut_units)}),
+    adc AS (
+      SELECT codes.id, ROUND(CAST(SUM(sq) AS DOUBLE), 6) AS pq_dist2
+      FROM codes JOIN lut USING (j, code)
+      GROUP BY codes.id
+    )
+    SELECT id AS neighbor_id, pq_dist2
+    FROM adc WHERE id != (SELECT id FROM q)
+    ORDER BY pq_dist2, id LIMIT 5
+    """
+
+
+@query("q188_product_quantization", oracle=_q188_oracle())
+def q188_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN (functions/similarity.pq_search): 4
+    subspace codebooks from the deterministic-Lloyd quantizer, 4-code
+    encoding (64× compression of the vector column), and asymmetric-
+    distance top-5 via a broadcast m×k lookup table — completing the
+    vector-index family (brute q40 / SRP-LSH q42 / IVF q39/q155). The
+    corpus scan at query time touches CODES ONLY: m lookups + exact
+    DECIMAL adds per vector, the memory-bound shape that makes
+    billion-vector search feasible. DuckDB replays all four Lloyd
+    chains, the LUT, and the ADC ranking exactly."""
+    from .functions.similarity import pq_search
+
+    e = t(spark, sf_dir, "embeddings")
+    return pq_search(e, "embedding", "vec_id", m=4, k=4, iters=2, topk=5)

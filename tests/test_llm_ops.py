@@ -658,3 +658,20 @@ def test_prefix_filter_jaccard_prunes_and_stays_exact(spark):
         .select(F.col("a.id"), F.col("b.id")).distinct().count()
     )
     assert pruned * 10 < full, (pruned, full)
+
+
+def test_pq_search_finds_identical_vector(spark):
+    """A vector identical to the query shares all m codes, so its ADC
+    distance is the minimum possible — it must rank first."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import pq_search
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    rows.append((99, list(rows[0][1])))  # clone of the min-id (query) vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_search(df, m=4, k=4, iters=2, topk=3).collect()
+    assert out[0].neighbor_id == 99
+    dists = [r.pq_dist2 for r in out]
+    assert dists == sorted(dists)
