@@ -60,6 +60,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -68,7 +69,11 @@ def brute_force_topk(
     the join output — with Q queries this is a Q-partition shuffle, the
     natural distribution. Self-matches (same id) are excluded.
 
-    Returns (query_id, neighbor_id, cos).
+    Returns (query_id, neighbor_id, cos) — plus the internal round-6
+    rank as ``rn`` when ``keep_rank`` is set (rank consumers like RRF
+    fusion must use THIS rank: the output ``cos`` is rounded to 4, so
+    re-ranking on it would break ties differently than the 6-digit
+    ranking that selected the top-k).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -87,10 +92,13 @@ def brute_force_topk(
         (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.round("cos", 6).desc(), F.col("neighbor_id"))
+    out_cols = ["query_id", "neighbor_id", F.round("cos", 4).alias("cos")]
+    if keep_rank:
+        out_cols.append(F.col("rn"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+        .select(*out_cols)
     )
 
 

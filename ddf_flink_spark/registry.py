@@ -7825,3 +7825,99 @@ def q188_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     return pq_search(e, "embedding", "vec_id", m=4, k=4, iters=2, topk=5)
+
+
+@query(
+    "q189_hybrid_search_rrf",
+    oracle="""
+    WITH docs AS (SELECT doc_id AS id, STRING_SPLIT(LOWER(text), ' ') AS ts
+                  FROM documents),
+    dl AS (SELECT id, LEN(ts) AS dl FROM docs),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
+    tf AS (
+      SELECT id, t AS term, COUNT(*) AS tf
+      FROM docs, LATERAL UNNEST(ts) AS u(t)
+      WHERE t IN ('spark', 'join', 'window')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.id,
+             ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl * n_docs / total_tokens)),
+                   6) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN tot
+    ),
+    bm25 AS (
+      SELECT id, ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
+      FROM scored GROUP BY 1
+    ),
+    lex AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS lrank
+      FROM bm25 QUALIFY lrank <= 100
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    cos AS (
+      SELECT vec_id AS id, LIST_COSINE_SIMILARITY(qv, CAST(embedding AS DOUBLE[])) AS cos
+      FROM embeddings, q
+      WHERE vec_id != (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    sem AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY ROUND(cos, 6) DESC, id) AS srank
+      FROM cos QUALIFY srank <= 100
+    ),
+    fused AS (
+      SELECT COALESCE(lex.id, sem.id) AS id,
+             ROUND(COALESCE(1.0 / (60 + lrank), 0)
+                   + COALESCE(1.0 / (60 + srank), 0), 6) AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+    )
+    SELECT id AS doc_id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10
+    """,
+)
+def q189_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID SEARCH by RECIPROCAL RANK FUSION [Cormack et al. 2009]:
+    fuse the lexical ranking (BM25, q175 machinery) with the semantic
+    ranking (exact cosine against the lowest-id query embedding, q40
+    machinery) as Σ 1/(60+rank) over a FULL OUTER join of the two
+    top-100 lists — the standard two-tower retrieval merge. Ranks, not
+    scores, cross the fusion boundary, which is what makes RRF robust
+    to incomparable score scales AND cross-engine exact (rank = integer
+    from a deterministically tie-broken window; the fused sum is two
+    rational literals). Each leg keeps its own scale shape: the BM25
+    leg shuffles query-term postings only, the cosine leg is a
+    broadcast-1×corpus pass, both end in TakeOrdered heaps."""
+    from pyspark.sql.window import Window
+
+    from .functions.retrieval import bm25_topk
+    from .functions.similarity import brute_force_topk
+
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(d, ["spark", "join", "window"], topk=100).withColumn(
+        "lrank", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+    ).select(F.col("doc_id").alias("id"), "lrank")
+    min_id = e.agg(F.min("vec_id")).collect()[0][0]
+    # use brute's INTERNAL round-6 rank (keep_rank) — re-ranking on the
+    # round-4 output cos would break ties differently than the oracle
+    sem = brute_force_topk(
+        e.filter(F.col("vec_id") == min_id), e, k=100, keep_rank=True
+    ).select(F.col("neighbor_id").alias("id"), F.col("rn").alias("srank"))
+    fused = (
+        lex.join(sem, "id", "full_outer")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("lrank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("srank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "id")
+        .limit(10)
+        .select(F.col("id").alias("doc_id"), "rrf")
+    )

@@ -455,6 +455,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # Skew report: distribution scalars are a 1-row agg over key
     # frequencies, crossJoined back as a broadcast 1-row frame.
     "q187_join_skew_report": {"single-partition", "cartesian-product"},
+    # RRF fusion: the semantic leg is q40's bounded 1-query crossJoin;
+    # the rank windows order the two ≤100-row top-k lists.
+    "q189_hybrid_search_rrf": {"single-partition", "cartesian-product"},
 }
 
 
