@@ -7921,3 +7921,149 @@ def q189_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.col("id").alias("doc_id"), "rrf")
     )
+
+
+@query(
+    "q190_tfidf_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT source, doc_id, t AS term
+      FROM documents, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS u(t)
+    ),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    docfreq AS (
+      SELECT term, COUNT(DISTINCT source) AS sf FROM tok GROUP BY 1
+    ),
+    ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+      SELECT source, term,
+             ROUND(tf * LN((n_sources + 1.0) / (sf + 1.0)), 6) AS tfidf
+      FROM tf JOIN docfreq USING (term) CROSS JOIN ns
+    ),
+    ranked AS (
+      SELECT source, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT source, term, tfidf FROM ranked WHERE rn <= 3
+    ORDER BY source, tfidf DESC, term
+    """,
+)
+def q190_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCTIVE-TERM EXTRACTION: top-3 TF-IDF keywords per source,
+    idf smoothed as ln((N+1)/(sf+1)) over SOURCE frequency — the corpus-
+    characterization pass of a data pipeline (what is each slice of the
+    training mix actually about / does a source's vocabulary drift).
+    One shuffle to (source, term) counts, a vocabulary-sized source-
+    frequency aggregate joined back, and a per-source top-k window —
+    ranks computed on round-6 scores with term tie-break so both
+    engines pick identical keywords."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    sf = tok.groupBy("term").agg(F.countDistinct("source").alias("sf"))
+    n_sources = d.agg(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tf.join(sf, "term")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_sources") + 1.0) / (F.col("sf") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "term", "tfidf")
+        .orderBy("source", F.desc("tfidf"), "term")
+    )
+
+
+@query(
+    "q191_data_quality_report",
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           ROUND(AVG(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0 END), 6)
+             AS null_frac,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           ROUND(AVG(CASE WHEN l_extendedprice IS NULL THEN 1.0 ELSE 0 END), 6),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(MIN(l_extendedprice) AS DOUBLE),
+           CAST(MAX(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           ROUND(AVG(CASE WHEN l_discount IS NULL THEN 1.0 ELSE 0 END), 6),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           CAST(MIN(l_discount) AS DOUBLE),
+           CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax',
+           ROUND(AVG(CASE WHEN l_tax IS NULL THEN 1.0 ELSE 0 END), 6),
+           CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+           CAST(MIN(l_tax) AS DOUBLE),
+           CAST(MAX(l_tax) AS DOUBLE)
+    FROM lineitem
+    ORDER BY column_name
+    """,
+)
+def q191_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY EXPECTATIONS REPORT: per-column null fraction, exact
+    distinct count, and min/max for the numeric columns of a fact table
+    — the profiling pass run before a table enters a training pipeline
+    (the check side of dropNA/fillNA q23/q24, and the generalization of
+    getSummary q19 to a per-column contract table). ONE scan: all
+    per-column aggregates evaluate in a single partial-aggregable pass
+    (Spark computes the whole aggregate row at once and unpivots via
+    stack), not one scan per column — at 100 TB the difference between
+    a profiling query and four of them. The oracle spells the same
+    report as four UNION'd aggregates."""
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.round(
+                F.avg(F.when(F.col(c).isNull(), 1.0).otherwise(0.0)), 6
+            ).alias(f"{c}__nf"),
+            F.countDistinct(F.col(c)).cast("long").alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__mx"),
+        ]
+    one = li.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nf, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(cols)}, {stack_expr}) AS "
+                "(column_name, null_frac, n_distinct, min_val, max_val)"
+            )
+        )
+        .select(
+            "column_name",
+            F.col("null_frac").cast("double").alias("null_frac"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_val",
+            "max_val",
+        )
+        .orderBy("column_name")
+    )

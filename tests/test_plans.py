@@ -458,6 +458,11 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # RRF fusion: the semantic leg is q40's bounded 1-query crossJoin;
     # the rank windows order the two ≤100-row top-k lists.
     "q189_hybrid_search_rrf": {"single-partition", "cartesian-product"},
+    # TF-IDF keywords: n_sources is a 1-row agg crossJoined broadcast.
+    "q190_tfidf_keywords": {"single-partition", "cartesian-product"},
+    # Quality report: the whole report is ONE 1-row aggregate (by design
+    # — one scan for all columns), unpivoted to 4 rows.
+    "q191_data_quality_report": {"single-partition"},
 }
 
 
