@@ -472,6 +472,7 @@ class DDF:
             "simhash": _d.simhash_near_duplicates,
             "jaccard": _d.jaccard_candidates,
             "fuzzy": _d.fuzzy_near_duplicates,
+            "prefix": _d.prefix_filter_jaccard,
         }
         if method not in fns:
             raise ValueError(f"unknown near-dup method {method!r}; one of {sorted(fns)}")
@@ -640,6 +641,23 @@ class DDF:
 
         return self._derive(
             _pca(self._df, vec_col, id_col, iters), keep_factors=False
+        )
+
+    def pq_search(
+        self,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        m: int = 4,
+        k: int = 4,
+        topk: int = 5,
+    ) -> "DDF":
+        """Product-quantization ANN from the lowest-id query vector
+        (functions/similarity.pq_search; codes-only corpus scan)."""
+        from .functions.similarity import pq_search as _pq
+
+        return self._derive(
+            _pq(self._df, vec_col, id_col, m=m, k=k, topk=topk),
+            keep_factors=False,
         )
 
     # --------------------------------------------------------------- factors

@@ -414,3 +414,23 @@ def test_round3_sketch_and_spectral_facades(mgr, spark):
     )
     pc = emb.pca_top_component().df.collect()
     assert abs(abs(pc[0].loading) - 1.0) < 1e-3
+
+
+def test_prefix_and_pq_facades(mgr, spark):
+    docs = mgr.new_ddf(
+        spark.createDataFrame(
+            [(0, "aa bb cc dd ee"), (1, "aa bb cc dd ee"), (2, "xx yy zz ww vv")],
+            "doc_id long, text string",
+        )
+    )
+    pairs = docs.near_duplicates(method="prefix", threshold=0.9).df.collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(0, 1, 1.0)]
+
+    emb = mgr.new_ddf(
+        spark.createDataFrame(
+            [(i, [float(i % 5)] * 8) for i in range(20)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    top = emb.pq_search(m=2, k=3, topk=3).df.collect()
+    assert len(top) == 3 and top[0].neighbor_id == 5  # same residue as query id 0
