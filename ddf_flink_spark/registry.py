@@ -8067,3 +8067,46 @@ def q191_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query(
+    "q192_stratified_exact_n_crossengine",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 20
+    ORDER BY source, doc_id
+    """,
+)
+def q192_stratified_exact_n_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED EXACT-N SAMPLING, cross-engine: exactly 20 docs per
+    source, selected by md5-hash rank with id tie-break — completing
+    the deterministic sampling family (q154 weighted, q158 k-fold,
+    q160 fraction, q161 global exact-n; q89 is the engine-native
+    fraction-stratified twin). Hash-ranked selection IS a uniform
+    stratified sample (the hash is a fixed random permutation of ids)
+    that any engine reproduces row-for-row — the per-stratum quota
+    contract of training-mix construction ("same 20 docs per source,
+    rerun anywhere"). One window per stratum; no global sort, no RNG
+    state."""
+    from pyspark.sql.window import Window
+
+    from .functions.dedup import md5_long
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
