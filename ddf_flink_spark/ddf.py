@@ -463,8 +463,10 @@ class DDF:
         **kwargs,
     ) -> "DDF":
         """Candidate near-duplicate pairs by ``minhash`` (LSH banding),
-        ``simhash`` (Hamming blocking) or ``jaccard`` (inverted-index
-        exact n-gram) — functions/dedup.py."""
+        ``simhash`` (Hamming blocking), ``jaccard`` (inverted-index
+        exact n-gram), ``fuzzy`` (shingle blocking + bounded-prefix
+        Levenshtein verify) or ``prefix`` (prefix-filtered exact
+        token-set Jaccard) — functions/dedup.py."""
         from .functions import dedup as _d
 
         fns = {
@@ -597,10 +599,24 @@ class DDF:
 
     def triangle_count(self, u_col: str = "u", v_col: str = "v") -> "DDF":
         """Exact triangle count of this DDF's undirected edge list
-        (functions/graph.triangle_count; degree-ordered orientation)."""
+        (functions/graph.triangle_count; degree-ordered orientation).
+        Edges are normalized here — (min, max) ordered, deduped, self
+        loops dropped — so lists stored in both directions or with
+        duplicates count each triangle once; the underlying function's
+        each-edge-once precondition is therefore always met."""
+        from pyspark.sql import functions as F
+
         from .functions.graph import triangle_count as _tri
 
-        return self._derive(_tri(self._df, u_col, v_col), keep_factors=False)
+        u, v = F.col(u_col), F.col(v_col)
+        edges = (
+            self._df.filter(u != v)
+            .select(
+                F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+            )
+            .distinct()
+        )
+        return self._derive(_tri(edges, "u", "v"), keep_factors=False)
 
     def cdc_chunks(
         self,

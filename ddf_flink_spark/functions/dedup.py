@@ -232,8 +232,19 @@ def prefix_filter_jaccard(
         .withColumn("pos", F.row_number().over(wdoc))
         .join(sizes, "id")
     )
+    # Prefix-length bound with two safety margins, both erring LONGER
+    # (longer prefixes only add candidates — never lose one):
+    # (a) the final filter accepts ROUND(J, 4) >= t, i.e. true J down to
+    #     t - 5e-5, so the lossless bound must be computed at that
+    #     effective threshold, not t itself;
+    # (b) IEEE t*sz can land epsilon ABOVE the exact product (e.g.
+    #     0.56*25 = 14.000000000000002), overshooting the exact ceil by
+    #     one and shortening the prefix below the lossless bound — the
+    #     subtracted 1e-9 guards it (worst case: one extra prefix token).
+    t_eff = threshold - 5e-5
     prefix = ranked.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        F.col("pos")
+        <= F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz") - F.lit(1e-9)) + 1
     ).select("id", "tok")
     cand = (
         prefix.alias("a")

@@ -469,13 +469,16 @@ def pca_power_iteration(
                 .cast("double")
             ).alias("nrm")
         )
+        # nrm rides the same projection — a separate norm.collect() would
+        # re-run the whole s→y→norm chain as a second job per iteration
         rows = (
             y.crossJoin(F.broadcast(norm))
-            .select("dim", F.round(F.col("y") / F.col("nrm"), 6).alias("vd"))
+            .select(
+                "dim", F.round(F.col("y") / F.col("nrm"), 6).alias("vd"), "nrm"
+            )
             .collect()
         )
-        nrm_val = norm.collect()[0]["nrm"]
-        eigval = round(nrm_val / n_rows, 4)
+        eigval = round(rows[0]["nrm"] / n_rows, 4)
         v = [0.0] * dim_n
         for r in rows:
             v[r["dim"]] = r["vd"]

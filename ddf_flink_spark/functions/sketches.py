@@ -47,22 +47,36 @@ _KMV_DENOM = float(2**60 + 1)
 def kmv_fractions(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
     """The k smallest distinct hash fractions of ``col`` — the sketch
     itself, as a k-row DataFrame (u DOUBLE). Mergeable: union two
-    sketches and keep the k smallest."""
+    sketches and keep the k smallest. NULLs are excluded before
+    hashing: a NULL hashes to a NULL fraction, which would sort first
+    under Spark's ASC NULLS FIRST and occupy a sketch slot (and order
+    differently in engines defaulting to NULLS LAST)."""
     c = F.col(col) if isinstance(col, str) else col
     u = (md5_long(c.cast("string")) + F.lit(1)).cast("double") / F.lit(_KMV_DENOM)
-    return df.select(u.alias("u")).distinct().orderBy("u").limit(k)
+    return (
+        df.filter(c.isNotNull())
+        .select(u.alias("u"))
+        .distinct()
+        .orderBy("u")
+        .limit(k)
+    )
 
 
 def kmv_distinct(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
     """One-row (k, est_distinct) cardinality estimate from the KMV
-    sketch: D ≈ (k-1) / max(u of the k smallest). If the column has
-    fewer than k distinct values the sketch holds ALL of them and the
-    estimate degrades gracefully toward the biased small-range form;
-    callers needing exactness below k should count exactly (the sketch
-    size k IS the exact/approximate crossover)."""
+    sketch. When the sketch is FULL (≥ k distinct values seen) the
+    estimator is D ≈ (k-1) / u_(k); when it is not full it holds every
+    distinct hash, so the sketch size IS the exact answer and the
+    estimator is bypassed — applying (k-1)/max(u) to a non-full sketch
+    would report ~k regardless of the true cardinality (a ~100×
+    overestimate on a 3-distinct column)."""
     return kmv_fractions(df, col, k).agg(
         F.lit(k).cast("long").alias("k"),
-        F.round((F.lit(k) - 1) / F.max("u"), 4).alias("est_distinct"),
+        F.round(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+            .otherwise((F.lit(k) - 1) / F.max("u")),
+            4,
+        ).alias("est_distinct"),
     )
 
 

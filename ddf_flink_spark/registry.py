@@ -6904,11 +6904,12 @@ def q173_fuzzy_join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT DISTINCT
         CAST(CAST(('0x' || SUBSTRING(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
                   AS BIGINT) + 1 AS DOUBLE) / 1152921504606846977.0 AS u
-      FROM lineitem
+      FROM lineitem WHERE l_partkey IS NOT NULL
     ),
     sk AS (SELECT u FROM u ORDER BY u LIMIT 256)
     SELECT CAST(256 AS BIGINT) AS k,
-           ROUND((256 - 1) / MAX(u), 4) AS est_distinct,
+           ROUND(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE (256 - 1) / MAX(u) END, 4) AS est_distinct,
            (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
              AS exact_distinct
     FROM sk
@@ -7503,8 +7504,9 @@ def q184_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-pass batch grid, which is what the oracle rebuilds. The
     driver-side accumulator is O(grid) = 4096 cells by construction —
     a documented exception to the no-driver-state rule, because the
-    sketch IS the bounded state. Grid equality is asserted cell-wise
-    in-query (not just on the rollup): a mismatch nulls the checksum."""
+    sketch IS the bounded state. Grid equality is checked cell-wise
+    in-query (not just on the rollup): any diverging cell raises."""
+    import shutil
     import tempfile
     import uuid
     from collections import defaultdict
@@ -7513,45 +7515,55 @@ def q184_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = t(spark, sf_dir, "lineitem").select("l_partkey")
     tmp = tempfile.mkdtemp(prefix="q184_cms_stream_")
-    li.repartition(8).write.mode("overwrite").parquet(f"{tmp}/landing")
-
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cms_")
     acc: dict[tuple[int, int], int] = defaultdict(int)
 
     def merge_batch(bdf: DataFrame, epoch: int) -> None:
         for row in countmin_counters(bdf, "l_partkey", 4, 1024).collect():
             acc[(row.r, row.bucket)] += row.c
 
-    stream = (
-        spark.readStream.schema("l_partkey bigint")
-        .option("maxFilesPerTrigger", "2")
-        .parquet(f"{tmp}/landing")
-    )
-    q = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(merge_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cms_"))
-        .queryName(f"cms_{uuid.uuid4().hex[:8]}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-    streamed = spark.createDataFrame(
-        [(r, b, c) for (r, b), c in acc.items()], "r int, bucket int, c long"
-    )
-    batch = countmin_counters(li, "l_partkey", 4, 1024)
-    # cell-wise equality with the batch grid: any diverging cell would
-    # survive the full-outer join with unequal counts and null the sums
-    diverged = (
-        streamed.alias("s")
-        .join(batch.alias("b2"), ["r", "bucket"], "full_outer")
-        .filter(
-            F.col("s.c").isNull()
-            | F.col("b2.c").isNull()
-            | (F.col("s.c") != F.col("b2.c"))
+    try:
+        li.repartition(8).write.mode("overwrite").parquet(f"{tmp}/landing")
+        stream = (
+            spark.readStream.schema("l_partkey bigint")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(f"{tmp}/landing")
         )
-    )
-    assert diverged.count() == 0, "streamed CMS grid diverged from batch"
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .queryName(f"cms_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        streamed = spark.createDataFrame(
+            [(r, b, c) for (r, b), c in acc.items()], "r int, bucket int, c long"
+        )
+        batch = countmin_counters(li, "l_partkey", 4, 1024)
+        # cell-wise equality with the batch grid: a diverging or missing
+        # cell survives the full-outer join and fails the run loudly
+        diverged = (
+            streamed.alias("s")
+            .join(batch.alias("b2"), ["r", "bucket"], "full_outer")
+            .filter(
+                F.col("s.c").isNull()
+                | F.col("b2.c").isNull()
+                | (F.col("s.c") != F.col("b2.c"))
+            )
+        )
+        n_bad = diverged.count()
+        if n_bad:
+            raise RuntimeError(
+                f"streamed CMS grid diverged from batch in {n_bad} cells"
+            )
+    finally:
+        # the returned frame is built from the driver-side accumulator,
+        # so the landing/checkpoint dirs are safe to remove eagerly
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return streamed.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum("c").cast("long").alias("total_mass"),

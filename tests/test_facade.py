@@ -434,3 +434,12 @@ def test_prefix_and_pq_facades(mgr, spark):
     )
     top = emb.pq_search(m=2, k=3, topk=3).df.collect()
     assert len(top) == 3 and top[0].neighbor_id == 5  # same residue as query id 0
+
+
+def test_triangle_count_normalizes_bidirectional_edges(mgr, spark):
+    """Edges stored in both directions, with duplicates and a self
+    loop, still count each triangle exactly once."""
+    raw = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0), (0, 0), (0, 1)]
+    edges = mgr.new_ddf(spark.createDataFrame(raw, "u long, v long"))
+    r = edges.triangle_count().df.collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)

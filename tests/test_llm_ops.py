@@ -675,3 +675,36 @@ def test_pq_search_finds_identical_vector(spark):
     assert out[0].neighbor_id == 99
     dists = [r.pq_dist2 for r in out]
     assert dists == sorted(dists)
+
+
+def test_kmv_exact_below_k_and_null_exclusion(spark):
+    """Below k distinct values the estimate IS the exact count (the
+    (k-1)/u_k estimator would report ~k); NULLs never occupy a slot."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ddf_flink_spark.functions.sketches import kmv_distinct, kmv_fractions
+
+    df = spark.range(3000).select((F.col("id") % 3).alias("v"))
+    est = kmv_distinct(df, "v", k=256).collect()[0]
+    assert est.est_distinct == 3.0
+
+    schema = StructType([StructField("v", LongType(), True)])
+    withnull = spark.createDataFrame([(None,), (1,), (2,)], schema)
+    fr = kmv_fractions(withnull, "v", k=8).collect()
+    assert len(fr) == 2 and all(r.u is not None for r in fr)
+
+
+def test_prefix_filter_exact_at_ieee_hostile_threshold(spark):
+    """threshold=0.56 on a 25-token doc: IEEE 0.56*25 lands epsilon
+    above 14, which would overshoot ceil and shorten the prefix below
+    the lossless bound — the epsilon guard must keep the containing
+    pair (J = 14/25 = 0.56 exactly)."""
+    from ddf_flink_spark.functions.dedup import prefix_filter_jaccard
+
+    a_toks = [f"t{i:02d}" for i in range(25)]
+    b_toks = a_toks[11:]  # 14 tokens, subset: J = 14/25 = 0.56
+    df = spark.createDataFrame(
+        [(0, " ".join(a_toks)), (1, " ".join(b_toks))], ["doc_id", "text"]
+    )
+    out = prefix_filter_jaccard(df, threshold=0.56).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(0, 1, 0.56)]
