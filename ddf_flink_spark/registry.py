@@ -8122,3 +8122,56 @@ def q192_stratified_exact_n_crossengine(spark: SparkSession, sf_dir: str) -> Dat
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "q193_interevent_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             EPOCH(ts) - EPOCH(LAG(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             )) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(MEDIAN(gap_s), 4) AS p50_gap_s,
+           ROUND(CAST(QUANTILE_CONT(gap_s, 0.95) AS DOUBLE), 4) AS p95_gap_s,
+           ROUND(AVG(gap_s), 4) AS mean_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q193_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-EVENT GAP DISTRIBUTION per event type: lag each user's
+    stream of a given type, aggregate the gap distribution (median /
+    p95 / mean seconds) — the arrival-process profile behind session
+    -gap tuning (q72's session windows assume a gap threshold; THIS is
+    the query that tells you what threshold the data supports). One
+    shuffle to (user, type) partitions for the lag, then a partial-
+    aggregable rollup per type; the unique (ts, event_id) order key
+    makes lag deterministic under ties. Exact median/percentile at
+    oracle scale (q86/q111 discipline)."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # cast(ts as double) = epoch micros / 1e6 — the same IEEE division
+    # DuckDB's EPOCH() computes, so gaps are bit-identical cross-engine
+    ts_s = F.col("ts").cast("double")
+    gaps = ev.select(
+        "event_type",
+        (ts_s - F.lag(ts_s).over(w)).alias("gap_s"),
+    )
+    return (
+        gaps.filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.round(F.median("gap_s"), 4).alias("p50_gap_s"),
+            F.round(F.percentile("gap_s", F.lit(0.95)), 4).alias("p95_gap_s"),
+            F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+        )
+        .orderBy("event_type")
+    )
