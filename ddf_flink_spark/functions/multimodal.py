@@ -28,9 +28,11 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "attach_bmp_media",
     "attach_fake_media",
     "attach_ppm_media",
     "attach_wav_media",
+    "decode_bmp",
     "decode_media",
     "decode_ppm",
     "decode_wav",
@@ -328,3 +330,106 @@ def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             yield out
 
     return df.mapInPandas(resize_batches, schema=out_schema)
+
+
+def attach_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize REAL 24-bit uncompressed BMP files deterministically
+    from an id: w = 3 + id % 9, h = 2 + id % 7, logical (top-down, RGB)
+    pixel value at (row r, col c, channel ch) = (id + 5r + 7c + 11ch)
+    mod 256 — then serialized the way BMP actually stores it: 14-byte
+    file header + 40-byte BITMAPINFOHEADER, rows BOTTOM-UP, channels
+    BGR, each row padded to a 4-byte boundary. Any image viewer opens
+    these. The third real container after PPM (q159) and WAV (q43) —
+    and the one whose decode must actually undo layout quirks (flip,
+    swizzle, strip padding) rather than just split a header."""
+    import struct
+
+    out_schema = MEDIA_SCHEMA
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def make_bmp(doc_id: int) -> bytes:
+            w, h = 3 + doc_id % 9, 2 + doc_id % 7
+            row_stride = (3 * w + 3) // 4 * 4
+            img_size = row_stride * h
+            file_size = 54 + img_size
+            header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+            )
+            rows = []
+            for r in range(h - 1, -1, -1):  # bottom-up
+                row = bytearray()
+                for c in range(w):
+                    # BGR on disk
+                    for ch in (2, 1, 0):
+                        row.append((doc_id + 5 * r + 7 * c + 11 * ch) % 256)
+                row += b"\x00" * (row_stride - 3 * w)
+                rows.append(bytes(row))
+            return header + info + b"".join(rows)
+
+        for pdf in batches:
+            ids = pdf["media_id"].astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "mime": "image/bmp",
+                    "width": (3 + ids % 9).astype("int32"),
+                    "height": (2 + ids % 7).astype("int32"),
+                    "duration_ms": 0,
+                    "content": [make_bmp(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        encode_batches, schema=out_schema
+    )
+
+
+def decode_bmp(df: DataFrame) -> DataFrame:
+    """REAL BMP decode: parse both headers with struct (width/height/
+    bit-depth/offset come from the FILE), strip per-row padding, flip
+    the bottom-up rows, swizzle BGR→RGB with numpy, and emit per-channel
+    means — the layout-undoing decode a real image pipeline performs.
+    Rejects anything that isn't an uncompressed 24-bit BMP."""
+    out_schema = (
+        "media_id bigint, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def parse(blob: bytes) -> tuple[int, int, float, float, float]:
+            b = bytes(blob)
+            magic, _fs, _r1, _r2, offset = _struct.unpack_from("<2sIHHI", b, 0)
+            if magic != b"BM":
+                raise ValueError("not a BMP")
+            (_sz, w, h, _planes, bits, comp) = _struct.unpack_from("<IiiHHI", b, 14)
+            if bits != 24 or comp != 0:
+                raise ValueError("only uncompressed 24-bit BMP supported")
+            row_stride = (3 * w + 3) // 4 * 4
+            raw = _np.frombuffer(b, dtype=_np.uint8, count=row_stride * h, offset=offset)
+            rows = raw.reshape(h, row_stride)[:, : 3 * w]
+            px = rows.reshape(h, w, 3)[::-1, :, ::-1].astype(_np.float64)  # flip + BGR->RGB
+            return w, h, px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean()
+
+        for pdf in batches:
+            parsed = [parse(c) for c in pdf["content"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [p[0] for p in parsed],
+                    "height": [p[1] for p in parsed],
+                    "mean_r": [p[2] for p in parsed],
+                    "mean_g": [p[3] for p in parsed],
+                    "mean_b": [p[4] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=out_schema)

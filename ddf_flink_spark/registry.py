@@ -8175,3 +8175,52 @@ def q193_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q194_bmp_decode_stats",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS media_id, 3 + doc_id % 9 AS w, 2 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 2000
+    ),
+    px AS (
+      SELECT media_id, w, h, ch.ch,
+             AVG(CAST((media_id + 5 * r.r + 7 * c.c + 11 * ch.ch) % 256
+                      AS DOUBLE)) AS m
+      FROM ids,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(0, h - 1)) AS r) r,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS c) c,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS ch) ch
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           ROUND(MAX(CASE WHEN ch = 0 THEN m END), 4) AS mean_r,
+           ROUND(MAX(CASE WHEN ch = 1 THEN m END), 4) AS mean_g,
+           ROUND(MAX(CASE WHEN ch = 2 THEN m END), 4) AS mean_b
+    FROM px GROUP BY 1, 2, 3 ORDER BY media_id
+    """,
+)
+def q194_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode (functions/multimodal.attach_bmp_media →
+    decode_bmp): genuine 24-bit uncompressed BMP files — 14+40-byte
+    headers, BOTTOM-UP rows, BGR channel order, 4-byte row padding —
+    are synthesized per doc and the decode must UNDO all of that
+    layout (struct-parse both headers, strip padding, flip rows,
+    swizzle BGR→RGB) before computing per-channel means. The oracle
+    recomputes the logical top-down RGB pixel function closed-form, so
+    a decode that forgot the flip or the swizzle hash-mismatches.
+    Third real container after PPM (q159) and WAV (q43); same
+    zero-shuffle Arrow-map shape."""
+    from .functions.multimodal import attach_bmp_media, decode_bmp
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    stats = decode_bmp(attach_bmp_media(d, "doc_id"))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    ).orderBy("media_id")

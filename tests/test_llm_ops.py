@@ -708,3 +708,33 @@ def test_prefix_filter_exact_at_ieee_hostile_threshold(spark):
     )
     out = prefix_filter_jaccard(df, threshold=0.56).collect()
     assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(0, 1, 0.56)]
+
+
+def test_bmp_decode_rejects_non_bmp_and_undoes_layout(spark):
+    """decode_bmp raises on foreign bytes, and on a hand-built 2x1 BMP
+    it undoes bottom-up + BGR: the decoded mean_r must come from the
+    RED byte of the logical TOP row."""
+    import struct
+
+    import pytest as _pytest
+
+    from ddf_flink_spark.functions.multimodal import decode_bmp
+
+    # hand-built 24-bit BMP: w=1, h=2; bottom-up rows, BGR channels.
+    # logical top pixel RGB = (200, 150, 100); bottom = (10, 20, 30)
+    row_bottom = bytes([30, 20, 10]) + b"\x00"   # BGR + pad to 4
+    row_top = bytes([100, 150, 200]) + b"\x00"
+    img = row_bottom + row_top                    # bottom-up on disk
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, len(img), 0, 0, 0, 0)
+    good = header + info + img
+    df = spark.createDataFrame([(0, bytearray(good))], "media_id long, content binary")
+    r = decode_bmp(df).collect()[0]
+    assert (r.width, r.height) == (1, 2)
+    assert (r.mean_r, r.mean_g, r.mean_b) == (105.0, 85.0, 65.0)
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"GIF89a not a bmp"))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception):
+        decode_bmp(bad).collect()
