@@ -8224,3 +8224,193 @@ def q194_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 4).alias("mean_g"),
         F.round("mean_b", 4).alias("mean_b"),
     ).orderBy("media_id")
+
+
+@query(
+    "q195_embedding_whitening",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id AS id, i - 1 AS dim,
+             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS xr
+      FROM embeddings,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i) s
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    st AS (
+      SELECT dim,
+             CAST(SUM(CAST(xr AS DECIMAL(18,6))) AS DOUBLE) / nn.n AS mu,
+             CAST(SUM(CAST(ROUND(xr * xr, 9) AS DECIMAL(30,9))) AS DOUBLE) / nn.n
+               AS ex2
+      FROM ex, nn GROUP BY dim, nn.n
+    ),
+    sg AS (SELECT dim, mu, SQRT(ex2 - mu * mu) AS sigma FROM st),
+    wh AS (
+      SELECT ex.dim, ROUND((xr - mu) / sigma, 6) AS z
+      FROM ex JOIN sg USING (dim)
+    )
+    SELECT CAST(wh.dim AS INT) AS dim,
+           ROUND(sg.mu, 6) AS mu, ROUND(sg.sigma, 6) AS sigma,
+           CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE) AS z_checksum
+    FROM wh JOIN sg USING (dim)
+    GROUP BY wh.dim, sg.mu, sg.sigma ORDER BY dim
+    """,
+)
+def q195_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION EMBEDDING WHITENING (z-score over the vector
+    cloud): the vector analog of q47's scalar transformScaleStandard —
+    the preprocessing pass before cosine/PCA when dimensions carry
+    different scales. One exploded pass computes per-dim mean and
+    E[x²] together (sigma from the moments — no second scan), a second
+    pass standardizes; both reductions are DECIMAL sums of pre-rounded
+    values (q185 discipline), and the output checksums every whitened
+    value per dimension exactly — the oracle replays z-scores to the
+    last digit, not just the moments."""
+    e = t(spark, sf_dir, "embeddings")
+    n_rows = e.count()
+    ex = e.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).select("id", "dim", F.round(F.col("x"), 6).alias("xr"))
+    st = ex.groupBy("dim").agg(
+        (F.sum(F.col("xr").cast("decimal(18,6)")).cast("double") / n_rows).alias(
+            "mu"
+        ),
+        (
+            F.sum(F.round(F.col("xr") * F.col("xr"), 9).cast("decimal(30,9)"))
+            .cast("double")
+            / n_rows
+        ).alias("ex2"),
+    )
+    sg = st.select(
+        "dim", "mu", F.sqrt(F.col("ex2") - F.col("mu") * F.col("mu")).alias("sigma")
+    )
+    wh = ex.join(F.broadcast(sg), "dim").select(
+        "dim",
+        "mu",
+        "sigma",
+        F.round((F.col("xr") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )
+    return (
+        wh.groupBy(F.col("dim").cast("int").alias("dim"), "mu", "sigma")
+        .agg(F.sum(F.col("z").cast("decimal(18,6)")).cast("double").alias("z_checksum"))
+        .select(
+            "dim",
+            F.round("mu", 6).alias("mu"),
+            F.round("sigma", 6).alias("sigma"),
+            "z_checksum",
+        )
+        .orderBy("dim")
+    )
+
+
+@query(
+    "q196_corpus_interleave",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT), doc_id
+             ) AS rn
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, rn,
+             ROUND((rn - 0.5) / (CASE source
+               WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0 ELSE 1.0 END), 6)
+               AS mix_key
+      FROM ranked
+    )
+    SELECT doc_id, source, mix_key FROM keyed
+    ORDER BY mix_key, source, doc_id LIMIT 60
+    """,
+)
+def q196_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC CORPUS INTERLEAVING (stride scheduling): emit the
+    training-order stream that mixes sources at fixed ratios (src0:3,
+    src1:2, rest:1) WITHOUT RNG — each source's docs are md5-shuffled
+    (q192's permutation) and the k-th doc of a weight-w source gets
+    mix key (k−½)/w, so sorting by the key interleaves sources in
+    exact long-run proportion (the stride scheduler / SSR argument).
+    Reproducible anywhere: the data loader's epoch order becomes a
+    QUERY, not a runtime shuffle — rerun next quarter or in another
+    engine and the batches arrive identically. Per-source rank is one
+    window; the global order materializes lazily (here: first 60)."""
+    from pyspark.sql.window import Window
+
+    from .functions.dedup import md5_long
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    weight = (
+        F.when(F.col("source") == "src0", 3.0)
+        .when(F.col("source") == "src1", 2.0)
+        .otherwise(1.0)
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("mix_key", F.round((F.col("rn") - 0.5) / weight, 6))
+        .select("doc_id", "source", "mix_key")
+        .orderBy("mix_key", "source", "doc_id")
+        .limit(60)
+    )
+
+
+@query(
+    "q197_length_bucketing",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_toks FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_toks,
+             CASE WHEN n_toks <= 32 THEN 32 WHEN n_toks <= 64 THEN 64
+                  WHEN n_toks <= 128 THEN 128 WHEN n_toks <= 256 THEN 256
+                  ELSE 512 END AS bucket
+      FROM lens
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS real_tokens,
+           CAST(SUM(bucket - n_toks) AS BIGINT) AS padding_tokens,
+           ROUND(SUM(bucket - n_toks) / CAST(SUM(bucket) AS DOUBLE), 4)
+             AS padding_frac
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q197_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-LENGTH BUCKETING for batched training: assign each doc
+    to a power-of-two length bucket and report per-bucket padding waste
+    — the measurement that decides between bucketed batching and q167's
+    sequence packing (packing wins when padding_frac is high). Length
+    is size(split(...)) — map-only, no explode; one small groupBy.
+    Deterministic, fully SQL-replayable."""
+    d = t(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " "))
+    bucket = (
+        F.when(n_toks <= 32, 32)
+        .when(n_toks <= 64, 64)
+        .when(n_toks <= 128, 128)
+        .when(n_toks <= 256, 256)
+        .otherwise(512)
+    )
+    b = d.select(n_toks.alias("n_toks"), bucket.alias("bucket"))
+    return (
+        b.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("real_tokens"),
+            F.sum(F.col("bucket") - F.col("n_toks")).cast("long").alias(
+                "padding_tokens"
+            ),
+            F.round(
+                F.sum(F.col("bucket") - F.col("n_toks"))
+                / F.sum("bucket").cast("double"),
+                4,
+            ).alias("padding_frac"),
+        )
+        .orderBy("bucket")
+    )
