@@ -8414,3 +8414,77 @@ def q197_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q198_distribution_drift_psi",
+    oracle="""
+    WITH binned AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END
+               AS win,
+             LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin
+      FROM events
+    ),
+    counts AS (
+      SELECT bin,
+             SUM(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts),
+    terms AS (
+      SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+             ROUND(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
+                   * LN(((n_cur + 0.5) / (t_cur + 5.0))
+                        / ((n_ref + 0.5) / (t_ref + 5.0))), 6) AS psi_term
+      FROM counts, tot
+    )
+    SELECT bin, n_ref, n_cur, psi_term,
+           (SELECT ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE), 6)
+            FROM terms) AS psi_total
+    FROM terms ORDER BY bin
+    """,
+)
+def q198_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION DRIFT by Population Stability Index: bin the metric
+    into 10 fixed-width buckets, compare the reference window (Jan
+    1-15) against the current window (Jan 16-30), per-bin PSI term
+    (p−q)·ln(p/q) with add-half smoothing so empty bins can't divide
+    by zero — the production drift monitor that decides when a feature
+    or quality distribution has shifted enough to re-examine the
+    pipeline (PSI > 0.2 is the conventional alarm). One scan, one
+    10-row groupBy; the window split is a pushed predicate-derived
+    CASE. Per-bin terms round to 6 and total in DECIMAL (the q162
+    discipline), so libm ln noise can't flip the cross-engine hash."""
+    ev = t(spark, sf_dir, "events")
+    win = F.when(F.col("ts") < "2024-01-16", "ref").otherwise("cur")
+    bin_ = F.least(F.floor(F.col("value") / 50.0).cast("long"), F.lit(9))
+    counts = (
+        ev.select(win.alias("win"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("win") == "ref", 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("win") == "cur", 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)
+    q = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+    total = terms.agg(
+        F.round(
+            F.sum(F.col("psi_term").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("psi_total")
+    )
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select("bin", "n_ref", "n_cur", "psi_term", "psi_total")
+        .orderBy("bin")
+    )

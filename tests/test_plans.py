@@ -463,6 +463,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # Quality report: the whole report is ONE 1-row aggregate (by design
     # — one scan for all columns), unpivoted to 4 rows.
     "q191_data_quality_report": {"single-partition"},
+    # PSI drift: window totals and the PSI sum fold the 10-row bin
+    # table; both ride back as broadcast 1-row crossJoins.
+    "q198_distribution_drift_psi": {"single-partition", "cartesian-product"},
 }
 
 
