@@ -8488,3 +8488,59 @@ def q198_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n_ref", "n_cur", "psi_term", "psi_total")
         .orderBy("bin")
     )
+
+
+@query(
+    "q199_source_concentration",
+    oracle="""
+    WITH sz AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n, source) AS i FROM sz
+    ),
+    agg AS (
+      SELECT COUNT(*) AS k, SUM(n) AS total, SUM(i * n) AS s_in
+      FROM ranked
+    )
+    SELECT CAST(k AS BIGINT) AS n_sources,
+           CAST(total AS BIGINT) AS total_docs,
+           ROUND(CAST(2 * s_in - (k + 1) * total AS DOUBLE) / (k * total), 6)
+             AS gini,
+           (SELECT ROUND(MAX(n) / CAST(SUM(n) AS DOUBLE), 6) FROM sz)
+             AS top_share
+    FROM agg
+    """,
+)
+def q199_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-MIX CONCENTRATION: Gini coefficient of the per-source
+    document counts (0 = perfectly balanced mix, →1 = one source
+    dominates) plus the top source's share — the imbalance metric that
+    feeds the mixing operators (q136 budget caps / q154 weighted /
+    q196 interleave exist to FIX what this measures). Exact integer
+    arithmetic end-to-end: the rank-form Gini Σ(2i−k−1)·nᵢ / (k·Σn)
+    over (count, source)-sorted sizes divides two exact integers once
+    at the end. One groupBy to source sizes (tiny), a k-row window."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    sz = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ranked = sz.withColumn(
+        "i", F.row_number().over(Window.orderBy("n", "source"))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("i") * F.col("n")).alias("s_in"),
+    )
+    top = sz.agg(
+        F.round(F.max("n") / F.sum("n").cast("double"), 6).alias("top_share")
+    )
+    return agg.crossJoin(F.broadcast(top)).select(
+        F.col("k").cast("long").alias("n_sources"),
+        F.col("total").cast("long").alias("total_docs"),
+        F.round(
+            (2 * F.col("s_in") - (F.col("k") + 1) * F.col("total")).cast("double")
+            / (F.col("k") * F.col("total")),
+            6,
+        ).alias("gini"),
+        "top_share",
+    )

@@ -466,6 +466,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # PSI drift: window totals and the PSI sum fold the 10-row bin
     # table; both ride back as broadcast 1-row crossJoins.
     "q198_distribution_drift_psi": {"single-partition", "cartesian-product"},
+    # Gini: the rank window and aggregates run over the ~|sources|-row
+    # size table; the two scalars crossJoin as broadcast 1-row frames.
+    "q199_source_concentration": {"single-partition", "cartesian-product"},
 }
 
 
