@@ -537,22 +537,31 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on signature
-    sub-blocks. Pigeonhole: splitting 64 bits into ``max_hamming + 1``
-    blocks guarantees any pair within ``max_hamming`` agrees on at least
-    one whole block — the block join is lossless blocking.
+    sub-blocks. Pigeonhole: splitting the signature's bits into
+    ``max_hamming + 1`` blocks guarantees any pair within ``max_hamming``
+    agrees on at least one whole block — the block join is lossless
+    blocking, so the result equals the brute-force Hamming join (which is
+    exactly how the DuckDB oracle verifies it, registry q33).
 
     (Trade-off at scale: larger ``max_hamming`` ⇒ narrower blocks ⇒ more
     random bucket collisions; keep max_hamming small for huge corpora.)
 
+    ``hash_family="md5"`` blocks over the 60-bit cross-engine signature
+    (``simhash_signatures`` md5 family) so any md5-capable engine
+    reproduces pairs AND distances exactly; "xx" is the cheaper 64-bit
+    production path.
+
     Returns (id_a, id_b, hamming).
     """
+    bits = 60 if hash_family == "md5" else 64
     n_blocks = max_hamming + 1
-    base, rem = divmod(64, n_blocks)
+    base, rem = divmod(bits, n_blocks)
     widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
     starts = [sum(widths[:i]) for i in range(n_blocks)]
-    sigs = simhash_signatures(df, text_col, id_col, shingle_n)
+    sigs = simhash_signatures(df, text_col, id_col, shingle_n, hash_family)
     blocks = []
     for q, (start, width) in enumerate(zip(starts, widths)):
         piece = F.shiftrightunsigned("sig", start)

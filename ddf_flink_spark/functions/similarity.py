@@ -29,6 +29,7 @@ __all__ = [
     "brute_force_topk",
     "hyperplane_signature",
     "lsh_topk",
+    "srp_lsh_topk_crossengine",
     "ivf_build",
     "ivf_topk",
     "quantize_embeddings",
@@ -306,12 +307,29 @@ def srp_signature_crossengine(
     size. ``hyperplane_signature`` is the seeded xxhash-flavored
     production variant; this is the interchange/verification form
     (same trade as dedup.md5_long vs xxhash64)."""
+    out = _srp_prep(df, vec_col, id_col, n_planes, dims, scale)
+    return out.select("id", "sig")
+
+
+def _srp_sign(i: int, d: int) -> int:
+    """+1/-1 hyperplane component — the md5 contract both engines share."""
     import hashlib
 
-    def sign(i: int, d: int) -> int:
-        h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:15], 16)
-        return 1 if h % 2 == 0 else -1
+    h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
 
+
+def _srp_prep(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_planes: int,
+    dims: int,
+    scale: int,
+) -> DataFrame:
+    """(id, qv, sig): integer-quantized vector + md5-SRP signature in ONE
+    codegen'd map pass (shared by ``srp_signature_crossengine`` and
+    ``srp_lsh_topk_crossengine``)."""
     qv = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * scale).cast("long"),
@@ -331,14 +349,109 @@ def srp_signature_crossengine(
     out = df.select(F.col(id_col).alias("id"), dim_check.alias("qv"))
     sig = F.lit(0).cast("long")
     for i in range(n_planes):
-        signs = F.array(*[F.lit(sign(i, d)) for d in range(dims)])
+        signs = F.array(*[F.lit(_srp_sign(i, d)) for d in range(dims)])
         dot_i = F.aggregate(
             F.zip_with("qv", signs, lambda x, s: x * s.cast("long")),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-    return out.select("id", sig.alias("sig"))
+    return out.select("id", "qv", sig.alias("sig"))
+
+
+def srp_lsh_topk_crossengine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    table_bits: int = 8,
+    dims: int = 64,
+    scale: int = 10000,
+) -> DataFrame:
+    """LSH approximate top-k whose EVERY step an external engine replays
+    bit-for-bit (DuckDB oracle: registry q42):
+
+    * signatures — md5-derived hyperplanes over integer-quantized
+      components (``_srp_prep``: exact BIGINT dots, no float knife
+      edges);
+    * blocking — ``n_planes // table_bits`` hash tables, table t's bucket
+      = bits [t·table_bits, (t+1)·table_bits) of the signature; candidates
+      share a bucket in ≥1 table;
+    * re-rank — cosine over the SAME quantized integers:
+      cos = Σ(qa·qb) / (√Σqa² · √Σqb²). The sums are exact int64 (≤6.4e9
+      for 64 dims at scale=1e4, well inside double's 2^53), and sqrt/mul/
+      div are single correctly-rounded IEEE ops — so the double is
+      bit-identical on any engine and the (cos DESC, neighbor_id) rank
+      can't diverge.
+
+    Scale shape: two map passes (signatures), a bucket equi-join whose
+    expected pair space is n·(n/2^table_bits)·tables, distinct on bare id
+    pairs (arrays never ride the dedup shuffle), then an id-join back for
+    the bounded candidate re-rank. ``lsh_topk`` is the float/xxhash
+    production variant (same trade as dedup.md5_long vs xxhash64)."""
+    if n_planes % table_bits:
+        raise ValueError("n_planes must divide evenly into table_bits-wide tables")
+    n_tables = n_planes // table_bits
+    mask = (1 << table_bits) - 1
+    qp = _srp_prep(queries, vec_col, id_col, n_planes, dims, scale)
+    cp = _srp_prep(corpus, vec_col, id_col, n_planes, dims, scale)
+
+    def tabs(df: DataFrame, idn: str) -> DataFrame:
+        return df.select(
+            F.col("id").alias(idn),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            F.shiftrightunsigned("sig", t * table_bits)
+                            .bitwiseAND(F.lit(mask).cast("long"))
+                            .alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(idn, "tb.tbl", "tb.bucket")
+
+    cand = (
+        tabs(qp, "query_id")
+        .join(tabs(cp, "neighbor_id"), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("qv", "qv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    qside = qp.select(F.col("id").alias("query_id"), F.col("qv").alias("qa"), norm.alias("na"))
+    cside = cp.select(F.col("id").alias("neighbor_id"), F.col("qv").alias("qb"), norm.alias("nb"))
+    pair_dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(qside, "query_id")
+        .join(cside, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (pair_dot.cast("double") / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+    )
 
 
 def quantize_embeddings(

@@ -982,23 +982,138 @@ def q32_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_candidates(d, threshold=0.5, n=3)
 
 
-@query("q31_dedup_minhash")
+def _minhash_cand_oracle(num_hashes: int, rows_per_band: int) -> str:
+    """Parametrized DuckDB replay of minhash_lsh_candidates(hash_family=
+    "md5"): 3-gram shingles, h_i = affine rehash of the 60-bit md5 base
+    mod P=2³¹−1, comma-joined band buckets, distinct bucket-collision
+    pairs. Used at (32, 4) by q31 and (16, 4) by q144."""
+    return f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
+      WHERE LEN(ts) >= 3
+    ),
+    hm AS (
+      SELECT doc_id, i,
+             MIN(((((2*i + 1) * 2654435761) % 2147483647)
+                  * (CAST(('0x' || SUBSTRING(md5(g), 1, 15)) AS BIGINT) % 2147483647)
+                  + (i * 1013904223) % 2147483647) % 2147483647) AS h
+      FROM sh, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {num_hashes - 1})) AS i) hh
+      GROUP BY doc_id, i
+    ),
+    band AS (
+      SELECT doc_id, i // {rows_per_band} AS band,
+             STRING_AGG(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
+      FROM hm GROUP BY doc_id, i // {rows_per_band}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+
+
+def _simhash_sig_cte() -> str:
+    """DuckDB CTE chain ending in ``sigs(id, sig)`` — the 60-bit md5
+    SimHash signature of every document (2-gram shingles, per-bit
+    ≥-majority vote, empty docs → all-ones). Shared by q33 (pairs) and
+    q145 (signatures)."""
+    bit_sums = ",\n             ".join(
+        f"SUM((h >> {i}) & 1) AS b{i}" for i in range(60)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN 2 * b{i} >= n THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+    tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS i) s
+      WHERE LEN(ts) >= 2
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || SUBSTRING(md5(g), 1, 15)) AS BIGINT) AS h
+      FROM sh
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {bit_sums}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM agg),
+    sigs AS (
+      SELECT d.doc_id AS id,
+             COALESCE(s.sig, {(1 << 60) - 1}) AS sig
+      FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+    )
+    """
+
+
+@query("q31_dedup_minhash", oracle=_minhash_cand_oracle(32, 4))
 def q31_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (32 hashes, 8 bands — targets
-    Jaccard ≳ 0.6). xxhash64-based → engine-specific, so no SQL oracle;
-    correctness is pinned by tests/test_llm_ops.py recall-vs-exact-Jaccard.
-    Rows: (id_a, id_b) candidate pairs, deterministic for fixed input."""
+    Jaccard ≳ 0.6), CROSS-ENGINE md5 hash family: DuckDB recomputes the
+    identical signatures/band buckets from scratch, so shingling,
+    min-hash family, banding and the candidate join are all hash-checked
+    under this driver-gated name (previously rows-only on the
+    engine-specific xxhash64 family, which lives on as the production
+    throughput path — q201). Rows: (id_a, id_b) candidate pairs."""
+    from .functions.dedup import minhash_lsh_candidates
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, num_hashes=32, bands=8, hash_family="md5"
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q33_dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_sig_cte()}
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (60-bit CROSS-ENGINE md5 signature,
+    Hamming ≤ 3, pigeonhole 15-bit-block blocking). The oracle verifies
+    the blocked join against the brute-force Hamming join — legal because
+    pigeonhole blocking is lossless — so pairs AND distances are
+    hash-checked under this driver-gated name (previously rows-only on
+    xxhash64; that 64-bit family remains the production path — q202)."""
+    from .functions.dedup import simhash_near_duplicates
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        simhash_near_duplicates(d, max_hamming=3, hash_family="md5")
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("q201_dedup_minhash_xx")
+def q201_dedup_minhash_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION MinHash+LSH variant (xxhash64 family — ~3-4× cheaper
+    hashing than q31's md5 interchange family; same pipeline, same
+    banding). Engine-specific hash → rows-only check; the md5 twin (q31)
+    hash-verifies the shared pipeline end-to-end, and
+    tests/test_llm_ops.py pins recall-vs-exact-Jaccard for this family."""
     from .functions.dedup import minhash_lsh_candidates
 
     d = t(spark, sf_dir, "documents")
     return minhash_lsh_candidates(d, num_hashes=32, bands=8).orderBy("id_a", "id_b")
 
 
-@query("q33_dedup_simhash")
-def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit signature, Hamming ≤ 3, pigeonhole
-    16-bit-quarter blocking). xxhash64-based → no SQL oracle; pinned by
-    unit tests (identical text → distance 0; near-dup prefixes → small)."""
+@query("q202_dedup_simhash_xx")
+def q202_dedup_simhash_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION SimHash variant (64-bit xxhash64 signatures, Hamming
+    ≤ 3, 16-bit-quarter pigeonhole). Engine-specific hash → rows-only;
+    the md5 twin (q33) hash-verifies the shared blocking/vote pipeline."""
     from .functions.dedup import simhash_near_duplicates
 
     d = t(spark, sf_dir, "documents")
@@ -1201,12 +1316,93 @@ def q41_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("cos") >= 0.45)
 
 
-@query("q42_similarity_lsh")
+@query(
+    "q42_similarity_lsh",
+    oracle="""
+    WITH signs AS (
+      SELECT i.i AS plane, d.d AS dim,
+             CASE WHEN CAST(('0x' || SUBSTRING(
+                    md5(CAST(i.i AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS i) i,
+           (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS d) d
+    ),
+    qv AS (
+      SELECT vec_id AS id, u.i - 1 AS dim,
+             CAST(ROUND(CAST(u.x AS DOUBLE) * 10000) AS BIGINT) AS q
+      FROM embeddings e,
+           LATERAL (SELECT UNNEST(e.embedding) AS x,
+                           generate_subscripts(e.embedding, 1) AS i) u
+    ),
+    dots AS (
+      SELECT id, plane, SUM(q * s) AS dot
+      FROM qv JOIN signs ON signs.dim = qv.dim
+      GROUP BY id, plane
+    ),
+    sg AS (
+      SELECT id,
+             CAST(SUM(CASE WHEN dot >= 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY id
+    ),
+    tabs AS (
+      SELECT id, tt.t AS t, (sig >> (tt.t * 8)) & 255 AS bucket
+      FROM sg, (SELECT UNNEST(GENERATE_SERIES(0, 1)) AS t) tt
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
+      FROM tabs a JOIN tabs b ON a.t = b.t AND a.bucket = b.bucket
+                             AND a.id <> b.id
+      WHERE a.id < 20
+    ),
+    norms AS (SELECT id, SQRT(CAST(SUM(q * q) AS DOUBLE)) AS nrm FROM qv GROUP BY id),
+    pd AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(qa.q * qb.q) AS DOUBLE) AS d
+      FROM cand c
+      JOIN qv qa ON qa.id = c.query_id
+      JOIN qv qb ON qb.id = c.neighbor_id AND qb.dim = qa.dim
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id, p.d / (na.nrm * nb.nrm) AS cos
+      FROM pd p
+      JOIN norms na ON na.id = p.query_id
+      JOIN norms nb ON nb.id = p.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos
+    FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
+    """,
+)
 def q42_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH approximate top-k (functions/similarity.py
-    lsh_topk): 4 tables × 8 bits, exact re-rank within buckets. Seeded
-    hyperplanes → deterministic rows; recall-vs-exact pinned by unit test,
-    no SQL oracle (engine-specific plane generation)."""
+    """SRP-LSH approximate top-k, CROSS-ENGINE variant
+    (functions/similarity.srp_lsh_topk_crossengine): md5-derived
+    hyperplanes, 2 tables × 8 bits, exact re-rank by integer-quantized
+    cosine — every stage (planes, signatures, buckets, candidate join,
+    rank) is replayed bit-for-bit by the DuckDB oracle under this
+    driver-gated name (previously rows-only on seeded-xxhash float
+    planes, which remain the production path — q203)."""
+    from .functions.similarity import srp_lsh_topk_crossengine
+
+    e = t(spark, sf_dir, "embeddings")
+    return srp_lsh_topk_crossengine(
+        e.filter(F.col("vec_id") < 20), e, k=3
+    ).orderBy("query_id", "neighbor_id")
+
+
+@query("q203_similarity_lsh_float")
+def q203_similarity_lsh_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION random-hyperplane LSH top-k (functions/similarity.py
+    lsh_topk): 4 tables × 8 bits, seeded float hyperplanes, float cosine
+    re-rank — cheaper per vector than q42's quantized interchange form.
+    Engine-specific plane generation → rows-only; recall-vs-exact pinned
+    by unit test, and the md5 twin (q42) hash-verifies the shared
+    bucket-join/re-rank shape."""
     from .functions.similarity import lsh_topk
 
     e = t(spark, sf_dir, "embeddings")
@@ -1359,13 +1555,91 @@ def q61_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q62_ml_kmeans")
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Parametrized DuckDB replay of ml/kmeans.kmeans_lloyd(k, iters,
+    round_digits=4): init = k lowest-id vectors rounded to 4 digits;
+    assignment ranks on ROUND(dist, 6) with cluster tie-break; update =
+    per-dim mean rounded to 4 digits; empty clusters keep the previous
+    centroid. Used at (8, 2) by q62 and (4, 2) by q146."""
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    ctes = [
+        "emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v\n"
+        "                 FROM embeddings)",
+        f"""c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {k})
+    )""",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"s{i} AS ({assign.format(cent=f'c{i}')})",
+            f"a{i} AS (SELECT id, v, cluster FROM s{i} WHERE rn = 1)",
+            f"m{i + 1} AS ({update.format(assigned=f'a{i}')})",
+            f"c{i + 1}n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c "
+            f"FROM m{i + 1} GROUP BY cluster)",
+            f"c{i + 1} AS (SELECT c{i}.cluster, COALESCE(c{i + 1}n.c, c{i}.c) AS c\n"
+            f"           FROM c{i} LEFT JOIN c{i + 1}n USING (cluster))",
+        ]
+    ctes += [
+        f"s{iters} AS ({assign.format(cent=f'c{iters}')})",
+        f"a{iters} AS (SELECT id, cluster, dist FROM s{iters} WHERE rn = 1)",
+    ]
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT cluster, COUNT(*) AS n_points,
+           ROUND(AVG(dist), 4) AS avg_dist,
+           CAST(SUM(id) AS BIGINT) AS id_checksum
+    FROM a{iters} GROUP BY cluster ORDER BY cluster
+    """
+
+
+@query("q62_ml_kmeans", oracle=_kmeans_oracle(8, 2))
 def q62_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans (k-means|| init) over the embeddings table — replaces the
-    615-LoC vendored Flink KMeans (``org/apache/flink/ml/clustering/
-    KMeans.scala``) with ``pyspark.ml.clustering.KMeans``. No SQL oracle
-    (iterative algorithm); seeded so the rows-only check is deterministic.
-    Returns per-cluster sizes + centroid norm, sorted by size."""
+    """KMeans over the embeddings table, CROSS-ENGINE deterministic Lloyd
+    variant (ml/kmeans.kmeans_lloyd, k=8, 2 iterations): lowest-id init,
+    round-6 ranked argmin, round-4 centroid updates — DuckDB replays the
+    entire iteration, so cluster memberships (id_checksum), sizes and
+    mean distances are hash-checked under this driver-gated name.
+    Replaces the 615-LoC vendored Flink KMeans (``org/apache/flink/ml/
+    clustering/KMeans.scala``); the pyspark.ml k-means|| production
+    path (seeded but not cross-engine-reproducible) lives on as q204."""
+    from .ml.kmeans import kmeans_lloyd
+
+    emb = t(spark, sf_dir, "embeddings")
+    final = kmeans_lloyd(emb, "embedding", "vec_id", k=8, iters=2)
+    return (
+        final.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+            F.sum("id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query("q204_ml_kmeans_kmeanspp")
+def q204_ml_kmeans_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION KMeans (pyspark.ml k-means|| init, 20 iterations) —
+    the scale path for real clustering quality (k-means|| init beats
+    lowest-id init on skewed corpora). Seeded-deterministic rows but not
+    cross-engine-reproducible → rows-only; the deterministic Lloyd twin
+    (q62) hash-verifies the assignment/update machinery."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -5134,31 +5408,7 @@ def q143_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q144_oracle() -> str:
     # Mirrors minhash_lsh_candidates(hash_family="md5"): 16 hashes, 4 bands
     # of 4, 3-gram shingles; h_i = 60-bit parse of md5("i:" + shingle).
-    return """
-    WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
-      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
-      WHERE LEN(ts) >= 3
-    ),
-    hm AS (
-      SELECT doc_id, i,
-             MIN(((((2*i + 1) * 2654435761) % 2147483647)
-                  * (CAST(('0x' || SUBSTRING(md5(g), 1, 15)) AS BIGINT) % 2147483647)
-                  + (i * 1013904223) % 2147483647) % 2147483647) AS h
-      FROM sh, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS i) hh
-      GROUP BY doc_id, i
-    ),
-    band AS (
-      SELECT doc_id, i // 4 AS band,
-             STRING_AGG(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
-      FROM hm GROUP BY doc_id, i // 4
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
-                           AND a.doc_id < b.doc_id
-    ORDER BY id_a, id_b
-    """
+    return _minhash_cand_oracle(16, 4)
 
 
 @query("q144_minhash_crossengine", oracle=_q144_oracle())
@@ -5180,34 +5430,9 @@ def q144_minhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q145_oracle() -> str:
     # Mirrors simhash_signatures(hash_family="md5"): 60-bit md5_long per
     # 2-gram shingle, per-bit ≥-majority vote, empty docs → all-ones.
-    bit_sums = ",\n             ".join(
-        f"SUM((h >> {i}) & 1) AS b{i}" for i in range(60)
-    )
-    sig_terms = " + ".join(
-        f"(CASE WHEN 2 * b{i} >= n THEN {1 << i} ELSE 0 END)" for i in range(60)
-    )
     return f"""
-    WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS g
-      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS i) s
-      WHERE LEN(ts) >= 2
-    ),
-    h AS (
-      SELECT doc_id,
-             CAST(('0x' || SUBSTRING(md5(g), 1, 15)) AS BIGINT) AS h
-      FROM sh
-    ),
-    agg AS (
-      SELECT doc_id, COUNT(*) AS n,
-             {bit_sums}
-      FROM h GROUP BY doc_id
-    ),
-    sig AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM agg)
-    SELECT d.doc_id AS id,
-           COALESCE(s.sig, {(1 << 60) - 1}) AS sig
-    FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
-    ORDER BY id
+    WITH {_simhash_sig_cte()}
+    SELECT id, sig FROM sigs ORDER BY id
     """
 
 
@@ -5227,51 +5452,9 @@ def q145_simhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q146_oracle() -> str:
-    # Mirrors ml/kmeans.kmeans_lloyd(k=4, iters=2, round_digits=4): init =
-    # 4 lowest-id vectors rounded to 4 digits; assignment ranks on
-    # ROUND(dist, 6) with cluster tie-break; update = per-dim mean rounded
-    # to 4 digits; empty clusters keep the previous centroid.
-    assign = """
-      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
-             ROW_NUMBER() OVER (
-               PARTITION BY e.id
-               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
-             ) AS rn
-      FROM emb e CROSS JOIN {cent} c
-    """
-    update = """
-      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
-      FROM {assigned} a,
-           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
-      GROUP BY cluster, u.i
-    """
-    return f"""
-    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-                 FROM embeddings),
-    c0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
-             list_transform(v, x -> ROUND(x, 4)) AS c
-      FROM (SELECT id, v FROM emb ORDER BY id LIMIT 4)
-    ),
-    s0 AS ({assign.format(cent="c0")}),
-    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
-    m1 AS ({update.format(assigned="a0")}),
-    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
-    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
-           FROM c0 LEFT JOIN c1n USING (cluster)),
-    s1 AS ({assign.format(cent="c1")}),
-    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
-    m2 AS ({update.format(assigned="a1")}),
-    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
-    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
-           FROM c1 LEFT JOIN c2n USING (cluster)),
-    s2 AS ({assign.format(cent="c2")}),
-    a2 AS (SELECT id, cluster, dist FROM s2 WHERE rn = 1)
-    SELECT cluster, COUNT(*) AS n_points,
-           ROUND(AVG(dist), 4) AS avg_dist,
-           CAST(SUM(id) AS BIGINT) AS id_checksum
-    FROM a2 GROUP BY cluster ORDER BY cluster
-    """
+    # Mirrors ml/kmeans.kmeans_lloyd(k=4, iters=2, round_digits=4) — the
+    # shared generator (defined above q62) emits the same CTE chain.
+    return _kmeans_oracle(4, 2)
 
 
 @query("q146_kmeans_fixed_iters", oracle=_q146_oracle())
