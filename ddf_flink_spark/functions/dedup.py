@@ -212,9 +212,19 @@ def prefix_filter_jaccard(
 
     No global token rank is materialized: the per-document ordering
     uses the (freq, token) key directly in a per-doc window, so the
-    vocabulary is never funneled through one partition. Candidates are
-    verified with the exact shared-token count over the full posting
-    list, restricted by semi-join to candidate docs.
+    vocabulary is never funneled through one partition.
+
+    VERIFY runs per candidate PAIR, never over postings: candidate
+    docs' distinct-token arrays are gathered once (bounded by the
+    candidate set), each (id_a, id_b) pair picks up both arrays by two
+    id-equi-joins, and the shared count is one ``array_intersect`` per
+    pair — so verify cost is Σ_pairs(|a|+|b|), proportional to the
+    candidate space the prefix filter just pruned. (The earlier
+    formulation self-joined the full posting lists of all candidate
+    docs on raw token — on a corpus where most docs are candidates
+    that re-did the unfiltered join's work, exploding on stop tokens;
+    locked out by the single-token-join plan assertion in
+    tests/test_llm_ops.py.)
 
     Returns (id_a, id_b, jaccard) — identical output to the unfiltered
     exact join, which is what the registry oracle (q186) computes."""
@@ -251,25 +261,39 @@ def prefix_filter_jaccard(
         .join(prefix.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # cand feeds THREE plan branches (the pair verify + both sides of
+        # the candidate-doc gather); checkpointing the bounded id-pair set
+        # runs the prefix join once instead of three times and truncates
+        # the verify plan's lineage — the zero-token-joins-after-candidates
+        # assertion in tests/test_llm_ops.py reads this boundary
+        .localCheckpoint()
     )
     cdocs = (
         cand.select(F.col("id_a").alias("id"))
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    ctoks = toks.join(cdocs, "id", "left_semi")
-    shared = (
-        ctoks.alias("a")
-        .join(ctoks.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("sh"))
-        .join(cand, ["id_a", "id_b"], "left_semi")
+    # per-candidate-doc distinct-token arrays (toks is already distinct
+    # per doc); the semi-join bounds the gather to candidate docs only
+    tarr = (
+        toks.join(cdocs, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("tok").alias("tset"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(
+            tarr.select(F.col("id").alias("id_a"), F.col("tset").alias("ta")), "id_a"
+        )
+        .join(
+            tarr.select(F.col("id").alias("id_b"), F.col("tset").alias("tb")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).alias("sh"),
+            F.size("ta").alias("sz_a"),
+            F.size("tb").alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("sh") / (F.col("sz_a") + F.col("sz_b") - F.col("sh")), 4),

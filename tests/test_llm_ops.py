@@ -660,6 +660,58 @@ def test_prefix_filter_jaccard_prunes_and_stays_exact(spark):
     assert pruned * 10 < full, (pruned, full)
 
 
+def test_prefix_filter_verify_is_pairwise_not_postings(spark):
+    """The verify stage must cost O(candidate pairs), not O(postings²):
+    the plan may contain exactly TWO token-equality joins — freq attach
+    (postings ⋈ vocab) and the prefix candidate self-join — and NO third
+    (the old verify self-joined candidate docs' full posting lists on
+    raw token, re-doing the unfiltered join's work on corpora where most
+    docs are candidates, stop-token explosion included). Also re-checks
+    the full result set equals the brute-force exact join on a Zipf
+    corpus, since the verify rewrite must stay lossless."""
+    import random
+    import re
+
+    from ddf_flink_spark.functions.dedup import (
+        jaccard_candidates,
+        prefix_filter_jaccard,
+    )
+
+    rng = random.Random(13)
+    common = [f"common{i}" for i in range(6)]
+    docs = []
+    for d in range(40):
+        toks = [rng.choice(common) for _ in range(15)] + [f"rare{d}_{j}" for j in range(6)]
+        rng.shuffle(toks)
+        docs.append((d, " ".join(toks)))
+    docs.append((40, docs[3][1]))  # exact dup
+    docs.append((41, docs[5][1] + " extraword"))  # near dup
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    out = prefix_filter_jaccard(df, threshold=0.6)
+    # candidate generation sits behind cand's localCheckpoint, so the
+    # final plan's joins are exactly the verify stage: two id-equi-joins
+    # picking up token ARRAYS + one array_intersect per pair. Any
+    # tok-level equality join here means verify is back on postings.
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    token_joins = re.findall(r"tok#\d+L? = tok#\d+L?", plan)
+    assert token_joins == [], (
+        f"verify stage joins postings on raw token again: {token_joins}"
+    )
+    assert "array_intersect" in plan
+
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    # brute-force exact token-set jaccard via the 1-gram inverted index
+    # (jaccard_candidates over whole-token "shingles" == token sets here
+    # because every token is a distinct 1-gram)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_candidates(df, threshold=0.6, n=1).collect()
+    }
+    assert got == exact
+    assert (3, 40) in got and got[(3, 40)] == 1.0
+
+
 def test_pq_search_finds_identical_vector(spark):
     """A vector identical to the query shares all m codes, so its ADC
     distance is the minimum possible — it must rank first."""
