@@ -637,13 +637,37 @@ class DDF:
         self, column: str, probe_keys: list[str], depth: int = 4, width: int = 1024
     ) -> "DDF":
         """Count-min point-frequency estimates for ``probe_keys``
-        (functions/sketches.countmin_counters/estimate; est ≥ true)."""
+        (functions/sketches.countmin_counters/estimate; est ≥ true).
+
+        Probe keys are normalized through the COLUMN'S OWN engine-side
+        cast before hashing: the grid hashed ``CAST(col AS STRING)``,
+        whose rendering for non-string/int columns (double ``1.0``,
+        decimal scale padding, dates) differs from a caller's bare
+        ``'1'`` — without the round-trip those probes would read
+        collision noise from the wrong buckets. Output rows keep the
+        caller's original key strings."""
+        from pyspark.sql import functions as F
+
         from .functions.sketches import countmin_counters, countmin_estimate
 
+        spark = self._df.sparkSession
+        coltype = self._df.schema[column].dataType
+        rendered = (
+            spark.createDataFrame([(k,) for k in probe_keys], "key string")
+            .select(
+                "key",
+                F.coalesce(
+                    F.col("key").cast(coltype).cast("string"), F.col("key")
+                ).alias("hk"),
+            )
+            .collect()
+        )
+        by_key = {r.key: r.hk for r in rendered}
+        hash_keys = [by_key[k] for k in probe_keys]
         counters = countmin_counters(self._df, column, depth, width)
         return self._derive(
             countmin_estimate(
-                self._df.sparkSession, counters, probe_keys, depth, width
+                spark, counters, probe_keys, depth, width, hash_keys=hash_keys
             ),
             keep_factors=False,
         )

@@ -345,10 +345,18 @@ def fuzzy_near_duplicates(
     )
     pa = pre.select(F.col("id").alias("id_a"), F.col("p").alias("pa"))
     pb = pre.select(F.col("id").alias("id_b"), F.col("p").alias("pb"))
+    # two empty prefixes → 0/0 would be NULL and the pair would silently
+    # vanish at the threshold filter; define them as identical (sim=1).
+    # Unreachable via this blocking (empty texts have no n-grams) but a
+    # live trap for callers composing with other candidate generators.
     sim = F.round(
-        1
-        - F.levenshtein(F.col("pa"), F.col("pb"))
-        / F.greatest(F.length("pa"), F.length("pb")),
+        F.when(
+            F.greatest(F.length("pa"), F.length("pb")) == 0, F.lit(1.0)
+        ).otherwise(
+            1
+            - F.levenshtein(F.col("pa"), F.col("pb"))
+            / F.greatest(F.length("pa"), F.length("pb"))
+        ),
         4,
     )
     return (

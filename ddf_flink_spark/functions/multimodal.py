@@ -413,10 +413,23 @@ def decode_bmp(df: DataFrame) -> DataFrame:
             (_sz, w, h, _planes, bits, comp) = _struct.unpack_from("<IiiHHI", b, 14)
             if bits != 24 or comp != 0:
                 raise ValueError("only uncompressed 24-bit BMP supported")
+            # negative height is a legal top-down BMP (rows already
+            # top-first → skip the flip); after that, dimensions must be
+            # positive and the pixel array must fit the blob, else
+            # frombuffer dies with an opaque numpy error executor-side
+            top_down = h < 0
+            h = -h if top_down else h
             row_stride = (3 * w + 3) // 4 * 4
+            if w <= 0 or h <= 0 or offset + row_stride * h > len(b):
+                raise ValueError(
+                    f"corrupt BMP dimensions: {w}x{h}, "
+                    f"need {offset + row_stride * h} bytes, have {len(b)}"
+                )
             raw = _np.frombuffer(b, dtype=_np.uint8, count=row_stride * h, offset=offset)
             rows = raw.reshape(h, row_stride)[:, : 3 * w]
-            px = rows.reshape(h, w, 3)[::-1, :, ::-1].astype(_np.float64)  # flip + BGR->RGB
+            px = rows.reshape(h, w, 3)[:, :, ::-1].astype(_np.float64)  # BGR->RGB
+            if not top_down:
+                px = px[::-1]  # bottom-up rows -> logical top-first
             return w, h, px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean()
 
         for pdf in batches:

@@ -38,9 +38,11 @@ __all__ = [
     "countmin_estimate",
 ]
 
-# md5_long yields 60-bit values in [0, 2^60); +1 and dividing by 2^60+1
-# maps them into (0, 1) exclusive — u = 0 would make the estimator
-# divide by zero, u = 1 would under-count.
+# Fraction denominator. float(2^60 + 1) rounds to exactly 2^60 in double,
+# so u = (h+1)/2^60 with h ∈ [0, 2^60): u > 0 always (no divide-by-zero in
+# the estimator) and u = 1.0 is reachable only for the single hash value
+# 2^60−1 (probability 2^-60 per element), where (k-1)/u degrades to the
+# harmless estimate k−1 — not a failure mode worth a biased denominator.
 _KMV_DENOM = float(2**60 + 1)
 
 
@@ -50,15 +52,23 @@ def kmv_fractions(df: DataFrame, col: str | Column, k: int = 256) -> DataFrame:
     sketches and keep the k smallest. NULLs are excluded before
     hashing: a NULL hashes to a NULL fraction, which would sort first
     under Spark's ASC NULLS FIRST and occupy a sketch slot (and order
-    differently in engines defaulting to NULLS LAST)."""
+    differently in engines defaulting to NULLS LAST).
+
+    DISTINCT and the k-smallest selection run on the EXACT 60-bit
+    BIGINT hash — never on doubles, whose 53-bit mantissa would collapse
+    distinct hashes and bias the estimator; only the k surviving values
+    are converted to fractions at the end (the DuckDB oracle, registry
+    q174, replays the same exact-integer discipline)."""
     c = F.col(col) if isinstance(col, str) else col
-    u = (md5_long(c.cast("string")) + F.lit(1)).cast("double") / F.lit(_KMV_DENOM)
     return (
         df.filter(c.isNotNull())
-        .select(u.alias("u"))
+        .select(md5_long(c.cast("string")).alias("h"))
         .distinct()
-        .orderBy("u")
+        .orderBy("h")
         .limit(k)
+        .select(
+            ((F.col("h") + F.lit(1)).cast("double") / F.lit(_KMV_DENOM)).alias("u")
+        )
     )
 
 
@@ -127,20 +137,33 @@ def countmin_estimate(
     probe_keys: list[str],
     depth: int = 4,
     width: int = 1024,
+    hash_keys: list[str] | None = None,
 ) -> DataFrame:
     """Point-frequency estimates for ``probe_keys`` from a
     :func:`countmin_counters` table: min over the key's depth counters
     (missing counter cell → 0). The probe buckets are computed
     DRIVER-SIDE with hashlib's md5 (bit-identical to ``md5_long``; see
     test_md5_long_matches_hashlib) so the probe frame is a tiny literal
-    broadcast — the counter table is never rescanned per key."""
+    broadcast — the counter table is never rescanned per key.
+
+    KEY CONTRACT: the grid hashed ``CAST(col AS STRING)``, so each probe
+    must be the ENGINE's string rendering of the value — for string and
+    integer columns that's the value itself, but e.g. a double 1 renders
+    as ``'1.0'`` and a probe of ``'1'`` would silently read collision
+    noise from the wrong buckets. ``hash_keys`` (parallel to
+    ``probe_keys``) supplies those renderings when they differ;
+    ``DDF.frequency_estimates`` normalizes automatically by round-
+    tripping each probe through the column's type engine-side."""
     import hashlib
 
     from .dedup import MINHASH_MERSENNE_P, _minhash_a, _minhash_b
 
+    hks = hash_keys if hash_keys is not None else probe_keys
+    if len(hks) != len(probe_keys):
+        raise ValueError("hash_keys must be parallel to probe_keys")
     rows = []
-    for k in probe_keys:
-        base = int(hashlib.md5(k.encode()).hexdigest()[:15], 16) % MINHASH_MERSENNE_P
+    for k, hk in zip(probe_keys, hks):
+        base = int(hashlib.md5(hk.encode()).hexdigest()[:15], 16) % MINHASH_MERSENNE_P
         for r in range(depth):
             b = ((_minhash_a(r) * base + _minhash_b(r)) % MINHASH_MERSENNE_P) % width
             rows.append((k, r, b))

@@ -7083,13 +7083,14 @@ def q173_fuzzy_join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "q174_kmv_distinct_sketch",
     oracle="""
-    WITH u AS (
+    WITH h AS (
       SELECT DISTINCT
-        CAST(CAST(('0x' || SUBSTRING(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
-                  AS BIGINT) + 1 AS DOUBLE) / 1152921504606846977.0 AS u
+        CAST(('0x' || SUBSTRING(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+             AS BIGINT) AS h
       FROM lineitem WHERE l_partkey IS NOT NULL
     ),
-    sk AS (SELECT u FROM u ORDER BY u LIMIT 256)
+    sk AS (SELECT CAST(h + 1 AS DOUBLE) / 1152921504606846977.0 AS u
+           FROM h ORDER BY h LIMIT 256)
     SELECT CAST(256 AS BIGINT) AS k,
            ROUND(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
                       ELSE (256 - 1) / MAX(u) END, 4) AS est_distinct,
@@ -7336,7 +7337,9 @@ def q178_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q179_pandas_udaf_geomean",
     oracle="""
     SELECT l_returnflag AS grp,
-           ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS geomean,
+           ROUND(EXP(SUM(CAST(ROUND(LN(l_extendedprice) * 1000000000.0)
+                             AS BIGINT))
+                     / COUNT(*) / 1000000000.0), 4) AS geomean,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem WHERE l_extendedprice > 0
     GROUP BY 1 ORDER BY 1
@@ -7364,9 +7367,16 @@ def q179_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # functionType passed explicitly: the module-wide
     # `from __future__ import annotations` stringizes type hints, so
     # Spark's hint-based GROUPED_AGG inference can't see Series->scalar.
+    # round-then-INTEGER-sum discipline (q162/q185): logs are scaled to
+    # 1e-9 units and summed as exact int64 — the sum is order-independent
+    # (numpy's pairwise float summation varies with shuffle row order)
+    # and DuckDB replays it exactly via SUM(CAST(ROUND(LN(x)*1e9) AS
+    # BIGINT)); a 1-ulp libm log divergence moves one row's scaled unit,
+    # shifting the mean by 1e-9/n — invisible at round-4.
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def geomean(v):
-        return float(np.exp(np.log(v.to_numpy()).mean()))
+        scaled = np.round(np.log(v.to_numpy()) * 1e9).astype(np.int64)
+        return float(np.exp(int(scaled.sum()) / len(scaled) / 1e9))
 
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
     # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates

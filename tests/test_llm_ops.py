@@ -790,3 +790,40 @@ def test_bmp_decode_rejects_non_bmp_and_undoes_layout(spark):
     )
     with _pytest.raises(Exception):
         decode_bmp(bad).collect()
+
+    # negative height = legal TOP-DOWN BMP: rows are already top-first,
+    # so the same pixel bytes now mean the OPPOSITE row order
+    info_td = struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 24, 0, len(img), 0, 0, 0, 0)
+    td = spark.createDataFrame(
+        [(2, bytearray(header + info_td + img))], "media_id long, content binary"
+    )
+    r2 = decode_bmp(td).collect()[0]
+    assert (r2.width, r2.height) == (1, 2)
+    assert (r2.mean_r, r2.mean_g, r2.mean_b) == (105.0, 85.0, 65.0)
+
+    # truncated pixel array must fail with the clean ValueError, not an
+    # opaque numpy reshape error
+    trunc = spark.createDataFrame(
+        [(3, bytearray((header + info + img)[:-3]))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="corrupt BMP dimensions"):
+        decode_bmp(trunc).collect()
+
+
+def test_countmin_probe_normalized_for_double_column(spark):
+    """The grid hashes CAST(col AS STRING) — for a DOUBLE column that is
+    '1.0', not '1'. DDF.frequency_estimates must round-trip bare probe
+    strings through the column type so '1' finds the '1.0' buckets."""
+    from ddf_flink_spark import DDFManager
+
+    dm = DDFManager(spark)
+    df = spark.range(300).select((F.col("id") % 3).cast("double").alias("v"))
+    est = {
+        r.key: r.est
+        for r in dm.new_ddf(df)
+        .frequency_estimates("v", ["1", "2.0", "7"])
+        .df.collect()
+    }
+    assert est["1"] == 100  # bare int probe normalized to '1.0'
+    assert est["2.0"] == 100  # already-rendered probe unchanged
+    assert est["7"] >= 0  # absent key
