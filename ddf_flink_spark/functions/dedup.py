@@ -193,6 +193,7 @@ def prefix_filter_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """Exact token-set Jaccard join with PREFIX FILTERING [Chaudhuri et
     al. 2006 SSJoin; Xiao et al. 2008 PPJoin]: order each document's
@@ -226,14 +227,31 @@ def prefix_filter_jaccard(
     locked out by the single-token-join plan assertion in
     tests/test_llm_ops.py.)
 
+    ``shingle_n > 1`` runs the SAME algorithm over distinct word
+    n-gram sets instead of token sets (set element = shingle). This is
+    the scale configuration when the raw vocabulary is small/skew-free:
+    the n-gram space is |V|^n, so rare set elements exist even where
+    rare words don't, and the prefix filter regains its pruning power
+    (token-level on the synthetic corpus: every doc collides with every
+    doc through the ~100-word vocabulary — O(n²) pairs by construction,
+    for ANY exact algorithm; 3-gram-level: the measured candidate space
+    collapses to the near-dup pairs). Registry: q186 = token sets
+    (correctness demo vs the unfiltered oracle), q205 = 3-gram sets
+    (the bench/scale path).
+
     Returns (id_a, id_b, jaccard) — identical output to the unfiltered
     exact join, which is what the registry oracle (q186) computes."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias(
-            "tok"
-        ),
-    )
+    if shingle_n > 1:
+        toks = exploded_shingles(df, text_col, id_col, shingle_n).select(
+            "id", F.col("g").alias("tok")
+        )
+    else:
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+            ).alias("tok"),
+        )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     wdoc = Window.partitionBy("id").orderBy(F.col("tf").asc(), F.col("tok").asc())
@@ -255,19 +273,52 @@ def prefix_filter_jaccard(
     prefix = ranked.filter(
         F.col("pos")
         <= F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz") - F.lit(1e-9)) + 1
-    ).select("id", "tok")
+    ).select("id", "tok", "pos", "sz")
+    # PPJoin's two additional LOSSLESS pruners, applied inside the
+    # candidate join (before the distinct) so false candidates never
+    # reach the dedup shuffle:
+    # * length filter — J ≥ t forces min(sz) ≥ t·max(sz);
+    # * positional filter — the FIRST common token of a qualifying pair
+    #   lies in both prefixes (prefix-theorem corollary), and overlap
+    #   o ≤ 1 + min(sz_a − pos_a, sz_b − pos_b) at it, which must reach
+    #   α = ⌈t/(1+t)·(sz_a+sz_b)⌉; a pair is kept if ANY shared prefix
+    #   token passes, so the first common token always rescues true
+    #   pairs. Both bounds take the −1e-9 ceil guard ERRING KEEPING
+    #   (same IEEE discipline as the prefix-length bound above).
+    sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
+    alpha = F.ceil(
+        F.lit(t_eff / (1.0 + t_eff)) * (sz_a + sz_b) - F.lit(1e-9)
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .filter(
+            (F.least(sz_a, sz_b) >= F.lit(t_eff) * F.greatest(sz_a, sz_b) - F.lit(1e-9))
+            & (
+                F.lit(1)
+                + F.least(sz_a - F.col("a.pos"), sz_b - F.col("b.pos"))
+                >= alpha
+            )
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        # cand feeds THREE plan branches (the pair verify + both sides of
-        # the candidate-doc gather); checkpointing the bounded id-pair set
-        # runs the prefix join once instead of three times and truncates
-        # the verify plan's lineage — the zero-token-joins-after-candidates
-        # assertion in tests/test_llm_ops.py reads this boundary
-        .localCheckpoint()
     )
+    # cand feeds THREE plan branches (the pair verify + both sides of
+    # the candidate-doc gather); checkpointing the bounded id-pair set
+    # runs the prefix join once instead of three times and truncates
+    # the verify plan's lineage — the zero-token-joins-after-candidates
+    # assertion in tests/test_llm_ops.py reads this boundary.
+    # The explicit repartition matters: a candidate-pair row is two
+    # ints, so AQE coalesces the distinct output to ~1 partition by
+    # byte size — but each row EXPANDS to two full token arrays plus an
+    # intersect in the verify stage (high compute per byte), and the
+    # verify join inherits cand's partitioning (the array side
+    # broadcasts). Without it the entire verify ran on ONE task
+    # (observed: minutes instead of seconds at sf0.1).
+    from ..storage import tracked_local_checkpoint
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    cand = tracked_local_checkpoint(cand.repartition(parallelism))
     cdocs = (
         cand.select(F.col("id_a").alias("id"))
         .unionByName(cand.select(F.col("id_b").alias("id")))
@@ -446,20 +497,31 @@ def minhash_lsh_candidates(
             return F.concat_ws(",", *[m.cast("string") for m in members])
         return F.xxhash64(*members).cast("string")
 
-    band_rows = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        bucket_key(bi).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    from ..storage import tracked_local_checkpoint
+
+    # materialize the banded rows ONCE: without this, BOTH sides of the
+    # bucket self-join re-run the whole signature pipeline (shingle
+    # explode + hashing + k-min aggregation — the dominant cost) because
+    # Spark plans the join as broadcast(side B) and never reuses side
+    # A's exchange (verified in tests/test_plans.py: the pre-fix plan
+    # carried two hashpartitioning(id) exchanges). Banded rows are
+    # O(bands) per doc — far smaller than the shingle stage they replace.
+    band_rows = tracked_local_checkpoint(
+        sig.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            bucket_key(bi).alias("bucket"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "bb.band", "bb.bucket")
+    )
     left = band_rows.alias("a")
     right = band_rows.alias("b")
     return (
@@ -600,9 +662,16 @@ def simhash_near_duplicates(
         if width < 64:
             piece = piece.bitwiseAND(F.lit((1 << width) - 1).cast("long"))
         blocks.append(F.struct(F.lit(q).alias("q"), piece.alias("qv")))
-    quarters = sigs.select(
-        "id", "sig", F.explode(F.array(*blocks)).alias("qq")
-    ).select("id", "sig", "qq.q", "qq.qv")
+    from ..storage import tracked_local_checkpoint
+
+    # same double-compute trap as the MinHash banding join: both sides
+    # of the block self-join would re-run the 60/64-SUM signature
+    # aggregation; materialize the O(blocks)-per-doc rows once
+    quarters = tracked_local_checkpoint(
+        sigs.select(
+            "id", "sig", F.explode(F.array(*blocks)).alias("qq")
+        ).select("id", "sig", "qq.q", "qq.qv")
+    )
     a, b = quarters.alias("a"), quarters.alias("b")
     # hamming is computed in the join projection and filtered BEFORE the
     # distinct: the dedup shuffle then carries only surviving (id_a, id_b,
@@ -668,7 +737,11 @@ def connected_components(
         .unionByName(bidir.select(F.col("dst").alias("id")))
         .distinct()
     )
-    labels = edge_nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    from ..storage import release_checkpoint, tracked_local_checkpoint
+
+    labels = tracked_local_checkpoint(
+        edge_nodes.select("id", F.col("id").alias("label"))
+    )
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
@@ -677,11 +750,15 @@ def connected_components(
             bidir.join(labels, bidir.dst == labels.id)
             .select(F.col("src").alias("id"), "label")
         )
-        labels = (
+        new_labels = tracked_local_checkpoint(
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        )
+        # iteration i's blocks die the moment i+1 is materialized —
+        # the loop holds at most two label generations in storage
+        release_checkpoint(labels)
+        labels = new_labels
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]

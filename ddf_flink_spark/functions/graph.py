@@ -124,7 +124,10 @@ def pagerank(
         .select("esrc", "edst", "deg")
         .localCheckpoint()
     )
+    from ..storage import release_checkpoint, tracked_local_checkpoint
+
     ranks = ids.withColumn("rank", F.lit(1.0 / n_total))
+    prev_cp = None
     for _ in range(iterations):
         # rank mass sitting on dangling nodes (no out-edges) this round —
         # one scalar per superstep, the Pregel-style global coordination
@@ -149,9 +152,11 @@ def pagerank(
         )
         if round_digits is not None:
             new_rank = F.round(new_rank, round_digits)
-        ranks = (
-            ids.join(contribs, "id", "left")
-            .select("id", new_rank.alias("rank"))
-            .localCheckpoint()
+        ranks = tracked_local_checkpoint(
+            ids.join(contribs, "id", "left").select("id", new_rank.alias("rank"))
         )
+        # superstep i's rank blocks die once i+1 is materialized; the
+        # final iteration's checkpoint is the returned frame and stays
+        release_checkpoint(prev_cp)
+        prev_cp = ranks
     return ranks

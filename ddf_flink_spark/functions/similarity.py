@@ -531,24 +531,25 @@ def pca_power_iteration(
     dim_n = len(df.select(vec_col).first()[0])
     n_rows = df.count()
 
-    exploded = (
+    from ..storage import release_checkpoint, tracked_local_checkpoint
+
+    exploded = tracked_local_checkpoint(
         df.select(
             F.col(id_col).alias("id"),
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
-        )
-        .select("id", "dim", F.round(F.col("x"), 6).alias("xr"))
-        .localCheckpoint()
+        ).select("id", "dim", F.round(F.col("x"), 6).alias("xr"))
     )
     mu = exploded.groupBy("dim").agg(
         (
             F.sum(F.col("xr").cast("decimal(18,6)")).cast("double") / F.lit(n_rows)
         ).alias("mu")
     )
-    centered = (
+    centered = tracked_local_checkpoint(
         exploded.join(F.broadcast(mu), "dim")
         .select("id", "dim", (F.col("xr") - F.col("mu")).alias("c"))
-        .localCheckpoint()
     )
+    # `centered` is materialized, so the raw exploded blocks are dead now
+    release_checkpoint(exploded)
 
     v = [round(1.0 / dim_n**0.5, 6)] * dim_n
     eigval = None
@@ -596,6 +597,9 @@ def pca_power_iteration(
         for r in rows:
             v[r["dim"]] = r["vd"]
 
+    # the result is driver-side literals — nothing references the
+    # centered blocks anymore, release before returning
+    release_checkpoint(centered)
     out = [(d_, float(v[d_]), float(eigval)) for d_ in range(dim_n)]
     spark = df.sparkSession
     return spark.createDataFrame(out, "dim int, loading double, eigval double")

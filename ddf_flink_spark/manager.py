@@ -114,5 +114,17 @@ class DDFManager:
         rows = ["\t".join("null" if v is None else str(v) for v in row) for row in res.collect()]
         return res.columns, rows
 
+    def release_storage(self) -> int:
+        """Free ALL executor-storage blocks pinned by checkpointing/
+        caching operators (k-fold caches, connected-components /
+        PageRank / k-means / PCA / prefix-filter checkpoints). Call at
+        batch boundaries in long-lived sessions; frames built BEFORE
+        the release must not be re-executed afterwards (their truncated
+        lineage cannot recompute). Returns the number of released RDDs.
+        See ``ddf_flink_spark/storage.py``."""
+        from .storage import release_all_storage
+
+        return release_all_storage(self.spark)
+
     def shutdown(self) -> None:
         self.spark.stop()

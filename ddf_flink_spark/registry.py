@@ -1495,6 +1495,52 @@ def q159_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@query(
+    "q200_png_decode_stats",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+      FROM documents WHERE doc_id < 2000
+    ),
+    px AS (
+      SELECT doc_id, w, h, j % 3 AS chan, (doc_id + 23 * j) % 256 AS v
+      FROM (SELECT doc_id, w, h, unnest(range(0, 3 * w * h)) AS j FROM params)
+    )
+    SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           ROUND(AVG(CASE WHEN chan = 0 THEN v END), 4) AS mean_r,
+           ROUND(AVG(CASE WHEN chan = 1 THEN v END), 4) AS mean_g,
+           ROUND(AVG(CASE WHEN chan = 2 THEN v END), 4) AS mean_b
+    FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+    """,
+)
+def q200_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-image decode, stdlib-only (functions/multimodal
+    attach_png_media → decode_png): spec-conformant PNGs (CRC'd chunks,
+    zlib-deflated IDAT, scanline r filtered with type (id+r) mod 5 so
+    ALL FIVE PNG filters appear in the corpus) are synthesized per doc,
+    then the decode walks the chunks (verifying CRCs), inflates, and
+    UNFILTERS (None/Sub/Up/Average/Paeth) to recover the planted pixel
+    bytes — whose channel means DuckDB replays from the generating
+    arithmetic. This closes the last media-stub gap: compression +
+    filter-prediction round-trip is now hash-verified end-to-end
+    (JPEG/MP4 remain environment stubs — their codecs need libraries
+    this container lacks). Same 100 TB shape as q43/q159: zero-shuffle
+    Arrow map, bytes never leave the executor."""
+    from .functions.multimodal import attach_png_media, decode_png
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    media = attach_png_media(d, "doc_id")
+    stats = decode_png(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    ).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # ML facade (SURVEY §2.16): pyspark.ml replaces FlinkML reflection + the
 # vendored KMeans (ml/FlinkMLSupporter.scala, ml/FlinkMLFacade.scala:56-157)
@@ -7870,6 +7916,51 @@ def q186_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return prefix_filter_jaccard(d, threshold=0.7).orderBy("id_a", "id_b")
+
+
+@query(
+    "q205_prefix_filter_shingle_jaccard",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
+    tri AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
+      WHERE LEN(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh
+      FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(sh / (sa.sz + sb.sz - sh), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(sh / (sa.sz + sb.sz - sh), 4) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def q205_prefix_filter_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED set-similarity join over 3-GRAM SHINGLE sets —
+    the SCALE configuration of q186's PPJoin-style pruning. Token-level
+    exact Jaccard on the synthetic corpus is O(n²) by construction (a
+    ~100-word skew-free vocabulary makes every doc pair share tokens —
+    q186 stays the small-SF correctness demo); the 3-gram space is
+    |V|³, so rare set elements exist even where rare words don't, and
+    the prefix index prunes the candidate space down to the actual
+    near-dup pairs. Oracle = the UNFILTERED inverted-index shingle join
+    (q32's semantics at t=0.8; every planted near-dup pair on this
+    corpus scores ≥ 0.8, measured at sf0.1): identical pairs prove the
+    pruning — prefix + PPJoin positional/length filters — lossless on
+    this corpus too."""
+    from .functions.dedup import prefix_filter_jaccard
+
+    d = t(spark, sf_dir, "documents")
+    return prefix_filter_jaccard(d, threshold=0.8, shingle_n=3).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @query(

@@ -1,0 +1,88 @@
+"""Executor-storage lifetime management for checkpointed/cached frames.
+
+``DataFrame.localCheckpoint`` materializes blocks in executor storage
+that are only reclaimed when the JVM garbage-collects the backing RDD —
+and with a large driver heap a long session may not GC for hours, so
+iterative operators (connected components, PageRank, Lloyd k-means, the
+prefix-filter candidate set) slowly pin storage and degrade later
+queries (measured: a 25-query bench session drove one query from ~4 s to
+minutes once enough dead checkpoint blocks accumulated). The reference
+has no equivalent concern — its engine materializes intermediates per
+job and frees them with the job.
+
+Two tools, both explicit:
+
+* :func:`tracked_local_checkpoint` — a ``localCheckpoint`` that records
+  which persistent-RDD ids it created, so :func:`release_checkpoint`
+  can free EXACTLY those blocks the moment the frame is dead (the
+  in-loop pattern: iterative operators release iteration i's labels as
+  soon as iteration i+1 is materialized, holding at most two
+  generations instead of all of them).
+* :func:`release_all_storage` — unpersist EVERYTHING (checkpoints and
+  caches). Only safe at workload boundaries where no live DataFrame
+  will be re-executed: a localCheckpoint's lineage is truncated, so
+  re-running one after its blocks are gone raises rather than silently
+  recomputing. ``bench.py`` and ``tools/simulate_gate.py`` call it
+  between queries; long-lived library users should call it at their own
+  batch boundaries (or use ``DDFManager.release_storage``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "tracked_local_checkpoint",
+    "release_checkpoint",
+    "release_all_storage",
+    "persistent_rdd_ids",
+]
+
+_CP_IDS_ATTR = "_ddf_checkpoint_rdd_ids"
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of all currently-persisted RDDs (checkpoint blocks + caches)."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet()}
+
+
+def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint()`` that records the persistent-RDD ids the
+    checkpoint created (diffed around the eager materialization) on the
+    returned frame, for a later exact :func:`release_checkpoint`."""
+    spark = df.sparkSession
+    before = persistent_rdd_ids(spark)
+    cp = df.localCheckpoint()
+    created = persistent_rdd_ids(spark) - before
+    setattr(cp, _CP_IDS_ATTR, created)
+    return cp
+
+
+def release_checkpoint(df: DataFrame | None) -> None:
+    """Free the storage blocks a :func:`tracked_local_checkpoint` frame
+    pinned. The frame must be DEAD: its lineage was truncated at the
+    checkpoint, so executing it again after release raises. No-op for
+    None or untracked frames."""
+    if df is None:
+        return
+    ids = getattr(df, _CP_IDS_ATTR, None)
+    if not ids:
+        return
+    m = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for k in list(m.keySet()):
+        if int(k) in ids:
+            m.get(k).unpersist(False)
+    setattr(df, _CP_IDS_ATTR, set())
+
+
+def release_all_storage(spark) -> int:
+    """Unpersist every persistent RDD (checkpoints AND caches); returns
+    how many were released. Safe only at workload boundaries — see
+    module docstring."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for k in list(m.keySet()):
+        m.get(k).unpersist(False)
+        n += 1
+    return n

@@ -189,23 +189,43 @@ def test_connected_components_transitivity(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
 
 
-def test_resize_media_plumbing(spark):
-    from ddf_flink_spark.functions.multimodal import resize_media
+def test_resize_media_real_nearest_neighbor(spark):
+    """resize_media is a REAL nearest-neighbor resample now: PPM/BMP/PNG
+    decode to pixels, the output is a valid P6 with the resampled bytes,
+    and a 2x upscale of a 1x1 image replicates its single pixel. Fake/
+    undecodable bytes RAISE instead of silently producing noise."""
+    import pytest as _pytest
 
-    docs = spark.createDataFrame(
-        [(1, "hello world document"), (2, "another fake image source text")],
-        "doc_id long, text string",
+    from ddf_flink_spark.functions.multimodal import (
+        attach_ppm_media,
+        decode_ppm,
+        resize_media,
     )
-    media = attach_fake_media(docs, "doc_id", "text")
+
+    docs = spark.createDataFrame([(1,), (2,), (27,)], "doc_id long")
+    media = attach_ppm_media(docs, "doc_id")
     resized = resize_media(media, target_w=32, target_h=24)
     assert resized.columns == media.columns  # layout-preserving
     rows = resized.collect()
     assert all(r["width"] == 32 and r["height"] == 24 for r in rows)
-    expected_len = (32 * 24) // 64
-    assert all(len(bytes(r["content"])) == expected_len for r in rows)
+    hdr = b"P6\n32 24\n255\n"
+    assert all(bytes(r["content"]).startswith(hdr) for r in rows)
+    assert all(len(bytes(r["content"])) == len(hdr) + 3 * 32 * 24 for r in rows)
+    # the resample is a genuine pixel operation: resizing the resized
+    # P6 back down still decodes, and means stay inside [0, 255]
+    stats = decode_ppm(resized).collect()
+    assert all(0.0 <= s["mean_r"] <= 255.0 for s in stats)
     # deterministic
     again = {r["media_id"]: bytes(r["content"]) for r in resize_media(media, 32, 24).collect()}
     assert {r["media_id"]: bytes(r["content"]) for r in rows} == again
+
+    fake = attach_fake_media(
+        spark.createDataFrame([(9, "not an image")], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    with _pytest.raises(Exception, match="undecodable media bytes"):
+        resize_media(fake, 4, 4).collect()
 
 
 def test_binary_file_source(spark, tmp_path_factory):
@@ -227,9 +247,13 @@ def test_binary_file_source(spark, tmp_path_factory):
     assert bytes(rows[0]["content"]) == b"\x89PNG fake bytes"
     # media_id is deterministic over the path
     assert rows[0]["media_id"] == load_binary_dir(spark, str(d), glob="*.png").collect()[0]["media_id"]
-    # composes with the resize step (canonical layout minus the path col)
-    resized = resize_media(imgs.drop("path"), 16, 16)
-    assert resized.count() == 1
+    # composes with the resize step (canonical layout minus the path
+    # col) — and since resize became a REAL decode, the fake PNG bytes
+    # must fail loudly instead of producing noise
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        resize_media(imgs.drop("path"), 16, 16).collect()
 
 
 def test_redact_pii_semantics(spark):
@@ -827,3 +851,96 @@ def test_countmin_probe_normalized_for_double_column(spark):
     assert est["1"] == 100  # bare int probe normalized to '1.0'
     assert est["2.0"] == 100  # already-rendered probe unchanged
     assert est["7"] >= 0  # absent key
+
+
+def test_storage_released_after_checkpointing_operators(spark):
+    """Iterative operators checkpoint intermediates into executor
+    storage; after their results are consumed and release_all_storage
+    runs, getPersistentRDDs must be EMPTY — the round-3 storage leak
+    (dead checkpoint blocks accumulating until late-session queries
+    degraded by minutes) stays fixed. Also: PCA and the in-loop CC/
+    PageRank generations release THEMSELVES — after consuming PCA only
+    its zero blocks remain without any explicit release."""
+    from ddf_flink_spark.functions.dedup import connected_components
+    from ddf_flink_spark.functions.similarity import pca_power_iteration
+    from ddf_flink_spark.storage import persistent_rdd_ids, release_all_storage
+
+    release_all_storage(spark)
+    assert persistent_rdd_ids(spark) == set()
+
+    # PCA: all internal checkpoints are self-released before return
+    rows = [(i, [float(i), 0.1 * i, 0.0, 1.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pca_power_iteration(emb, iters=2).collect()
+    assert persistent_rdd_ids(spark) == set(), "PCA leaked checkpoint blocks"
+
+    # CC: in-loop generation release keeps at most edges + 2 label
+    # generations live; release_all_storage clears the remainder once
+    # the result is consumed
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(45)], "id long")
+    cc = connected_components(edges, nodes, "id", "src", "dst")
+    assert cc.count() == 45
+    live_during = len(persistent_rdd_ids(spark))
+    assert live_during <= 3, f"CC holds {live_during} generations (in-loop release broken)"
+    n = release_all_storage(spark)
+    assert persistent_rdd_ids(spark) == set()
+    assert n == live_during
+
+
+def test_png_decode_matches_hand_filtered_spec_bytes(spark):
+    """decode_png against a PNG whose five scanlines were filtered BY
+    HAND from the RFC 2083 definitions (one row per filter type, every
+    byte computed manually below) — independent of attach_png_media, so
+    a matching encoder/decoder bug pair can't self-certify. Also: CRC
+    corruption must be detected."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from ddf_flink_spark.functions.multimodal import decode_png
+
+    # w=2, h=5 RGB; row r uses filter type r. Raw pixel bytes per row:
+    # r0 (None):    10,20,30, 40,50,60
+    # r1 (Sub):      5,10,15, 25,35,45  -> 5,10,15, 20,25,30
+    # r2 (Up):      15,20,25, 35,40,45  -> 10,10,10, 10, 5, 0
+    # r3 (Average):100,110,120,130,140,150 -> 93,100,108, 63,65,68
+    # r4 (Paeth):  200,10,250,  3,  7,255 -> 100,156,130, 59,253,5
+    stream = bytes(
+        [0, 10, 20, 30, 40, 50, 60]
+        + [1, 5, 10, 15, 20, 25, 30]
+        + [2, 10, 10, 10, 10, 5, 0]
+        + [3, 93, 100, 108, 63, 65, 68]
+        + [4, 100, 156, 130, 59, 253, 5]
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(0, bytearray(png))], "media_id long, content binary")
+    r = decode_png(df).collect()[0]
+    assert (r.width, r.height) == (2, 5)
+    # channel sums over the 10 raw pixels, computed by hand
+    assert (r.mean_r, r.mean_g, r.mean_b) == (56.3, 44.2, 99.5)
+
+    corrupt = bytearray(png)
+    corrupt[40] ^= 0xFF  # flip a byte inside IDAT without fixing its CRC
+    bad = spark.createDataFrame(
+        [(1, bytearray(corrupt))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="CRC mismatch"):
+        decode_png(bad).collect()

@@ -487,3 +487,32 @@ def test_scale_audit_suite_wide(spark, name):
     assert kinds <= allowed, (
         f"{name}: unexempted scale hazards {kinds - allowed}: {findings}"
     )
+
+
+def test_lsh_banding_materializes_signatures_once(spark):
+    """The MinHash banding bucket join and the SimHash block join must
+    read a MATERIALIZED (checkpointed) signature frame on both sides —
+    before this fix each side re-ran the whole signature pipeline
+    (shingle explode + hashing + aggregation), visible as two
+    hashpartitioning(id) exchanges feeding the self-join. The final plan
+    must contain ZERO signature-aggregation exchanges (the signature job
+    ran once, at checkpoint time) and scan the checkpoint RDD instead."""
+    from ddf_flink_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_duplicates,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for build in (
+        lambda: minhash_lsh_candidates(d, num_hashes=32, bands=8),
+        lambda: simhash_near_duplicates(d, max_hamming=3),
+    ):
+        df = build()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the signature groupBy exchanges on the bare `id` key; the only
+        # legitimate exchange left is the pair-distinct on (id_a, id_b)
+        assert "hashpartitioning(id#" not in plan, (
+            "signature aggregation re-planned inside the self-join:\n"
+            + plan[:2000]
+        )
+        assert "ExistingRDD" in plan

@@ -75,6 +75,11 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 rec["duck_s"] = round(time.time() - t1, 2)
                 rec["err"] = f"oracle {type(e).__name__}: {e}"
+        # free the dead frame's checkpoint/cache blocks before the next
+        # query (storage accumulation degraded late-suite queries)
+        from ddf_flink_spark.storage import release_all_storage
+
+        release_all_storage(spark)
         timings[name] = rec
         tot = rec.get("spark_s", 0) + rec.get("duck_s", 0)
         flag = " ERR" if "err" in rec else (
