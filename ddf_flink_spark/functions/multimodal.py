@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched pandas UDFs.
 
-Extensions beyond the reference surface (SURVEY §7.2 step 9). The
-container has no image/audio libraries, so the DECODE step is stubbed —
-``decode_media`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case it produces a seeded fake
-feature vector from the bytes (so the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested).
+Extensions beyond the reference surface (SURVEY §7.2 step 9). Decode is
+REAL wherever the stdlib suffices: WAV (``wave``), P6 PPM, 24-bit BMP,
+and 8-bit RGB PNG — the last a genuine compressed decode (zlib inflate
++ all five scanline unfilters, CRC-verified chunks). ``resize_media``
+does real nearest-neighbor resampling over any of those formats. Only
+codecs that truly need external libraries (JPEG, MP4) remain stubbed:
+``decode_media``'s generic feature-extraction raises
+``NotImplementedError`` unless ``deterministic_fake=True``, which
+produces a seeded fake feature vector from the bytes (so the Spark-side
+plumbing — schema, partitioning, UDF signature, Arrow batch shape — is
+real and tested even for those).
 
 Design for scale:
 * media bytes live in ONE binary column next to a metadata struct —
@@ -30,10 +35,12 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_bmp_media",
     "attach_fake_media",
+    "attach_png_media",
     "attach_ppm_media",
     "attach_wav_media",
     "decode_bmp",
     "decode_media",
+    "decode_png",
     "decode_ppm",
     "decode_wav",
     "extract_features",
@@ -247,9 +254,11 @@ def decode_media(
     """
     if not deterministic_fake:
         raise NotImplementedError(
-            "media decode requires image/audio libraries not present in this "
-            "container; pass deterministic_fake=True to run the plumbing "
-            "with seeded fake features"
+            "generic media feature-extraction requires codec libraries "
+            "(PIL/ffmpeg) not present in this container; use the REAL "
+            "stdlib decoders for WAV/PPM/BMP/PNG (decode_wav/decode_ppm/"
+            "decode_bmp/decode_png), or pass deterministic_fake=True to "
+            "run this plumbing with seeded fake features"
         )
 
     out_schema = (
@@ -301,35 +310,291 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize stub over the canonical media layout → same columns with
-    updated (width, height) and re-encoded ``content``.
+def _decode_pixels(b: bytes):
+    """Bytes → (h, w, 3) uint8 numpy array for the three stdlib-decodable
+    raster formats (P6 PPM, uncompressed 24-bit BMP, 8-bit RGB PNG) —
+    the shared decode core behind ``resize_media``. Raises ValueError on
+    anything else (JPEG/animated/etc. need libraries this container
+    lacks)."""
+    import re as _re
+    import struct as _struct
+    import zlib as _zlib
 
-    Real pixel resampling needs PIL/ffmpeg (absent here); the stand-in
-    deterministically re-encodes the bytes to a size proportional to the
-    target area so batch shapes and memory behavior are realistic. The
-    Spark-side contract — mapInPandas over Arrow batches, binary in/out,
-    metadata updated in lockstep — is the real thing.
-    """
+    import numpy as _np
+
+    if b[:2] == b"P6":
+        m = _re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+        if m is None:
+            raise ValueError("corrupt P6 header")
+        w, h = int(m.group(1)), int(m.group(2))
+        return _np.frombuffer(b[m.end():], _np.uint8, 3 * w * h).reshape(h, w, 3)
+    if b[:2] == b"BM":
+        (_m, _fs, _r1, _r2, offset) = _struct.unpack_from("<2sIHHI", b, 0)
+        (_sz, w, h, _pl, bits, comp) = _struct.unpack_from("<IiiHHI", b, 14)
+        if bits != 24 or comp != 0:
+            raise ValueError("only uncompressed 24-bit BMP supported")
+        top_down = h < 0
+        h = -h if top_down else h
+        stride = (3 * w + 3) // 4 * 4
+        if w <= 0 or h <= 0 or offset + stride * h > len(b):
+            raise ValueError("corrupt BMP dimensions")
+        rows = _np.frombuffer(b, _np.uint8, stride * h, offset).reshape(h, stride)
+        px = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
+        return px if top_down else px[::-1]
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, raw = _png_inflate(b)
+        return _png_unfilter(raw, w, h)
+    raise ValueError("undecodable media bytes (supported: P6 PPM, 24-bit BMP, RGB PNG)")
+
+
+def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize over the canonical media layout →
+    same columns with updated (width, height) and the resampled image
+    re-encoded as P6 PPM (the library's interchange raster form).
+
+    The decode core handles the three stdlib-decodable formats (PPM,
+    24-bit BMP, RGB PNG — see :func:`_decode_pixels`); resampling is
+    numpy fancy-indexing on the standard center-of-pixel grid
+    (src = floor((dst + 0.5) · src_dim / dst_dim)), so identical bytes
+    in produce identical bytes out on any worker. Undecodable bytes
+    raise — there is no fake path anymore."""
     out_schema = MEDIA_SCHEMA
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hashlib
+        import numpy as _np
 
-        def fake_resize(content: bytes) -> bytes:
-            # deterministic byte payload scaled to the target area
-            n = max(1, (target_w * target_h) // 64)
-            digest = _hashlib.md5(content).digest()
-            return (digest * (n // len(digest) + 1))[:n]
+        def real_resize(content: bytes) -> bytes:
+            px = _decode_pixels(bytes(content))
+            h, w = px.shape[0], px.shape[1]
+            ys = _np.minimum(
+                ((_np.arange(target_h) + 0.5) * h / target_h).astype(_np.int64), h - 1
+            )
+            xs = _np.minimum(
+                ((_np.arange(target_w) + 0.5) * w / target_w).astype(_np.int64), w - 1
+            )
+            out = px[ys][:, xs]
+            header = f"P6\n{target_w} {target_h}\n255\n".encode()
+            return header + out.tobytes()
 
         for pdf in batches:
             out = pdf.copy()
             out["width"] = target_w
             out["height"] = target_h
-            out["content"] = [fake_resize(bytes(c)) for c in pdf["content"]]
+            out["mime"] = "image/x-portable-pixmap"
+            out["content"] = [real_resize(c) for c in pdf["content"]]
             yield out
 
     return df.mapInPandas(resize_batches, schema=out_schema)
+
+
+# ------------------------------------------------------------------- PNG
+# A real compressed-format decode with zero dependencies beyond the
+# stdlib: zlib inflate + the five PNG scanline filters. The container
+# has no PIL/ffmpeg, so this is the honest replacement for the former
+# compressed-media stub (JPEG/MP4 still raise in decode_media — their
+# codecs genuinely need external libraries).
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_inflate(b: bytes):
+    """Walk the chunk stream (verifying each CRC), check the IHDR
+    constraints (8-bit, color type 2 = RGB, non-interlaced), and inflate
+    the concatenated IDAT payload. Returns (w, h, raw_filtered_bytes)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, dims = 8, b"", None
+    while pos + 12 <= len(b):
+        (length,) = _struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = _struct.unpack_from(">I", b, pos + 8 + length)
+        if _zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = _struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced RGB PNG supported")
+            dims = (w, h)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if dims is None:
+        raise ValueError("PNG missing IHDR")
+    return dims[0], dims[1], _zlib.decompress(idat)
+
+
+def _png_unfilter(raw: bytes, w: int, h: int):
+    """Reverse the per-scanline filters (None/Sub/Up/Average/Paeth) →
+    (h, w, 3) uint8 pixels. Up/None are vectorized; the left-dependent
+    filters run a per-byte loop — fine for the verification corpus's
+    small tiles, and still linear in the pixel count."""
+    import numpy as _np
+
+    bpp, stride = 3, 3 * w
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    px = _np.empty((h, stride), _np.uint8)
+    prev = _np.zeros(stride, _np.int64)
+    pos = 0
+    for r in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = _np.frombuffer(raw, _np.uint8, stride, pos).astype(_np.int64)
+        pos += stride
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + prev[i]) // 2
+                else:
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    pred = _png_paeth(int(left), int(prev[i]), int(ul))
+                cur[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        px[r] = cur.astype(_np.uint8)
+        prev = cur
+    return px.reshape(h, w, 3)
+
+
+def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize REAL compressed PNG files deterministically from an id:
+    w = 4 + id % 13, h = 3 + id % 11, RGB byte j = (id + 23·j) mod 256.
+    Scanline r uses filter type (id + r) mod 5, so the corpus exercises
+    ALL FIVE PNG filters (the encoder applies the real filter transform;
+    the decoder must invert it to recover the planted bytes — which the
+    q200 oracle then verifies via channel means). Output is a
+    spec-conformant PNG (signature, CRC'd IHDR/IDAT/IEND, zlib stream)
+    any image tool opens."""
+    out_schema = MEDIA_SCHEMA
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def make_png(doc_id: int) -> bytes:
+            w, h = 4 + doc_id % 13, 3 + doc_id % 11
+            bpp, stride = 3, 3 * w
+            raw = bytes((doc_id + 23 * j) % 256 for j in range(stride * h))
+            out = bytearray()
+            prev = bytes(stride)
+            for r in range(h):
+                line = raw[r * stride : (r + 1) * stride]
+                ft = (doc_id + r) % 5
+                out.append(ft)
+                for i, x in enumerate(line):
+                    left = line[i - bpp] if i >= bpp else 0
+                    if ft == 0:
+                        pred = 0
+                    elif ft == 1:
+                        pred = left
+                    elif ft == 2:
+                        pred = prev[i]
+                    elif ft == 3:
+                        pred = (left + prev[i]) // 2
+                    else:
+                        ul = prev[i - bpp] if i >= bpp else 0
+                        pred = _png_paeth(left, prev[i], ul)
+                    out.append((x - pred) % 256)
+                prev = line
+
+            def chunk(typ: bytes, data: bytes) -> bytes:
+                return (
+                    _struct.pack(">I", len(data))
+                    + typ
+                    + data
+                    + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+                )
+
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(bytes(out)))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            ids = pdf["media_id"].astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "mime": "image/png",
+                    "width": (4 + ids % 13).astype("int32"),
+                    "height": (3 + ids % 11).astype("int32"),
+                    "duration_ms": 0,
+                    "content": [make_png(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        encode_batches, schema=out_schema
+    )
+
+
+def decode_png(df: DataFrame) -> DataFrame:
+    """REAL compressed-image decode, stdlib-only: signature + chunk walk
+    with CRC verification, zlib inflate of the IDAT stream, scanline
+    unfilter (all five PNG filter types), then per-channel means — the
+    decode → per-image-stats pass of an image dedup/quality pipeline,
+    now through a genuinely compressed container format (q200 is the
+    oracle-checked registry entry; q159/q43 cover the uncompressed
+    raster/audio paths)."""
+    out_schema = (
+        "media_id bigint, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def parse(blob: bytes):
+            b = bytes(blob)
+            w, h, raw = _png_inflate(b)
+            px = _png_unfilter(raw, w, h).astype(_np.float64)
+            return w, h, px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean()
+
+        for pdf in batches:
+            parsed = [parse(c) for c in pdf["content"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [p[0] for p in parsed],
+                    "height": [p[1] for p in parsed],
+                    "mean_r": [p[2] for p in parsed],
+                    "mean_g": [p[3] for p in parsed],
+                    "mean_b": [p[4] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=out_schema)
 
 
 def attach_bmp_media(df: DataFrame, id_col: str) -> DataFrame:
