@@ -100,6 +100,21 @@ def _cm_bucket_col(base_mod_p: Column, r: int, width: int) -> Column:
     ) % F.lit(width)
 
 
+def countmin_bucket_rows(
+    df: DataFrame, col: str | Column, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """One (r, bucket) row per (record, hash-row) — the map-side
+    codegen'd expansion shared by the batch grid and the streaming
+    state-store grid (streaming/stateful.countmin_grid_stateful). Works
+    on batch AND streaming frames (pure column expressions)."""
+    from .dedup import MINHASH_MERSENNE_P, md5_long
+
+    c = F.col(col) if isinstance(col, str) else col
+    base = md5_long(c.cast("string")) % F.lit(MINHASH_MERSENNE_P)
+    rows = F.array(*[_cm_bucket_col(base, r, width) for r in range(depth)])
+    return df.select(F.posexplode(rows).alias("r", "bucket"))
+
+
 def countmin_counters(
     df: DataFrame, col: str | Column, depth: int = 4, width: int = 1024
 ) -> DataFrame:

@@ -7812,6 +7812,110 @@ def q184_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q206_stream_countmin_stateful",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(('0x' || SUBSTRING(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2147483647 AS b
+      FROM lineitem
+    ),
+    counters AS (
+      SELECT r,
+             ((((2*r + 1) * 2654435761) % 2147483647) * b
+              + (r * 1013904223) % 2147483647) % 2147483647 % 1024 AS bucket,
+             COUNT(*) AS c
+      FROM base, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS r) s
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c) AS BIGINT) AS total_mass,
+           CAST(MAX(c) AS BIGINT) AS max_cell,
+           CAST(SUM(c * c) AS BIGINT) AS l2_checksum
+    FROM counters
+    """,
+)
+def q206_stream_countmin_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CMS, EXECUTOR-SIDE STATE: the count-min grid maintained
+    in the state store via ``applyInPandasWithState``
+    (streaming/stateful.countmin_grid_stateful) — each CMS row r is a
+    state key holding its 1024-long counter array; per-record hashing
+    runs map-side at full parallelism BEFORE the keyed reduce; per batch
+    the state update is one bincount add. This retires q184's
+    documented driver-accumulator exception: sketch state is now keyed,
+    checkpointed with the stream and RocksDB-spillable like every other
+    stateful operator here (q184 remains the foreachBatch/merge-grids
+    formulation — the shard-then-add shape used when sketches are
+    merged ACROSS streams). In-query assertions: the final grid must
+    equal the single-pass batch grid cell-wise, and the stream must
+    have run multiple micro-batches (gen > 1) so cross-batch state
+    accumulation is actually exercised."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .functions.sketches import countmin_bucket_rows, countmin_counters
+    from .streaming.core import run_available_now
+    from .streaming.stateful import countmin_grid_stateful
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+    tmp = tempfile.mkdtemp(prefix="q206_cms_state_")
+    try:
+        li.repartition(8).write.mode("overwrite").parquet(f"{tmp}/landing")
+        stream = (
+            spark.readStream.schema("l_partkey bigint")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(f"{tmp}/landing")
+        )
+        keyed = countmin_bucket_rows(stream, "l_partkey", depth=4, width=1024)
+        out = run_available_now(countmin_grid_stateful(keyed, width=1024), "update")
+        wlast = Window.partitionBy("r").orderBy(F.col("gen").desc())
+        final = (
+            out.withColumn("_rn", F.row_number().over(wlast))
+            .filter(F.col("_rn") == 1)
+            .select("r", "gen", "cells")
+        )
+        rows = final.collect()  # 4 rows — the sketch itself, O(grid)
+        if not rows or max(r["gen"] for r in rows) <= 1:
+            raise RuntimeError(
+                "stateful CMS ran a single micro-batch — cross-batch state "
+                "accumulation was not exercised"
+            )
+        streamed = spark.createDataFrame(
+            [
+                (r["r"], b, int(c))
+                for r in rows
+                for b, c in enumerate(r["cells"])
+                if c > 0
+            ],
+            "r int, bucket int, c long",
+        )
+        batch = countmin_counters(li, "l_partkey", 4, 1024)
+        diverged = (
+            streamed.alias("s")
+            .join(batch.alias("b2"), ["r", "bucket"], "full_outer")
+            .filter(
+                F.col("s.c").isNull()
+                | F.col("b2.c").isNull()
+                | (F.col("s.c") != F.col("b2.c"))
+            )
+        )
+        n_bad = diverged.count()
+        if n_bad:
+            raise RuntimeError(
+                f"state-store CMS grid diverged from batch in {n_bad} cells"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return streamed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("c").cast("long").alias("total_mass"),
+        F.max("c").cast("long").alias("max_cell"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("l2_checksum"),
+    )
+
+
+@query(
     "q185_pca_power_iteration",
     oracle="""
     WITH ex AS (

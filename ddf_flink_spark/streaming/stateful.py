@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_totals"]
+__all__ = ["running_totals", "countmin_grid_stateful"]
 
 
 def running_totals(
@@ -46,6 +46,56 @@ def running_totals(
 
     prepared = events.selectExpr(f"{key_col}", f"{value_col} as value")
     return prepared.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def countmin_grid_stateful(keyed: DataFrame, width: int = 1024) -> DataFrame:
+    """Count-min sketch maintained IN THE STATE STORE: input is a
+    streaming frame of pre-hashed (r, bucket) rows (the per-record
+    bucket expansion runs map-side as codegen'd column expressions —
+    see functions/sketches._cm_bucket_col); each CMS row r is a state
+    key whose value is its ``width``-long counter array. Per batch the
+    update is one ``np.bincount`` add; the emitted row carries the
+    cumulative cells plus a generation counter so the sink's LATEST row
+    per r is the final grid.
+
+    This is the executor-side replacement for a driver-side grid
+    accumulator (q184's foreachBatch form): sketch state is keyed,
+    checkpointed with the stream, RocksDB-spillable, and never touches
+    the driver — the same state discipline as every other stateful
+    operator here. Parallelism note: there are only ``depth`` state
+    keys, but the heavy per-record hashing happens BEFORE the groupBy
+    at full map parallelism; the keyed reduce adds ~width longs per
+    batch per key.
+    """
+    out_schema = "r int, gen long, cells array<long>"
+    state_schema = "gen long, cells array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            gen, cells = state.get
+            cells = np.asarray(cells, dtype=np.int64)
+        else:
+            gen, cells = 0, np.zeros(width, dtype=np.int64)
+        for pdf in pdfs:
+            cells = cells + np.bincount(
+                pdf["bucket"].to_numpy(), minlength=width
+            ).astype(np.int64)
+        gen += 1
+        state.update((int(gen), [int(x) for x in cells]))
+        yield pd.DataFrame(
+            {"r": [key[0]], "gen": [gen], "cells": [[int(x) for x in cells]]}
+        )
+
+    return keyed.groupBy("r").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

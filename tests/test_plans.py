@@ -452,6 +452,7 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     "q178_triangle_count": {"single-partition", "cartesian-product"},
     # Streaming CMS: final 1-row rollup folds the 4096-cell grid.
     "q184_stream_countmin": {"single-partition"},
+    "q206_stream_countmin_stateful": {"single-partition"},
     # Skew report: distribution scalars are a 1-row agg over key
     # frequencies, crossJoined back as a broadcast 1-row frame.
     "q187_join_skew_report": {"single-partition", "cartesian-product"},

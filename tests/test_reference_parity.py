@@ -344,3 +344,59 @@ def test_transform_goldens(airline_v):
     z = num.transform_scale_standard()
     assert z.num_rows() == 31
     assert len(z.summary()) == 8  # Spec:46-50
+
+
+def test_left_semi_multiplicity_divergence_pinned(mgr, airline, spark):
+    """PINS the documented LEFT SEMI divergence (utils/package.scala:
+    296-305): the reference's coGroup crosses matching groups, so a
+    DUPLICATED right key multiplies left rows — semi(left, right) there
+    returns |left ⋉| × (right-key multiplicity). This engine emits the
+    CORRECT semi multiplicity: exactly one output row per matching LEFT
+    row, independent of right-side duplication. The earlier join golden
+    (unique right keys) can't distinguish the two; this one can."""
+    import pandas as pd
+
+    pdf = pd.read_csv(f"{REF_RES}/airline.csv", header=None, na_values=["NA"])
+    # right side with DUPLICATED keys: every matching year appears twice
+    dup = spark.createDataFrame(
+        [(2008, "a"), (2008, "b"), (2010, "x"), (2010, "y")],
+        "Year_num int, Name string",
+    )
+    dup_ddf = mgr.new_ddf(dup, name="year_names_dup")
+    n_matching = int(pdf[0].isin({2008, 2010}).sum())
+
+    semi = airline.join(
+        dup_ddf, "leftsemi", by_left_columns=["Year"], by_right_columns=["Year_num"]
+    )
+    assert semi.num_rows() == n_matching, (
+        "semi must emit one row per matching LEFT row"
+    )
+    # the reference's group-crossing coGroup would have emitted 2x that
+    reference_would_emit = 2 * n_matching
+    assert semi.num_rows() != reference_would_emit
+    # and the inner join DOES multiply — proving the right side really
+    # carries duplicate keys (the divergence is in semi semantics only)
+    inner = airline.join(
+        dup_ddf, "inner", by_left_columns=["Year"], by_right_columns=["Year_num"]
+    )
+    assert inner.num_rows() == reference_would_emit
+
+
+def test_bigint_stays_exact_not_double_divergence_pinned(mgr, spark):
+    """PINS the documented BIGINT divergence (Column2RowTypeInfo.scala:29:
+    ``case ColumnType.BIGINT => BasicTypeInfo.DOUBLE_TYPE_INFO`` — the
+    reference materializes BIGINT columns as Java doubles, so any value
+    beyond 2^53 silently loses precision: 2^53 + 1 as a double IS 2^53).
+    This engine keeps BIGINT as a true 64-bit long end-to-end: the two
+    values stay distinct through SQL, aggregation and collect."""
+    big = 2**53 + 1
+    df = spark.createDataFrame([(1, big), (2, 2**53)], "id int, v long")
+    ddf = mgr.new_ddf(df, name="bigint_exact")
+    rows = ddf.sql("SELECT id, v FROM @this ORDER BY id").df.collect()
+    assert rows[0]["v"] == big and rows[1]["v"] == 2**53
+    assert rows[0]["v"] != rows[1]["v"]  # the reference's double cast
+    # would collapse these: float(2^53 + 1) == float(2^53)
+    assert float(big) == float(2**53)  # the collapse the reference bakes in
+    distinct = ddf.sql("SELECT COUNT(DISTINCT v) AS n FROM @this").df.collect()
+    assert distinct[0]["n"] == 2
+    assert dict(ddf.df.dtypes)["v"] == "bigint"
