@@ -36,7 +36,17 @@ __all__ = [
     "kmv_distinct",
     "countmin_counters",
     "countmin_estimate",
+    "countmin_bucket_rows",
+    "bloom_build_words",
+    "bloom_member",
+    "bloom_filter_members",
+    "BLOOM_WORD_BITS",
 ]
+
+# Bloom words pack 60 bits each so every mask 1<<b stays a positive
+# BIGINT in any engine (bit 63 would go negative in Spark and overflow
+# DuckDB's signed shift).
+BLOOM_WORD_BITS = 60
 
 # Fraction denominator. float(2^60 + 1) rounds to exactly 2^60 in double,
 # so u = (h+1)/2^60 with h ∈ [0, 2^60): u > 0 always (no divide-by-zero in
@@ -199,3 +209,138 @@ def countmin_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+def _bloom_positions(base_mod_p: Column, k: int, m_bits: int) -> list[Column]:
+    """k bit positions from the shared affine mod-Mersenne family (the
+    same plan-time-literal (a_i, b_i) members MinHash/CMS use) — any
+    md5-capable engine recomputes them exactly."""
+    from .dedup import MINHASH_MERSENNE_P, _minhash_a, _minhash_b
+
+    return [
+        (
+            (F.lit(_minhash_a(i)) * base_mod_p + F.lit(_minhash_b(i)))
+            % F.lit(MINHASH_MERSENNE_P)
+        )
+        % F.lit(m_bits)
+        for i in range(k)
+    ]
+
+
+def bloom_build_words(
+    df: DataFrame, col: str | Column, m_bits: int = 16384, k: int = 4
+) -> DataFrame:
+    """BLOOM FILTER [Bloom 1970] over the values of ``col`` as a packed
+    word table: (word int, bits long) with ``bits`` the BIT_OR of
+    ``1 << (pos % 60)`` for every of the k positions landing in that
+    60-bit word. Cross-engine by construction (md5 base + the affine
+    family + integer shifts — DuckDB rebuilds the identical words,
+    registry q207).
+
+    Scale shape: one explode (k rows per value) + one groupBy over at
+    most ⌈m/60⌉ words — the filter is O(m) bits REGARDLESS of input
+    cardinality, mergeable by cell-wise BIT_OR, and small enough to
+    broadcast (16384 bits = 274 longs). This is the membership twin of
+    the counting CMS: CMS answers "how often", Bloom answers "possibly
+    present" with zero false negatives — the decontamination /
+    blocklist primitive at 100 TB (the filter rides the closure of a
+    map-only corpus scan; the corpus never shuffles)."""
+    from .dedup import MINHASH_MERSENNE_P
+
+    c = F.col(col) if isinstance(col, str) else col
+    base = md5_long(c.cast("string")) % F.lit(MINHASH_MERSENNE_P)
+    cells = F.array(
+        *[
+            F.struct(
+                (p / F.lit(BLOOM_WORD_BITS)).cast("int").alias("word"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (p % F.lit(BLOOM_WORD_BITS)).cast("int"),
+                ).alias("mask"),
+            )
+            for p in _bloom_positions(base, k, m_bits)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("cell"))
+        .select("cell.word", "cell.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_member(
+    col: str | Column, words: dict[int, int], m_bits: int = 16384, k: int = 4
+) -> Column:
+    """Membership test as a PURE COLUMN EXPRESSION against a collected
+    words dict {word: bits} (the filter is model state — O(m) bits —
+    so collecting it to the driver and inlining it as a plan-time
+    literal array is the broadcast-free, join-free probe shape: the
+    probing scan stays map-only at any corpus size). True ⟺ all k bits
+    set; no false negatives by construction."""
+    from .dedup import MINHASH_MERSENNE_P
+
+    n_words = (m_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    arr = F.array(
+        *[F.lit(int(words.get(w, 0))).cast("long") for w in range(n_words)]
+    )
+    c = F.col(col) if isinstance(col, str) else col
+    base = md5_long(c.cast("string")) % F.lit(MINHASH_MERSENNE_P)
+    cond = F.lit(True)
+    for p in _bloom_positions(base, k, m_bits):
+        word = (p / F.lit(BLOOM_WORD_BITS)).cast("int")
+        mask = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            (p % F.lit(BLOOM_WORD_BITS)).cast("int"),
+        )
+        cond = cond & (F.element_at(arr, word + 1).bitwiseAND(mask) == mask)
+    return cond
+
+
+def bloom_filter_members(
+    df: DataFrame,
+    col: str | Column,
+    words_df: DataFrame,
+    m_bits: int,
+    k: int = 4,
+) -> DataFrame:
+    """Rows of ``df`` whose ``col`` is POSSIBLY in the Bloom filter (all
+    k bits set; no false negatives). For filters too large to inline as
+    a plan literal (``bloom_member``'s shape), the probe is k BROADCAST
+    hash joins against the (word, bits) table — one per hash function —
+    so the probed corpus never shuffles and gains no groupBy: each join
+    attaches one word's bits and the membership conjunction is a plain
+    column predicate. Output columns = input columns."""
+    from .dedup import MINHASH_MERSENNE_P
+
+    c = F.col(col) if isinstance(col, str) else col
+    base = md5_long(c.cast("string")) % F.lit(MINHASH_MERSENNE_P)
+    out = df
+    cond = F.lit(True)
+    for i, p in enumerate(_bloom_positions(base, k, m_bits)):
+        wname, bname, mname = f"_bw{i}", f"_bb{i}", f"_bm{i}"
+        out = out.withColumn(wname, (p / F.lit(BLOOM_WORD_BITS)).cast("int"))
+        out = out.withColumn(
+            mname,
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (p % F.lit(BLOOM_WORD_BITS)).cast("int"),
+            ),
+        )
+        out = out.join(
+            F.broadcast(
+                words_df.select(
+                    F.col("word").alias(wname), F.col("bits").alias(bname)
+                )
+            ),
+            wname,
+            "left",
+        )
+        cond = cond & (
+            F.coalesce(F.col(bname), F.lit(0).cast("long")).bitwiseAND(F.col(mname))
+            == F.col(mname)
+        )
+    return out.filter(cond).select(*df.columns)

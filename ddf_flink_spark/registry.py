@@ -7916,6 +7916,118 @@ def q206_stream_countmin_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "q207_bloom_decontamination",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS ts
+                 FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 4)) AS i) s
+      WHERE LEN(ts) >= 5
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE source IN ('src0', 'src1')),
+    bb AS (
+      SELECT CAST(('0x' || SUBSTRING(md5(g), 1, 15)) AS BIGINT) % 2147483647 AS base
+      FROM bench
+    ),
+    words AS (
+      SELECT pos // 60 AS word,
+             BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 60 AS INT)) AS bits
+      FROM (
+        SELECT ((((2*i + 1) * 2654435761) % 2147483647) * base
+                + (i * 1013904223) % 2147483647) % 2147483647 % 4194304 AS pos
+        FROM bb, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) s
+      ) GROUP BY 1
+    ),
+    corpus_sh AS (
+      SELECT DISTINCT doc_id, g FROM sh WHERE source NOT IN ('src0', 'src1')
+    ),
+    pcells AS (
+      SELECT doc_id, g,
+             ((((2*i + 1) * 2654435761) % 2147483647)
+              * (CAST(('0x' || SUBSTRING(md5(g), 1, 15)) AS BIGINT) % 2147483647)
+              + (i * 1013904223) % 2147483647) % 2147483647 % 4194304 AS pos
+      FROM corpus_sh, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) s
+    ),
+    member AS (
+      SELECT p.doc_id, p.g
+      FROM pcells p LEFT JOIN words w ON w.word = p.pos // 60
+      GROUP BY 1, 2
+      HAVING COUNT(*) FILTER (
+        WHERE (COALESCE(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(p.pos % 60 AS INT)))
+              <> 0) = 4
+    ),
+    fb AS (SELECT DISTINCT doc_id FROM member),
+    fe AS (SELECT DISTINCT doc_id FROM corpus_sh WHERE g IN (SELECT g FROM bench))
+    SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM corpus_sh) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS n_flagged_bloom,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fe) AS n_flagged_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fb)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM fe) AS n_false_positives
+    """,
+)
+def q207_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER DECONTAMINATION (functions/sketches.bloom_build_words
+    / bloom_filter_members): the benchmark 5-gram set compiles into a
+    4 Mi-bit Bloom filter (≈70k packed 60-bit words, k=4 md5-affine
+    hashes — cross-engine, DuckDB rebuilds the identical words), and the
+    corpus probe is k BROADCAST hash joins + a column predicate: the
+    corpus never shuffles and the filter is O(m) bits no matter how many
+    benchmark entries exist — the membership twin of the CMS (q183) and
+    the constant-size alternative to q130's exact broadcast semi-join
+    when the eval suite grows past broadcastable (at 10+ bits/element
+    the per-shingle FP rate is ~5e-6). The exact join runs alongside:
+    the output row witnesses the Bloom guarantee (no false negatives —
+    asserted in-query; false positives counted exactly)."""
+    from .functions.dedup import exploded_shingles
+    from .functions.sketches import bloom_build_words, bloom_filter_members
+
+    M, K = 4194304, 4
+    d = t(spark, sf_dir, "documents")
+    bench_sources = ("src0", "src1")
+    is_bench = F.col("source").isin(*bench_sources)
+    bench_g = (
+        exploded_shingles(d.filter(is_bench), "text", "doc_id", 5)
+        .select("g")
+        .distinct()
+    )
+    words = bloom_build_words(bench_g, "g", m_bits=M, k=K)
+    corpus_sh = (
+        exploded_shingles(d.filter(~is_bench), "text", "doc_id", 5)
+        .select("id", "g")
+        .distinct()
+    )
+    flagged_bloom = (
+        bloom_filter_members(corpus_sh, "g", words, m_bits=M, k=K)
+        .select("id")
+        .distinct()
+    )
+    flagged_exact = (
+        corpus_sh.join(F.broadcast(bench_g), "g", "left_semi")
+        .select("id")
+        .distinct()
+    )
+    n_false_neg = flagged_exact.join(flagged_bloom, "id", "left_anti").count()
+    if n_false_neg:
+        raise RuntimeError(
+            f"Bloom filter produced {n_false_neg} false negatives — impossible "
+            "by construction; the build and probe hash families diverged"
+        )
+    nd = corpus_sh.agg(F.countDistinct("id").cast("long").alias("n_docs"))
+    nb = flagged_bloom.agg(F.count(F.lit(1)).cast("long").alias("n_flagged_bloom"))
+    ne = flagged_exact.agg(F.count(F.lit(1)).cast("long").alias("n_flagged_exact"))
+    return (
+        nd.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(ne))
+        .withColumn(
+            "n_false_positives",
+            (F.col("n_flagged_bloom") - F.col("n_flagged_exact")).cast("long"),
+        )
+    )
+
+
+@query(
     "q185_pca_power_iteration",
     oracle="""
     WITH ex AS (

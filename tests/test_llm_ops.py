@@ -944,3 +944,36 @@ def test_png_decode_matches_hand_filtered_spec_bytes(spark):
     )
     with _pytest.raises(Exception, match="CRC mismatch"):
         decode_png(bad).collect()
+
+
+def test_bloom_filter_no_false_negatives_and_probe_agreement(spark):
+    """Every inserted key must test positive (zero false negatives, the
+    Bloom guarantee), absent keys are overwhelmingly negative at this
+    load factor, and the two probe shapes — plan-literal ``bloom_member``
+    and broadcast-join ``bloom_filter_members`` — agree on every key."""
+    from ddf_flink_spark.functions.sketches import (
+        bloom_build_words,
+        bloom_filter_members,
+        bloom_member,
+    )
+
+    m, k = 4096, 4
+    inserted = spark.range(200).select(F.concat(F.lit("key"), F.col("id")).alias("v"))
+    words_df = bloom_build_words(inserted, "v", m_bits=m, k=k)
+    words = {r.word: r.bits for r in words_df.collect()}
+
+    probes = spark.range(400).select(
+        F.concat(F.lit("key"), F.col("id")).alias("v")
+    )  # first 200 inserted, last 200 absent
+    lit_hits = {
+        r.v for r in probes.filter(bloom_member("v", words, m, k)).collect()
+    }
+    join_hits = {
+        r.v for r in bloom_filter_members(probes, "v", words_df, m, k).collect()
+    }
+    assert lit_hits == join_hits  # the two probe shapes are equivalent
+    inserted_set = {f"key{i}" for i in range(200)}
+    assert inserted_set <= lit_hits  # NO false negatives
+    fp = lit_hits - inserted_set
+    # 4096 bits / 200 keys ≈ 20 bits/key → per-key fp ≈ (1-e^-0.195)^4 ≈ 1e-3
+    assert len(fp) <= 5, f"implausible false-positive count: {len(fp)}"

@@ -453,6 +453,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # Streaming CMS: final 1-row rollup folds the 4096-cell grid.
     "q184_stream_countmin": {"single-partition"},
     "q206_stream_countmin_stateful": {"single-partition"},
+    # Bloom decontamination: the three count scalars are 1-row
+    # aggregates crossJoined back as broadcast 1-row frames.
+    "q207_bloom_decontamination": {"single-partition", "cartesian-product"},
     # Skew report: distribution scalars are a 1-row agg over key
     # frequencies, crossJoined back as a broadcast 1-row frame.
     "q187_join_skew_report": {"single-partition", "cartesian-product"},
