@@ -491,8 +491,9 @@ class DDF:
         **kwargs,
     ) -> "DDF":
         """Top-k cosine neighbors of ``queries`` in this DDF's vectors:
-        ``brute`` (exact) or ``lsh`` (hyperplane-bucketed, approximate) —
-        functions/similarity.py."""
+        ``brute`` (exact), ``lsh`` (hyperplane-bucketed, approximate) or
+        ``srp`` (the cross-engine-reproducible quantized SRP-LSH form —
+        registry q42) — functions/similarity.py."""
         from .functions import similarity as _s
 
         if method == "brute":
@@ -504,9 +505,63 @@ class DDF:
         elif method == "lsh":
             out = _s.lsh_topk(queries._df, self._df, k=k, id_col=id_col,
                               vec_col=vec_col, **kwargs)
+        elif method == "srp":
+            out = _s.srp_lsh_topk_crossengine(
+                queries._df, self._df, k=k, id_col=id_col, vec_col=vec_col, **kwargs
+            )
         else:
             raise ValueError(f"unknown similarity method {method!r}")
         return self._derive(out, keep_factors=False)
+
+    def decontaminate(
+        self,
+        benchmark: "DDF",
+        n: int = 5,
+        method: str = "exact",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        m_bits: int = 4194304,
+        k: int = 4,
+    ) -> "DDF":
+        """Drop documents sharing ANY word ``n``-gram with the
+        ``benchmark`` corpus (eval-suite decontamination — registry
+        q130/q207). ``method='exact'`` semi-joins the benchmark's
+        distinct shingle set (broadcast; exact); ``method='bloom'``
+        probes a constant-size Bloom filter instead — no false
+        negatives, so nothing contaminated survives, at a ~m-tunable
+        false-positive rate that may drop a few clean documents; use it
+        when the eval suite outgrows broadcastability."""
+        from pyspark.sql import functions as F
+
+        from .functions.dedup import exploded_shingles
+
+        bench_g = (
+            exploded_shingles(benchmark._df, text_col, id_col, n)
+            .select("g")
+            .distinct()
+        )
+        corpus_sh = exploded_shingles(self._df, text_col, id_col, n)
+        if method == "exact":
+            flagged = (
+                corpus_sh.join(F.broadcast(bench_g), "g", "left_semi")
+                .select("id")
+                .distinct()
+            )
+        elif method == "bloom":
+            from .functions.sketches import bloom_build_words, bloom_filter_members
+
+            words = bloom_build_words(bench_g, "g", m_bits=m_bits, k=k)
+            flagged = (
+                bloom_filter_members(corpus_sh, "g", words, m_bits=m_bits, k=k)
+                .select("id")
+                .distinct()
+            )
+        else:
+            raise ValueError(f"unknown decontamination method {method!r}")
+        keep = self._df.join(
+            flagged, self._df[id_col] == flagged["id"], "left_anti"
+        )
+        return self._derive(keep)
 
     def lm_perplexity(
         self, text_col: str = "text", id_col: str = "doc_id"

@@ -982,13 +982,13 @@ def q32_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_candidates(d, threshold=0.5, n=3)
 
 
-def _minhash_cand_oracle(num_hashes: int, rows_per_band: int) -> str:
-    """Parametrized DuckDB replay of minhash_lsh_candidates(hash_family=
-    "md5"): 3-gram shingles, h_i = affine rehash of the 60-bit md5 base
-    mod P=2³¹−1, comma-joined band buckets, distinct bucket-collision
-    pairs. Used at (32, 4) by q31 and (16, 4) by q144."""
+def _minhash_cte(num_hashes: int, rows_per_band: int) -> str:
+    """WITH-body CTE chain ending in ``band`` (and exposing ``sh``
+    distinct shingles + ``hm`` per-doc signature components) for the
+    md5 MinHash family — shared by the candidate oracles (q31/q144)
+    and the estimator-accuracy oracle (q208)."""
     return f"""
-    WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
+    tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
       FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
@@ -1007,6 +1007,16 @@ def _minhash_cand_oracle(num_hashes: int, rows_per_band: int) -> str:
              STRING_AGG(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
       FROM hm GROUP BY doc_id, i // {rows_per_band}
     )
+    """
+
+
+def _minhash_cand_oracle(num_hashes: int, rows_per_band: int) -> str:
+    """Parametrized DuckDB replay of minhash_lsh_candidates(hash_family=
+    "md5"): 3-gram shingles, h_i = affine rehash of the 60-bit md5 base
+    mod P=2³¹−1, comma-joined band buckets, distinct bucket-collision
+    pairs. Used at (32, 4) by q31 and (16, 4) by q144."""
+    return f"""
+    WITH {_minhash_cte(num_hashes, rows_per_band)}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
                            AND a.doc_id < b.doc_id
@@ -8024,6 +8034,116 @@ def q207_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_positives",
             (F.col("n_flagged_bloom") - F.col("n_flagged_exact")).cast("long"),
         )
+    )
+
+
+@query(
+    "q208_minhash_jaccard_estimate",
+    oracle=f"""
+    WITH {_minhash_cte(16, 4)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+      SELECT c.id_a, c.id_b,
+             COUNT(*) FILTER (WHERE ha.h = hb.h) AS n_agree
+      FROM cand c
+      JOIN hm ha ON ha.doc_id = c.id_a
+      JOIN hm hb ON hb.doc_id = c.id_b AND hb.i = ha.i
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS nsh
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(g.n_agree / 16.0, 4) AS est_jaccard,
+           ROUND(s.nsh / (sa.sz + sb.sz - s.nsh), 4) AS jaccard,
+           ROUND(ABS(g.n_agree / 16.0
+                     - ROUND(s.nsh / (sa.sz + sb.sz - s.nsh), 4)), 4) AS abs_err
+    FROM cand c
+    JOIN agree g ON g.id_a = c.id_a AND g.id_b = c.id_b
+    JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    ORDER BY c.id_a, c.id_b
+    """,
+)
+def q208_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH AS AN ESTIMATOR, accuracy-witnessed: for every LSH
+    candidate pair, the per-pair Jaccard ESTIMATE (fraction of agreeing
+    signature components — the quantity MinHash actually approximates,
+    E[est] = J) next to the EXACT shingle-set Jaccard and the absolute
+    error. Completes the MinHash story beyond candidate generation
+    (q31/q144): the same signatures double as a pairwise similarity
+    estimate without touching the documents again — at 100 TB the
+    estimate costs k longs per pair while exact verification re-reads
+    posting lists. All multiples of 1/16 have exact 4-decimal
+    representations, so the estimate column is hash-exact by
+    construction; DuckDB replays signatures, agreement counts and the
+    exact join to the digit."""
+    from .functions.dedup import (
+        exploded_shingles,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    NH = 16
+    d = t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, num_hashes=NH, bands=4, hash_family="md5")
+    sig = minhash_signatures(d, num_hashes=NH, hash_family="md5")
+    siga = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(NH)]
+    )
+    sigb = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(NH)]
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NH)
+    )
+    sh = exploded_shingles(d, "text", "doc_id", 3)
+    cdocs = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    tarr = (
+        sh.join(cdocs, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("g").alias("gs"), F.count(F.lit(1)).alias("sz"))
+    )
+    est = n_agree / F.lit(float(NH))
+    nsh = F.size(F.array_intersect("ga", "gb"))
+    jacc = F.round(nsh / (F.col("sza") + F.col("szb") - nsh), 4)
+    return (
+        cand.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .join(
+            tarr.select(
+                F.col("id").alias("id_a"), F.col("gs").alias("ga"), F.col("sz").alias("sza")
+            ),
+            "id_a",
+        )
+        .join(
+            tarr.select(
+                F.col("id").alias("id_b"), F.col("gs").alias("gb"), F.col("sz").alias("szb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 4).alias("est_jaccard"),
+            jacc.alias("jaccard"),
+            F.round(F.abs(est - jacc), 4).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
     )
 
 

@@ -443,3 +443,50 @@ def test_triangle_count_normalizes_bidirectional_edges(mgr, spark):
     edges = mgr.new_ddf(spark.createDataFrame(raw, "u long, v long"))
     r = edges.triangle_count().df.collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+
+
+def test_decontaminate_exact_and_bloom(mgr, spark):
+    """DDF.decontaminate drops every doc sharing a 5-gram with the
+    benchmark (exact and bloom methods agree here; bloom is allowed
+    false positives but never false negatives)."""
+    bench = mgr.new_ddf(
+        spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+    )
+    corpus = mgr.new_ddf(
+        spark.createDataFrame(
+            [
+                (0, "prefix words alpha beta gamma delta epsilon and a tail"),
+                (1, "totally unrelated content with many distinct tokens here"),
+                (2, "another clean document that keeps its own vocabulary safe"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    clean_exact = {r.doc_id for r in corpus.decontaminate(bench, n=5).df.collect()}
+    assert clean_exact == {1, 2}  # doc 0 shares 'alpha beta gamma delta epsilon'
+    clean_bloom = {
+        r.doc_id
+        for r in corpus.decontaminate(bench, n=5, method="bloom", m_bits=4096).df.collect()
+    }
+    assert 0 not in clean_bloom  # no false negatives ever
+    assert clean_bloom <= clean_exact
+
+
+def test_similarity_topk_srp_method(mgr, spark):
+    """The cross-engine SRP method routes through
+    srp_lsh_topk_crossengine and finds the planted identical vector."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    rows.append((99, list(rows[0][1])))  # clone of vector 0
+    emb = mgr.new_ddf(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+    q = mgr.new_ddf(emb.df.filter("vec_id = 0"))
+    top = emb.similarity_topk(q, k=3, method="srp").df.collect()
+    best = max(top, key=lambda r: r.cos)  # row order isn't part of the contract
+    assert best.neighbor_id == 99 and abs(best.cos - 1.0) < 1e-6
