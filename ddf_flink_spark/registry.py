@@ -8148,6 +8148,150 @@ def q208_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "q209_histogram_quantile_sketch",
+    oracle="""
+    WITH mm AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+                       COUNT(*) AS n FROM lineitem),
+    bins AS (
+      SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 512)), 511)
+                  AS BIGINT) AS bin,
+             COUNT(*) AS c
+      FROM lineitem, mm GROUP BY 1
+    ),
+    cum AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum FROM bins),
+    qs AS (SELECT CAST(UNNEST([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q),
+    tgt AS (SELECT q, q * n AS target FROM qs, mm),
+    pick AS (
+      SELECT t.q, t.target, MIN(c2.bin) AS bin
+      FROM tgt t JOIN cum c2 ON CAST(c2.cum AS DOUBLE) >= t.target
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.q,
+             mm.lo + p.bin * ((mm.hi - mm.lo) / 512)
+               + ((p.target - CAST(c3.cum - c3.c AS DOUBLE)) / CAST(c3.c AS DOUBLE))
+                 * ((mm.hi - mm.lo) / 512) AS est
+      FROM pick p JOIN cum c3 ON c3.bin = p.bin, mm
+    ),
+    exact AS (
+      SELECT CAST(0.25 AS DOUBLE) AS q, QUANTILE_CONT(l_extendedprice, 0.25) AS ex FROM lineitem
+      UNION ALL
+      SELECT CAST(0.5 AS DOUBLE), QUANTILE_CONT(l_extendedprice, 0.5) FROM lineitem
+      UNION ALL
+      SELECT CAST(0.75 AS DOUBLE), QUANTILE_CONT(l_extendedprice, 0.75) FROM lineitem
+      UNION ALL
+      SELECT CAST(0.9 AS DOUBLE), QUANTILE_CONT(l_extendedprice, 0.9) FROM lineitem
+      UNION ALL
+      SELECT CAST(0.99 AS DOUBLE), QUANTILE_CONT(l_extendedprice, 0.99) FROM lineitem
+    )
+    SELECT e.q, ROUND(e.est, 4) AS est_quantile,
+           ROUND(x.ex, 4) AS exact_quantile,
+           ROUND(ABS(e.est - x.ex), 4) AS abs_err
+    FROM est e JOIN exact x ON x.q = e.q
+    ORDER BY e.q
+    """,
+)
+def q209_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HISTOGRAM QUANTILE SKETCH: two linear passes — global
+    (min, max, n), then 512 equal-width bin counts (map-side combinable;
+    shards/days merge by cell-wise ADD because the boundaries are
+    global) — and every quantile estimate is linear interpolation
+    inside the first bin whose cumulative count reaches q·n. The exact
+    ``percentile`` rides alongside so each row witnesses the sketch's
+    error (≤ one bin width ≈ range/512). This is the
+    fixed-boundary-histogram member of the quantile family: q20 is the
+    exact small-corpus path, ``five_num_summary`` the engine-native GK
+    sketch (not cross-engine-replayable) — this one DuckDB reproduces
+    arithmetic-for-arithmetic, interpolation included. The cumulative
+    window runs over ≤512 bin rows (O(B) state, exempted
+    single-partition)."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    B = 512
+    mm = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bins = (
+        li.crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / B)
+                ),
+                F.lit(B - 1),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("c").over(wcum))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(x)) for x in (0.25, 0.5, 0.75, 0.9, 0.99)])).alias("q")
+    )
+    tgt = qs.crossJoin(F.broadcast(mm)).select(
+        "q", (F.col("q") * F.col("n")).alias("target"), "lo", "hi"
+    )
+    pick = (
+        tgt.join(cum, cum["cum"].cast("double") >= F.col("target"))
+        .groupBy("q", "target", "lo", "hi")
+        .agg(F.min("bin").alias("bin"))
+    )
+    w_ = (F.col("hi") - F.col("lo")) / B
+    est = (
+        pick.join(cum.select("bin", "c", "cum"), "bin")
+        .select(
+            "q",
+            (
+                F.col("lo")
+                + F.col("bin") * w_
+                + (
+                    (F.col("target") - (F.col("cum") - F.col("c")).cast("double"))
+                    / F.col("c").cast("double")
+                )
+                * w_
+            ).alias("est"),
+        )
+    )
+    exact = spark.createDataFrame(
+        [(x,) for x in (0.25, 0.5, 0.75, 0.9, 0.99)], "q double"
+    ).crossJoin(
+        F.broadcast(
+            li.agg(
+                *[
+                    F.expr(f"percentile(l_extendedprice, {x})").alias(f"ex{i}")
+                    for i, x in enumerate((0.25, 0.5, 0.75, 0.9, 0.99))
+                ]
+            )
+        )
+    ).select(
+        "q",
+        F.when(F.col("q") == 0.25, F.col("ex0"))
+        .when(F.col("q") == 0.5, F.col("ex1"))
+        .when(F.col("q") == 0.75, F.col("ex2"))
+        .when(F.col("q") == 0.9, F.col("ex3"))
+        .otherwise(F.col("ex4"))
+        .alias("ex"),
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            F.round("est", 4).alias("est_quantile"),
+            F.round("ex", 4).alias("exact_quantile"),
+            F.round(F.abs(F.col("est") - F.col("ex")), 4).alias("abs_err"),
+        )
+        .orderBy("q")
+    )
+
+
+@query(
     "q185_pca_power_iteration",
     oracle="""
     WITH ex AS (

@@ -977,3 +977,18 @@ def test_bloom_filter_no_false_negatives_and_probe_agreement(spark):
     fp = lit_hits - inserted_set
     # 4096 bits / 200 keys ≈ 20 bits/key → per-key fp ≈ (1-e^-0.195)^4 ≈ 1e-3
     assert len(fp) <= 5, f"implausible false-positive count: {len(fp)}"
+
+
+def test_histogram_quantile_sketch_error_bound(spark):
+    """Every q209 estimate must lie within one bin width of the exact
+    quantile (the sketch's guarantee: the true quantile is inside the
+    picked bin and interpolation stays inside it too)."""
+    from ddf_flink_spark.registry import QUERIES
+
+    rows = QUERIES["q209_histogram_quantile_sketch"](spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    mm = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    bin_width = (mm[1] - mm[0]) / 512
+    assert len(rows) == 5
+    for r in rows:
+        assert r.abs_err <= bin_width + 1e-9, (r.q, r.abs_err, bin_width)

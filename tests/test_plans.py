@@ -456,6 +456,11 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # Bloom decontamination: the three count scalars are 1-row
     # aggregates crossJoined back as broadcast 1-row frames.
     "q207_bloom_decontamination": {"single-partition", "cartesian-product"},
+    # Histogram quantile sketch: the cumulative window + quantile picks
+    # run over <=512 bin rows (O(B) state); (min,max,n) and the exact
+    # percentiles are broadcast 1-row crossJoins; the non-equi
+    # cum>=target join is 5 x 512 rows.
+    "q209_histogram_quantile_sketch": {"single-partition", "cartesian-product"},
     # Skew report: distribution scalars are a 1-row agg over key
     # frequencies, crossJoined back as a broadcast 1-row frame.
     "q187_join_skew_report": {"single-partition", "cartesian-product"},
