@@ -636,6 +636,17 @@ class DDF:
 
         return self._derive(_kmv(self._df, column, k), keep_factors=False)
 
+    def bpe_vocabulary(
+        self, n_merges: int = 10, text_col: str = "text"
+    ) -> "tuple[list[tuple[str, str]], DDF]":
+        """Learn a BPE merge list over this corpus (functions/text.
+        bpe_learn — greedy pair merges over the distinct-word table);
+        returns (ordered merges, DDF of the final word→symbols table)."""
+        from .functions.text import bpe_learn as _bpe
+
+        merges, words = _bpe(self._df, text_col, n_merges)
+        return merges, self._derive(words, keep_factors=False)
+
     def search_bm25(
         self,
         query_terms: list[str],

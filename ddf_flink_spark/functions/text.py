@@ -28,6 +28,9 @@ __all__ = [
     "token_chunks",
     "cdc_chunks",
     "bigram_lm_scores",
+    "word_freqs",
+    "bpe_pair_counts",
+    "bpe_learn",
     "STOPWORDS",
 ]
 
@@ -333,3 +336,122 @@ def bigram_lm_scores(
             F.exp(F.sum("nll").cast("double") / F.count(F.lit(1))), 4
         ).alias("ppl"),
     )
+
+
+# ------------------------------------------------------------------- BPE
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) corpus word-frequency table — BPE's working set.
+    One explode + one groupBy; every later BPE round operates on
+    DISTINCT words weighted by freq, so per-round cost is O(|vocab|)
+    not O(corpus)."""
+    return (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _symbols_col(word: Column) -> Column:
+    """Initial BPE symbol sequence: characters + the terminal '</w>'."""
+    return F.concat(F.split(word, ""), F.array(F.lit("</w>")))
+
+
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """(left, right, pair_count) — adjacent-symbol pair frequencies over
+    a (word, freq, symbols?) table (the statistic BPE greedily maximizes
+    [Sennrich et al. 2016]). Weighted by word freq; symbols default to
+    chars + '</w>'. Shape: zip of two shifted slices (codegen'd, the
+    exploded_shingles trick), explode, one groupBy — map-side
+    combinable, shuffle carries (pair, partial count)."""
+    syms = (
+        F.col("symbols")
+        if "symbols" in words.columns
+        else _symbols_col(F.col("word"))
+    )
+    n = F.size(syms)
+    pairs = F.arrays_zip(
+        F.slice(syms, 1, n - 1).alias("l"), F.slice(syms, 2, n - 1).alias("r")
+    )
+    return (
+        words.select("freq", F.explode(pairs).alias("p"))
+        .select("freq", F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .groupBy("left", "right")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> "tuple[list[tuple[str, str]], DataFrame]":
+    """Byte-pair-encoding vocabulary learning [Sennrich et al. 2016],
+    distributed: returns (merge list in order, final (word, freq,
+    symbols) table). Each round: adjacent-pair counts over the weighted
+    vocab (one explode + groupBy), greedy argmax with (count DESC,
+    left, right) tie-break — fully deterministic — then the merge is
+    applied to every word's symbol array in an Arrow-batched
+    mapInPandas (left-to-right non-overlapping, the standard BPE
+    semantics; a per-row pure function, embarrassingly parallel).
+
+    Scale: the state is the DISTINCT-word table (vocab-sized, not
+    corpus-sized); each round is one bounded aggregation + one map
+    pass; the vocab frame is checkpointed per round (lineage would
+    otherwise grow by two stages per merge) and the previous round's
+    checkpoint is released immediately. The first-round statistic is
+    oracle-checked cross-engine (registry q211); the merge loop is
+    pinned by a golden test against a pure-Python reference
+    implementation (tests/test_llm_ops.py)."""
+    from ..storage import release_checkpoint, tracked_local_checkpoint
+
+    words = tracked_local_checkpoint(
+        word_freqs(df, text_col).select(
+            "word", "freq", _symbols_col(F.col("word")).alias("symbols")
+        )
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            bpe_pair_counts(words)
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["left"], top[0]["right"]
+        merges.append((left, right))
+
+        def apply_merge(batches, _l=left, _r=right):
+            import pandas as pd
+
+            for pdf in batches:
+                out_syms = []
+                for syms in pdf["symbols"]:
+                    syms = list(syms)
+                    merged, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == _l
+                            and syms[i + 1] == _r
+                        ):
+                            merged.append(_l + _r)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    out_syms.append(merged)
+                yield pd.DataFrame(
+                    {"word": pdf["word"], "freq": pdf["freq"], "symbols": out_syms}
+                )
+
+        new_words = tracked_local_checkpoint(
+            words.mapInPandas(
+                apply_merge, schema="word string, freq long, symbols array<string>"
+            )
+        )
+        release_checkpoint(words)
+        words = new_words
+    return merges, words

@@ -8292,6 +8292,121 @@ def q209_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "q210_mixture_temperature",
+    oracle="""
+    WITH sizes AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    taus AS (SELECT CAST(UNNEST([0.5, 0.7, 1.0]) AS DOUBLE) AS tau),
+    pw AS (
+      SELECT t.tau, s.source, s.n_docs, s.n_chars,
+             ROUND(POWER(CAST(s.n_chars AS DOUBLE), t.tau), 6) AS w
+      FROM sizes s CROSS JOIN taus t
+    ),
+    tot AS (
+      SELECT tau, source, n_docs, n_chars, w,
+             CAST(SUM(CAST(w AS DECIMAL(38,6))) OVER (PARTITION BY tau)
+                  AS DOUBLE) AS wsum
+      FROM pw
+    )
+    SELECT tau, source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(w / wsum, 6) AS weight,
+           ROUND(w / wsum * 1000000, 2) AS docs_per_million
+    FROM tot ORDER BY tau, source
+    """,
+)
+def q210_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED MIXTURE WEIGHTS — the sampling distribution
+    used to flatten domain imbalance in LLM training mixes
+    [Lample & Conneau 2019, XLM; also mT5/PaLM data mixing]:
+    p_i ∝ size_i^τ, with τ<1 up-weighting small sources. Computed per
+    τ ∈ {0.5, 0.7, 1.0} over per-source char masses; the normalizer is
+    a DECIMAL sum of round-6 powers (order-independent — the |sources|
+    addends would otherwise sum in engine-dependent order), so DuckDB
+    reproduces every weight. Output includes docs-per-million — the
+    number a sampler (q154's A-ES weighted draw) consumes directly.
+    Scale: one groupBy over the corpus, then arithmetic on |sources|
+    rows (the tiny window is the documented exemption)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    sizes = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    taus = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(x)) for x in (0.5, 0.7, 1.0)])).alias("tau")
+    )
+    pw = sizes.crossJoin(F.broadcast(taus)).select(
+        "tau",
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(F.pow(F.col("n_chars").cast("double"), F.col("tau")), 6).alias("w"),
+    )
+    wtau = Window.partitionBy("tau")
+    tot = pw.withColumn(
+        "wsum",
+        F.sum(F.col("w").cast("decimal(38,6)")).over(wtau).cast("double"),
+    )
+    return tot.select(
+        "tau",
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.col("w") / F.col("wsum"), 6).alias("weight"),
+        F.round(F.col("w") / F.col("wsum") * 1000000, 2).alias("docs_per_million"),
+    ).orderBy("tau", "source")
+
+
+@query(
+    "q211_bpe_pair_stats",
+    oracle="""
+    WITH w AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    p AS (
+      SELECT w.freq,
+             SUBSTRING(w.word, i, 1) AS lsym,
+             CASE WHEN i < LEN(w.word) THEN SUBSTRING(w.word, i + 1, 1)
+                  ELSE '</w>' END AS rsym
+      FROM w, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w.word))) AS i) s
+    )
+    SELECT lsym, rsym, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM p GROUP BY 1, 2
+    ORDER BY pair_count DESC, lsym, rsym LIMIT 20
+    """,
+)
+def q211_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE VOCABULARY LEARNING, round-1 statistic (functions/text.py
+    bpe_pair_counts over word_freqs): adjacent-symbol pair frequencies
+    weighted by word frequency — the quantity byte-pair encoding
+    greedily maximizes [Sennrich et al. 2016] — with the top-20 pairs
+    under the deterministic (count DESC, left, right) ranking BPE's
+    argmax uses. The working set is the DISTINCT-word table, so cost is
+    vocab-sized, not corpus-sized; the full multi-round ``bpe_learn``
+    (greedy merge applied per round in an Arrow map pass) is pinned by
+    a golden test against a pure-Python reference implementation."""
+    from .functions.text import bpe_pair_counts, word_freqs
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        bpe_pair_counts(word_freqs(d))
+        .select(
+            F.col("left").alias("lsym"),
+            F.col("right").alias("rsym"),
+            F.col("pair_count").cast("long").alias("pair_count"),
+        )
+        .orderBy(F.desc("pair_count"), "lsym", "rsym")
+        .limit(20)
+    )
+
+
+@query(
     "q185_pca_power_iteration",
     oracle="""
     WITH ex AS (

@@ -992,3 +992,58 @@ def test_histogram_quantile_sketch_error_bound(spark):
     assert len(rows) == 5
     for r in rows:
         assert r.abs_err <= bin_width + 1e-9, (r.q, r.abs_err, bin_width)
+
+
+def test_bpe_learn_matches_pure_python_reference(spark):
+    """The distributed bpe_learn reproduces the textbook BPE algorithm
+    exactly: same merge sequence (greedy argmax, (count desc, left,
+    right) tie-break) and same final symbol sequences as an independent
+    pure-Python implementation on the same corpus."""
+    from ddf_flink_spark.functions.text import bpe_learn
+    from ddf_flink_spark.storage import release_all_storage
+
+    docs = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest",
+        "low new wide low new",
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+
+    # --- pure-Python reference (classic Sennrich BPE over a freq dict)
+    freqs: dict[str, int] = {}
+    for d in docs:
+        for w in d.lower().split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    vocab = {w: list(w) + ["</w>"] for w in freqs}
+
+    def ref_round():
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freqs[w]
+        if not counts:
+            return None
+        # max count, then lexicographic (left, right) — bpe_learn's order
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    merged.append(best[0] + best[1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+        return best
+
+    ref_merges = [ref_round() for _ in range(6)]
+
+    merges, words = bpe_learn(df, n_merges=6)
+    assert merges == ref_merges
+    got = {r.word: list(r.symbols) for r in words.collect()}
+    assert got == vocab
+    assert len(merges) == 6 and all(isinstance(m, tuple) for m in merges)
+    release_all_storage(spark)

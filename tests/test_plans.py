@@ -461,6 +461,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # percentiles are broadcast 1-row crossJoins; the non-equi
     # cum>=target join is 5 x 512 rows.
     "q209_histogram_quantile_sketch": {"single-partition", "cartesian-product"},
+    # Temperature mixture: arithmetic over |sources| x |taus| rows; the
+    # tau window and the taus crossJoin are both bounded-tiny.
+    "q210_mixture_temperature": {"single-partition", "cartesian-product"},
     # Skew report: distribution scalars are a 1-row agg over key
     # frequencies, crossJoined back as a broadcast 1-row frame.
     "q187_join_skew_report": {"single-partition", "cartesian-product"},
