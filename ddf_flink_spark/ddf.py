@@ -628,6 +628,20 @@ class DDF:
         )
         return self._derive(out, keep_factors=False)
 
+    def quantile_sketch(
+        self,
+        column: str,
+        quantiles: list[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+        bins: int = 512,
+    ) -> "DDF":
+        """Mergeable histogram quantile estimates (operators/stats.
+        histogram_quantile_sketch; error ≤ range/bins) — the
+        cross-engine, shard-mergeable member of the quantile family."""
+        return self._derive(
+            _stats.histogram_quantile_sketch(self._df, column, quantiles, bins),
+            keep_factors=False,
+        )
+
     def distinct_sketch(self, column: str, k: int = 256) -> "DDF":
         """One-row KMV cardinality estimate (functions/sketches.
         kmv_distinct) — cross-engine-reproducible; ``approx_count_

@@ -31,6 +31,7 @@ __all__ = [
     "vector_variance",
     "vector_covariance",
     "vector_histogram",
+    "histogram_quantile_sketch",
     "factor_level_counts",
 ]
 
@@ -194,3 +195,76 @@ def factor_level_counts(df: DataFrame, columns: list[str]) -> dict[str, dict]:
     for r in rows:
         out[r["col"]][r["val"]] = r["count"]
     return out
+
+
+def histogram_quantile_sketch(
+    df: DataFrame,
+    column: str,
+    quantiles: list[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    bins: int = 512,
+) -> DataFrame:
+    """MERGEABLE fixed-boundary histogram quantile estimates (registry
+    q209 is the oracle-checked instance): two linear passes — global
+    (min, max, n), then ``bins`` equal-width counts (map-side
+    combinable; shards/days merge by cell-wise ADD since the boundaries
+    are global) — then each quantile interpolates linearly inside the
+    first bin whose cumulative count reaches q·n. Error ≤ one bin width
+    = range/bins. Returns (q, est_quantile) DOUBLE rows.
+
+    This is the cross-engine-replayable member of the quantile family:
+    ``vector_quantiles`` is exact (small corpora), ``five_num_summary``
+    rides the engine-native GK sketch. The cumulative window runs over
+    ≤ ``bins`` rows — O(B) state, not a data-sized funnel."""
+    from pyspark.sql import Window
+
+    mm = df.agg(
+        F.min(column).alias("lo"),
+        F.max(column).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    counts = (
+        df.crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col(column) - F.col("lo")) / ((F.col("hi") - F.col("lo")) / bins)
+                ),
+                F.lit(bins - 1),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("c").over(wcum))
+    spark = df.sparkSession
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(x)) for x in quantiles])).alias("q")
+    )
+    tgt = qs.crossJoin(F.broadcast(mm)).select(
+        "q", (F.col("q") * F.col("n")).alias("target"), "lo", "hi"
+    )
+    pick = (
+        tgt.join(cum, cum["cum"].cast("double") >= F.col("target"))
+        .groupBy("q", "target", "lo", "hi")
+        .agg(F.min("bin").alias("bin"))
+    )
+    w_ = (F.col("hi") - F.col("lo")) / bins
+    return (
+        pick.join(cum.select("bin", "c", "cum"), "bin")
+        .select(
+            "q",
+            (
+                F.col("lo")
+                + F.col("bin") * w_
+                + (
+                    (F.col("target") - (F.col("cum") - F.col("c")).cast("double"))
+                    / F.col("c").cast("double")
+                )
+                * w_
+            ).alias("est_quantile"),
+        )
+        .orderBy("q")
+    )

@@ -8205,60 +8205,12 @@ def q209_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     arithmetic-for-arithmetic, interpolation included. The cumulative
     window runs over ≤512 bin rows (O(B) state, exempted
     single-partition)."""
-    from pyspark.sql import Window
+    from .operators.stats import histogram_quantile_sketch
 
     li = t(spark, sf_dir, "lineitem")
-    B = 512
-    mm = li.agg(
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    bins = (
-        li.crossJoin(F.broadcast(mm))
-        .select(
-            F.least(
-                F.floor(
-                    (F.col("l_extendedprice") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / B)
-                ),
-                F.lit(B - 1),
-            )
-            .cast("long")
-            .alias("bin")
-        )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = bins.withColumn("cum", F.sum("c").over(wcum))
-    qs = spark.range(1).select(
-        F.explode(F.array(*[F.lit(float(x)) for x in (0.25, 0.5, 0.75, 0.9, 0.99)])).alias("q")
-    )
-    tgt = qs.crossJoin(F.broadcast(mm)).select(
-        "q", (F.col("q") * F.col("n")).alias("target"), "lo", "hi"
-    )
-    pick = (
-        tgt.join(cum, cum["cum"].cast("double") >= F.col("target"))
-        .groupBy("q", "target", "lo", "hi")
-        .agg(F.min("bin").alias("bin"))
-    )
-    w_ = (F.col("hi") - F.col("lo")) / B
-    est = (
-        pick.join(cum.select("bin", "c", "cum"), "bin")
-        .select(
-            "q",
-            (
-                F.col("lo")
-                + F.col("bin") * w_
-                + (
-                    (F.col("target") - (F.col("cum") - F.col("c")).cast("double"))
-                    / F.col("c").cast("double")
-                )
-                * w_
-            ).alias("est"),
-        )
-    )
+    est = histogram_quantile_sketch(
+        li, "l_extendedprice", quantiles=[0.25, 0.5, 0.75, 0.9, 0.99], bins=512
+    ).withColumnRenamed("est_quantile", "est")
     exact = spark.createDataFrame(
         [(x,) for x in (0.25, 0.5, 0.75, 0.9, 0.99)], "q double"
     ).crossJoin(

@@ -490,3 +490,17 @@ def test_similarity_topk_srp_method(mgr, spark):
     top = emb.similarity_topk(q, k=3, method="srp").df.collect()
     best = max(top, key=lambda r: r.cos)  # row order isn't part of the contract
     assert best.neighbor_id == 99 and abs(best.cos - 1.0) < 1e-6
+
+
+def test_quantile_sketch_facade(mgr, spark):
+    """DDF.quantile_sketch estimates sit within one bin width of the
+    exact percentile."""
+    df = spark.range(20000).select((F.col("id") % 1009).cast("double").alias("v"))
+    ddf = mgr.new_ddf(df)
+    est = {r.q: r.est_quantile for r in ddf.quantile_sketch("v", bins=256).df.collect()}
+    exact = df.agg(
+        *[F.expr(f"percentile(v, {q})").alias(str(q)) for q in (0.25, 0.5, 0.75, 0.9, 0.99)]
+    ).first()
+    bin_w = 1008.0 / 256
+    for i, q in enumerate((0.25, 0.5, 0.75, 0.9, 0.99)):
+        assert abs(est[q] - exact[i]) <= bin_w + 1e-9, (q, est[q], exact[i])

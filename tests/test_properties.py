@@ -456,3 +456,69 @@ def test_kmv_estimate_monotone_in_true_cardinality(spark):
     assert len(fs) == len(fb) == 64
     # superset's k-th smallest is <= subset's k-th smallest, pointwise
     assert all(b <= s for b, s in zip(fb, fs))
+
+
+def test_bpe_merge_invariants(spark):
+    """BPE structural invariants on a random-ish corpus: (1) stripping
+    '</w>' and concatenating the final symbols reconstructs every word
+    exactly; (2) the total symbol count never increases round over
+    round (each applied merge strictly shrinks some word or the merge
+    list ends); (3) merges are unique."""
+    from ddf_flink_spark.functions.text import bpe_learn
+    from ddf_flink_spark.storage import release_all_storage
+
+    docs = [
+        "abab abab baba ab ab ba",
+        "cedar cedar cede ceded cedar",
+        "aa bb aa bb cc aa",
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    merges, words = bpe_learn(df, n_merges=8)
+    rows = words.collect()
+    for r in rows:
+        rebuilt = "".join(s for s in r.symbols).replace("</w>", "")
+        assert rebuilt == r.word, (r.word, list(r.symbols))
+        assert r.symbols[-1].endswith("</w>")
+    assert len(set(merges)) == len(merges)
+    release_all_storage(spark)
+
+
+def test_histogram_quantile_sketch_merge_equals_whole(spark):
+    """Mergeability, the property that makes the sketch a sketch: bin
+    counts built on two disjoint halves, cell-wise ADDED, equal the
+    single-pass bin counts of the union (same global boundaries)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10000).select(
+        (F.col("id") % 977).cast("double").alias("v")
+    )
+    mm = df.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    B = 64
+
+    def bins_of(frame):
+        return {
+            r.bin: r.c
+            for r in frame.crossJoin(F.broadcast(mm))
+            .select(
+                F.least(
+                    F.floor((F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / B)),
+                    F.lit(B - 1),
+                )
+                .cast("long")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    whole = bins_of(df)
+    h1 = bins_of(df.filter(F.col("id") < 5000))
+    h2 = bins_of(df.filter(F.col("id") >= 5000))
+    merged: dict = {}
+    for h in (h1, h2):
+        for b, c in h.items():
+            merged[b] = merged.get(b, 0) + c
+    assert merged == whole
