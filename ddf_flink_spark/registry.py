@@ -8359,6 +8359,155 @@ def q211_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q212_contamination_score",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS ts
+                 FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 4)) AS i) s
+      WHERE LEN(ts) >= 5
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE source IN ('src0', 'src1')),
+    scored AS (
+      SELECT doc_id, source, COUNT(*) AS n_grams,
+             COUNT(*) FILTER (WHERE g IN (SELECT g FROM bench)) AS n_hit
+      FROM sh WHERE source NOT IN ('src0', 'src1')
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, source,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           ROUND(n_hit / CAST(n_grams AS DOUBLE), 4) AS overlap_frac
+    FROM scored WHERE n_hit > 0
+    ORDER BY doc_id
+    """,
+)
+def q212_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED CONTAMINATION SCORE: for every corpus document touching
+    the benchmark, the FRACTION of its distinct 5-grams found in the
+    benchmark set — the thresholding input real pipelines use (q130's
+    any-overlap flag treats a one-shingle collision and a verbatim
+    copy identically; the fraction separates them). Same shuffle-free
+    shape as q130: the benchmark index broadcasts, the per-doc rollup
+    is one map-side-combinable groupBy — the broadcast LEFT SEMI
+    becomes a broadcast membership flag summed per doc."""
+    from .functions.dedup import exploded_shingles
+
+    d = t(spark, sf_dir, "documents")
+    bench_sources = ("src0", "src1")
+    is_bench = F.col("source").isin(*bench_sources)
+    bench_g = (
+        exploded_shingles(d.filter(is_bench), "text", "doc_id", 5)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = d.filter(~is_bench).select("doc_id", "source", "text")
+    corpus_sh = (
+        exploded_shingles(corpus, "text", "doc_id", 5)
+        .join(
+            corpus.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+    )
+    scored = (
+        corpus_sh.join(F.broadcast(bench_g), "g", "left")
+        .groupBy(F.col("id").alias("doc_id"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        scored.filter(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(
+                F.col("n_hit") / F.col("n_grams").cast("double"), 4
+            ).alias("overlap_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q213_lsh_recall_witness",
+    oracle=f"""
+    WITH {_minhash_cte(16, 4)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nsh
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT s.id_a, s.id_b
+      FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.id_a
+      JOIN sizes sb ON sb.doc_id = s.id_b
+      WHERE ROUND(s.nsh / (sa.sz + sb.sz - s.nsh), 4) >= 0.7
+    ),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+             (SELECT COUNT(*) FROM truth t
+              JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hit
+    )
+    SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           ROUND(n_hit / CAST(n_true_pairs AS DOUBLE), 4) AS recall,
+           ROUND(n_hit / CAST(n_candidates AS DOUBLE), 4) AS efficiency
+    FROM m
+    """,
+)
+def q213_lsh_recall_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH OPERATING-POINT WITNESS: candidate count, true Jaccard≥0.7
+    pair count, their intersection, and the resulting recall/efficiency
+    for the md5 16-hash/4-band family — the S-curve quality claim
+    (P(cand) = 1−(1−j⁴)⁴) measured and cross-engine-verified instead of
+    asserted in a unit test only. At 100 TB this is the query run on a
+    sampled slice to pick banding parameters before committing a full
+    dedup pass; the exact-join truth side is what makes it a small-SF
+    diagnostic (the LSH side alone stays corpus-scale)."""
+    from .functions.dedup import jaccard_candidates, minhash_lsh_candidates
+
+    d = t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, hash_family="md5"
+    ).select("id_a", "id_b")
+    truth = jaccard_candidates(d, threshold=0.7, n=3).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"])
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    nh = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_candidates",
+            "n_true_pairs",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.col("n_true_pairs").cast("double"), 4
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit") / F.col("n_candidates").cast("double"), 4
+            ).alias("efficiency"),
+        )
+    )
+
+
+@query(
     "q185_pca_power_iteration",
     oracle="""
     WITH ex AS (

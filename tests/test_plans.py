@@ -464,6 +464,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # Temperature mixture: arithmetic over |sources| x |taus| rows; the
     # tau window and the taus crossJoin are both bounded-tiny.
     "q210_mixture_temperature": {"single-partition", "cartesian-product"},
+    # LSH recall witness: the three count scalars are 1-row aggregates
+    # crossJoined back as broadcast 1-row frames.
+    "q213_lsh_recall_witness": {"single-partition", "cartesian-product"},
     # Skew report: distribution scalars are a 1-row agg over key
     # frequencies, crossJoined back as a broadcast 1-row frame.
     "q187_join_skew_report": {"single-partition", "cartesian-product"},
