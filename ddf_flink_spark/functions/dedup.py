@@ -724,21 +724,23 @@ def connected_components(
     sum ⟺ a fixpoint) — one aggregation per round instead of a
     join+count.
     """
+    from ..storage import release_checkpoint, tracked_local_checkpoint
+
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     # materialize the loop-invariant edge set ONCE: every iteration joins
     # against it, and its upstream is typically an expensive candidate
     # pipeline (LSH + verification) that must not re-execute per round
-    bidir = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    bidir = tracked_local_checkpoint(
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     all_nodes = nodes.select(F.col(id_col).alias("id"))
     edge_nodes = (
         bidir.select(F.col("src").alias("id"))
         .unionByName(bidir.select(F.col("dst").alias("id")))
         .distinct()
     )
-    from ..storage import release_checkpoint, tracked_local_checkpoint
-
     labels = tracked_local_checkpoint(
         edge_nodes.select("id", F.col("id").alias("label"))
     )
@@ -765,6 +767,9 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # the edge set is loop-only — the returned frame joins labels to the
+    # UNCHECKPOINTED nodes side, so bidir's blocks are dead here
+    release_checkpoint(bidir)
     # isolated nodes (never in any edge) are their own cluster
     return all_nodes.join(labels, "id", "left").select(
         "id", F.coalesce("label", "id").alias("cluster")

@@ -108,24 +108,21 @@ def pagerank(
     if n_total == 0:
         return nodes.select(F.col(id_col).alias("id"), F.lit(0.0).alias("rank"))
 
-    ids = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
+    from ..storage import release_checkpoint, tracked_local_checkpoint
+
+    ids = tracked_local_checkpoint(nodes.select(F.col(id_col).alias("id")))
     # degrees and weighted edges are BOTH checkpointed: every superstep
     # reads them (the dangling-mass anti-join reads out_deg too), and
     # their upstream lineage — e.g. a whole candidate-pair pipeline —
     # must not re-execute per iteration
-    out_deg = (
-        edges.groupBy(F.col(src_col).alias("id"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint()
+    out_deg = tracked_local_checkpoint(
+        edges.groupBy(F.col(src_col).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     )
-    edges_w = (
+    edges_w = tracked_local_checkpoint(
         edges.select(F.col(src_col).alias("esrc"), F.col(dst_col).alias("edst"))
         .join(out_deg, F.col("esrc") == out_deg.id)
         .select("esrc", "edst", "deg")
-        .localCheckpoint()
     )
-    from ..storage import release_checkpoint, tracked_local_checkpoint
-
     ranks = ids.withColumn("rank", F.lit(1.0 / n_total))
     prev_cp = None
     for _ in range(iterations):
@@ -159,4 +156,10 @@ def pagerank(
         # final iteration's checkpoint is the returned frame and stays
         release_checkpoint(prev_cp)
         prev_cp = ranks
+    if prev_cp is not None:
+        # the returned ranks frame is itself a materialized checkpoint,
+        # so the loop-only inputs (ids / degrees / weighted edges) are
+        # dead; with zero iterations ranks still derives from ids — keep
+        for loop_cp in (ids, out_deg, edges_w):
+            release_checkpoint(loop_cp)
     return ranks

@@ -50,7 +50,14 @@ def persistent_rdd_ids(spark) -> set[int]:
 def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     """``df.localCheckpoint()`` that records the persistent-RDD ids the
     checkpoint created (diffed around the eager materialization) on the
-    returned frame, for a later exact :func:`release_checkpoint`."""
+    returned frame, for a later exact :func:`release_checkpoint`.
+
+    Concurrency caveat: the before/after diff assumes no OTHER thread
+    persists an RDD during this call — under concurrent query
+    construction a foreign id could be captured and later released.
+    The engine's own callers (registry queries, bench, gate) build
+    queries sequentially; concurrent builders should serialize calls
+    into this function or skip tracking."""
     spark = df.sparkSession
     before = persistent_rdd_ids(spark)
     cp = df.localCheckpoint()
