@@ -262,8 +262,12 @@ def bloom_build_words(
             for p in _bloom_positions(base, k, m_bits)
         ]
     )
+    # NULLs hash to NULL positions, which would occupy a junk NULL-word
+    # row in the table (same discipline as kmv_fractions: exclude them —
+    # NULL is not a member of any set)
     return (
-        df.select(F.explode(cells).alias("cell"))
+        df.filter(c.isNotNull())
+        .select(F.explode(cells).alias("cell"))
         .select("cell.word", "cell.mask")
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))

@@ -225,11 +225,18 @@ def histogram_quantile_sketch(
     counts = (
         df.crossJoin(F.broadcast(mm))
         .select(
-            F.least(
-                F.floor(
-                    (F.col(column) - F.col("lo")) / ((F.col("hi") - F.col("lo")) / bins)
-                ),
-                F.lit(bins - 1),
+            # constant column (hi == lo) → zero-width bins would divide
+            # by zero under ANSI; every row lands in bin 0 and the
+            # interpolation term multiplies by width 0, yielding lo
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col(column) - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / bins)
+                    ),
+                    F.lit(bins - 1),
+                )
             )
             .cast("long")
             .alias("bin")

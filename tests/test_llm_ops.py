@@ -1047,3 +1047,30 @@ def test_bpe_learn_matches_pure_python_reference(spark):
     assert got == vocab
     assert len(merges) == 6 and all(isinstance(m, tuple) for m in merges)
     release_all_storage(spark)
+
+
+def test_bloom_build_excludes_nulls(spark):
+    """NULL values never occupy sketch words (NULL is not a member of
+    any set), and a NULL probe is simply not a member."""
+    from ddf_flink_spark.functions.sketches import bloom_build_words, bloom_member
+
+    df = spark.createDataFrame(
+        [("x",), (None,), ("y",)], "v string"
+    )
+    words_df = bloom_build_words(df, "v", m_bits=1024, k=4)
+    rows = words_df.collect()
+    assert all(r.word is not None for r in rows)
+    words = {r.word: r.bits for r in rows}
+    probes = spark.createDataFrame([("x",), ("z",)], "v string")
+    hits = {r.v for r in probes.filter(bloom_member("v", words, 1024, 4)).collect()}
+    assert "x" in hits
+
+
+def test_quantile_sketch_constant_column(spark):
+    """A constant column has every quantile equal to the constant; the
+    zero-width bins must not blow up (division by zero path)."""
+    from ddf_flink_spark.operators.stats import histogram_quantile_sketch
+
+    df = spark.range(100).select(F.lit(7.5).alias("v"))
+    rows = histogram_quantile_sketch(df, "v", quantiles=[0.5, 0.9], bins=32).collect()
+    assert len(rows) == 2 and all(r.est_quantile == 7.5 for r in rows)
