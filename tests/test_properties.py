@@ -522,3 +522,48 @@ def test_histogram_quantile_sketch_merge_equals_whole(spark):
         for b, c in h.items():
             merged[b] = merged.get(b, 0) + c
     assert merged == whole
+
+
+def test_prefix_filter_lossless_on_random_corpora(spark):
+    """PROPERTY: prefix filtering + PPJoin positional/length pruning is
+    LOSSLESS — on randomly generated corpora (random vocab mixes, dup
+    planting, varying thresholds) the filtered join's result equals the
+    unfiltered exact token-set join, pair for pair, jaccard for
+    jaccard. Catches any future pruning-bound regression the fixed
+    corpora might miss."""
+    import random
+
+    from ddf_flink_spark.functions.dedup import (
+        jaccard_candidates,
+        prefix_filter_jaccard,
+    )
+    from ddf_flink_spark.storage import release_all_storage
+
+    rng = random.Random(1234)
+    vocab_rare = [f"r{i}" for i in range(200)]
+    vocab_common = [f"c{i}" for i in range(6)]
+    for trial, threshold in enumerate([0.5, 0.56, 0.7, 0.85]):
+        docs = []
+        for d in range(25):
+            n_common = rng.randint(2, 10)
+            n_rare = rng.randint(0, 6)
+            toks = [rng.choice(vocab_common) for _ in range(n_common)] + [
+                rng.choice(vocab_rare) for _ in range(n_rare)
+            ]
+            rng.shuffle(toks)
+            docs.append((d, " ".join(toks)))
+        # plant exact + near dups
+        docs.append((25, docs[trial][1]))
+        docs.append((26, docs[trial + 1][1] + " extra"))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filter_jaccard(df, threshold=threshold).collect()
+        }
+        want = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_candidates(df, threshold=threshold, n=1).collect()
+        }
+        assert got == want, (threshold, got.keys() ^ want.keys())
+        assert (trial, 25) in got and got[(trial, 25)] == 1.0
+    release_all_storage(spark)
