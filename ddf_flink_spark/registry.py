@@ -8508,6 +8508,83 @@ def q213_lsh_recall_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q214_stream_bloom_blocklist",
+    oracle="""
+    WITH blocked AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE user_id % 13 = 0
+    ),
+    words AS (
+      SELECT pos // 60 AS word,
+             BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 60 AS INT)) AS bits
+      FROM (
+        SELECT ((((2*i + 1) * 2654435761) % 2147483647)
+                * (CAST(('0x' || SUBSTRING(md5(k), 1, 15)) AS BIGINT) % 2147483647)
+                + (i * 1013904223) % 2147483647) % 2147483647 % 4096 AS pos
+        FROM blocked, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) s
+      ) GROUP BY 1
+    ),
+    uids AS (SELECT DISTINCT user_id FROM events),
+    pcells AS (
+      SELECT user_id,
+             ((((2*i + 1) * 2654435761) % 2147483647)
+              * (CAST(('0x' || SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 2147483647)
+              + (i * 1013904223) % 2147483647) % 2147483647 % 4096 AS pos
+      FROM uids, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) s
+    ),
+    member AS (
+      SELECT user_id
+      FROM pcells p LEFT JOIN words w ON w.word = p.pos // 60
+      GROUP BY user_id
+      HAVING COUNT(*) FILTER (
+        WHERE (COALESCE(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(p.pos % 60 AS INT)))
+              <> 0) = 4
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE user_id NOT IN (SELECT user_id FROM member)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q214_stream_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING × SKETCH COMPOSITION: a Bloom BLOCKLIST applied to a
+    live stream — the blocked-user filter compiles into a plan-literal
+    membership predicate (functions/sketches.bloom_member: ~69 packed
+    words inlined, k=4 md5-affine probes as pure column expressions),
+    so the stream filter is STATELESS and map-only: no broadcast join,
+    no state store, works in any trigger mode — the production shape
+    for revocation lists / spam blocklists on event streams (no false
+    negatives: a blocked user can never slip through; the tunable FP
+    rate drops extra rows, which the oracle replays exactly). The
+    surviving stream runs a complete-mode per-type rollup; DuckDB
+    rebuilds the filter and replays the equivalent batch query."""
+    from .functions.sketches import bloom_build_words, bloom_member
+    from .streaming.core import events_stream, run_available_now
+
+    M, K = 4096, 4
+    ev = t(spark, sf_dir, "events")
+    blocked = (
+        ev.filter(F.col("user_id") % 13 == 0)
+        .select(F.col("user_id").cast("string").alias("k"))
+        .distinct()
+    )
+    words = {
+        r.word: r.bits
+        for r in bloom_build_words(blocked, "k", m_bits=M, k=K).collect()
+    }
+    stream = events_stream(spark, sf_dir)
+    kept = stream.filter(~bloom_member(F.col("user_id"), words, M, K))
+    agg = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    out = run_available_now(agg, "complete")
+    return out.orderBy("event_type")
+
+
+@query(
     "q185_pca_power_iteration",
     oracle="""
     WITH ex AS (
