@@ -628,6 +628,45 @@ class DDF:
         )
         return self._derive(out, keep_factors=False)
 
+    def filter_funnel(
+        self,
+        filters: "list[tuple[str, str]]",
+        group_col: str | None = None,
+    ) -> "DDF":
+        """Retention funnel over an ordered filter chain (registry q215
+        is the oracle-checked fixed instance): ``filters`` is a list of
+        (stage_name, SQL condition) applied CUMULATIVELY; the output has
+        one row per group (or a single 'all' row) with n_docs, an
+        ``after_<stage>`` survivor count per stage, and the end-to-end
+        retention. ONE scan, conditional sums, map-side combinable."""
+        from pyspark.sql import functions as F
+
+        if not filters:
+            raise ValueError("filter_funnel needs at least one (name, condition)")
+        df = self._df
+        acc = F.lit(True)
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+        for name, cond in filters:
+            acc = acc & F.expr(cond)
+            aggs.append(
+                F.sum(F.when(acc, 1).otherwise(0)).cast("long").alias(f"after_{name}")
+            )
+        aggs.append(
+            F.round(
+                F.sum(F.when(acc, 1).otherwise(0)) / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("retention")
+        )
+        grouped = (
+            df.groupBy(group_col)
+            if group_col
+            else df.groupBy(F.lit("all").alias("group"))
+        )
+        out = grouped.agg(*aggs)
+        return self._derive(
+            out.orderBy(group_col) if group_col else out, keep_factors=False
+        )
+
     def quantile_sketch(
         self,
         column: str,

@@ -8585,6 +8585,69 @@ def q214_stream_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q215_quality_filter_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             LENGTH(text) >= 200 AS f1,
+             LENGTH(REGEXP_REPLACE(text, '[^.,;:!?''"-]', '', 'g'))
+               / CAST(LENGTH(text) AS DOUBLE) <= 0.1 AS f2,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 t -> t IN ('the','and','of','to','is','in','that','with','for','was')))
+               / CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS DOUBLE) >= 0.05 AS f3,
+             lang IN ('en', 'de', 'fr', 'es') AS f4
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS after_length,
+           CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS after_punct,
+           CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS after_stopword,
+           CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS after_lang,
+           ROUND(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS retention
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def q215_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-FILTER RETENTION FUNNEL: the per-source survivor count
+    after each stage of a standard pre-training filter chain (length ≥
+    200 chars → punctuation ratio ≤ 0.1 → stopword ratio ≥ 0.05 → known
+    language) plus the end-to-end retention rate — the report every
+    corpus-cleaning run produces to explain WHERE documents died (a
+    bare final count can't distinguish a too-tight length gate from a
+    language mismatch). ONE scan: the filters become boolean columns
+    (functions/text.quality_features expressions) and the funnel is a
+    row of conditional sums with map-side partial aggregation — no
+    repeated passes, no joins, 100 TB-safe by construction."""
+    from .functions.text import quality_features
+
+    d = t(spark, sf_dir, "documents")
+    qf = quality_features("text")
+    f1 = F.length("text") >= 200
+    f2 = qf["punct_ratio"] <= 0.1
+    f3 = qf["stopword_ratio"] >= 0.05
+    f4 = F.col("lang").isin("en", "de", "fr", "es")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            cnt(f1).alias("after_length"),
+            cnt(f1 & f2).alias("after_punct"),
+            cnt(f1 & f2 & f3).alias("after_stopword"),
+            cnt(f1 & f2 & f3 & f4).alias("after_lang"),
+            F.round(
+                F.sum(F.when(f1 & f2 & f3 & f4, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "q185_pca_power_iteration",
     oracle="""
     WITH ex AS (

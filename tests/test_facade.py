@@ -504,3 +504,23 @@ def test_quantile_sketch_facade(mgr, spark):
     bin_w = 1008.0 / 256
     for i, q in enumerate((0.25, 0.5, 0.75, 0.9, 0.99)):
         assert abs(est[q] - exact[i]) <= bin_w + 1e-9, (q, est[q], exact[i])
+
+
+def test_filter_funnel_facade(mgr, spark):
+    """Cumulative survivor counts per stage, per group and overall."""
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 60), ("a", 120), ("b", 200), ("b", 5)],
+        "src string, n int",
+    )
+    ddf = mgr.new_ddf(df)
+    rows = {
+        r.src: r
+        for r in ddf.filter_funnel(
+            [("gte50", "n >= 50"), ("lt150", "n < 150")], group_col="src"
+        ).df.collect()
+    }
+    assert (rows["a"].n_docs, rows["a"].after_gte50, rows["a"].after_lt150) == (3, 2, 2)
+    assert (rows["b"].n_docs, rows["b"].after_gte50, rows["b"].after_lt150) == (2, 1, 0)
+    assert rows["b"].retention == 0.0 and rows["a"].retention == round(2 / 3, 4)
+    total = ddf.filter_funnel([("gte50", "n >= 50")]).df.collect()
+    assert len(total) == 1 and total[0].after_gte50 == 3
