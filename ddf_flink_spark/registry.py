@@ -8648,6 +8648,89 @@ def q215_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q216_neardup_source_matrix",
+    oracle=f"""
+    WITH {_minhash_cte(16, 4)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    shared AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS nsh
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT s.id_a, s.id_b,
+             ROUND(s.nsh / (sa.sz + sb.sz - s.nsh), 4) AS j
+      FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.id_a
+      JOIN sizes sb ON sb.doc_id = s.id_b
+      WHERE ROUND(s.nsh / (sa.sz + sb.sz - s.nsh), 4) >= 0.6
+    )
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(v.j AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_jaccard
+    FROM ver v
+    JOIN documents da ON da.doc_id = v.id_a
+    JOIN documents db ON db.doc_id = v.id_b
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q216_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE DUPLICATION MATRIX: verified near-dup pairs (md5
+    MinHash candidates → exact Jaccard ≥ 0.6) rolled up by UNORDERED
+    source pair — the provenance diagnostic behind a dedup run (a
+    heavy src_i↔src_j cell means one source mirrors another; the
+    diagonal is within-source duplication), with per-cell mean Jaccard
+    summed in DECIMAL so the handful of addends can't vary by shuffle
+    order. The pair space is LSH-bounded; source attachment is two
+    id-equi-joins on the verified pairs only."""
+    from .storage import tracked_local_checkpoint
+    from .functions.dedup import jaccard_candidates, minhash_lsh_candidates
+
+    d = t(spark, sf_dir, "documents")
+    # candidates feed the doc restriction AND the verify semi-join —
+    # materialize so the signature job runs once (q152 discipline)
+    pairs = tracked_local_checkpoint(
+        minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_family="md5")
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    d_cand = d.join(cand_ids, "doc_id", "left_semi")
+    ver = jaccard_candidates(d_cand, threshold=0.6, n=3).join(
+        pairs, ["id_a", "id_b"], "left_semi"
+    )
+    src = d.select("doc_id", "source")
+    return (
+        ver.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_jaccard"),
+        )
+        .orderBy("source_x", "source_y")
+    )
+
+
+@query(
     "q185_pca_power_iteration",
     oracle="""
     WITH ex AS (
