@@ -8731,6 +8731,153 @@ def q216_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q217_embedding_diversity",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id AS id, i - 1 AS dim,
+             ROUND(CAST(embedding[i] AS DOUBLE), 6) AS xr
+      FROM embeddings,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i) s
+    ),
+    nn AS (SELECT COUNT(DISTINCT id) AS n FROM ex),
+    mom AS (
+      SELECT dim,
+             CAST(SUM(CAST(xr AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(ROUND(xr * xr, 9) AS DECIMAL(30,9))) AS DOUBLE) AS q
+      FROM ex GROUP BY dim
+    ),
+    terms AS (
+      SELECT CAST(SUM(CAST(ROUND(n * q - s * s, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS tsum, MAX(n) AS n
+      FROM mom, nn
+    ),
+    wex AS (SELECT * FROM ex WHERE id < 100),
+    wn AS (SELECT COUNT(DISTINCT id) AS wn FROM wex),
+    wmom AS (
+      SELECT dim,
+             CAST(SUM(CAST(xr AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(ROUND(xr * xr, 9) AS DECIMAL(30,9))) AS DOUBLE) AS q
+      FROM wex GROUP BY dim
+    ),
+    wterms AS (
+      SELECT CAST(SUM(CAST(ROUND(wn * q - s * s, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS tsum, MAX(wn) AS wn
+      FROM wmom, wn
+    ),
+    pd AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             ROUND(CAST(SUM(CAST(ROUND((a.xr - b.xr) * (a.xr - b.xr), 9)
+                                 AS DECIMAL(30,9))) AS DOUBLE), 6) AS d2
+      FROM wex a JOIN wex b ON a.dim = b.dim AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    brute AS (
+      SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mspd
+      FROM pd
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_vectors,
+           ROUND(2 * t.tsum / (t.n * (t.n - 1)), 4) AS diversity_mspd,
+           CAST(w.wn AS BIGINT) AS n_witness,
+           ROUND(2 * w.tsum / (w.wn * (w.wn - 1)), 4) AS witness_formula,
+           ROUND(b.mspd, 4) AS witness_brute
+    FROM terms t, wterms w, brute b
+    """,
+)
+def q217_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE DIVERSITY in ONE PASS: mean pairwise squared
+    distance over UNORDERED pairs via the moment identity
+    Σ_{i<j}‖xi−xj‖² = Σ_d (n·Σx² − (Σx)²) — per-dim sums and square
+    sums only, NO pair materialization, so the metric costs a linear
+    scan at any corpus size (the diversity/mode-collapse measurement
+    for a training set's embedding cloud). A brute-force WITNESS runs
+    alongside on the id<100 subset: the same metric from the actual
+    4950-pair join — the output row carries formula-vs-brute side by
+    side, and the oracle replays BOTH routes (round-6 inputs, round-9
+    products, DECIMAL sums at every reduction — the q185 discipline —
+    so neither engine's float order can leak)."""
+    from pyspark.sql import Window as _W  # noqa: F401  (symmetry with siblings)
+
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).select("id", "dim", F.round(F.col("x"), 6).alias("xr"))
+
+    def moments(frame):
+        return frame.groupBy("dim").agg(
+            F.sum(F.col("xr").cast("decimal(18,6)")).cast("double").alias("s"),
+            F.sum(F.round(F.col("xr") * F.col("xr"), 9).cast("decimal(30,9)"))
+            .cast("double")
+            .alias("q"),
+        )
+
+    def tsum_of(mom, n_frame, ncol):
+        return (
+            mom.crossJoin(F.broadcast(n_frame))
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col(ncol) * F.col("q") - F.col("s") * F.col("s"), 6
+                    ).cast("decimal(38,6)")
+                )
+                .cast("double")
+                .alias("tsum"),
+                F.max(ncol).alias(ncol),
+            )
+        )
+
+    nn = ex.agg(F.countDistinct("id").alias("n"))
+    terms = tsum_of(moments(ex), nn, "n")
+
+    wex = ex.filter(F.col("id") < 100)
+    wn = wex.agg(F.countDistinct("id").alias("wn"))
+    wterms = tsum_of(moments(wex), wn, "wn")
+
+    pd_ = (
+        wex.alias("a")
+        .join(
+            wex.alias("b"),
+            (F.col("a.dim") == F.col("b.dim")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("a.xr") - F.col("b.xr"))
+                        * (F.col("a.xr") - F.col("b.xr")),
+                        9,
+                    ).cast("decimal(30,9)")
+                ).cast("double"),
+                6,
+            ).alias("d2")
+        )
+    )
+    brute = pd_.agg(
+        (
+            F.sum(F.col("d2").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mspd")
+    )
+    wterms = wterms.withColumnRenamed("tsum", "wtsum")
+    return (
+        terms.crossJoin(F.broadcast(wterms))
+        .crossJoin(F.broadcast(brute))
+        .select(
+            F.col("n").cast("long").alias("n_vectors"),
+            F.round(
+                F.lit(2) * F.col("tsum") / (F.col("n") * (F.col("n") - 1)), 4
+            ).alias("diversity_mspd"),
+            F.col("wn").cast("long").alias("n_witness"),
+            F.round(
+                F.lit(2) * F.col("wtsum") / (F.col("wn") * (F.col("wn") - 1)), 4
+            ).alias("witness_formula"),
+            F.round(F.col("mspd"), 4).alias("witness_brute"),
+        )
+    )
+
+
+@query(
     "q185_pca_power_iteration",
     oracle="""
     WITH ex AS (

@@ -467,6 +467,10 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # LSH recall witness: the three count scalars are 1-row aggregates
     # crossJoined back as broadcast 1-row frames.
     "q213_lsh_recall_witness": {"single-partition", "cartesian-product"},
+    # Embedding diversity: moment scalars are 1-row aggregates
+    # crossJoined back; the brute-force leg is a bounded 100-vector
+    # witness (the metric itself is the one-pass moment formula).
+    "q217_embedding_diversity": {"single-partition", "cartesian-product"},
     # Skew report: distribution scalars are a 1-row agg over key
     # frequencies, crossJoined back as a broadcast 1-row frame.
     "q187_join_skew_report": {"single-partition", "cartesian-product"},
