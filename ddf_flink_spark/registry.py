@@ -1061,6 +1061,77 @@ def _simhash_sig_cte() -> str:
     """
 
 
+def _neardup_pipeline_cte() -> str:
+    """The full md5 near-dup pipeline as a DuckDB WITH-body ending in
+    ``clusters(id, cluster)``: 16/4 MinHash banding candidates →
+    exact-Jaccard ≥ 0.6 verification restricted to candidate docs →
+    transitive closure via a recursive CTE. Shared by q152 (survivor
+    rollup) and q218 (reduction report)."""
+    return """
+    tok AS (
+      SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
+      WHERE LEN(ts) >= 3
+    ),
+    hm AS (
+      SELECT doc_id, i,
+             MIN(((((2*i + 1) * 2654435761) % 2147483647)
+                  * (CAST(('0x' || SUBSTRING(md5(g), 1, 15)) AS BIGINT) % 2147483647)
+                  + (i * 1013904223) % 2147483647) % 2147483647) AS h
+      FROM sh, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS i) hh
+      GROUP BY doc_id, i
+    ),
+    band AS (
+      SELECT doc_id, i // 4 AS band,
+             STRING_AGG(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
+      FROM hm GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                             AND a.doc_id < b.doc_id
+    ),
+    cdocs AS (
+      SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM cand UNION ALL SELECT id_b AS id FROM cand
+      )
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh
+      WHERE doc_id IN (SELECT id FROM cdocs) GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh_n
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      WHERE a.doc_id IN (SELECT id FROM cdocs)
+        AND b.doc_id IN (SELECT id FROM cdocs)
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT s.id_a, s.id_b
+      FROM shared s
+      JOIN cand USING (id_a, id_b)
+      JOIN sizes sa ON sa.doc_id = s.id_a
+      JOIN sizes sb ON sb.doc_id = s.id_b
+      WHERE ROUND(s.sh_n / (sa.sz + sb.sz - s.sh_n), 4) >= 0.6
+    ),
+    bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS root FROM documents
+      UNION
+      SELECT b.dst AS id, r.root FROM reach r JOIN bidir b ON b.src = r.id
+    ),
+    clusters AS (SELECT id, MIN(root) AS cluster FROM reach GROUP BY id)
+    """
+
+
 @query("q31_dedup_minhash", oracle=_minhash_cand_oracle(32, 4))
 def q31_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (32 hashes, 8 bands — targets
@@ -5800,68 +5871,8 @@ def q151_srp_lsh_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q152_neardup_pipeline_crossengine",
-    oracle="""
-    WITH RECURSIVE tok AS (
-      SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
-      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
-      WHERE LEN(ts) >= 3
-    ),
-    hm AS (
-      SELECT doc_id, i,
-             MIN(((((2*i + 1) * 2654435761) % 2147483647)
-                  * (CAST(('0x' || SUBSTRING(md5(g), 1, 15)) AS BIGINT) % 2147483647)
-                  + (i * 1013904223) % 2147483647) % 2147483647) AS h
-      FROM sh, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS i) hh
-      GROUP BY doc_id, i
-    ),
-    band AS (
-      SELECT doc_id, i // 4 AS band,
-             STRING_AGG(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
-      FROM hm GROUP BY doc_id, i // 4
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
-                             AND a.doc_id < b.doc_id
-    ),
-    cdocs AS (
-      SELECT DISTINCT id FROM (
-        SELECT id_a AS id FROM cand UNION ALL SELECT id_b AS id FROM cand
-      )
-    ),
-    sizes AS (
-      SELECT doc_id, COUNT(*) AS sz FROM sh
-      WHERE doc_id IN (SELECT id FROM cdocs) GROUP BY doc_id
-    ),
-    shared AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh_n
-      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-      WHERE a.doc_id IN (SELECT id FROM cdocs)
-        AND b.doc_id IN (SELECT id FROM cdocs)
-      GROUP BY 1, 2
-    ),
-    verified AS (
-      SELECT s.id_a, s.id_b
-      FROM shared s
-      JOIN cand USING (id_a, id_b)
-      JOIN sizes sa ON sa.doc_id = s.id_a
-      JOIN sizes sb ON sb.doc_id = s.id_b
-      WHERE ROUND(s.sh_n / (sa.sz + sb.sz - s.sh_n), 4) >= 0.6
-    ),
-    bidir AS (
-      SELECT id_a AS src, id_b AS dst FROM verified
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM verified
-    ),
-    reach AS (
-      SELECT doc_id AS id, doc_id AS root FROM documents
-      UNION
-      SELECT b.dst AS id, r.root FROM reach r JOIN bidir b ON b.src = r.id
-    ),
-    clusters AS (SELECT id, MIN(root) AS cluster FROM reach GROUP BY id)
+    oracle=f"""
+    WITH RECURSIVE {_neardup_pipeline_cte()}
     SELECT d.source,
            COUNT(*) AS n_kept,
            CAST(SUM(d.doc_id) AS BIGINT) AS kept_checksum
@@ -8874,6 +8885,98 @@ def q217_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("witness_formula"),
             F.round(F.col("mspd"), 4).alias("witness_brute"),
         )
+    )
+
+
+@query(
+    "q218_dedup_reduction_report",
+    oracle=f"""
+    WITH RECURSIVE {_neardup_pipeline_cte()},
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_chars) AS chars_kept
+      FROM documents d JOIN clusters c ON c.id = d.doc_id AND c.cluster = d.doc_id
+      GROUP BY d.source
+    ),
+    before AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars_total
+      FROM documents GROUP BY source
+    )
+    SELECT b.source,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(k.n_kept AS BIGINT) AS n_kept,
+           CAST(b.n_docs - k.n_kept AS BIGINT) AS n_removed,
+           CAST(b.chars_total - k.chars_kept AS BIGINT) AS chars_removed,
+           ROUND((b.n_docs - k.n_kept) / CAST(b.n_docs AS DOUBLE), 4)
+             AS removal_rate
+    FROM before b JOIN kept k ON k.source = b.source
+    ORDER BY b.source
+    """,
+)
+def q218_dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP SAVINGS REPORT — the number a 100 TB cleaning run is
+    judged by: per source, documents before, survivors after the full
+    near-dup pipeline (q152's md5 MinHash → Jaccard-verify → CC →
+    canonical keep), documents and CHARACTERS removed, and the removal
+    rate. Composition query: the pipeline stages are the already-
+    verified machinery; this adds only the before/after rollup join —
+    and the whole composition is still replayed end-to-end by the
+    oracle's recursive-CTE twin."""
+    from .functions.dedup import (
+        connected_components,
+        jaccard_candidates,
+        minhash_lsh_candidates,
+    )
+    from .storage import tracked_local_checkpoint
+
+    d = t(spark, sf_dir, "documents")
+    pairs = tracked_local_checkpoint(
+        minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_family="md5")
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    d_cand = d.join(cand_ids, "doc_id", "left_semi")
+    verified = jaccard_candidates(d_cand, threshold=0.6, n=3).join(
+        pairs, ["id_a", "id_b"], "left_semi"
+    )
+    clusters = connected_components(
+        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        d.select(F.col("doc_id").alias("id")),
+    )
+    kept = d.join(
+        clusters.filter(F.col("id") == F.col("cluster")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    before = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+    after = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+    return (
+        before.join(after, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_removed"),
+            (F.col("chars_total") - F.col("chars_kept"))
+            .cast("long")
+            .alias("chars_removed"),
+            F.round(
+                (F.col("n_docs") - F.col("n_kept"))
+                / F.col("n_docs").cast("double"),
+                4,
+            ).alias("removal_rate"),
+        )
+        .orderBy("source")
     )
 
 
