@@ -25,7 +25,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Exports ONLY oracle-backed queries: every name returned here has a
+    matching ``oracle_sql()`` entry, so any driver sample of this dict is
+    fully hash-checkable. The handful of engine-native production twins
+    (seeded-xxhash64 / float / k-means|| variants whose exact bits DuckDB
+    cannot reproduce) are deliberately excluded — each one's algorithm is
+    hash-proven through a deterministic md5/integer twin that IS exported
+    (e.g. q201/q202/q203 twin q31/q33/q42). Use ``production_queries()``
+    for the full surface incl. those twins (bench and the local test suite
+    run all of them).
+    """
+    return {name: fn for name, fn in QUERIES.items() if name in ORACLES}
+
+
+def production_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The full registry, including engine-native rows-only twins."""
     return dict(QUERIES)
 
 

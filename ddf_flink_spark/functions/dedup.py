@@ -240,7 +240,12 @@ def prefix_filter_jaccard(
     (the bench/scale path).
 
     Returns (id_a, id_b, jaccard) — identical output to the unfiltered
-    exact join, which is what the registry oracle (q186) computes."""
+    exact join, which is what the registry oracle (q186) computes.
+
+    Storage note: building this frame eagerly checkpoints the candidate
+    pair set; the ids ride on the returned frame — call
+    ``storage.release_checkpoint(result)`` when done (or
+    ``DDFManager.release_storage()`` at a workload boundary)."""
     if shingle_n > 1:
         toks = exploded_shingles(df, text_col, id_col, shingle_n).select(
             "id", F.col("g").alias("tok")
@@ -315,7 +320,7 @@ def prefix_filter_jaccard(
     # verify join inherits cand's partitioning (the array side
     # broadcasts). Without it the entire verify ran on ONE task
     # (observed: minutes instead of seconds at sf0.1).
-    from ..storage import tracked_local_checkpoint
+    from ..storage import propagate_checkpoint_ids, tracked_local_checkpoint
 
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     cand = tracked_local_checkpoint(cand.repartition(parallelism))
@@ -331,7 +336,7 @@ def prefix_filter_jaccard(
         .groupBy("id")
         .agg(F.collect_list("tok").alias("tset"))
     )
-    return (
+    out = (
         cand.join(
             tarr.select(F.col("id").alias("id_a"), F.col("tset").alias("ta")), "id_a"
         )
@@ -352,6 +357,7 @@ def prefix_filter_jaccard(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return propagate_checkpoint_ids(out, cand)
 
 
 def fuzzy_near_duplicates(
@@ -485,6 +491,12 @@ def minhash_lsh_candidates(
     ``hash_family="md5"`` uses the cross-engine signature family and a
     comma-joined band key (instead of an xxhash64 of the band's hashes)
     so external engines reproduce the buckets exactly.
+
+    Storage note: building this frame eagerly checkpoints the banded
+    rows (localCheckpoint pins executor storage). The ids ride on the
+    returned frame — call ``storage.release_checkpoint(result)`` when
+    done with it (or ``DDFManager.release_storage()`` at a workload
+    boundary) in long-lived sessions.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -524,7 +536,9 @@ def minhash_lsh_candidates(
     )
     left = band_rows.alias("a")
     right = band_rows.alias("b")
-    return (
+    from ..storage import propagate_checkpoint_ids
+
+    out = (
         left.join(
             right,
             (F.col("a.band") == F.col("b.band"))
@@ -534,6 +548,7 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    return propagate_checkpoint_ids(out, band_rows)
 
 
 # ----------------------------------------------------------------- SimHash
@@ -649,6 +664,11 @@ def simhash_near_duplicates(
     production path.
 
     Returns (id_a, id_b, hamming).
+
+    Storage note: building this frame eagerly checkpoints the blocked
+    signature rows; the ids ride on the returned frame — call
+    ``storage.release_checkpoint(result)`` when done (or
+    ``DDFManager.release_storage()`` at a workload boundary).
     """
     bits = 60 if hash_family == "md5" else 64
     n_blocks = max_hamming + 1
@@ -678,7 +698,9 @@ def simhash_near_duplicates(
     # hamming) triples instead of every blocked candidate with both
     # 64-bit signatures (hamming is a function of the pair, so
     # distinct-after-filter equals filter-after-distinct)
-    return (
+    from ..storage import propagate_checkpoint_ids
+
+    out = (
         a.join(
             b,
             (F.col("a.q") == F.col("b.q")) & (F.col("a.qv") == F.col("b.qv")) & (F.col("a.id") < F.col("b.id")),
@@ -691,6 +713,7 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return propagate_checkpoint_ids(out, quarters)
 
 
 # ------------------------------------------------- cluster formation (CC)

@@ -211,12 +211,19 @@ def histogram_quantile_sketch(
     first bin whose cumulative count reaches q·n. Error ≤ one bin width
     = range/bins. Returns (q, est_quantile) DOUBLE rows.
 
+    NULLs are excluded up front (same discipline as kmv_fractions /
+    bloom_build_words): otherwise n = count(*) counts NULL rows while
+    min/max ignore them, and the NULL-bin row sorts FIRST in the
+    cumulative window (ASC NULLS FIRST), silently inflating every
+    cumulative count.
+
     This is the cross-engine-replayable member of the quantile family:
     ``vector_quantiles`` is exact (small corpora), ``five_num_summary``
     rides the engine-native GK sketch. The cumulative window runs over
     ≤ ``bins`` rows — O(B) state, not a data-sized funnel."""
     from pyspark.sql import Window
 
+    df = df.filter(F.col(column).isNotNull())
     mm = df.agg(
         F.min(column).alias("lo"),
         F.max(column).alias("hi"),

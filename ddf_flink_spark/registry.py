@@ -7443,7 +7443,11 @@ def q179_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def geomean(v):
         scaled = np.round(np.log(v.to_numpy()) * 1e9).astype(np.int64)
-        return float(np.exp(int(scaled.sum()) / len(scaled) / 1e9))
+        # numpy int64 .sum() wraps silently: per-row magnitude is ~1.1e10
+        # (ln(price)*1e9), so a group past ~8e8 rows would overflow —
+        # accumulate in arbitrary-precision Python ints instead
+        total = sum(int(x) for x in scaled)
+        return float(np.exp(total / len(scaled) / 1e9))
 
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
     # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "tracked_local_checkpoint",
+    "propagate_checkpoint_ids",
     "release_checkpoint",
     "release_all_storage",
     "persistent_rdd_ids",
@@ -48,22 +49,46 @@ def persistent_rdd_ids(spark) -> set[int]:
 
 
 def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
-    """``df.localCheckpoint()`` that records the persistent-RDD ids the
-    checkpoint created (diffed around the eager materialization) on the
-    returned frame, for a later exact :func:`release_checkpoint`.
+    """``df.localCheckpoint()`` that records the persistent-RDD id the
+    checkpoint created on the returned frame, for a later exact
+    :func:`release_checkpoint`.
 
-    Concurrency caveat: the before/after diff assumes no OTHER thread
-    persists an RDD during this call — under concurrent query
-    construction a foreign id could be captured and later released.
-    The engine's own callers (registry queries, bench, gate) build
-    queries sequentially; concurrent builders should serialize calls
-    into this function or skip tracking."""
+    The id is read directly off the returned frame's plan: a
+    checkpointed DataFrame's analyzed plan is a ``LogicalRDD`` wrapping
+    exactly the persisted internal RDD, so ``analyzed().rdd().id()`` IS
+    the block id — no global persistent-RDD set diff, hence no race
+    where a concurrent thread's ``cache()``/checkpoint lands inside a
+    diff window and gets wrongly captured (and later wrongly released,
+    truncating a live frame's lineage). Falls back to a before/after
+    diff only if the plan shape is ever not a LogicalRDD."""
     spark = df.sparkSession
     before = persistent_rdd_ids(spark)
     cp = df.localCheckpoint()
-    created = persistent_rdd_ids(spark) - before
+    try:
+        created = {int(cp._jdf.queryExecution().analyzed().rdd().id())}
+    except Exception:  # unexpected plan shape — legacy diff fallback
+        created = persistent_rdd_ids(spark) - before
     setattr(cp, _CP_IDS_ATTR, created)
     return cp
+
+
+def propagate_checkpoint_ids(out: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Carry the tracked-checkpoint RDD ids of internal ``sources``
+    frames onto a derived PUBLIC result frame, so library users can free
+    the storage those internal checkpoints pinned with a single
+    ``release_checkpoint(result)`` once they are done with the result.
+    Operators that checkpoint during DataFrame CONSTRUCTION
+    (minhash_lsh_candidates, simhash_near_duplicates,
+    prefix_filter_jaccard) use this — localCheckpoint is eager, so
+    merely building those frames pins executor storage that would
+    otherwise only be freed by a blanket ``release_all_storage`` /
+    ``DDFManager.release_storage``."""
+    ids: set[int] = set(getattr(out, _CP_IDS_ATTR, None) or set())
+    for s in sources:
+        ids |= getattr(s, _CP_IDS_ATTR, None) or set()
+    if ids:
+        setattr(out, _CP_IDS_ATTR, ids)
+    return out
 
 
 def release_checkpoint(df: DataFrame | None) -> None:

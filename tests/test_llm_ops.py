@@ -1074,3 +1074,27 @@ def test_quantile_sketch_constant_column(spark):
     df = spark.range(100).select(F.lit(7.5).alias("v"))
     rows = histogram_quantile_sketch(df, "v", quantiles=[0.5, 0.9], bins=32).collect()
     assert len(rows) == 2 and all(r.est_quantile == 7.5 for r in rows)
+
+
+def test_quantile_sketch_ignores_nulls(spark):
+    """NULL rows must be excluded everywhere (n, min/max, bin counts):
+    pre-fix, n counted NULL rows while min/max ignored them and the
+    NULL-bin row sorted first in the cumulative window, inflating every
+    cumulative count. Estimates on 0..999 + 500 NULLs must match the
+    NULL-free column within one bin width."""
+    from ddf_flink_spark.operators.stats import histogram_quantile_sketch
+
+    clean = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    dirty = clean.unionAll(
+        spark.range(500).select(F.lit(None).cast("double").alias("v"))
+    )
+    bins = 128
+    width = 999.0 / bins
+    got_clean = {r.q: r.est_quantile for r in
+                 histogram_quantile_sketch(clean, "v", bins=bins).collect()}
+    got_dirty = {r.q: r.est_quantile for r in
+                 histogram_quantile_sketch(dirty, "v", bins=bins).collect()}
+    assert got_clean.keys() == got_dirty.keys()
+    for q, est in got_dirty.items():
+        assert est == got_clean[q], (q, est, got_clean[q])
+        assert abs(est - q * 999.0) <= width + 1e-9, (q, est)

@@ -750,3 +750,88 @@ def test_morton_key_sql_parenthesizes_compound_operands():
         f"SELECT ({sql}) FROM (SELECT 12 AS a, 129 AS b, 76 AS c)"
     ).fetchone()[0]
     assert got == py_interleave(12 | 129, 76 + 1, 8)
+
+
+def test_tracked_checkpoint_ignores_concurrent_cache(spark):
+    """tracked_local_checkpoint must record exactly the checkpointed
+    RDD's id (read off the LogicalRDD plan), so a cache() another
+    thread materializes during the checkpoint window is neither
+    captured nor released. Regression for the global-set-diff race."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.storage import (
+        persistent_rdd_ids,
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
+
+    foreign = spark.range(50_000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+
+    stop = threading.Event()
+
+    def churn():
+        # persist/unpersist in a loop so a foreign id is live during the
+        # checkpoint's before/after window with high probability
+        while not stop.is_set():
+            foreign.cache()
+            foreign.count()
+            foreign.unpersist(False)
+
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+    try:
+        cp = tracked_local_checkpoint(
+            spark.range(10_000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+        )
+        ids = getattr(cp, "_ddf_checkpoint_rdd_ids")
+        assert len(ids) == 1, ids
+    finally:
+        stop.set()
+        t.join(timeout=10)
+
+    # the foreign frame must survive release_checkpoint: re-cache it,
+    # release the tracked checkpoint, then re-execute the cached frame
+    foreign.cache()
+    assert foreign.count() == 50_000
+    before = persistent_rdd_ids(spark)
+    release_checkpoint(cp)
+    after = persistent_rdd_ids(spark)
+    assert len(before - after) <= 1  # only the checkpoint's own block went away
+    assert foreign.count() == 50_000  # lineage intact, no truncated-lineage raise
+    foreign.unpersist(False)
+
+
+def test_dedup_operators_propagate_checkpoint_ids(spark):
+    """Operators that checkpoint during construction must carry the
+    pinned RDD ids on their PUBLIC result frame, so library users can
+    free the storage with release_checkpoint(result) instead of a
+    blanket release_all_storage (ADVICE r4: composing these in a
+    long-lived session accumulated dead blocks)."""
+    from ddf_flink_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        prefix_filter_jaccard,
+        simhash_near_duplicates,
+    )
+    from ddf_flink_spark.storage import persistent_rdd_ids, release_checkpoint
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    for build in (
+        lambda: minhash_lsh_candidates(docs, num_hashes=8, bands=4),
+        lambda: simhash_near_duplicates(docs, max_hamming=3),
+        lambda: prefix_filter_jaccard(docs, threshold=0.5),
+    ):
+        before = persistent_rdd_ids(spark)
+        out = build()
+        ids = getattr(out, "_ddf_checkpoint_rdd_ids", set())
+        assert ids, "construction checkpoint ids must ride on the result"
+        assert ids <= persistent_rdd_ids(spark)
+        out.count()
+        release_checkpoint(out)
+        after = persistent_rdd_ids(spark)
+        assert not (ids & after), "release_checkpoint(result) must free the pinned blocks"
+        assert after <= before | ids

@@ -29,4 +29,9 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert set(e.queries()) >= set(e.oracle_sql())
+    # Rotation-proof gate invariant: every exported query is oracle-backed,
+    # so ANY driver sample of queries() is fully hash-checkable. The
+    # engine-native rows-only twins live in production_queries() only.
+    assert set(e.queries()) == set(e.oracle_sql())
+    assert set(e.production_queries()) >= set(e.queries())
+    assert set(e.production_queries()) == set(QUERIES)

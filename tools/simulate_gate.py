@@ -33,6 +33,22 @@ def main() -> None:
 
     from ddf_flink_spark.registry import ORACLES, QUERIES
 
+    # Rotation-proof gate invariant: the driver samples __spark_entry__
+    # .queries(), so that export must contain ZERO rows-only names — any
+    # rotation is then fully hash-checkable. Fail loudly if it regresses.
+    import __spark_entry__ as entry_mod
+
+    exported = set(entry_mod.queries())
+    rows_only_exported = sorted(exported - set(ORACLES))
+    assert not rows_only_exported, (
+        f"__spark_entry__.queries() exports rows-only names: {rows_only_exported}"
+    )
+    print(
+        f"gate export: {len(exported)} queries, all oracle-backed; "
+        f"{len(set(QUERIES) - set(ORACLES))} engine-native twins excluded "
+        f"(run here via the full registry)"
+    )
+
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("simulate-gate")
