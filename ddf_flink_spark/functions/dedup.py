@@ -744,9 +744,16 @@ def connected_components(
     one final pass, so per-round cost tracks the candidate subgraph, not
     the corpus. Convergence is detected by the label sum (labels only
     ever decrease under min-propagation, so an unchanged DECIMAL(38,0)
-    sum ⟺ a fixpoint) — one aggregation per round instead of a
-    join+count.
+    sum ⟺ a fixpoint). The sum rides the SAME job that materializes the
+    round's checkpoint via ``observe()`` (CollectMetrics), so each round
+    is exactly ONE Spark job — no separate convergence aggregation, and
+    no initial-sum job either (round 0 always runs). On shallow near-dup
+    graphs the loop is fixed-overhead-dominated; halving the job count
+    measurably halves CC wall time at small SF and removes a per-round
+    driver barrier at scale.
     """
+    from pyspark.sql import Observation
+
     from ..storage import release_checkpoint, tracked_local_checkpoint
 
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -764,29 +771,28 @@ def connected_components(
         .unionByName(bidir.select(F.col("dst").alias("id")))
         .distinct()
     )
-    labels = tracked_local_checkpoint(
-        edge_nodes.select("id", F.col("id").alias("label"))
-    )
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
-    for _ in range(max_iter):
+    # labels₀ stays LAZY: round 0's checkpoint computes the distinct from
+    # the in-memory bidir blocks (both uses inside one job share the
+    # exchange), so no separate materialization job is spent on it
+    labels = edge_nodes.select("id", F.col("id").alias("label"))
+    prev_sum: object = object()  # sentinel ≠ any sum incl. None (empty graph)
+    for it in range(max_iter):
         neighbor_labels = (
             bidir.join(labels, bidir.dst == labels.id)
             .select(F.col("src").alias("id"), "label")
         )
+        obs = Observation(f"cc_label_sum_{it}")
         new_labels = tracked_local_checkpoint(
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
         )
         # iteration i's blocks die the moment i+1 is materialized —
         # the loop holds at most two label generations in storage
         release_checkpoint(labels)
         labels = new_labels
-        cur_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

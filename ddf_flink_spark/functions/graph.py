@@ -123,15 +123,23 @@ def pagerank(
         .join(out_deg, F.col("esrc") == out_deg.id)
         .select("esrc", "edst", "deg")
     )
+    from pyspark.sql import Observation
+
     ranks = ids.withColumn("rank", F.lit(1.0 / n_total))
+    # rank mass sitting on dangling nodes (no out-edges) — one scalar per
+    # superstep, the Pregel-style global coordination. Superstep 0 pays a
+    # dedicated aggregation job over the (lazy) uniform init; every later
+    # superstep's dangling sum rides the SAME job that materializes that
+    # superstep's rank checkpoint via observe() (a left join with the
+    # already-checkpointed degree table marks danglers), so the loop runs
+    # ONE Spark job per iteration instead of two — same float-sum + round
+    # discipline, just fused into the checkpoint's CollectMetrics.
+    dangling = (
+        ranks.join(out_deg, "id", "left_anti").agg(F.sum("rank")).first()[0]
+        or 0.0
+    )
     prev_cp = None
-    for _ in range(iterations):
-        # rank mass sitting on dangling nodes (no out-edges) this round —
-        # one scalar per superstep, the Pregel-style global coordination
-        dangling = (
-            ranks.join(out_deg, "id", "left_anti").agg(F.sum("rank")).first()[0]
-            or 0.0
-        )
+    for it in range(iterations):
         if round_digits is not None:
             dangling = round(dangling, round_digits + 2)
         contribs = (
@@ -149,13 +157,24 @@ def pagerank(
         )
         if round_digits is not None:
             new_rank = F.round(new_rank, round_digits)
+        obs = Observation(f"pagerank_dangling_{it}")
         ranks = tracked_local_checkpoint(
-            ids.join(contribs, "id", "left").select("id", new_rank.alias("rank"))
+            ids.join(contribs, "id", "left")
+            .select("id", new_rank.alias("rank"))
+            .join(out_deg, "id", "left")
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("deg").isNull(), F.col("rank"))
+                ).alias("dangling"),
+            )
+            .select("id", "rank")
         )
         # superstep i's rank blocks die once i+1 is materialized; the
         # final iteration's checkpoint is the returned frame and stays
         release_checkpoint(prev_cp)
         prev_cp = ranks
+        dangling = obs.get["dangling"] or 0.0
     if prev_cp is not None:
         # the returned ranks frame is itself a materialized checkpoint,
         # so the loop-only inputs (ids / degrees / weighted edges) are

@@ -203,13 +203,40 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    quantizer: str = "ml",
+    iters: int = 2,
 ):
-    """Train a coarse quantizer (KMeans on pyspark.ml) and assign every
-    vector to its nearest centroid list. Returns (assigned_df, centroids)
-    where assigned_df has an extra ``list_id`` column.
+    """Train a coarse quantizer and assign every vector to its nearest
+    centroid list. Returns (assigned_df, centroids) where assigned_df has
+    an extra ``list_id`` column.
+
+    ``quantizer="ml"`` (default) trains pyspark.ml KMeans (k-means||
+    init — the engine-native quality path). ``quantizer="lloyd"`` runs
+    the DETERMINISTIC rounded Lloyd iterations (``ml/kmeans
+    .kmeans_lloyd``, ``iters`` rounds): centroids are then a pure
+    function of the data, reproducible by any engine — the cross-engine
+    family the q39 oracle replays (same switch as q31/q33's md5 move).
 
     At 100 TB: train on a sample, assign in one map pass; the assignment
     becomes the partition key for the index layout."""
+    if quantizer == "lloyd":
+        from ..ml.kmeans import kmeans_lloyd
+
+        assign, centroids = kmeans_lloyd(
+            corpus,
+            vec_col=vec_col,
+            id_col=id_col,
+            k=n_lists,
+            iters=iters,
+            return_centroids=True,
+        )
+        assigned = corpus.join(
+            assign.select(
+                F.col("id").alias(id_col), F.col("cluster").alias("list_id")
+            ),
+            id_col,
+        )
+        return assigned, centroids
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -245,11 +272,16 @@ def ivf_topk(
         l2_norm(F.col(vec_col)).alias("qn"),
         cent_arr.alias("cents"),
     )
-    # rank centroids by dot(q, c): build (list_id, score) structs, sort, take nprobe
+    # rank centroids by dot(q, c): build (list_id, score) structs, sort,
+    # take nprobe. The sort key is ROUND-6 with the list_id as the struct
+    # tiebreak — the cross-engine rank discipline (libm/summation ulps
+    # can't reorder the probe frontier), same as the re-rank below.
     scored_lists = F.transform(
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
         lambda i: F.struct(
-            (-dot(F.col("qv"), F.element_at(F.col("cents"), i + 1))).alias("neg"),
+            F.round(
+                -dot(F.col("qv"), F.element_at(F.col("cents"), i + 1)), 6
+            ).alias("neg"),
             i.alias("list_id"),
         ),
     )

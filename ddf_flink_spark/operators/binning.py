@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["binning", "compute_breaks", "interval_labels"]
+__all__ = ["binning", "compute_breaks", "compute_breaks_exact", "interval_labels"]
 
 
 def _fmt(x: float) -> str:
@@ -73,6 +73,41 @@ def compute_breaks(
         breaks = [lo + i * step for i in range(num_bins)] + [hi]
     else:
         raise ValueError(f"unknown binning type {binning_type!r}")
+    dedup = sorted(set(breaks))
+    if len(dedup) < 2:
+        raise ValueError(f"degenerate breaks for column {column!r}: {breaks}")
+    return dedup
+
+
+def compute_breaks_exact(
+    df: DataFrame, column: str, num_bins: int, tiebreak_cols: list[str]
+) -> list[float]:
+    """EXACT equal-frequency breaks with NO quantile-convention
+    ambiguity: rank every row by ``(column, *tiebreak_cols)`` (the
+    tiebreaks make the order total), deal rows into ``num_bins`` tiles
+    with NTILE, and cut at the tile boundaries — break_0 = global min,
+    break_i = max(column) within tile i. Only integer rank arithmetic
+    and comparisons, so ANY engine reproduces the identical break list
+    (DuckDB replays it verbatim in the q64 oracle); the GK-sketch path
+    (:func:`compute_breaks` EQUALFREQ) has no such cross-engine
+    contract and stays the 100 TB default.
+
+    Scale note: the global NTILE is one full sort through a single
+    window partition — this is the exactness path for small/medium
+    tables, same trade as q90."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(column, *tiebreak_cols)
+    tiled = df.select(F.col(column).alias("__v"), F.ntile(num_bins).over(w).alias("__t"))
+    rows = (
+        tiled.groupBy("__t")
+        .agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"))
+        .orderBy("__t")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"compute_breaks_exact: no rows for column {column!r}")
+    breaks = [float(rows[0]["lo"])] + [float(r["hi"]) for r in rows]
     dedup = sorted(set(breaks))
     if len(dedup) < 2:
         raise ValueError(f"degenerate breaks for column {column!r}: {breaks}")

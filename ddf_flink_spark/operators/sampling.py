@@ -30,8 +30,35 @@ __all__ = [
     "cv_k_fold",
     "sample_weighted",
     "sample_weighted_deterministic",
+    "sample_by_deterministic",
     "sample_to_budget",
 ]
+
+
+def sample_by_deterministic(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """``sampleBy`` (per-stratum Bernoulli) with the RNG replaced by an
+    md5-keyed uniform: keep a row iff
+    ``md5_long(seed:id) / 2^60 < fractions[stratum]`` — selection is a
+    property of the data, so the SAME rows are chosen by any engine, any
+    run, any partition layout (the reproducible class-rebalancing
+    contract; ``df.sampleBy`` stays as the engine-native seeded path).
+    Strata absent from ``fractions`` are dropped (sampleBy semantics).
+    Pure column expressions — a pushable filter, zero shuffle."""
+    from ..functions.dedup import md5_long
+
+    u = md5_long(F.col(id_col).cast("string"), salt=seed).cast("double") / F.lit(
+        float(2**60)
+    )
+    frac = F.lit(None).cast("double")
+    for k, v in fractions.items():
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.filter(frac.isNotNull() & (u < frac))
 
 
 def random_split(df: DataFrame, weights: list[float], seed: int = 42) -> list[DataFrame]:

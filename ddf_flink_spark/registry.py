@@ -1907,33 +1907,77 @@ def q73_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q44_sample_fraction")
+@query(
+    "q44_sample_fraction",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_sampled,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+    FROM lineitem
+    WHERE CAST(('0x' || SUBSTRING(md5('44:' || CAST(l_orderkey * 10 + l_linenumber
+                                                    AS VARCHAR)), 1, 15)) AS BIGINT)
+          / CAST(1152921504606846976 AS DOUBLE) < 0.15
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def q44_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded fraction sampling (``ViewHandler.scala:24-41``;
-    operators/views.py sample_fraction). No SQL oracle — engines use
-    different RNGs — but the seed makes the rows-only check deterministic.
-    Returns per-flag sampled counts so the hash covers the whole sample."""
-    from .operators.views import sample_fraction
+    """getRandomSample(percent) (``ViewHandler.scala:24-41``) — DEFAULT
+    switched to the md5-keyed deterministic family (round-5, the q31/q33
+    move): selection keys on ``md5_long(seed:rowid) / 2^60 < p``, a pure
+    pushable filter any engine replays row-for-row, so the oracle hash
+    covers the EXACT sample membership (checksummed), not just sizes.
+    The engine-native seeded ``df.sample`` (per-partition RNG,
+    layout-dependent) remains as ``operators/views.sample_fraction``,
+    unit-tested; q160 demos the deterministic family at a different
+    (fraction, seed) operating point."""
+    from .operators.views import sample_fraction_deterministic
 
-    li = t(spark, sf_dir, "lineitem")
-    s = sample_fraction(li, 0.1, seed=42)
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "__rid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    s = sample_fraction_deterministic(li, 0.15, "__rid", seed=44)
     return (
         s.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("l_orderkey").cast("long").alias("key_checksum"),
+        )
         .orderBy("l_returnflag")
     )
 
 
-@query("q45_cv_kfold")
+@query(
+    "q45_cv_kfold",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+             CAST(('0x' || SUBSTRING(md5('45:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 4 AS fold
+      FROM orders
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM b)
+    SELECT CAST(fold AS INT) AS fold,
+           (SELECT n FROM tot) - COUNT(*) AS n_train,
+           COUNT(*) AS n_test,
+           CAST(0 AS BIGINT) AS n_overlap,
+           CAST(1 AS INT) AS partitions_ok,
+           CAST(1 AS INT) AS exhaustive
+    FROM b GROUP BY fold ORDER BY fold
+    """,
+)
 def q45_cv_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CVKFold (``CrossValidation.scala:56-65,102-132``): k pairwise-
-    disjoint folds via a seeded rand bucket. Emits per-fold sizes plus the
-    train∩test overlap (must be 0) — disjointness and exhaustiveness are
-    in the hashed output, not just asserted in tests."""
+    """CVKFold (``CrossValidation.scala:56-65,102-132``) — DEFAULT
+    switched to the hash-deterministic fold family (round-5): membership
+    = ``md5_long(seed:id) % k``, a pure column expression DuckDB replays
+    exactly. The hashed output carries per-fold sizes PLUS the measured
+    train∩test overlap and partition/exhaustiveness flags — the oracle
+    pins overlap to 0 and the flags to 1, so a disjointness bug flips
+    the hash rather than an assert nobody runs. The seeded-rand fallback
+    (no id column) stays in ``operators/sampling.cv_k_fold``,
+    unit-tested; q158 demos (k=5, seed=7)."""
     from .operators.sampling import cv_k_fold
 
     orders = t(spark, sf_dir, "orders").select("o_orderkey")
-    folds = cv_k_fold(orders, 5, seed=7)
+    folds = cv_k_fold(orders, 4, seed=45, id_col="o_orderkey")
     rows = []
     for i, (train, test) in enumerate(folds):
         overlap = train.join(test, "o_orderkey", "inner").count()
@@ -2260,40 +2304,120 @@ def q63_binning_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q64_binning_equalfreq")
+@query(
+    "q64_binning_equalfreq",
+    oracle="""
+    WITH tiled AS (
+      SELECT o_totalprice AS v,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tl
+      FROM orders
+    ),
+    bnds AS (SELECT tl, MIN(v) AS lo, MAX(v) AS hi FROM tiled GROUP BY tl),
+    brk AS (
+      SELECT (SELECT MIN(lo) FROM bnds) AS b0,
+             (SELECT hi FROM bnds WHERE tl = 1) AS b1,
+             (SELECT hi FROM bnds WHERE tl = 2) AS b2,
+             (SELECT hi FROM bnds WHERE tl = 3) AS b3,
+             (SELECT hi FROM bnds WHERE tl = 4) AS b4
+    ),
+    assigned AS (
+      SELECT CASE
+               WHEN o.o_totalprice >= k.b0 AND o.o_totalprice <= k.b1 THEN 0
+               WHEN o.o_totalprice >  k.b1 AND o.o_totalprice <= k.b2 THEN 1
+               WHEN o.o_totalprice >  k.b2 AND o.o_totalprice <= k.b3 THEN 2
+               WHEN o.o_totalprice >  k.b3 AND o.o_totalprice <= k.b4 THEN 3
+             END AS bin_idx,
+             o.o_totalprice
+      FROM orders o CROSS JOIN brk k
+    )
+    SELECT a.bin_idx, COUNT(*) AS n,
+           ROUND(CASE a.bin_idx WHEN 0 THEN k.b0 WHEN 1 THEN k.b1
+                                WHEN 2 THEN k.b2 ELSE k.b3 END, 2) AS lo,
+           ROUND(CASE a.bin_idx WHEN 0 THEN k.b1 WHEN 1 THEN k.b2
+                                WHEN 2 THEN k.b3 ELSE k.b4 END, 2) AS hi
+    FROM assigned a CROSS JOIN brk k
+    WHERE a.bin_idx IS NOT NULL
+    GROUP BY a.bin_idx, k.b0, k.b1, k.b2, k.b3, k.b4
+    ORDER BY a.bin_idx
+    """,
+)
 def q64_binning_equalfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EQUALFREQ binning (``BinningHandler.scala:95-132``): quantile breaks
-    via approxQuantile (GK sketch — the mergeable-per-partition scale path,
-    like the reference's TDigest merge). Engine-specific quantile algorithm
-    → no SQL oracle; deterministic, and near-equal bucket counts are
-    asserted in tests/test_operators.py."""
-    from .operators.binning import binning
+    """EQUALFREQ binning (``BinningHandler.scala:95-132``) — DEFAULT
+    switched to EXACT tile-boundary breaks (round-5):
+    ``compute_breaks_exact`` ranks by (value, key-tiebreak), deals NTILE
+    tiles, and cuts at tile maxima — integer rank arithmetic plus
+    comparisons only, so DuckDB re-derives the identical break list and
+    the whole cut (R ``cut()`` CASE assignment, include_lowest, counts
+    AND bin bounds) is hash-verified under the gated name. The GK-sketch
+    quantile path (``compute_breaks`` EQUALFREQ — mergeable, the 100 TB
+    default) stays in the binning operator, unit-tested for near-equal
+    buckets in tests/test_operators.py."""
+    from .operators.binning import binning, compute_breaks_exact
 
     o = t(spark, sf_dir, "orders")
-    binned, _labels = binning(
-        o, "o_totalprice", binning_type="EQUALFREQ", num_bins=4, include_lowest=True
+    breaks = compute_breaks_exact(o, "o_totalprice", 4, ["o_orderkey"])
+    binned, labels = binning(
+        o, "o_totalprice", binning_type="CUSTOM", breaks=breaks, include_lowest=True
     )
-    return (
-        binned.groupBy(F.col("o_totalprice").alias("bin"))
+    idx_expr = F.lit(None).cast("int")
+    for i, lab in enumerate(labels):
+        idx_expr = F.when(F.col("o_totalprice") == lab, i).otherwise(idx_expr)
+    counts = (
+        binned.select(idx_expr.alias("bin_idx"))
+        .groupBy("bin_idx")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("bin")
     )
+    bounds = spark.createDataFrame(
+        [
+            (i, round(breaks[i], 2), round(breaks[i + 1], 2))
+            for i in range(len(labels))
+        ],
+        "bin_idx int, lo double, hi double",
+    )
+    return counts.join(bounds, "bin_idx").orderBy("bin_idx")
 
 
-@query("q65_sample_exact")
+@query(
+    "q65_sample_exact",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY CAST(('0x' || SUBSTRING(md5('65:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                    AS BIGINT), o_orderkey
+      LIMIT 300
+    )
+    SELECT COUNT(*) AS n_sampled, COUNT(*) AS n_real,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           ROUND(SUM(o_totalprice), 2) AS price_checksum
+    FROM s
+    """,
+)
 def q65_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-size sampling (``ViewHandler.scala:17-22``, Poisson/Binomial
-    bounds ``utils/package.scala:444-548`` → RDD.takeSample implements the
-    same bounds). Seeded → rows-only deterministic; the output proves the
-    exact-n contract and that sampled rows are real rows."""
-    from .operators.views import sample_exact
+    """getRandomSample(n) exact-size (``ViewHandler.scala:17-22``) —
+    DEFAULT switched to the hash-min deterministic draw (round-5): the n
+    rows with the smallest ``md5_long(seed:id)``, a uniform
+    without-replacement sample any engine reproduces row-for-row
+    (TakeOrderedAndProject — bounded driver merge, no RNG state, better
+    distributed shape than takeSample's collect). The hashed output pins
+    size, realness (semi-join count) AND membership (key/price
+    checksums). The engine-native ``RDD.takeSample``
+    (Poisson/Binomial-bounded, ``utils/package.scala:444-548``) stays in
+    ``operators/views.sample_exact``, unit-tested; q161 demos the family
+    returning the full sampled rows."""
+    from .operators.views import sample_exact_deterministic
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    rows = sample_exact(o, 500, seed=42)
-    sampled = spark.createDataFrame(rows, o.schema)
-    joined = sampled.join(t(spark, sf_dir, "orders"), "o_orderkey", "left_semi")
-    return spark.createDataFrame(
-        [(len(rows), joined.count())], "n_sampled long, n_real long"
+    s = sample_exact_deterministic(o, 300, "o_orderkey", seed=65)
+    real = s.join(t(spark, sf_dir, "orders"), "o_orderkey", "left_semi")
+    return (
+        s.agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_checksum"),
+        )
+        .crossJoin(F.broadcast(real.agg(F.count(F.lit(1)).alias("n_real"))))
+        .select("n_sampled", "n_real", "key_checksum", "price_checksum")
     )
 
 
@@ -2438,18 +2562,96 @@ def q69_aggregate_fieldspec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "group_key string, min_qty double, max_price double")
 
 
-@query("q39_similarity_ivf")
+def _q39_oracle(n_lists: int = 8, nprobe: int = 3, topk: int = 3, q_lt: int = 20) -> str:
+    # Deterministic-Lloyd quantizer chain (the _q155_oracle / _q146_oracle
+    # recurrence: round-4 init + round-4 centroid updates, round-6
+    # assignment ranks) followed by ivf_topk's probe rule — centroids
+    # ranked per query by ROUND(-dot, 6) with list-id tiebreak — and the
+    # round-6-rank / round-4-output cosine re-rank inside probed cells.
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
+    q AS (SELECT id, v FROM emb WHERE id < {q_lt}),
+    probe AS (
+      SELECT q.id AS qid, c.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.id
+               ORDER BY ROUND(-list_dot_product(q.v, c.c), 6), c.cluster
+             ) AS prn
+      FROM q CROSS JOIN c2 c
+    ),
+    cand AS (
+      SELECT p.qid, cells.id AS nid
+      FROM probe p JOIN cells ON cells.cluster = p.cluster
+      WHERE p.prn <= {nprobe} AND cells.id != p.qid
+    ),
+    scored AS (
+      SELECT c.qid, c.nid, list_cosine_similarity(eq.v, en.v) AS cos
+      FROM cand c
+      JOIN emb eq ON eq.id = c.qid
+      JOIN emb en ON en.id = c.nid
+    ),
+    ranked AS (
+      SELECT qid, nid, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY ROUND(cos, 6) DESC, nid) AS rn
+      FROM scored
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, ROUND(cos, 4) AS cos
+    FROM ranked WHERE rn <= {topk} ORDER BY query_id, neighbor_id
+    """
+
+
+@query("q39_similarity_ivf", oracle=_q39_oracle())
 def q39_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (functions/similarity.py ivf_build/ivf_topk):
-    KMeans coarse quantizer (seeded), nprobe-of-n_lists probing, exact
-    cosine re-rank inside probed lists — the candidate join touches
-    ~nprobe/n_lists of the corpus instead of all of it. Seeded KMeans →
-    deterministic rows; recall-vs-exact pinned by test_ivf_topk_recall.
-    No SQL oracle (iterative quantizer)."""
+    """IVF approximate top-k through the REAL operator surface
+    (functions/similarity.py ivf_build/ivf_topk) — DEFAULT quantizer
+    switched to the deterministic rounded-Lloyd family (round-5, the
+    q31/q33 move): centroids are a pure function of the data, so DuckDB
+    replays quantizer training, cell assignment, ivf_topk's
+    dot-product probe ranking (round-6, list-id tiebreak) AND the
+    in-cell cosine re-rank, hash-verifying the whole ANN operator under
+    its gated name. The pyspark.ml k-means|| quantizer stays as
+    ``ivf_build(quantizer="ml")`` (engine-native init, unit-tested by
+    test_ivf_topk_recall); q155 demos the same family through a bespoke
+    L2-probe composition."""
     from .functions.similarity import ivf_build, ivf_topk
 
     e = t(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf_build(e, n_lists=8)
+    assigned, centroids = ivf_build(e, n_lists=8, quantizer="lloyd")
     q = e.filter(F.col("vec_id") < 20)
     return ivf_topk(q, assigned, centroids, k=3, nprobe=3).orderBy(
         "query_id", "neighbor_id"
@@ -2594,13 +2796,26 @@ def q76_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q77_approx_distinct")
+@query(
+    "q77_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def q77_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE COUNT DISTINCT — the keyword the reference declares but
     never wires (``SqlSupport.scala:278-330``), real here via HyperLogLog++
     (mergeable per-partition sketches, the count-distinct that scales).
-    Deterministic for fixed input/rsd → rows-only; the exact counts ride
-    along so the hashed output itself proves the ≤2% error bound."""
+    The sketch bits are irreducibly engine-native, but its CONTRACT is
+    not: the hashed output carries the exact counts plus the measured
+    ``|approx − exact| / exact ≤ 0.05`` flag, and the oracle pins the
+    flag TRUE — an HLL++ regression past its error bound flips the hash
+    (round-5: oracle added for the contract; the raw approx value stays
+    out of the hashed columns because no other engine can reproduce it).
+    KMV (q174) is the cross-engine-replayable distinct-sketch family."""
     li = t(spark, sf_dir, "lineitem")
     out = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
@@ -2608,11 +2823,10 @@ def q77_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_returnflag",
-        "approx_orders",
         "exact_orders",
         (F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")
          <= 0.05).alias("within_bound"),
-    )
+    ).orderBy("l_returnflag")
 
 
 @query(
@@ -3018,16 +3232,37 @@ def q88_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q89_stratified_sample",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || SUBSTRING(md5('89:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) / CAST(1152921504606846976 AS DOUBLE) AS u,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25
+                       WHEN 'es' THEN 0.1 WHEN 'zh' THEN 0.1 END AS frac
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM u WHERE frac IS NOT NULL AND u < frac
+    GROUP BY lang ORDER BY lang
+    """,
 )
 def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified (per-stratum Bernoulli) sampling — ``sampleBy`` with
-    per-language fractions, seeded. Extends the reference's uniform
-    sampling surface (§2.12); at 100 TB this is the downsampling primitive
-    for class rebalancing. Rows-only: sampling is seed-deterministic for a
-    fixed partition layout, so the driver's double-run hash is stable."""
+    """Stratified (per-stratum Bernoulli) sampling — DEFAULT switched to
+    the md5-keyed deterministic family (round-5,
+    ``operators/sampling.sample_by_deterministic``): keep a doc iff
+    ``md5_long(seed:doc_id)/2^60 < frac[lang]``, so DuckDB selects the
+    IDENTICAL rows and the oracle hash pins exact membership (per-lang
+    counts + id checksums), not just expected sizes. At 100 TB this is
+    the class-rebalancing downsampling primitive — and reproducibility
+    is what makes a rebalanced corpus auditable. The engine-native
+    seeded ``df.sampleBy`` (layout-dependent per-partition RNG) remains
+    available and unit-tested."""
+    from .operators.sampling import sample_by_deterministic
+
     d = t(spark, sf_dir, "documents")
     frac = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
-    s = d.sampleBy("lang", fractions=frac, seed=42)
+    s = sample_by_deterministic(d, "lang", frac, "doc_id", seed=89)
     return (
         s.groupBy("lang")
         .agg(
@@ -4272,20 +4507,41 @@ def q118_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q119_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             (CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+               / 1152921504606846977.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(LN(u) / n_chars, 8) AS wkey
+      FROM w WHERE n_chars > 0
+    ),
+    s AS (SELECT lang, n_chars FROM keyed ORDER BY wkey DESC, doc_id LIMIT 200)
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+    FROM s GROUP BY lang ORDER BY lang
+    """,
 )
 def q119_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Size-weighted corpus sample (`operators/sampling.sample_weighted`,
-    Efraimidis-Spirakis u^(1/w) keys + distributed top-n) — the
-    data-mixing primitive: sample documents proportional to length so
-    the token mass, not the doc count, follows the target mix. Rows-only
-    (rand(seed) is layout-dependent, not portable to DuckDB); the
-    proportionality contract is unit-tested
-    (test_sample_weighted_proportional). Deterministic for a fixed
-    layout; summarized per-language so the check is shape-stable."""
-    from .operators.sampling import sample_weighted
+    """Size-weighted corpus sample — DEFAULT switched to the
+    deterministic Efraimidis-Spirakis family (round-5,
+    ``operators/sampling.sample_weighted_deterministic``): u is an
+    md5-keyed uniform and the A-ES key ``ln(u)/w`` is round-8 with an id
+    tie-break, so DuckDB replays the exact 200-doc frontier and the
+    oracle hash pins membership (per-lang counts + char mass). This is
+    the data-mixing primitive — sample documents proportional to length
+    so TOKEN mass follows the target mix — and determinism is what makes
+    the mix re-buildable. The seeded ``rand()`` variant
+    (``sample_weighted``) stays engine-native, proportionality
+    unit-tested (test_sample_weighted_proportional); q154 demos the
+    family weighted by token count."""
+    from .operators.sampling import sample_weighted_deterministic
 
     d = t(spark, sf_dir, "documents")
-    s = sample_weighted(d, "n_chars", 200, seed=11)
+    s = sample_weighted_deterministic(d, "n_chars", 200)
     return (
         s.groupBy("lang")
         .agg(
