@@ -2,12 +2,13 @@
 with typed metadata, processed via Arrow-batched pandas UDFs.
 
 Extensions beyond the reference surface (SURVEY §7.2 step 9). Decode is
-REAL wherever the stdlib suffices: WAV (``wave``), P6 PPM, 24-bit BMP,
-and 8-bit RGB PNG — the last a genuine compressed decode (zlib inflate
-+ all five scanline unfilters, CRC-verified chunks). ``resize_media``
-does real nearest-neighbor resampling over any of those formats. Only
-codecs that truly need external libraries (JPEG, MP4) remain stubbed:
-``decode_media``'s generic feature-extraction raises
+REAL wherever stdlib+numpy suffice: WAV (``wave``), P6 PPM, 24-bit BMP,
+8-bit RGB PNG (zlib inflate + all five scanline unfilters, CRC-verified
+chunks), and baseline sequential JPEG (Annex-K Huffman entropy decode,
+dequantize, IDCT, YCbCr→RGB — see the JPEG section below).
+``resize_media`` does real nearest-neighbor resampling over the raster
+formats. Only MP4 truly needs external codec libraries and remains
+stubbed: ``decode_media``'s generic feature-extraction raises
 ``NotImplementedError`` unless ``deterministic_fake=True``, which
 produces a seeded fake feature vector from the bytes (so the Spark-side
 plumbing — schema, partitioning, UDF signature, Arrow batch shape — is
@@ -35,16 +36,20 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_bmp_media",
     "attach_fake_media",
+    "attach_jpeg_media",
     "attach_png_media",
     "attach_ppm_media",
     "attach_wav_media",
     "decode_bmp",
+    "decode_jpeg",
     "decode_media",
     "decode_png",
     "decode_ppm",
     "decode_wav",
     "extract_features",
     "frame_sample_plan",
+    "jpeg_decode_baseline",
+    "jpeg_encode_baseline",
     "resize_media",
 ]
 
@@ -243,10 +248,11 @@ def decode_media(
 ) -> DataFrame:
     """Decode + feature-extract each media row → ``features array<float>``.
 
-    Real decode is NOT IMPLEMENTED in this container (no PIL/librosa/
-    ffmpeg); pass ``deterministic_fake=True`` to exercise the full
-    distributed path with seeded fake features (MD5-seeded from the bytes,
-    so output is reproducible everywhere).
+    Generic (any-container) decode is NOT IMPLEMENTED in this container
+    (no PIL/librosa/ffmpeg); pass ``deterministic_fake=True`` to exercise
+    the full distributed path with seeded fake features (MD5-seeded from
+    the bytes, so output is reproducible everywhere). Real stdlib decoders
+    exist for WAV/PPM/BMP/PNG/JPEG — use those for supported formats.
 
     The batch closure is deliberately self-contained (its imports and the
     fake decode live inside it) so cloudpickle ships it by value — Python
@@ -256,8 +262,9 @@ def decode_media(
         raise NotImplementedError(
             "generic media feature-extraction requires codec libraries "
             "(PIL/ffmpeg) not present in this container; use the REAL "
-            "stdlib decoders for WAV/PPM/BMP/PNG (decode_wav/decode_ppm/"
-            "decode_bmp/decode_png), or pass deterministic_fake=True to "
+            "stdlib decoders for WAV/PPM/BMP/PNG/JPEG (decode_wav/"
+            "decode_ppm/decode_bmp/decode_png/decode_jpeg — MP4 is the "
+            "only remaining stub), or pass deterministic_fake=True to "
             "run this plumbing with seeded fake features"
         )
 
@@ -695,6 +702,446 @@ def decode_bmp(df: DataFrame) -> DataFrame:
             px = rows.reshape(h, w, 3)[:, :, ::-1].astype(_np.float64)  # BGR->RGB
             if not top_down:
                 px = px[::-1]  # bottom-up rows -> logical top-first
+            return w, h, px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean()
+
+        for pdf in batches:
+            parsed = [parse(c) for c in pdf["content"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [p[0] for p in parsed],
+                    "height": [p[1] for p in parsed],
+                    "mean_r": [p[2] for p in parsed],
+                    "mean_g": [p[3] for p in parsed],
+                    "mean_b": [p[4] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=out_schema)
+
+
+# --------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (ITU-T T.81), stdlib+numpy only — the last
+# feasible pure-stdlib media codec (MP4 genuinely needs external
+# libraries and stays the one environmental stub). The reference has no
+# media surface at all; this is extension parity with the PNG/BMP/PPM/WAV
+# family above. Spec constants (zigzag order, Annex K Huffman tables) are
+# pinned by independent literals in tests/test_llm_ops.py so a matching
+# encoder/decoder bug pair cannot self-certify.
+
+# Zigzag scan order: ZIGZAG[k] = raster index of the k-th zigzag coefficient.
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K "typical" Huffman tables: (BITS counts for code lengths 1..16,
+# HUFFVAL symbol list). DC tables code magnitude categories 0..11; AC
+# tables code (run << 4 | size) symbols.
+JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# Quantization tables: DC step 1 keeps constant tiles bit-exact (their
+# only nonzero coefficient is the DC, and 8·(v−128) is an integer), while
+# AC steps > 1 make dequantization a REAL multiply the round-trip tests
+# exercise (a decoder that skipped dequant would fail them).
+JPEG_QT_LUMA = [1] + [2] * 63
+JPEG_QT_CHROMA = [1] + [3] * 63
+
+
+def _jpeg_canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical JPEG assignment
+    (T.81 C.2): codes count upward within a length, shift left on
+    length increase, in HUFFVAL order."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix():
+    import numpy as _np
+
+    m = _np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / _np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * _np.cos((2 * x + 1) * u * _np.pi / 16.0)
+    return m
+
+
+def jpeg_encode_baseline(y, cb, cr) -> bytes:
+    """Encode three same-sized uint8 planes (YCbCr 4:4:4, dimensions
+    multiples of 8) as a baseline sequential JFIF/JPEG: level shift →
+    8×8 DCT → quantize (tables above) → zigzag → DC-differential +
+    Annex-K Huffman entropy coding with 0xFF byte stuffing."""
+    import struct as _struct
+
+    import numpy as _np
+
+    h, w = y.shape
+    assert w % 8 == 0 and h % 8 == 0, "baseline codec handles full blocks only"
+    m = _jpeg_dct_matrix()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return _struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # DQT stores tables in ZIGZAG order: entry k is the step for zigzag
+    # position k (JPEG_QT_* are declared in that order: DC first)
+    for tq, qt in ((0, JPEG_QT_LUMA), (1, JPEG_QT_CHROMA)):
+        out += seg(0xFFDB, bytes([tq]) + bytes(qt))
+    # SOF0: 8-bit, 3 components, all 1x1 sampling (4:4:4)
+    sof = _struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out += seg(0xFFC0, sof)
+    for tc_th, (bits, huffval) in (
+        (0x00, JPEG_DC_LUMA), (0x01, JPEG_DC_CHROMA),
+        (0x10, JPEG_AC_LUMA), (0x11, JPEG_AC_CHROMA),
+    ):
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(huffval))
+    sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+
+    dc_codes = [_jpeg_canonical_codes(*JPEG_DC_LUMA), _jpeg_canonical_codes(*JPEG_DC_CHROMA)]
+    ac_codes = [_jpeg_canonical_codes(*JPEG_AC_LUMA), _jpeg_canonical_codes(*JPEG_AC_CHROMA)]
+    qts = [_np.array(JPEG_QT_LUMA, dtype=_np.float64).reshape(1, 64),
+           _np.array(JPEG_QT_CHROMA, dtype=_np.float64).reshape(1, 64)]
+
+    bitbuf: list[int] = []  # (value, nbits) pairs flattened lazily
+
+    def put(code: int, nbits: int) -> None:
+        if nbits:
+            bitbuf.append((code, nbits))
+
+    def magnitude(v: int) -> tuple[int, int]:
+        # category (bit size) and the EXTEND-coded bits for v
+        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    planes = [(y, 0), (cb, 1), (cr, 1)]
+    pred = [0, 0, 0]
+    zig = _np.array(JPEG_ZIGZAG)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci, (plane, band) in enumerate(planes):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(_np.float64) - 128.0
+                coef = m @ blk @ m.T
+                # zigzag FIRST, then quantize by the zigzag-ordered table
+                # (same ordering the DQT segment declares)
+                zz = _np.round(
+                    coef.reshape(64)[zig] / qts[band].reshape(64)
+                ).astype(_np.int64)
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s, bits_v = magnitude(diff) if diff else (0, 0)
+                code, ln = dc_codes[band][s]
+                put(code, ln)
+                put(bits_v, s)
+                run = 0
+                last_nz = 0
+                nz = _np.nonzero(zz[1:])[0]
+                last_nz = (nz[-1] + 1) if len(nz) else 0
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = ac_codes[band][0xF0]  # ZRL
+                        put(code, ln)
+                        run -= 16
+                    s, bits_v = magnitude(v)
+                    code, ln = ac_codes[band][(run << 4) | s]
+                    put(code, ln)
+                    put(bits_v, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[band][0x00]  # EOB
+                    put(code, ln)
+
+    # flush bits → bytes with 0xFF stuffing, pad final byte with 1s
+    data = bytearray()
+    acc, nacc = 0, 0
+    for code, nbits in bitbuf:
+        acc = (acc << nbits) | (code & ((1 << nbits) - 1))
+        nacc += nbits
+        while nacc >= 8:
+            nacc -= 8
+            byte = (acc >> nacc) & 0xFF
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+    if nacc:
+        byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        data.append(byte)
+        if byte == 0xFF:
+            data.append(0x00)
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_decode_baseline(blob: bytes):
+    """Decode a baseline sequential JFIF/JPEG (8-bit, 3 components,
+    1x1 sampling, dimensions multiples of 8): marker walk → DQT/SOF0/DHT/
+    SOS parse → Huffman entropy decode (byte unstuffing, DC prediction,
+    ZRL/EOB) → dequantize → de-zigzag → IDCT → level shift →
+    YCbCr→RGB (JFIF, floor(x+.5) rounding). Returns (w, h, rgb ndarray)."""
+    import numpy as _np
+
+    b = bytes(blob)
+    assert b[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = 0
+    comps: list[tuple[int, int, int]] = []  # (cid, qt_id, (dc_tbl, ac_tbl) later)
+    scan_comps: list[tuple[int, int, int]] = []
+    data_start = None
+    while pos < len(b):
+        assert b[pos] == 0xFF, f"expected marker at {pos}"
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(b[pos : pos + 2], "big")
+        payload = b[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 0xF
+                assert pq == 0, "only 8-bit quant tables supported"
+                qt[tq] = list(payload[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = payload[0]
+            assert prec == 8, "baseline is 8-bit"
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            nf = payload[5]
+            assert nf == 3, "expect 3 components"
+            for c in range(nf):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                assert samp == 0x11, "only 4:4:4 (1x1 sampling) supported"
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise AssertionError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(payload):
+                tc, th = payload[i] >> 4, payload[i] & 0xF
+                bits = list(payload[i + 1 : i + 17])
+                n = sum(bits)
+                huffval = list(payload[i + 17 : i + 17 + n])
+                codes = _jpeg_canonical_codes(bits, huffval)
+                # decode map: (length, code) -> symbol
+                huff[(tc, th)] = {(ln_, code): sym for sym, (code, ln_) in codes.items()}
+                i += 17 + n
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            assert ns == 3
+            for c in range(ns):
+                cid, tbls = payload[1 + 2 * c : 3 + 2 * c]
+                scan_comps.append((cid, tbls >> 4, tbls & 0xF))
+            data_start = pos + ln
+            break
+        pos += ln
+    assert data_start is not None and w % 8 == 0 and h % 8 == 0
+
+    # entropy-coded data: up to the EOI marker, with 0xFF00 unstuffing
+    end = b.rfind(b"\xff\xd9")
+    stream = b[data_start:end].replace(b"\xff\x00", b"\xff")
+
+    bitpos = 0
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        byte = stream[bitpos >> 3]
+        bit = (byte >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return bit
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def decode_symbol(table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise AssertionError("invalid Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    m = _jpeg_dct_matrix()
+    zig = _np.array(JPEG_ZIGZAG)
+    planes = [_np.zeros((h, w)) for _ in range(3)]
+    pred = [0, 0, 0]
+    comp_qt = {cid: tq for cid, tq in comps}
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci, (cid, dc_t, ac_t) in enumerate(scan_comps):
+                zz = _np.zeros(64, dtype=_np.int64)
+                s = decode_symbol(huff[(0, dc_t)])
+                diff = extend(read_bits(s), s) if s else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k <= 63:
+                    sym = decode_symbol(huff[(1, ac_t)])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    assert k <= 63, "AC index overflow"
+                    zz[k] = extend(read_bits(size), size)
+                    k += 1
+                steps = _np.array(qt[comp_qt[cid]], dtype=_np.float64)
+                coef = _np.zeros(64)
+                coef[zig] = zz * steps  # de-zigzag AND dequantize
+                blk = m.T @ coef.reshape(8, 8) @ m
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk + 128.0
+
+    yp, cbp, crp = planes
+    r = _np.clip(_np.floor(yp + 1.402 * (crp - 128.0) + 0.5), 0, 255)
+    g = _np.clip(
+        _np.floor(yp - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0) + 0.5),
+        0, 255,
+    )
+    bl = _np.clip(_np.floor(yp + 1.772 * (cbp - 128.0) + 0.5), 0, 255)
+    return w, h, _np.stack([r, g, bl], axis=-1)
+
+
+def attach_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize REAL baseline JPEGs deterministically from an id: the
+    image is a grid of constant-color 8×8 tiles whose planted YCbCr
+    values follow a closed-form id formula. Constant tiles have a DC
+    coefficient only, and the DC quantization step is 1, so the decode
+    round-trip is BIT-EXACT — which lets the q219 DuckDB oracle predict
+    the decoded channel means ANALYTICALLY from the id formula, fully
+    independent of this codec pair (the q200 PNG pattern, adapted to a
+    lossy format by planting on its lossless sublattice)."""
+    out_schema = MEDIA_SCHEMA
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def make_jpeg(doc_id: int) -> bytes:
+            w = 8 * (2 + doc_id % 3)
+            h = 8 * (2 + doc_id % 2)
+            ty, tx = h // 8, w // 8
+            y = _np.zeros((h, w), dtype=_np.uint8)
+            cb = _np.zeros((h, w), dtype=_np.uint8)
+            cr = _np.zeros((h, w), dtype=_np.uint8)
+            for j in range(ty):
+                for i in range(tx):
+                    y[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8] = 16 + (doc_id + 5 * i + 11 * j) % 224
+                    cb[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8] = 16 + (3 * doc_id + 7 * i + 13 * j) % 224
+                    cr[j * 8 : j * 8 + 8, i * 8 : i * 8 + 8] = 16 + (7 * doc_id + 11 * i + 3 * j) % 224
+            return jpeg_encode_baseline(y, cb, cr)
+
+        for pdf in batches:
+            ids = pdf["media_id"].astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "mime": "image/jpeg",
+                    "width": (8 * (2 + ids % 3)).astype("int32"),
+                    "height": (8 * (2 + ids % 2)).astype("int32"),
+                    "duration_ms": 0,
+                    "content": [make_jpeg(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        encode_batches, schema=out_schema
+    )
+
+
+def decode_jpeg(df: DataFrame) -> DataFrame:
+    """REAL lossy-codec decode, stdlib+numpy only: Huffman entropy decode,
+    dequantize, IDCT, YCbCr→RGB — then per-channel means, the
+    decode→stats pass of an image dedup/quality pipeline through a
+    genuinely entropy-coded container (q219 is the oracle-checked
+    registry entry; q200 covers the lossless/compressed PNG path)."""
+    out_schema = (
+        "media_id bigint, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def parse(blob: bytes):
+            w, h, px = jpeg_decode_baseline(blob)
             return w, h, px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean()
 
         for pdf in batches:

@@ -10257,3 +10257,73 @@ def q199_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         "top_share",
     )
+
+
+@query(
+    "q219_jpeg_decode_stats",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 2 + doc_id % 3 AS tx, 2 + doc_id % 2 AS ty
+      FROM documents WHERE doc_id < 500
+    ),
+    tiles AS (
+      SELECT doc_id, tx, ty, ii.i AS i, jj.j AS j
+      FROM params,
+           LATERAL (SELECT UNNEST(range(0, tx)) AS i) ii,
+           LATERAL (SELECT UNNEST(range(0, ty)) AS j) jj
+    ),
+    ycc AS (
+      SELECT doc_id, tx, ty,
+             CAST(16 + (doc_id + 5 * i + 11 * j) % 224 AS DOUBLE) AS y,
+             CAST(16 + (3 * doc_id + 7 * i + 13 * j) % 224 AS DOUBLE) AS cb,
+             CAST(16 + (7 * doc_id + 11 * i + 3 * j) % 224 AS DOUBLE) AS cr
+      FROM tiles
+    ),
+    rgb AS (
+      SELECT doc_id, tx, ty,
+             LEAST(GREATEST(FLOOR(y + 1.402 * (cr - 128) + 0.5), 0), 255) AS r,
+             LEAST(GREATEST(FLOOR(y - 0.344136 * (cb - 128)
+                                    - 0.714136 * (cr - 128) + 0.5), 0), 255) AS g,
+             LEAST(GREATEST(FLOOR(y + 1.772 * (cb - 128) + 0.5), 0), 255) AS b
+      FROM ycc
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 * tx AS INT) AS width, CAST(8 * ty AS INT) AS height,
+           ROUND(AVG(r), 4) AS mean_r,
+           ROUND(AVG(g), 4) AS mean_g,
+           ROUND(AVG(b), 4) AS mean_b
+    FROM rgb GROUP BY doc_id, tx, ty ORDER BY doc_id
+    """,
+)
+def q219_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LOSSY-codec decode, stdlib+numpy only (functions/multimodal
+    attach_jpeg_media → decode_jpeg): spec-conformant baseline JPEGs
+    (JFIF headers, Annex K Huffman tables, zigzag DQT, 0xFF byte
+    stuffing) are synthesized per doc as grids of constant-color 8×8
+    tiles with closed-form planted YCbCr values; the decode runs the
+    full entropy pipeline — Huffman decode with DC prediction and
+    ZRL/EOB, dequantize, de-zigzag, IDCT, YCbCr→RGB — and DuckDB
+    predicts the channel means ANALYTICALLY from the planting formula
+    (constant tiles live on the codec's lossless sublattice: DC-only
+    blocks with quant step 1 round-trip bit-exactly), so the oracle is
+    fully independent of the codec pair. The spec constants themselves
+    (zigzag order, Annex K tables, IDCT basis, EXTEND coding) are
+    pinned by independent literals in tests/test_llm_ops.py; lossy-path
+    correctness (nonzero ACs, dequantization, byte stuffing) is covered
+    by the random-image round-trip bound there. MP4 is now the ONLY
+    remaining media stub (genuinely needs external codecs). Same 100 TB
+    shape as q200: zero-shuffle Arrow map, bytes never leave the
+    executor."""
+    from .functions.multimodal import attach_jpeg_media, decode_jpeg
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = attach_jpeg_media(d, "doc_id")
+    stats = decode_jpeg(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    ).orderBy("media_id")

@@ -1098,3 +1098,171 @@ def test_quantile_sketch_ignores_nulls(spark):
     for q, est in got_dirty.items():
         assert est == got_clean[q], (q, est, got_clean[q])
         assert abs(est - q * 999.0) <= width + 1e-9, (q, est)
+
+
+# ------------------------------------------------------------------ JPEG
+# Spec constants pinned INDEPENDENTLY of the codec (re-derived or quoted
+# from ITU-T T.81 in the test itself), so a matching encoder/decoder bug
+# pair cannot self-certify through the q219 round-trip.
+
+
+def test_jpeg_zigzag_matches_diagonal_walk():
+    """Re-derive the zigzag order with the standard diagonal walk and
+    compare against the codec's table."""
+    from ddf_flink_spark.functions.multimodal import JPEG_ZIGZAG
+
+    order = []
+    for s in range(15):  # anti-diagonals
+        rng = range(s + 1)
+        ij = [(i, s - i) for i in rng if i < 8 and s - i < 8]
+        if s % 2 == 0:
+            ij = ij[::-1]  # even diagonals run bottom-left -> top-right
+        order.extend(r * 8 + c for r, c in ij)
+    assert order == JPEG_ZIGZAG
+
+
+def test_jpeg_annexk_tables_spec():
+    """Structural + literal checks of the Annex K tables against the
+    published spec: table sizes, symbol sets, and the published codes
+    for DC-luma category 0 ('00'), AC-luma EOB ('1010') and AC-luma ZRL
+    ('11111111001')."""
+    from ddf_flink_spark.functions.multimodal import (
+        JPEG_AC_CHROMA,
+        JPEG_AC_LUMA,
+        JPEG_DC_CHROMA,
+        JPEG_DC_LUMA,
+        _jpeg_canonical_codes,
+    )
+
+    for bits, huffval in (JPEG_DC_LUMA, JPEG_DC_CHROMA):
+        assert sum(bits) == len(huffval) == 12
+        assert sorted(huffval) == list(range(12))
+    for bits, huffval in (JPEG_AC_LUMA, JPEG_AC_CHROMA):
+        assert sum(bits) == len(huffval) == 162
+        assert 0x00 in huffval and 0xF0 in huffval  # EOB + ZRL present
+        for sym in huffval:
+            size = sym & 0xF
+            assert sym in (0x00, 0xF0) or 1 <= size <= 10
+    dc = _jpeg_canonical_codes(*JPEG_DC_LUMA)
+    assert dc[0] == (0b00, 2)
+    assert dc[1] == (0b010, 3) and dc[5] == (0b110, 3)
+    ac = _jpeg_canonical_codes(*JPEG_AC_LUMA)
+    assert ac[0x00] == (0b1010, 4)  # EOB, published Annex K value
+    assert ac[0xF0] == (0b11111111001, 11)  # ZRL, published Annex K value
+    # canonical codes must be prefix-free
+    codes = sorted((ln, code) for code, ln in ac.values())
+    as_str = [format(code, f"0{ln}b") for ln, code in codes]
+    for i, a in enumerate(as_str):
+        for b in as_str[i + 1 :]:
+            assert not b.startswith(a)
+
+
+def test_jpeg_idct_matches_direct_formula():
+    """The matrix IDCT must equal the literal T.81 A.3.3 summation
+    (computed here with explicit quadruple loops) on random blocks."""
+    import numpy as np
+
+    from ddf_flink_spark.functions.multimodal import _jpeg_dct_matrix
+
+    rng = np.random.default_rng(219)
+    m = _jpeg_dct_matrix()
+    for _ in range(3):
+        coef = rng.integers(-200, 200, (8, 8)).astype(float)
+        fast = m.T @ coef @ m
+        direct = np.zeros((8, 8))
+        for x in range(8):
+            for y_ in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+                        cv = (1 / np.sqrt(2)) if v == 0 else 1.0
+                        s += (
+                            cu * cv * coef[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y_ + 1) * v * np.pi / 16)
+                        )
+                direct[x, y_] = s / 4.0
+        assert np.abs(fast - direct).max() < 1e-9
+
+
+def test_jpeg_roundtrip_random_within_quant_error():
+    """Random (non-constant) planes exercise the AC path: nonzero
+    coefficients, run-lengths, dequantization, byte stuffing. The decode
+    must stay within the quantization error envelope; a decoder that
+    skipped dequantization or mis-ordered the zigzag would blow it."""
+    import numpy as np
+
+    from ddf_flink_spark.functions.multimodal import (
+        jpeg_decode_baseline,
+        jpeg_encode_baseline,
+    )
+
+    stuffed_seen = False
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        y = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+        cb = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+        cr = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+        blob = jpeg_encode_baseline(y, cb, cr)
+        stuffed_seen = stuffed_seen or (b"\xff\x00" in blob)
+        w, h, px = jpeg_decode_baseline(blob)
+        assert (w, h) == (24, 16)
+        yf, cbf, crf = (p.astype(float) for p in (y, cb, cr))
+        exp_r = np.clip(np.floor(yf + 1.402 * (crf - 128) + 0.5), 0, 255)
+        exp_g = np.clip(
+            np.floor(yf - 0.344136 * (cbf - 128) - 0.714136 * (crf - 128) + 0.5),
+            0, 255,
+        )
+        exp_b = np.clip(np.floor(yf + 1.772 * (cbf - 128) + 0.5), 0, 255)
+        for ch, exp in ((0, exp_r), (1, exp_g), (2, exp_b)):
+            err = np.abs(px[:, :, ch] - exp)
+            assert err.max() <= 16, (seed, ch, err.max())
+            assert err.mean() <= 3, (seed, ch, err.mean())
+    assert stuffed_seen, "no test blob exercised 0xFF byte stuffing"
+
+
+def test_jpeg_constant_tiles_bit_exact():
+    """Constant 8x8 tiles live on the codec's lossless sublattice (DC-only
+    blocks, DC quant step 1): the decode must reproduce the planted
+    values EXACTLY — the invariant the q219 analytic oracle relies on."""
+    import numpy as np
+
+    from ddf_flink_spark.functions.multimodal import (
+        jpeg_decode_baseline,
+        jpeg_encode_baseline,
+    )
+
+    for doc_id in (0, 3, 7, 11):
+        w, h = 8 * (2 + doc_id % 3), 8 * (2 + doc_id % 2)
+        y = np.zeros((h, w), dtype=np.uint8)
+        cb = np.zeros_like(y)
+        cr = np.zeros_like(y)
+        for j in range(h // 8):
+            for i in range(w // 8):
+                y[j * 8 :][:8, i * 8 : i * 8 + 8] = 16 + (doc_id + 5 * i + 11 * j) % 224
+                cb[j * 8 :][:8, i * 8 : i * 8 + 8] = 16 + (3 * doc_id + 7 * i + 13 * j) % 224
+                cr[j * 8 :][:8, i * 8 : i * 8 + 8] = 16 + (7 * doc_id + 11 * i + 3 * j) % 224
+        dw, dh, px = jpeg_decode_baseline(jpeg_encode_baseline(y, cb, cr))
+        assert (dw, dh) == (w, h)
+        yf, cbf, crf = (p.astype(float) for p in (y, cb, cr))
+        assert (px[:, :, 0] == np.clip(np.floor(yf + 1.402 * (crf - 128) + 0.5), 0, 255)).all()
+        assert (px[:, :, 2] == np.clip(np.floor(yf + 1.772 * (cbf - 128) + 0.5), 0, 255)).all()
+
+
+def test_jpeg_rejects_progressive():
+    """A progressive (SOF2) stream must be refused, not mis-decoded."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ddf_flink_spark.functions.multimodal import (
+        jpeg_decode_baseline,
+        jpeg_encode_baseline,
+    )
+
+    y = np.full((8, 8), 100, dtype=np.uint8)
+    blob = bytearray(jpeg_encode_baseline(y, y, y))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with _pytest.raises(AssertionError):
+        jpeg_decode_baseline(bytes(blob))
