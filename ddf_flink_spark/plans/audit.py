@@ -125,3 +125,81 @@ def audit_plan(df: DataFrame) -> list[str]:
             "TakeOrderedAndProject — full sort where a top-k heap suffices"
         )
     return findings
+
+
+def measure_bounded_hazards(df: DataFrame) -> list[tuple[str, str, int]]:
+    """EXECUTE the frame and return runtime row counts for every plan
+    node an audit exemption claims is bounded, as ``(kind, node, rows)``
+    triples:
+
+    * ``single-partition`` — rows = shuffle records written into a
+      SinglePartition exchange (the claim: O(1)/O(k) funnel, not the
+      dataset);
+    * ``cartesian-product`` — rows = the BROADCAST side's size for a
+      BroadcastNestedLoopJoin (the claim: one side is a fixed seed set /
+      k centroids / 1-row scalar — the output of such a join is
+      input-sized, which is fine; the hazard would be a LARGE broadcast
+      side), or output rows for a true CartesianProduct.
+
+    The runtime audit (tests/test_plans.py::
+    test_audit_exemptions_are_bounded_at_runtime) asserts these stay
+    small at sf0.1, turning the AUDIT_EXEMPT prose ("bounded", "1-row",
+    "k rows") into measured invariants.
+
+    Executes via ``collect()`` — NOT a noop write — because a write
+    spawns its own QueryExecution and would leave this frame's plan
+    metrics at zero; collect() runs (and instruments) the frame's own
+    execution. Exempted queries have small outputs by definition, so the
+    driver-side collect is bounded."""
+    df.collect()
+    qe = df._jdf.queryExecution()
+
+    out: list[tuple[str, str, int]] = []
+
+    def metric(node, key: str) -> int | None:
+        m = node.metrics()
+        if m.contains(key):
+            return int(m.apply(key).value())
+        return None
+
+    def unwrap(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            return unwrap(node.executedPlan())
+        if "QueryStageExec" in cls:
+            return unwrap(node.plan())
+        # pure pass-through wrappers (codegen plumbing / exchange reuse)
+        if cls in ("InputAdapter", "WholeStageCodegenExec", "ReusedExchangeExec"):
+            return unwrap(node.child())
+        return node
+
+    def broadcast_side_rows(join_node) -> int | None:
+        ch = join_node.children()
+        for i in range(ch.size()):
+            c = unwrap(ch.apply(i))
+            if c.getClass().getSimpleName() == "BroadcastExchangeExec":
+                return metric(c, "numOutputRows")
+        return None
+
+    def walk(node) -> None:
+        node = unwrap(node)
+        cls = node.getClass().getSimpleName()
+        if cls == "ShuffleExchangeExec":
+            part = node.outputPartitioning().toString()
+            if "SinglePartition" in part:
+                rows = metric(node, "shuffleRecordsWritten")
+                out.append(("single-partition", cls, rows if rows is not None else -1))
+        elif cls == "BroadcastNestedLoopJoinExec":
+            rows = broadcast_side_rows(node)
+            if rows is None:
+                rows = metric(node, "numOutputRows")
+            out.append(("cartesian-product", cls, rows if rows is not None else -1))
+        elif cls == "CartesianProductExec":
+            rows = metric(node, "numOutputRows")
+            out.append(("cartesian-product", cls, rows if rows is not None else -1))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(qe.executedPlan())
+    return out

@@ -535,3 +535,38 @@ def test_lsh_banding_materializes_signatures_once(spark):
             + plan[:2000]
         )
         assert "ExistingRDD" in plan
+
+
+# The q90 global NTILE is deliberately data-sized: it IS the exactness
+# path (single total-order window), documented as such — the scale
+# default for equal-frequency work is the GK sketch. Every other
+# exemption claims an O(1)/O(k) bound, checked below at runtime.
+RUNTIME_UNBOUNDED: dict[str, str] = {
+    "q90_ntile_binning": "exact global NTILE is data-sized by design",
+}
+
+RUNTIME_BOUND_ROWS = 10_000
+
+
+@pytest.mark.parametrize("name", sorted(set(AUDIT_EXEMPT) - set(RUNTIME_UNBOUNDED)))
+def test_audit_exemptions_are_bounded_at_runtime(spark, name):
+    """Every AUDIT_EXEMPT entry asserts in prose that its
+    single-partition funnel / nested-loop join is 'bounded' ('1-row
+    aggregate', 'k centroids', 'fixed seed set'). This test MEASURES the
+    claim at sf0.1: execute the query and read the runtime SQL metrics —
+    shuffle records written into each SinglePartition exchange, and the
+    broadcast side's row count for each BroadcastNestedLoopJoin (the
+    output of a 1-row-broadcast join is input-sized, which is fine; the
+    hazard would be a large broadcast side). Anything above
+    RUNTIME_BOUND_ROWS means the exemption's justification no longer
+    holds and must be re-adjudicated, not re-worded."""
+    from ddf_flink_spark.plans.audit import measure_bounded_hazards
+    from ddf_flink_spark.storage import release_all_storage
+
+    measures = measure_bounded_hazards(QUERIES[name](spark, "/root/testdata/sf0.1"))
+    release_all_storage(spark)
+    over = [(k, n, r) for k, n, r in measures if r > RUNTIME_BOUND_ROWS or r < 0]
+    assert not over, (
+        f"{name}: exempted hazards exceed the measured bound "
+        f"({RUNTIME_BOUND_ROWS} rows): {over}; all measures: {measures}"
+    )

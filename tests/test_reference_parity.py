@@ -400,3 +400,93 @@ def test_bigint_stays_exact_not_double_divergence_pinned(mgr, spark):
     distinct = ddf.sql("SELECT COUNT(DISTINCT v) AS n FROM @this").df.collect()
     assert distinct[0]["n"] == 2
     assert dict(ddf.df.dtypes)["v"] == "bigint"
+
+
+def test_demo_flow_end_to_end(mgr, airline):
+    """Replay the reference's user-facing demo script
+    (``/root/reference/docs/demo.md``) END TO END as one flow —
+    CREATE+LOAD → sql2ddf → project → @this filter → groupBy+top →
+    summary / five-num → binning + factor levels → transformScaleMinMax
+    → mutable dropNA → named-DDF colab → ML k-means — asserting each
+    step's output against goldens computed INDEPENDENTLY from the csv
+    with pandas (never from this engine's own output)."""
+    import math
+
+    import pandas as pd
+
+    cols = [c.split()[0] for c in AIRLINE_COLUMNS.split(", ")]
+    ref = pd.read_csv(
+        f"{REF_RES}/airline.csv", names=cols, na_values=["NA"], keep_default_na=False
+    )
+
+    # --- Table like ---------------------------------------------------
+    table = mgr.sql2ddf("select * from airline")
+    assert table.num_rows() == len(ref) == 31
+    assert len(table.columns) == 29
+    assert table.columns == cols
+
+    table2 = table.project("ArrDelay", "DepDelay", "Origin", "DayOfWeek", "Cancelled")
+    assert table2.columns == ["ArrDelay", "DepDelay", "Origin", "DayOfWeek", "Cancelled"]
+
+    _, isp_rows = table2.sql2list("select * from @this where Origin='ISP'")
+    assert len(isp_rows) == int((ref["Origin"] == "ISP").sum())
+
+    table4 = table2.group_by(["Origin"], ["adelay=avg(ArrDelay)"])
+    assert table4.num_rows() == ref["Origin"].nunique()
+    top2 = table4.top(2, "adelay", ascending=True).df.collect()
+    golden_top = (
+        ref.groupby("Origin")["ArrDelay"].mean().sort_values().head(2)
+    )
+    assert [r["Origin"] for r in top2] == list(golden_top.index)
+    for r, (_, v) in zip(top2, golden_top.items()):
+        assert math.isclose(r["adelay"], v, rel_tol=1e-9)
+
+    # --- R-dataframe-like: summary, five-num, binning, rescale --------
+    stats_table = table2.project("ArrDelay", "DepDelay", "DayOfWeek", "Cancelled")
+    s = stats_table.summary()
+    assert math.isclose(s["ArrDelay"]["mean"], ref["ArrDelay"].mean(), rel_tol=1e-9)
+    assert s["ArrDelay"]["count"] == int(ref["ArrDelay"].notna().sum())
+    assert s["ArrDelay"]["max"] == ref["ArrDelay"].max()
+
+    fns = stats_table.five_num_summary(["DayOfWeek"])["DayOfWeek"]
+    assert fns["min"] == ref["DayOfWeek"].min() and fns["max"] == ref["DayOfWeek"].max()
+
+    table5 = table.binning("Distance", "EQUALINTERVAL", 3, include_lowest=True)
+    levels = table5.factor_level_counts(["Distance"])["Distance"]
+    lo, hi = ref["Distance"].min(), ref["Distance"].max()
+    step = (hi - lo) / 3
+    golden_bins = pd.cut(
+        ref["Distance"],
+        [lo, lo + step, lo + 2 * step, hi],
+        include_lowest=True,
+    ).value_counts()
+    assert sorted(levels.values()) == sorted(int(x) for x in golden_bins.values)
+    assert sum(levels.values()) == len(ref)
+
+    rescaled = table2.transform_scale_min_max()
+    rs = rescaled.summary()
+    assert rs["ArrDelay"]["min"] == 0.0 and rs["ArrDelay"]["max"] == 1.0
+
+    # --- Not MR: mutable dropNA --------------------------------------
+    stats_table.set_mutable(True)
+    before = stats_table.num_rows()
+    dropped = stats_table.drop_na()
+    golden_complete = len(ref[["ArrDelay", "DepDelay", "DayOfWeek", "Cancelled"]].dropna())
+    assert dropped.num_rows() == golden_complete <= before
+
+    # --- Data colab: named DDFs --------------------------------------
+    mgr.set_ddf_name(table2, "flightInfo")
+    flight = mgr.get_ddf("flightInfo")
+    assert flight.columns == table2.columns
+
+    # --- ML: k-means on (ArrDelay, DepDelay) -------------------------
+    from ddf_flink_spark.ml.facade import MLFacade
+
+    ml_data = table.project("ArrDelay", "DepDelay").drop_na()
+    facade = MLFacade(ml_data.df)
+    model = facade.kmeans(["ArrDelay", "DepDelay"], k=3, max_iter=5)
+    preds = facade.apply_model(
+        model, ml_data.df, feature_cols=["ArrDelay", "DepDelay"]
+    ).collect()
+    assert len(preds) == ml_data.num_rows()
+    assert {r["yPredict"] for r in preds} <= {0, 1, 2}
