@@ -455,3 +455,97 @@ def bpe_learn(
         release_checkpoint(words)
         words = new_words
     return merges, words
+
+
+def passage_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_tokens: int = 8,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Explode every ``n_tokens``-token window (stride 1) of each doc to
+    one row with its cross-engine 60-bit hash: (id, *extra, h). The
+    passage-granularity index under q220's duplication report — shuffle
+    carries hashes, never window text; O(tokens) rows."""
+    from .dedup import md5_long
+
+    extra = list(extra_cols or [])
+    toks = df.select(
+        F.col(id_col).alias("id"), *extra, tokens(text_col).alias("ts")
+    ).filter(F.size("ts") >= n_tokens)
+    return toks.select(
+        "id",
+        *extra,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - (n_tokens - 1)),
+                lambda i: F.concat_ws(" ", F.slice("ts", i, n_tokens)),
+            )
+        ).alias("w"),
+    ).select("id", *extra, md5_long(F.col("w")).alias("h"))
+
+
+def passage_duplication(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_tokens: int = 8,
+) -> DataFrame:
+    """Per-group duplicated-passage rate (Lee et al. 2022 exact-substring
+    dedup at window granularity): a window is duplicated when its hash
+    occurs in >1 distinct doc. Returns (group, n_windows, n_dup_windows,
+    dup_rate). Registry q220 is the oracle-checked instance."""
+    wins = passage_windows(df, text_col, id_col, n_tokens, [group_col])
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        wins.join(dup, "h", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def repetition_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc within-document repetition: 1 − distinct/total over
+    ``n``-gram windows — the degenerate-text signal (loops, stuffing).
+    Returns (id, n_grams, rep). Registry q221 rolls it up per language
+    with the exact-int-sum mean discipline."""
+    grams = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("ts"))
+        .filter(F.size("ts") >= n)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("ts", i, n)),
+                )
+            ).alias("g"),
+        )
+    )
+    return grams.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        (
+            F.lit(1.0) - F.countDistinct("g") / F.count(F.lit(1)).cast("double")
+        ).alias("rep"),
+    )

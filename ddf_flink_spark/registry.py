@@ -10327,3 +10327,99 @@ def q219_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 4).alias("mean_g"),
         F.round("mean_b", 4).alias("mean_b"),
     ).orderBy("media_id")
+
+
+@query(
+    "q220_repeated_passage_detection",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, source,
+             CAST(('0x' || SUBSTRING(md5(array_to_string(ts[i:i+7], ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM toks,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 7)) AS i) s
+      WHERE LEN(ts) >= 8
+    ),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+    SELECT w.source, COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           ROUND(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+    FROM wins w LEFT JOIN dup d ON w.h = d.h
+    GROUP BY w.source ORDER BY w.source
+    """,
+)
+def q220_repeated_passage_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-level duplication (Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better", the exact-substring variant at
+    window granularity): every 8-token window (stride 1) is hashed, a
+    window is DUPLICATED if its hash appears in more than one document,
+    and each source is scored by its duplicated-window rate — the signal
+    that catches boilerplate/templates that doc-level dedup (q30/q31)
+    misses because the containing documents differ. Shuffle carries
+    (md5_long, doc_id) pairs — never window text — and the dup set is
+    the standard inverted-index GROUP BY; at 100 TB this is the same
+    banding-shaped shuffle as MinHash, O(tokens) rows. DuckDB replays
+    windows, hashes and the rollup exactly."""
+    from .functions.text import passage_duplication
+
+    d = t(spark, sf_dir, "documents")
+    return passage_duplication(d, "text", "doc_id", "source", n_tokens=8)
+
+
+@query(
+    "q221_intra_doc_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(text), ' ') AS ts
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, lang,
+             array_to_string(ts[i:i+2], ' ') AS g
+      FROM toks,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
+      WHERE LEN(ts) >= 3
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             COUNT(*) AS n3, COUNT(DISTINCT g) AS nd,
+             1.0 - COUNT(DISTINCT g) / CAST(COUNT(*) AS DOUBLE) AS rep
+      FROM grams GROUP BY doc_id, lang
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(SUM(CAST(ROUND(rep * 1e6) AS BIGINT)) / COUNT(*) / 1e6, 6)
+             AS avg_repetition,
+           ROUND(MAX(rep), 6) AS max_repetition
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def q221_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition ratio — the degenerate-text quality
+    signal (loops, boilerplate, keyword stuffing): per doc,
+    1 − distinct/total over 3-gram windows; rolled up per language as
+    exact-integer-summed average (q162 round-then-int-sum discipline so
+    the mean is shuffle-order independent) plus the per-lang maximum.
+    One explode + one two-key groupBy per doc — O(tokens) rows, no
+    joins; complements q34's length/punct features and q220's
+    CROSS-doc passage duplication."""
+    from .functions.text import repetition_ratio
+
+    d = t(spark, sf_dir, "documents")
+    per_doc = repetition_ratio(d, "text", "doc_id", n=3).join(
+        d.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.round(F.col("rep") * 1e6).cast("long")) / F.count(F.lit(1)) / 1e6,
+                6,
+            ).alias("avg_repetition"),
+            F.round(F.max("rep"), 6).alias("max_repetition"),
+        )
+        .orderBy("lang")
+    )

@@ -1266,3 +1266,40 @@ def test_jpeg_rejects_progressive():
     blob[sof + 1] = 0xC2
     with _pytest.raises(AssertionError):
         jpeg_decode_baseline(bytes(blob))
+
+
+def test_passage_duplication_planted(spark):
+    """Two docs share one 10-token boilerplate passage; a third is
+    unique: the shared windows (and only those) must count as
+    duplicated, per source."""
+    from ddf_flink_spark.functions.text import passage_duplication
+
+    boiler = "this content is provided as is without warranty of any kind"
+    rows = [
+        (0, "a", f"alpha beta gamma {boiler} delta epsilon"),
+        (1, "b", f"one two three four five six {boiler} seven eight"),
+        (2, "b", "nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in
+           passage_duplication(df, group_col="source", n_tokens=8).collect()}
+    # the 11-token boilerplate yields 4 shared 8-token windows per doc
+    assert got["a"]["n_dup_windows"] == 4
+    assert got["b"]["n_dup_windows"] == 4  # doc 1's copies; doc 2 contributes none
+    assert got["a"]["dup_rate"] > 0 and got["b"]["dup_rate"] > 0
+    assert got["b"]["n_windows"] > got["a"]["n_windows"]
+
+
+def test_repetition_ratio_planted(spark):
+    """A looping doc must score far higher than an all-distinct doc;
+    an all-distinct doc scores exactly 0."""
+    from ddf_flink_spark.functions.text import repetition_ratio
+
+    rows = [
+        (0, " ".join(["spam ham eggs"] * 10)),          # heavy 3-gram repetition
+        (1, "a b c d e f g h i j k l m n o p"),         # all 3-grams distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["rep"] for r in repetition_ratio(df).collect()}
+    assert got[1] == 0.0
+    assert got[0] > 0.8
