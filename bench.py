@@ -75,6 +75,10 @@ HEADLINE = [
     "q175_bm25_retrieval",
     "q183_countmin_sketch",
     "q205_prefix_filter_shingle_jaccard",
+    # round-5 additions: passage-level dedup signal (two-shuffle
+    # inverted-index shape) and intra-doc repetition (explode + 2-key agg)
+    "q220_repeated_passage_detection",
+    "q221_intra_doc_repetition",
 ]
 
 # The 19-query set benchmarked since round 1 — a stable subtotal so

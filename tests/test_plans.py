@@ -427,6 +427,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     "q141_tpch_q17_small_qty_revenue": {"single-partition"},  # 1-row agg
     "q143_morton_layout": {"single-partition"},  # 1-row box aggregate
     "q158_cv_kfold_deterministic": {"single-partition"},  # 5-row fold sizes
+    # 1-row sample aggregate crossJoined with the broadcast 1-row
+    # realness (semi-join count) aggregate
+    "q65_sample_exact": {"single-partition", "cartesian-product"},
     # window over VOCAB (≪ corpus); non-equi join against the fixed 4-row
     # coverage-levels side (bounded broadcast)
     "q165_vocab_coverage": {"single-partition", "cartesian-product"},
