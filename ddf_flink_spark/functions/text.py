@@ -549,3 +549,43 @@ def repetition_ratio(
             F.lit(1.0) - F.countDistinct("g") / F.count(F.lit(1)).cast("double")
         ).alias("rep"),
     )
+
+
+def kl_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty vs the corpus: KL(p_doc ‖ p_corpus) over
+    unigram distributions — Σ_w p_d(w)·ln(p_d(w)/p_C(w)). High scores
+    surface out-of-distribution documents (the curation triage signal:
+    both treasure and garbage live in the tail). Every per-word term is
+    ROUND(term·1e9) summed as exact int64 (the q162 discipline), so the
+    score — and any ranking on it — is shuffle-order independent and
+    engine-replayable despite libm ln() ulp differences. Returns
+    (id, n_tokens, kl9) with kl9 the exact scaled-integer sum; divide by
+    1e9 for the nats value. Shuffle profile: one token explode, keyed
+    aggregations, two dimension joins (corpus word counts; doc lengths)
+    — O(tokens) rows, the vocabulary table never funnels through one
+    partition."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w"))
+    dlen = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    corpus = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    total = toks.agg(F.count(F.lit(1)).alias("nn"))
+    dw = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    pd_ = F.col("c") / F.col("n").cast("double")
+    pc = F.col("cw") / F.col("nn").cast("double")
+    terms = (
+        dw.join(dlen, "id")
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            "n",
+            F.round(pd_ * F.log(pd_ / pc) * 1e9).cast("long").alias("t9"),
+        )
+    )
+    return terms.groupBy("id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.sum("t9").cast("long").alias("kl9"),
+    )

@@ -10423,3 +10423,268 @@ def q221_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q222_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           ROUND(SUM(p_retailprice), 2) AS total_price,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q222_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC SINK + SOURCE round-trip — the third columnar interchange
+    format after parquet (q53/q88/q91) and the text formats (q120):
+    write the part dim to ORC (zlib, Spark's native vectorized writer),
+    read it back with the declared schema, and join the read-back to the
+    parquet original on the key, counting rows where ANY column
+    disagrees null-safely; the oracle pins that count to zero per brand
+    alongside the rollup, so a round-trip defect (type narrowing,
+    decimal drift, null swallowing) flips the hash even when counts
+    survive. ORC matters operationally as the interchange path with
+    Hive-ecosystem warehouses; analytics storage stays parquet."""
+    import os
+    import tempfile
+    from functools import reduce
+
+    base = os.path.join(tempfile.gettempdir(), "ddf_q222")
+    p = t(spark, sf_dir, "part")
+    orc_path = f"{base}/orc"
+    p.write.mode("overwrite").option("compression", "zlib").orc(orc_path)
+    back = spark.read.schema(p.schema).orc(orc_path)
+    cols = [x for x in p.columns if x != "p_partkey"]
+    differs = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"__o.{x}").eqNullSafe(F.col(f"__p.{x}")) for x in cols],
+    )
+    mism = (
+        back.alias("__o")
+        .join(p.alias("__p"), "p_partkey", "full")
+        .groupBy(F.col("__o.p_brand").alias("p_brand"))
+        .agg(F.sum(F.when(differs, 1).otherwise(0)).cast("long").alias("n_mismatch"))
+    )
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+        .join(mism, "p_brand")
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q223_kl_novelty_outliers",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents
+    ),
+    dlen AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    corpus AS (SELECT w, COUNT(*) AS cw FROM toks GROUP BY w),
+    tot AS (SELECT COUNT(*) AS nn FROM toks),
+    dw AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+    terms AS (
+      SELECT d.doc_id,
+             l.n,
+             CAST(ROUND(
+               (d.c / CAST(l.n AS DOUBLE))
+               * LN((d.c / CAST(l.n AS DOUBLE))
+                    / (c.cw / CAST((SELECT nn FROM tot) AS DOUBLE)))
+               * 1e9) AS BIGINT) AS t9
+      FROM dw d JOIN dlen l USING (doc_id) JOIN corpus c USING (w)
+    ),
+    kl AS (SELECT doc_id, MAX(n) AS n_tokens, SUM(t9) AS kl9
+           FROM terms GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(kl9 / 1e9, 4) AS kl_novelty
+    FROM kl
+    ORDER BY ROUND(kl9 / 1e9, 6) DESC, doc_id LIMIT 20
+    """,
+)
+def q223_kl_novelty_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 OUT-OF-DISTRIBUTION documents by unigram KL divergence vs
+    the corpus distribution (functions/text.kl_novelty) — the curation
+    triage signal: the novelty tail is where both rare-treasure and
+    garbage live, so it is the first human-review queue a data pipeline
+    emits. Scores are exact scaled-integer sums (per-term round-1e9 →
+    int64), so DuckDB reproduces every score and the top-20 frontier
+    bit-for-bit; ranking uses the round-6 value with an id tiebreak
+    (the q154 frontier discipline). TakeOrderedAndProject top-k — no
+    global sort."""
+    from .functions.text import kl_novelty
+
+    d = t(spark, sf_dir, "documents")
+    kl = kl_novelty(d, "text", "doc_id")
+    return (
+        kl.select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.round(F.col("kl9") / 1e9, 4).alias("kl_novelty"),
+            F.round(F.col("kl9") / 1e9, 6).alias("__rank"),
+        )
+        .orderBy(F.desc("__rank"), "doc_id")
+        .limit(20)
+        .drop("__rank")
+    )
+
+
+def _q224_oracle(k: int = 8, tau: float = 0.38) -> str:
+    # Deterministic-Lloyd cells (the q39/q155/q146 recurrence) +
+    # within-cell cosine edges at round-6 >= tau + recursive-CTE CC +
+    # per-cell dedup rollup.
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    return f"""
+    WITH RECURSIVE emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {k})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
+    edges AS (
+      SELECT ca.id AS id_a, cb.id AS id_b
+      FROM cells ca
+      JOIN cells cb ON ca.cluster = cb.cluster AND ca.id < cb.id
+      JOIN emb ea ON ea.id = ca.id
+      JOIN emb eb ON eb.id = cb.id
+      WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {tau}
+    ),
+    bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach AS (
+      SELECT id, id AS root FROM cells
+      UNION
+      SELECT b.dst AS id, r.root FROM reach r JOIN bidir b ON b.src = r.id
+    ),
+    cc AS (SELECT id, MIN(root) AS label FROM reach GROUP BY id),
+    per_edge AS (
+      SELECT ca.cluster AS cell, COUNT(*) AS n_dup_pairs
+      FROM edges e JOIN cells ca ON ca.id = e.id_a GROUP BY ca.cluster
+    )
+    SELECT c.cluster AS cell,
+           COUNT(*) AS n_docs,
+           COALESCE(MAX(p.n_dup_pairs), 0) AS n_dup_pairs,
+           CAST(SUM(CASE WHEN cc.label != c.id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN cc.label = c.id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM cells c
+    JOIN cc ON cc.id = c.id
+    LEFT JOIN per_edge p ON p.cell = c.cluster
+    GROUP BY c.cluster ORDER BY c.cluster
+    """
+
+
+@query("q224_semantic_dedup", oracle=_q224_oracle())
+def q224_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC deduplication (SemDeDup, Abbas et al. 2023): k-means
+    cells over the embedding space are the BLOCKING — only within-cell
+    pairs are scored — then cosine ≥ τ edges form duplicate groups via
+    connected components and each group keeps its min-id canonical.
+    Per-cell report: docs, duplicate pairs, removed, kept. The whole
+    chain — deterministic rounded-Lloyd quantizer, cell assignment,
+    round-6 cosine edges, transitive clustering — is replayed by DuckDB
+    (Lloyd CTEs + recursive closure), so the semantic-dedup decision
+    set is hash-verified end to end.
+
+    Scale shape: the pair space is Σ|cell|², so k is the knob — real
+    deployments size k ≈ n/1000 to keep cells bounded (the clustering
+    is to SemDeDup what banding is to MinHash); cells here are 8 for
+    oracle tractability. CC runs one observe-fused job per round; the
+    kmeans input is checkpointed once."""
+    from .functions.dedup import connected_components
+    from .functions.similarity import cosine
+    from .ml.kmeans import kmeans_lloyd
+
+    e = t(spark, sf_dir, "embeddings")
+    assign, _cents = kmeans_lloyd(e, k=8, iters=2, return_centroids=True)
+    cells = assign.select("id", "cluster")
+    emb = e.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.cluster").alias("cell"),
+        )
+        .join(emb.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(emb.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    )
+    edges = pairs.filter(
+        F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.38
+    ).select("id_a", "id_b", "cell")
+    # connected_components returns (id, cluster=CC label); rename to
+    # avoid colliding with the k-means cell column also named "cluster"
+    labels = connected_components(
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        cells.select("id"),
+    ).select("id", F.col("cluster").alias("label"))
+    per_edge = edges.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs")
+    )
+    rollup = (
+        cells.join(labels, "id")
+        .groupBy(F.col("cluster").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("id") != F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("id") == F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+    return (
+        rollup.join(per_edge, "cell", "left")
+        .select(
+            "cell",
+            "n_docs",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            "n_removed",
+            "n_kept",
+        )
+        .orderBy("cell")
+    )

@@ -430,6 +430,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # 1-row sample aggregate crossJoined with the broadcast 1-row
     # realness (semi-join count) aggregate
     "q65_sample_exact": {"single-partition", "cartesian-product"},
+    # corpus token total is a 1-row aggregate crossJoined broadcast into
+    # the per-(doc,word) term computation
+    "q223_kl_novelty_outliers": {"single-partition", "cartesian-product"},
     # window over VOCAB (≪ corpus); non-equi join against the fixed 4-row
     # coverage-levels side (bounded broadcast)
     "q165_vocab_coverage": {"single-partition", "cartesian-product"},
