@@ -513,6 +513,89 @@ class DDF:
             raise ValueError(f"unknown similarity method {method!r}")
         return self._derive(out, keep_factors=False)
 
+    def passage_duplication(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        group_col: str = "source",
+        n_tokens: int = 8,
+    ) -> "DDF":
+        """Per-group duplicated-passage rate: fraction of n-token windows
+        whose hash appears in more than one document (exact-substring
+        dedup signal; registry q220) — functions/text.passage_duplication."""
+        from .functions.text import passage_duplication as _pd
+
+        return self._derive(
+            _pd(self._df, text_col, id_col, group_col, n_tokens), keep_factors=False
+        )
+
+    def repetition_ratio(
+        self, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    ) -> "DDF":
+        """Per-doc within-document repetition (1 − distinct/total n-grams;
+        degenerate-text signal, registry q221) — functions/text.repetition_ratio."""
+        from .functions.text import repetition_ratio as _rr
+
+        return self._derive(_rr(self._df, text_col, id_col, n), keep_factors=False)
+
+    def kl_novelty(self, text_col: str = "text", id_col: str = "doc_id") -> "DDF":
+        """Per-doc unigram KL divergence vs the corpus distribution
+        (out-of-distribution triage; registry q223). Returns
+        (id, n_tokens, kl9) with kl9 the exact scaled-integer score —
+        functions/text.kl_novelty."""
+        from .functions.text import kl_novelty as _kl
+
+        return self._derive(_kl(self._df, text_col, id_col), keep_factors=False)
+
+    def semantic_dedup(
+        self,
+        k: int = 64,
+        tau: float = 0.9,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        iters: int = 2,
+    ) -> "DDF":
+        """SemDeDup (Abbas et al. 2023) keep-set over this DDF's
+        embeddings: deterministic-Lloyd k-means cells block the pair
+        space, within-cell cosine ≥ tau edges form duplicate groups via
+        connected components, each group keeps its min-id member.
+        Returns the SURVIVING rows of this DDF (registry q224 is the
+        per-cell report instance). Size ``k ≈ n/1000`` in production so
+        cells stay bounded — the clustering is the blocking."""
+        from pyspark.sql import functions as F
+
+        from .functions.dedup import connected_components
+        from .functions.similarity import cosine
+        from .ml.kmeans import kmeans_lloyd
+
+        assign = kmeans_lloyd(
+            self._df, vec_col=vec_col, id_col=id_col, k=k, iters=iters
+        )
+        cells = assign.select("id", "cluster")
+        emb = self._df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        a, b = cells.alias("a"), cells.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .join(emb.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+            .join(emb.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+            .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= tau)
+            .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+        labels = connected_components(edges, cells.select("id"))
+        keep = labels.filter(F.col("id") == F.col("cluster")).select(
+            F.col("id").alias(id_col)
+        )
+        return self._derive(
+            self._df.join(keep, id_col, "left_semi"), keep_factors=False
+        )
+
     def decontaminate(
         self,
         benchmark: "DDF",

@@ -524,3 +524,43 @@ def test_filter_funnel_facade(mgr, spark):
     assert rows["b"].retention == 0.0 and rows["a"].retention == round(2 / 3, 4)
     total = ddf.filter_funnel([("gte50", "n >= 50")]).df.collect()
     assert len(total) == 1 and total[0].after_gte50 == 3
+
+
+def test_text_pipeline_facades(mgr, spark):
+    """Round-5 facade additions: passage_duplication / repetition_ratio /
+    kl_novelty delegate to functions/text with the DDF-in, DDF-out shape."""
+    docs = mgr.new_ddf(
+        spark.createDataFrame(
+            [
+                (0, "a", "the shared boilerplate sentence appears in both documents here"),
+                (1, "b", "prefix words then the shared boilerplate sentence appears in both documents here"),
+                (2, "b", "totally different content with unique words nobody repeats"),
+            ],
+            "doc_id long, source string, text string",
+        )
+    )
+    dup = {r["source"]: r for r in docs.passage_duplication(n_tokens=8).df.collect()}
+    assert dup["a"]["n_dup_windows"] > 0 and dup["b"]["n_dup_windows"] > 0
+    rep = {r["id"]: r["rep"] for r in docs.repetition_ratio(n=3).df.collect()}
+    assert set(rep) == {0, 1, 2} and all(0.0 <= v <= 1.0 for v in rep.values())
+    kl = {r["id"]: r["kl9"] for r in docs.kl_novelty().df.collect()}
+    assert set(kl) == {0, 1, 2}
+    # doc 2's vocabulary is rarest corpus-wide -> highest novelty
+    assert kl[2] == max(kl.values())
+
+
+def test_semantic_dedup_facade(mgr, spark):
+    """semantic_dedup keeps one canonical member per within-cell cosine
+    group: two identical vectors collapse, the distinct one survives."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),      # exact duplicate of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [0.99, 0.1, 0.0, 0.0]),     # near-dup of 0 (cos ~0.995)
+    ]
+    emb = mgr.new_ddf(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    kept = sorted(r["vec_id"] for r in emb.semantic_dedup(k=2, tau=0.99).df.collect())
+    assert 0 in kept and 2 in kept
+    assert 1 not in kept  # duplicate collapsed to canonical id 0
