@@ -10688,3 +10688,69 @@ def q224_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query("q225_stream_lsh_dedup", oracle=_minhash_cand_oracle(16, 4))
+def q225_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MinHash+LSH near-dup detection — the incremental form
+    of q31/q144: documents arrive as a stream, each computes its banded
+    md5-family signature MAP-SIDE as pure column expressions (one md5
+    per shingle + 16 affine rehashes + 4 band keys — no streaming
+    aggregation needed), and a stateful operator
+    (streaming/stateful.lsh_bucket_pairs_stateful) files each doc into
+    its (band, bucket) state, emitting a candidate pair the moment a
+    new document collides with a stored one. The union of emissions is
+    arrival-order independent — a pair fires exactly when its later
+    member arrives — so the streamed candidate set equals the BATCH LSH
+    candidate set, and the oracle is literally the batch q144 SQL
+    (16 hashes / 4 bands). This is the production shape for continuous
+    corpus ingestion: dedup decisions at arrival time against
+    everything ever ingested, state = one id list per occupied bucket,
+    RocksDB-spillable, no reprocessing of the historical corpus."""
+    from .functions.dedup import (
+        MINHASH_MERSENNE_P,
+        _minhash_a,
+        _minhash_b,
+        word_shingles,
+    )
+    from .streaming.core import documents_stream, run_available_now
+    from .streaming.stateful import lsh_bucket_pairs_stateful
+
+    p = MINHASH_MERSENNE_P
+    d = documents_stream(spark, sf_dir)
+    sh = word_shingles("text", 3)
+    base = F.transform(
+        sh,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        % F.lit(p),
+    )
+    doc = d.select(
+        F.col("doc_id").alias("id"), base.alias("bb")
+    ).filter(F.size("bb") > 0)
+    hcols = [
+        F.array_min(
+            F.transform(
+                F.col("bb"),
+                lambda b: (F.lit(_minhash_a(i)) * b + F.lit(_minhash_b(i)))
+                % F.lit(p),
+            )
+        ).alias(f"h{i}")
+        for i in range(16)
+    ]
+    sig = doc.select("id", *hcols)
+    bands = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"h{bi * 4 + j}").cast("string") for j in range(4)]
+            ).alias("bucket"),
+        )
+        for bi in range(4)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*bands)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    pairs = run_available_now(
+        lsh_bucket_pairs_stateful(banded), output_mode="append"
+    )
+    return pairs.distinct().orderBy("id_a", "id_b")

@@ -28,12 +28,44 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "events_stream",
+    "documents_stream",
     "tumbling_counts",
     "sliding_counts",
     "session_stats",
     "dedup_stream",
     "run_available_now",
 ]
+
+
+def _stage_stream_dir(path: str) -> str:
+    """File-stream sources monitor a DIRECTORY; the testdata tables are
+    single files, so stage a per-path symlink directory (idempotent,
+    concurrent-safe). Production points at a real landing directory."""
+    import hashlib
+    import os
+
+    if os.path.isdir(path):
+        return path
+    tag = hashlib.md5(path.encode()).hexdigest()[:12]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"ddf_stream_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, os.path.basename(path))
+    if os.path.islink(link) and not os.path.exists(link):
+        os.unlink(link)  # repair dangling link from a deleted sf_dir
+    try:
+        os.symlink(path, link)
+    except FileExistsError:
+        pass
+    return stream_dir
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents parquet — the corpus-as-a-stream
+    source for incremental curation operators (streaming LSH dedup q225,
+    Bloom blocklist q214). Same staging contract as ``events_stream``."""
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(_stage_stream_dir(path))
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_totals", "countmin_grid_stateful"]
+__all__ = ["running_totals", "countmin_grid_stateful", "lsh_bucket_pairs_stateful"]
 
 
 def running_totals(
@@ -100,5 +100,60 @@ def countmin_grid_stateful(keyed: DataFrame, width: int = 1024) -> DataFrame:
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def lsh_bucket_pairs_stateful(banded: DataFrame) -> DataFrame:
+    """INCREMENTAL LSH dedup: candidate pairs emitted AS DOCUMENTS ARRIVE.
+
+    Input is a streaming frame of (band, bucket, id) rows (the banded
+    MinHash signature, computed map-side as column expressions — see
+    registry q225). Each (band, bucket) is a state key holding the
+    sorted id list of every document previously filed in that bucket;
+    when new documents land, each pairs against all stored members plus
+    the earlier-arriving documents of its own batch, and the state
+    absorbs the batch. Emitted rows are (id_a, id_b) with id_a < id_b.
+
+    Arrival-order INDEPENDENCE by construction: an unordered pair
+    {x, y} in the same bucket is emitted exactly once — when the later
+    of the two arrives — so the union of emissions over ANY replay
+    order or batch partitioning equals the batch LSH candidate set
+    (after the cross-band DISTINCT the caller applies), which is
+    exactly what the q225 oracle (the batch q31/q144 SQL) checks.
+
+    Scale posture: state is one sorted id list per occupied bucket —
+    hash-partitioned, RocksDB-spillable; per-batch work per bucket is
+    |new| × (|stored| + |new|)/2 pair emissions, the same pair space
+    the batch join would materialize for that bucket.
+    """
+    out_schema = "id_a long, id_b long"
+    state_schema = "members array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        members = list(state.get[0]) if state.exists else []
+        new_ids = []
+        for pdf in pdfs:
+            new_ids.extend(int(x) for x in pdf["id"])
+        new_ids.sort()
+        a_out, b_out = [], []
+        for nid in new_ids:
+            for old in members:
+                if old == nid:
+                    continue
+                lo, hi = (old, nid) if old < nid else (nid, old)
+                a_out.append(lo)
+                b_out.append(hi)
+            members.append(nid)
+        state.update((sorted(set(members)),))
+        yield pd.DataFrame({"id_a": a_out, "id_b": b_out})
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -267,3 +267,84 @@ def test_incremental_rollup_mv(spark, tmp_path):
     compact_rollup(spark, mv)
     assert spark.read.parquet(mv).count() == live_rows
     assert mv_view() == before
+
+
+def test_stream_lsh_dedup_multibatch_equals_batch(spark, tmp_path):
+    """The stateful LSH operator must accumulate bucket state ACROSS
+    micro-batches: the corpus is split into three files streamed one
+    file per trigger, and the union of per-arrival emissions must equal
+    the batch LSH candidate set (cross-batch pairs only exist if state
+    survived the batch boundary)."""
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.functions.dedup import (
+        MINHASH_MERSENNE_P,
+        _minhash_a,
+        _minhash_b,
+        minhash_lsh_candidates,
+        word_shingles,
+    )
+    from ddf_flink_spark.streaming.core import run_available_now
+    from ddf_flink_spark.streaming.stateful import lsh_bucket_pairs_stateful
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    # three slices written as separate files -> three micro-batches
+    land = str(tmp_path / "land")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+
+    p = MINHASH_MERSENNE_P
+    sh = word_shingles("text", 3)
+    base = F.transform(
+        sh,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        % F.lit(p),
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    doc = stream.select(F.col("doc_id").alias("id"), base.alias("bb")).filter(
+        F.size("bb") > 0
+    )
+    hcols = [
+        F.array_min(
+            F.transform(
+                F.col("bb"),
+                lambda b: (F.lit(_minhash_a(i)) * b + F.lit(_minhash_b(i)))
+                % F.lit(p),
+            )
+        ).alias(f"h{i}")
+        for i in range(16)
+    ]
+    sig = doc.select("id", *hcols)
+    bands = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"h{bi * 4 + j}").cast("string") for j in range(4)]
+            ).alias("bucket"),
+        )
+        for bi in range(4)
+    ]
+    banded = sig.select("id", F.explode(F.array(*bands)).alias("s")).select(
+        "id", F.col("s.band").alias("band"), F.col("s.bucket").alias("bucket")
+    )
+    streamed = {
+        (r["id_a"], r["id_b"])
+        for r in run_available_now(
+            lsh_bucket_pairs_stateful(banded), output_mode="append"
+        )
+        .distinct()
+        .collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=16, bands=4, hash_family="md5"
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
