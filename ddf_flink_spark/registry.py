@@ -10435,16 +10435,14 @@ def q221_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q222_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC SINK + SOURCE round-trip — the third columnar interchange
-    format after parquet (q53/q88/q91) and the text formats (q120):
-    write the part dim to ORC (zlib, Spark's native vectorized writer),
-    read it back with the declared schema, and join the read-back to the
-    parquet original on the key, counting rows where ANY column
-    disagrees null-safely; the oracle pins that count to zero per brand
-    alongside the rollup, so a round-trip defect (type narrowing,
-    decimal drift, null swallowing) flips the hash even when counts
-    survive. ORC matters operationally as the interchange path with
-    Hive-ecosystem warehouses; analytics storage stays parquet."""
+    """ORC round-trip at COLUMN-EXACT strictness: q91 already pins an
+    ORC write/read rollup (counts + averages survive); this entry joins
+    the read-back to the parquet original on the key and counts rows
+    where ANY column disagrees null-safely (the q120 comparison
+    discipline, applied to ORC), so a round-trip defect — type
+    narrowing, decimal drift, null swallowing — flips the hash even
+    when every aggregate survives. Different table (part) and
+    compression (zlib) than q91's orders/default."""
     import os
     import tempfile
     from functools import reduce
@@ -10754,3 +10752,112 @@ def q225_stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucket_pairs_stateful(banded), output_mode="append"
     )
     return pairs.distinct().orderBy("id_a", "id_b")
+
+
+@query(
+    "q226_schema_evolution_read",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(o_channel, 'pre-migration') AS channel,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+)
+def q226_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION under mergeSchema: batch 1 lands without the
+    ``o_channel`` column, batch 2 lands WITH it (the add-a-column
+    migration every long-lived dataset goes through); a single
+    ``mergeSchema`` read unifies both vintages — old rows surface the
+    new column as NULL — and the rollup coalesces them into a
+    'pre-migration' bucket. The oracle replays the union semantics, so
+    a mergeSchema defect (column dropped, wrong null-fill, type clash)
+    flips the hash. At 100 TB this is the contract that lets a
+    petabyte of historical files coexist with an evolved writer —
+    no rewrite of old data."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "ddf_q226")
+    shutil.rmtree(base, ignore_errors=True)
+    o = t(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{base}/data")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, "web")
+        .otherwise("store")
+        .alias("o_channel"),
+    ).write.mode("append").parquet(f"{base}/data")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{base}/data")
+    return (
+        merged.groupBy(
+            F.coalesce("o_channel", F.lit("pre-migration")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "q227_small_file_compaction",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+           ROUND(SUM(l_extendedprice), 2) AS price_checksum,
+           TRUE AS compacted
+    FROM lineitem
+    """,
+)
+def q227_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION — the table-maintenance pass every
+    streaming/incremental sink needs: a deliberately fragmented copy of
+    lineitem (64 files) is rewritten into size-targeted files
+    (repartition to ceil(bytes / 64 MiB targets — here the row-count
+    proxy), and the query hash-pins that compaction changed NOTHING
+    about the data: row count, exact key checksum, rounded price
+    checksum, plus a measured flag that the file count actually
+    dropped. At 100 TB the small-file problem is a scan-throughput
+    killer (footer parsing + task scheduling per tiny file); this is
+    the declarative rewrite that fixes it with full fidelity evidence."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "ddf_q227")
+    shutil.rmtree(base, ignore_errors=True)
+    li = t(spark, sf_dir, "lineitem")
+    frag, comp = f"{base}/fragmented", f"{base}/compacted"
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    fragmented = spark.read.parquet(frag)
+    n_frag_files = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    # size-targeted file count: rows per file capped so each output file
+    # approximates a fixed target (row-count proxy for 64 MiB at this
+    # schema; production uses bytes from the file listing)
+    rows = fragmented.count()
+    target_files = max(1, math.ceil(rows / 500_000))
+    fragmented.repartition(target_files).write.mode("overwrite").parquet(comp)
+    compacted = spark.read.parquet(comp)
+    n_comp_files = len([f for f in os.listdir(comp) if f.endswith(".parquet")])
+    return compacted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_orderkey").cast("long").alias("key_checksum"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price_checksum"),
+        F.lit(n_comp_files < n_frag_files).alias("compacted"),
+    )

@@ -433,6 +433,8 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # corpus token total is a 1-row aggregate crossJoined broadcast into
     # the per-(doc,word) term computation
     "q223_kl_novelty_outliers": {"single-partition", "cartesian-product"},
+    # 1-row fidelity-checksum aggregate over the compacted table
+    "q227_small_file_compaction": {"single-partition"},
     # window over VOCAB (≪ corpus); non-equi join against the fixed 4-row
     # coverage-levels side (bounded broadcast)
     "q165_vocab_coverage": {"single-partition", "cartesian-product"},
