@@ -10861,3 +10861,99 @@ def q227_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("price_checksum"),
         F.lit(n_comp_files < n_frag_files).alias("compacted"),
     )
+
+
+@query(
+    "q228_deterministic_sharding",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || SUBSTRING(md5('228:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 8 AS shard
+      FROM documents
+    )
+    SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS char_mass
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def q228_deterministic_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPRODUCIBLE dataloader sharding: shard(doc) = md5(seed:id) mod
+    n_shards — a pure function of the data, so every training job,
+    resumption, engine, and partition layout deals the IDENTICAL shards
+    (the property that makes a training run's data order auditable and
+    exactly resumable; contrast `rand()`-based splits, which reshuffle
+    on recompute — the round-2 hazard that motivated the md5 family).
+    The oracle hash-pins per-shard membership (id checksums + char
+    mass), not just sizes. Map-only: a pushable projection, zero
+    shuffle before the rollup."""
+    from .functions.dedup import md5_long
+
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "n_chars",
+        (md5_long(F.col("doc_id").cast("string"), salt=228) % 8)
+        .cast("int")
+        .alias("shard"),
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("char_mass"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "q229_tokenizer_fertility",
+    oracle="""
+    WITH m AS (
+      SELECT lang,
+             LEN(STRING_SPLIT(LOWER(text), ' ')) AS words,
+             LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS toks,
+             LENGTH(text) AS chars
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           ROUND(SUM(toks) / CAST(SUM(words) AS DOUBLE), 4) AS fertility,
+           ROUND(SUM(chars) / CAST(SUM(toks) AS DOUBLE), 4) AS chars_per_token
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+)
+def q229_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language — tokens-per-word and
+    chars-per-token, THE tokenizer-quality diagnostic for a multilingual
+    corpus (high fertility on a language ⇒ the tokenizer fragments it ⇒
+    that language pays more sequence length per content unit; the metric
+    that drives vocab rebalancing decisions). Computed with the
+    regex-token count whose ASCII pattern behaves identically in Java
+    regex and RE2 (``bpe_ish_token_count``), so DuckDB replays every
+    ratio. Ratios divide EXACT integer sums — one division per group,
+    no order-dependent float accumulation."""
+    from .functions.text import bpe_ish_token_count, token_count
+
+    d = t(spark, sf_dir, "documents")
+    m = d.select(
+        "lang",
+        token_count("text").cast("long").alias("words"),
+        bpe_ish_token_count("text").cast("long").alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.round(F.sum("toks") / F.sum("words").cast("double"), 4).alias("fertility"),
+            F.round(F.sum("chars") / F.sum("toks").cast("double"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
