@@ -567,3 +567,93 @@ def test_prefix_filter_lossless_on_random_corpora(spark):
         assert got == want, (threshold, got.keys() ^ want.keys())
         assert (trial, 25) in got and got[(trial, 25)] == 1.0
     release_all_storage(spark)
+
+
+def test_passage_duplication_matches_python_reference(spark):
+    """passage_duplication's per-source duplicated-window rate must equal
+    a pure-Python recomputation on random small corpora (windows built by
+    hand, duplication = window string in >1 distinct doc)."""
+    import random
+
+    from ddf_flink_spark.functions.text import passage_duplication
+    from ddf_flink_spark.storage import release_all_storage
+
+    rng = random.Random(225)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        n_tok = 8
+        docs = []
+        for did in range(14):
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+            docs.append((did, "src" + str(did % 3), " ".join(words)))
+        # plant one guaranteed shared passage across two docs/sources
+        shared = " ".join(rng.choice(vocab) for _ in range(n_tok + 2))
+        docs.append((100, "src0", f"{shared} tail{trial}"))
+        docs.append((101, "src1", f"head{trial} {shared}"))
+
+        # python reference
+        win_docs: dict[str, set[int]] = {}
+        per_doc_windows: dict[int, list[str]] = {}
+        for did, _src, text in docs:
+            toks = text.lower().split(" ")
+            wins = [
+                " ".join(toks[i : i + n_tok])
+                for i in range(len(toks) - n_tok + 1)
+            ] if len(toks) >= n_tok else []
+            per_doc_windows[did] = wins
+            for w in wins:
+                win_docs.setdefault(w, set()).add(did)
+        want: dict[str, list[int]] = {}
+        for did, src, _text in docs:
+            wins = per_doc_windows[did]
+            dup = sum(1 for w in wins if len(win_docs[w]) > 1)
+            tot, d0 = want.get(src, [0, 0])
+            want[src] = [tot + len(wins), d0 + dup]
+        want = {s: (t, d) for s, (t, d) in want.items() if t > 0}
+
+        df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+        got = {
+            r["source"]: (r["n_windows"], r["n_dup_windows"])
+            for r in passage_duplication(df, n_tokens=n_tok).collect()
+        }
+        assert got == want, (trial, got, want)
+        release_all_storage(spark)
+
+
+def test_repetition_ratio_matches_python_reference(spark):
+    """repetition_ratio must equal 1 - distinct/total 3-grams recomputed
+    in pure Python on random corpora."""
+    import random
+
+    from ddf_flink_spark.functions.text import repetition_ratio
+
+    rng = random.Random(226)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (did, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for did in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: (r["n_grams"], round(r["rep"], 9)) for r in repetition_ratio(df).collect()}
+    for did, text in docs:
+        toks = text.split(" ")
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        want = (len(grams), round(1.0 - len(set(grams)) / len(grams), 9))
+        assert got[did] == want, (did, got[did], want)
+
+
+def test_jpeg_truncated_stream_raises(spark):
+    """A JPEG cut off mid-entropy-stream must raise, not return garbage
+    stats (IndexError/AssertionError both acceptable — loud, not wrong)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ddf_flink_spark.functions.multimodal import (
+        jpeg_decode_baseline,
+        jpeg_encode_baseline,
+    )
+
+    y = np.random.default_rng(9).integers(0, 256, (16, 16), dtype=np.uint8)
+    blob = jpeg_encode_baseline(y, y, y)
+    with _pytest.raises((AssertionError, IndexError)):
+        jpeg_decode_baseline(blob[: len(blob) // 2])
