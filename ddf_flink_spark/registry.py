@@ -10957,3 +10957,148 @@ def q229_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q230_mapinarrow_normalize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id,
+             SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             v
+      FROM e
+    )
+    SELECT vec_id,
+           ROUND(nrm, 6) AS l2_norm,
+           ROUND(list_sum(list_transform(v, x -> x / nrm)) /
+                 SQRT(CAST(LEN(v) AS DOUBLE)), 6) AS mean_component_scaled
+    FROM n WHERE vec_id < 50 ORDER BY vec_id
+    """,
+)
+def q230_mapinarrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the LAST Python-execution API member not yet
+    exercised (mapInPandas q55/q67, grouped-agg UDAF q179, UDTF q149,
+    applyInPandasWithState q74/q206): RecordBatches arrive as raw Arrow
+    (zero pandas conversion), the batch L2-normalizes every embedding in
+    vectorized numpy, and ships Arrow back. The per-vector norm and the
+    scaled mean component are hash-checked against DuckDB list
+    arithmetic (identical IEEE op order: square-sum fold → sqrt →
+    divide). This is the minimum-overhead Python escape hatch — use it
+    when even pandas Series construction is measurable; built-ins still
+    beat it wherever they can express the op."""
+    import pyarrow as pa
+
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def normalize_batches(batches):
+        import numpy as np
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids = tbl["vec_id"]
+            vecs = [np.asarray(v, dtype=np.float64) for v in tbl["v"]]
+            norms = [float(np.sqrt((v * v).sum())) for v in vecs]
+            # mean of normalized components, scaled by sqrt(d): the
+            # summation runs left-to-right (np fold order = list fold
+            # order at these sizes via Python float sum for exactness)
+            scaled = []
+            for v, nrm in zip(vecs, norms):
+                acc = 0.0
+                for x in v:
+                    acc += x / nrm
+                scaled.append(acc / np.sqrt(float(len(v))))
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": ids, "l2_norm": norms, "mean_component_scaled": scaled}
+            )
+
+    out = e.mapInArrow(
+        normalize_batches,
+        schema="vec_id long, l2_norm double, mean_component_scaled double",
+    )
+    return out.select(
+        "vec_id",
+        F.round("l2_norm", 6).alias("l2_norm"),
+        F.round("mean_component_scaled", 6).alias("mean_component_scaled"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "q231_nested_json_extraction",
+    oracle="""
+    WITH j AS (
+      SELECT doc_id,
+             '{"meta":{"lang":"' || lang || '","source":"' || source ||
+             '"},"stats":{"chars":' || CAST(n_chars AS VARCHAR) ||
+             ',"flags":["f' || CAST(doc_id % 3 AS VARCHAR) ||
+             '","f' || CAST(doc_id % 5 AS VARCHAR) || '"]}}' AS payload
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id,
+             json_extract_string(payload, '$.meta.lang') AS lang,
+             CAST(json_extract(payload, '$.stats.chars') AS BIGINT) AS chars,
+             UNNEST(CAST(json_extract(payload, '$.stats.flags') AS VARCHAR[])) AS flag
+      FROM j
+    )
+    SELECT lang, flag, COUNT(*) AS n,
+           CAST(SUM(chars) AS BIGINT) AS char_mass
+    FROM parsed GROUP BY lang, flag ORDER BY lang, flag
+    """,
+)
+def q231_nested_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-STRUCTURED analytics: a nested-JSON payload column (object →
+    object → array, the event-envelope shape every ingestion pipeline
+    meets) is parsed with a declared schema via ``from_json``, the
+    nested array exploded, and the rollup grouped on fields from two
+    nesting levels. DuckDB replays the identical synthesized payloads
+    through its json_extract path, so parser semantics (string vs
+    numeric extraction, array unnesting) are hash-checked. Schema-on-read
+    with an explicit struct schema keeps this a codegen'd columnar parse
+    — no Python, no schema inference pass."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('{"meta":{"lang":"'), F.col("lang"),
+        F.lit('","source":"'), F.col("source"),
+        F.lit('"},"stats":{"chars":'), F.col("n_chars").cast("string"),
+        F.lit(',"flags":["f'), (F.col("doc_id") % 3).cast("string"),
+        F.lit('","f'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('"]}}'),
+    )
+    schema = StructType([
+        StructField("meta", StructType([
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ])),
+        StructField("stats", StructType([
+            StructField("chars", LongType()),
+            StructField("flags", ArrayType(StringType())),
+        ])),
+    ])
+    parsed = d.select(
+        "doc_id", F.from_json(payload, schema).alias("p")
+    ).select(
+        F.col("p.meta.lang").alias("lang"),
+        F.col("p.stats.chars").alias("chars"),
+        F.explode("p.stats.flags").alias("flag"),
+    )
+    return (
+        parsed.groupBy("lang", "flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("chars").cast("long").alias("char_mass"),
+        )
+        .orderBy("lang", "flag")
+    )
