@@ -14,6 +14,7 @@ import time
 import traceback
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")  # conftest._normalize (driver compare)
 
 import duckdb  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
@@ -72,11 +73,16 @@ def main() -> None:
         fn = QUERIES[name]
         rec: dict = {}
         t0 = time.time()
+        actual = None
         try:
             df = fn(spark, args.sf)
-            rows = df.collect()
+            # ONE execution: the pandas frame serves both the row count
+            # and the value comparison below
+            import conftest  # tests/conftest via the path insert above
+
+            actual = conftest._normalize(df.toPandas())
             rec["spark_s"] = round(time.time() - t0, 2)
-            rec["rows"] = len(rows)
+            rec["rows"] = len(actual)
         except Exception as e:  # noqa: BLE001
             rec["spark_s"] = round(time.time() - t0, 2)
             rec["err"] = f"{type(e).__name__}: {e}"
@@ -84,10 +90,20 @@ def main() -> None:
         if not args.skip_oracle and name in ORACLES and "err" not in rec:
             t1 = time.time()
             try:
-                orows = con.execute(ORACLES[name]).fetchall()
+                # full driver semantics: rows + schema + VALUES
+                # (column-sorted, row-sorted, null-safe normalization)
+                expected = conftest._normalize(con.execute(ORACLES[name]).fetchdf())
                 rec["duck_s"] = round(time.time() - t1, 2)
-                rec["oracle_rows"] = len(orows)
-                rec["rows_match"] = len(orows) == rec["rows"]
+                rec["oracle_rows"] = len(expected)
+                rec["rows_match"] = len(expected) == rec["rows"]
+                if list(actual.columns) != list(expected.columns):
+                    rec["err"] = "schema mismatch vs oracle"
+                elif len(actual) != len(expected):
+                    pass  # rows_match already records it
+                elif not actual.equals(expected):
+                    rec["err"] = "value mismatch vs oracle"
+                else:
+                    rec["values_match"] = True
             except Exception as e:  # noqa: BLE001
                 rec["duck_s"] = round(time.time() - t1, 2)
                 rec["err"] = f"oracle {type(e).__name__}: {e}"
@@ -108,8 +124,10 @@ def main() -> None:
     )[:15]
     errs = [n for n in timings if "err" in timings[n]]
     mismatch = [n for n in timings if timings[n].get("rows_match") is False]
+    values_ok = sum(1 for n in timings if timings[n].get("values_match"))
     print(json.dumps({
         "wall_s": wall, "n": len(names), "errors": errs, "rows_mismatch": mismatch,
+        "values_match": values_ok,
         "slowest": {n: timings[n] for n in slow},
     }, indent=1))
     spark.stop()
