@@ -752,9 +752,11 @@ def connected_components(
     measurably halves CC wall time at small SF and removes a per-round
     driver barrier at scale.
     """
-    from pyspark.sql import Observation
-
-    from ..storage import release_checkpoint, tracked_local_checkpoint
+    from ..storage import (
+        observed_local_checkpoint,
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
 
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     # materialize the loop-invariant edge set ONCE: every iteration joins
@@ -776,23 +778,22 @@ def connected_components(
     # exchange), so no separate materialization job is spent on it
     labels = edge_nodes.select("id", F.col("id").alias("label"))
     prev_sum: object = object()  # sentinel ≠ any sum incl. None (empty graph)
-    for it in range(max_iter):
+    for _ in range(max_iter):
         neighbor_labels = (
             bidir.join(labels, bidir.dst == labels.id)
             .select(F.col("src").alias("id"), "label")
         )
-        obs = Observation(f"cc_label_sum_{it}")
-        new_labels = tracked_local_checkpoint(
+        new_labels, cur_sum = observed_local_checkpoint(
             labels.unionByName(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
+            .agg(F.min("label").alias("label")),
+            "cc_label_sum",
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
         )
         # iteration i's blocks die the moment i+1 is materialized —
         # the loop holds at most two label generations in storage
         release_checkpoint(labels)
         labels = new_labels
-        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -123,7 +123,7 @@ def pagerank(
         .join(out_deg, F.col("esrc") == out_deg.id)
         .select("esrc", "edst", "deg")
     )
-    from pyspark.sql import Observation
+    from ..storage import observed_local_checkpoint
 
     ranks = ids.withColumn("rank", F.lit(1.0 / n_total))
     # rank mass sitting on dangling nodes (no out-edges) — one scalar per
@@ -157,24 +157,28 @@ def pagerank(
         )
         if round_digits is not None:
             new_rank = F.round(new_rank, round_digits)
-        obs = Observation(f"pagerank_dangling_{it}")
-        ranks = tracked_local_checkpoint(
+        cp3, observed_dangling = observed_local_checkpoint(
             ids.join(contribs, "id", "left")
             .select("id", new_rank.alias("rank"))
             .join(out_deg, "id", "left")
-            .observe(
-                obs,
-                F.sum(
-                    F.when(F.col("deg").isNull(), F.col("rank"))
-                ).alias("dangling"),
-            )
-            .select("id", "rank")
+            .select(
+                "id",
+                "rank",
+                F.when(F.col("deg").isNull(), F.col("rank")).alias("__dangling"),
+            ),
+            "pagerank_dangling",
+            F.sum("__dangling").alias("dangling"),
         )
+        # the projection would drop the tracked-checkpoint ids — carry
+        # them over so the generation release below still frees blocks
+        from ..storage import propagate_checkpoint_ids
+
+        ranks = propagate_checkpoint_ids(cp3.select("id", "rank"), cp3)
         # superstep i's rank blocks die once i+1 is materialized; the
         # final iteration's checkpoint is the returned frame and stays
         release_checkpoint(prev_cp)
         prev_cp = ranks
-        dangling = obs.get["dangling"] or 0.0
+        dangling = observed_dangling or 0.0
     if prev_cp is not None:
         # the returned ranks frame is itself a materialized checkpoint,
         # so the loop-only inputs (ids / degrees / weighted edges) are

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "tracked_local_checkpoint",
+    "observed_local_checkpoint",
     "propagate_checkpoint_ids",
     "release_checkpoint",
     "release_all_storage",
@@ -70,6 +71,31 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
         created = persistent_rdd_ids(spark) - before
     setattr(cp, _CP_IDS_ATTR, created)
     return cp
+
+
+def observed_local_checkpoint(df: DataFrame, metric_name: str, metric_col):
+    """:func:`tracked_local_checkpoint` of ``df.observe(metric_name,
+    metric_col)``, returning ``(cp, metric_value)``: the metric rides
+    the SAME job that materializes the checkpoint (CollectMetrics), so
+    iterative operators get their convergence scalar without a second
+    aggregation job per round.
+
+    Deliberately uses the NAMED ``observe(str, col)`` form and reads the
+    value back from the QueryExecution's ``observedMetrics`` — NOT a
+    pyspark ``Observation`` object. ``Observation`` registers with the
+    session-wide ``ObservationManager`` and the registration outlives
+    the query, leaving the SparkSession transitively UNSERIALIZABLE:
+    any later job whose closure captures the session (e.g. pyspark.ml
+    training summaries inside an evaluator) then dies with
+    ``Task not serializable: ObservationManager``. Named observe is
+    registration-free; the metrics row is read off the executed plan.
+
+    The metric value arrives as the natural Python type (Decimal /
+    float / int; None for an empty input)."""
+    observed = df.observe(metric_name, metric_col)
+    cp = tracked_local_checkpoint(observed)
+    value = observed._jdf.queryExecution().observedMetrics().apply(metric_name).get(0)
+    return cp, value
 
 
 def propagate_checkpoint_ids(out: DataFrame, *sources: DataFrame) -> DataFrame:

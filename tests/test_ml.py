@@ -120,3 +120,34 @@ def test_train_string_key_dispatch(spark, lineitem):
     assert len(m2.clusterCenters()) == 2
     with pytest.raises(KeyError, match="unknown train method"):
         facade.train("gradientBoost")
+
+
+def test_ml_after_iterative_operators_session_not_poisoned(spark, lineitem):
+    """REGRESSION (round 5): the iterative operators' convergence metric
+    briefly used a pyspark Observation, whose registration with the
+    session-wide ObservationManager outlives the query and leaves the
+    SparkSession transitively unserializable — any later ML evaluation
+    whose closure captures the session (LinearSVC training summaries)
+    died with 'Task not serializable: ObservationManager'. The metric
+    now rides a NAMED observe() read from observedMetrics
+    (storage.observed_local_checkpoint, registration-free). This test
+    runs CC + PageRank first, then trains/evaluates in the SAME session."""
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.functions.dedup import connected_components
+    from ddf_flink_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    connected_components(edges, nodes).collect()
+    pagerank(edges, nodes, iterations=2).collect()
+
+    df = lineitem.select(
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+        "l_quantity", "l_discount", "l_tax",
+    )
+    facade = MLFacade(df)
+    model = facade.svm(["l_quantity", "l_discount", "l_tax"], "label", max_iter=3)
+    preds = facade.apply_model(model, feature_cols=["l_quantity", "l_discount", "l_tax"])
+    auc = facade.roc_auc(preds, "label")
+    assert 0.0 <= auc <= 1.0
