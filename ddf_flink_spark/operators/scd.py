@@ -23,7 +23,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_apply"]
+__all__ = ["scd2_apply", "merge_upsert"]
 
 
 def scd2_apply(
@@ -106,3 +106,36 @@ def scd2_apply(
         .unionByName(unchanged_cur.select(*cols))
         .unionByName(new_cur.select(*cols))
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE-INTO semantics as a batch transform (SCD type 1 + delete):
+    ``changes`` carries the key columns, the full payload, and an
+    ``op_col`` in {'U' upsert, 'D' delete}. Matched 'U' rows REPLACE the
+    base row, unmatched 'U' rows INSERT, 'D' keys are removed; base rows
+    untouched by any change pass through. The relational identity:
+
+        result = (base ANTI JOIN change_keys) UNION ALL (changes WHERE op='U')
+
+    — ONE anti-join on the key plus a union, no window, no driver state;
+    the anti-join shuffles on the same key the upserts arrive keyed by,
+    so at 100 TB the change batch (small side) broadcasts and the base
+    table is never reshuffled. Duplicate keys within one change batch
+    are the caller's contract to resolve first (latest-wins upstream);
+    this operator asserts nothing about them. Registry q232 is the
+    oracle-checked instance."""
+    payload_cols = [c for c in changes.columns if c != op_col]
+    if sorted(payload_cols) != sorted(base.columns):
+        raise ValueError(
+            f"merge_upsert: changes payload {sorted(payload_cols)} must match "
+            f"base columns {sorted(base.columns)}"
+        )
+    change_keys = changes.select(*key_cols).distinct()
+    survivors = base.join(change_keys, key_cols, "left_anti")
+    upserts = changes.filter(F.col(op_col) == "U").select(*base.columns)
+    return survivors.unionByName(upserts)

@@ -11102,3 +11102,74 @@ def q231_nested_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "flag")
     )
+
+
+@query(
+    "q232_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+             c_name, c_nationkey,
+             c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 13 = 0 OR c_custkey % 97 = 0
+      UNION ALL
+      SELECT (SELECT MAX(c_custkey) FROM customer) + seq AS c_custkey,
+             'U' AS op, 'new customer', 0, 500.0, 'MACHINERY'
+      FROM (SELECT UNNEST(GENERATE_SERIES(1, 25)) AS seq)
+    ),
+    keys AS (SELECT DISTINCT c_custkey FROM changes),
+    merged AS (
+      SELECT b.* FROM customer b ANTI JOIN keys k USING (c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM changes WHERE op = 'U'
+    )
+    SELECT c_mktsegment, COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 2) AS total_bal,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+    FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q232_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a batch transform
+    (``operators/scd.merge_upsert`` — SCD type 1 + delete, the other
+    half of the mutability story next to q121's SCD-2 history): a
+    synthesized change batch updates every 13th customer (+100
+    balance), deletes every 97th, and inserts 25 new rows; the merged
+    table is one anti-join + union (change keys broadcast; the base is
+    never reshuffled). The oracle replays the identical MERGE identity,
+    hash-pinning per-segment counts, balance sums and key checksums —
+    so matched-update, unmatched-insert, delete and pass-through
+    semantics are all value-verified."""
+    from .operators.scd import merge_upsert
+
+    c = t(spark, sf_dir, "customer")
+    max_key = c.agg(F.max("c_custkey")).first()[0]
+    updates = (
+        c.filter((F.col("c_custkey") % 13 == 0) | (F.col("c_custkey") % 97 == 0))
+        .withColumn(
+            "op",
+            F.when(F.col("c_custkey") % 97 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    )
+    inserts = spark.range(1, 26).select(
+        (F.lit(max_key) + F.col("id")).cast(dict(c.dtypes)["c_custkey"]).alias("c_custkey"),
+        F.lit("U").alias("op"),
+        F.lit("new customer").alias("c_name"),
+        F.lit(0).cast(dict(c.dtypes)["c_nationkey"]).alias("c_nationkey"),
+        F.lit(500.0).cast(dict(c.dtypes)["c_acctbal"]).alias("c_acctbal"),
+        F.lit("MACHINERY").alias("c_mktsegment"),
+    )
+    changes = updates.select(*inserts.columns).unionByName(inserts)
+    merged = merge_upsert(c, changes, ["c_custkey"])
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.sum("c_custkey").cast("long").alias("key_checksum"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -835,3 +835,30 @@ def test_dedup_operators_propagate_checkpoint_ids(spark):
         after = persistent_rdd_ids(spark)
         assert not (ids & after), "release_checkpoint(result) must free the pinned blocks"
         assert after <= before | ids
+
+
+def test_merge_upsert_semantics(spark):
+    """merge_upsert: matched 'U' replaces, unmatched 'U' inserts, 'D'
+    deletes, untouched rows pass through; payload/schema mismatch raises."""
+    import pytest as _pytest
+
+    from ddf_flink_spark.operators.scd import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", "b2", 99.0),   # matched update
+            (3, "D", "c", 30.0),    # delete
+            (9, "U", "new", 1.0),   # insert
+        ],
+        "k long, op string, v string, x double",
+    )
+    got = {r["k"]: (r["v"], r["x"]) for r in merge_upsert(
+        base, changes.select("k", "op", "v", "x"), ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 9: ("new", 1.0)}
+
+    bad = changes.drop("x")
+    with _pytest.raises(ValueError):
+        merge_upsert(base, bad, ["k"])
