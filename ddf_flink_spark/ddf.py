@@ -276,6 +276,14 @@ class DDF:
             _scd2(self._df, updates.df, key_cols, compare_cols, eff_col, from_col, to_col)
         )
 
+    def merge_upsert(self, changes: "DDF", key_cols: list[str], op_col: str = "op") -> "DDF":
+        """MERGE INTO semantics (type-1 upsert + delete; registry q232):
+        matched 'U' rows replace, unmatched 'U' rows insert, 'D' keys are
+        removed — operators/scd.merge_upsert."""
+        from .operators.scd import merge_upsert as _mu
+
+        return self._derive(_mu(self._df, changes.df, key_cols, op_col))
+
     # ----------------------------------------------------------- aggregation
     def aggregate(self, fields: str) -> dict:
         return _agg.aggregate(self._df, fields)
