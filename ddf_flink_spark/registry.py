@@ -11173,3 +11173,160 @@ def q232_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query("q233_ivf_index_persistence", oracle=_q39_oracle())
+def q233_ivf_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX LIFECYCLE: build the deterministic-Lloyd IVF index
+    (q39's exact configuration), PERSIST it — cell assignments as
+    parquet partitioned BY list_id (so a probe prunes straight to its
+    cells' files), centroids as a parquet sidecar — then reload both in
+    fresh reads and serve ivf_topk from the reloaded index. The oracle
+    is literally q39's SQL: a persistence defect (dropped rows, type
+    drift, partition mangling, centroid reordering) breaks the
+    hash-equality with the freshly-built index's results. This is the
+    production shape — build once, query many: the partition-pruned scan
+    reads only nprobe/n_lists of the index files per query batch."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.similarity import ivf_build, ivf_topk
+
+    base = os.path.join(tempfile.gettempdir(), "ddf_q233")
+    shutil.rmtree(base, ignore_errors=True)
+    e = t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(e, n_lists=8, quantizer="lloyd")
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{base}/cells")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "list_id int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{base}/centroids")
+
+    reloaded_cells = spark.read.parquet(f"{base}/cells")
+    reloaded_cents = [
+        list(r["centroid"])
+        for r in spark.read.parquet(f"{base}/centroids").orderBy("list_id").collect()
+    ]
+    q = e.filter(F.col("vec_id") < 20)
+    return ivf_topk(q, reloaded_cells, reloaded_cents, k=3, nprobe=3).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
+@query(
+    "q234_training_manifest",
+    oracle=f"""
+    WITH RECURSIVE {{pipeline}},
+    bsh AS (
+      SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+             || ts[i+3] || ' ' || ts[i+4] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 4)) AS i) s
+      WHERE doc_id % 41 = 0 AND LEN(ts) >= 5
+    ),
+    csh AS (
+      SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+             || ts[i+3] || ' ' || ts[i+4] AS g
+      FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 4)) AS i) s
+      WHERE LEN(ts) >= 5
+    ),
+    contaminated AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh USING (g)),
+    final AS (
+      SELECT d.doc_id, d.n_chars
+      FROM documents d
+      JOIN clusters c ON c.id = d.doc_id AND c.cluster = d.doc_id
+      JOIN tok t ON t.doc_id = d.doc_id
+      WHERE d.n_chars >= 100
+        AND LEN(t.ts) >= 20
+        AND d.doc_id % 41 != 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT CAST(CAST(('0x' || SUBSTRING(md5('234:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 4 AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS char_mass,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM final GROUP BY 1 ORDER BY 1
+    """.replace("{pipeline}", _neardup_pipeline_cte()),
+)
+def q234_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CAPSTONE COMPOSITION — a full training-data curation run as
+    ONE hash-verified query: quality gate (length + token floor) →
+    near-duplicate removal (md5 MinHash 16/4 → Jaccard ≥ 0.6 verify →
+    connected components → canonical keep, the q152 pipeline) →
+    benchmark decontamination (drop the held-out eval docs AND any doc
+    sharing a 5-gram with them) → deterministic md5 sharding → per-shard
+    manifest (doc counts, char mass, id checksums). DuckDB replays every
+    stage — banding, verification, transitive clustering (recursive
+    CTE), contamination, shard assignment — so the EXACT membership of
+    the final training set, not just its size, is cross-engine
+    verified. This is the auditable-pipeline contract the deterministic
+    families exist for: rerun it next quarter or in another engine and
+    ship bit-identical shards."""
+    from .functions.dedup import (
+        connected_components,
+        exploded_shingles,
+        jaccard_candidates,
+        md5_long,
+        minhash_lsh_candidates,
+    )
+    from .functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    # near-dup canonical over the full corpus (q152 composition)
+    pairs = minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, hash_family="md5"
+    ).localCheckpoint()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    d_cand = d.join(cand_ids, "doc_id", "left_semi")
+    verified = jaccard_candidates(d_cand, threshold=0.6, n=3).join(
+        pairs, ["id_a", "id_b"], "left_semi"
+    )
+    clusters = connected_components(
+        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        d.select(F.col("doc_id").alias("id")),
+    )
+    survivor_ids = clusters.filter(F.col("id") == F.col("cluster")).select(
+        F.col("id").alias("doc_id")
+    )
+    # benchmark decontamination (5-gram overlap with the held-out docs)
+    bench_g = (
+        exploded_shingles(d.filter(F.col("doc_id") % 41 == 0), "text", "doc_id", 5)
+        .select("g")
+        .distinct()
+    )
+    contaminated = (
+        exploded_shingles(d, "text", "doc_id", 5)
+        .join(F.broadcast(bench_g), "g", "left_semi")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    final = (
+        d.join(survivor_ids, "doc_id", "left_semi")
+        .filter(
+            (F.col("n_chars") >= 100)
+            & (F.size(tokens("text")) >= 20)
+            & (F.col("doc_id") % 41 != 0)
+        )
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return (
+        final.select(
+            (md5_long(F.col("doc_id").cast("string"), salt=234) % 4)
+            .cast("int")
+            .alias("shard"),
+            "n_chars",
+            "doc_id",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("char_mass"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )
