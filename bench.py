@@ -76,9 +76,12 @@ HEADLINE = [
     "q183_countmin_sketch",
     "q205_prefix_filter_shingle_jaccard",
     # round-5 additions: passage-level dedup signal (two-shuffle
-    # inverted-index shape) and intra-doc repetition (explode + 2-key agg)
+    # inverted-index shape), intra-doc repetition (explode + 2-key agg),
+    # and the end-to-end curation capstone (near-dup pipeline +
+    # decontamination + sharding — the flagship composition)
     "q220_repeated_passage_detection",
     "q221_intra_doc_repetition",
+    "q234_training_manifest",
 ]
 
 # The 19-query set benchmarked since round 1 — a stable subtotal so
