@@ -11330,3 +11330,82 @@ def q234_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "q235_embedding_drift",
+    oracle="""
+    WITH comp AS (
+      SELECT source, u.i AS dim,
+             CAST(ROUND(u.x * 1e9) AS BIGINT) AS x9
+      FROM (SELECT e.vec_id, d.source, CAST(e.embedding AS DOUBLE[]) AS v
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id) t,
+           LATERAL (SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS i) u
+    ),
+    per_source AS (
+      SELECT source, dim, SUM(x9) AS s9, COUNT(*) AS n
+      FROM comp GROUP BY source, dim
+    ),
+    corpus AS (
+      SELECT dim, SUM(s9) AS cs9, SUM(n) AS cn FROM per_source GROUP BY dim
+    ),
+    dist AS (
+      SELECT p.source, p.n,
+             SUM(POW(p.s9 / CAST(p.n AS DOUBLE) / 1e9
+                     - c.cs9 / CAST(c.cn AS DOUBLE) / 1e9, 2)) AS d2
+      FROM per_source p JOIN corpus c USING (dim)
+      GROUP BY p.source, p.n
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_vecs,
+           ROUND(SQRT(d2), 6) AS centroid_drift
+    FROM dist ORDER BY source
+    """,
+)
+def q235_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE drift per source — the semantic companion to
+    q198's PSI: each source's centroid distance from the corpus
+    centroid, the one number that flags a source whose CONTENT
+    distribution moved even when its size and token stats look stable.
+    Per-dimension means are exact scaled-integer sums (component
+    round-1e9 → int64, the q162 discipline) so both engines derive
+    bit-identical centroids; the final distance is a 64-term float sum
+    over per-dim aggregates — O(sources × dims) rows, shuffle carries
+    (source, dim, int64) triples, never vectors."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    e = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    comp = (
+        e.join(d, "doc_id")
+        .select("source", F.posexplode("v").alias("dim", "x"))
+        .select(
+            "source",
+            (F.col("dim") + 1).alias("dim"),  # 1-based like generate_subscripts
+            F.round(F.col("x") * 1e9).cast("long").alias("x9"),
+        )
+    )
+    per_source = comp.groupBy("source", "dim").agg(
+        F.sum("x9").alias("s9"), F.count(F.lit(1)).alias("n")
+    )
+    corpus = per_source.groupBy("dim").agg(
+        F.sum("s9").alias("cs9"), F.sum("n").alias("cn")
+    )
+    dist = (
+        per_source.join(corpus, "dim")
+        .groupBy("source", "n")
+        .agg(
+            F.sum(
+                F.pow(
+                    F.col("s9") / F.col("n").cast("double") / 1e9
+                    - F.col("cs9") / F.col("cn").cast("double") / 1e9,
+                    2,
+                )
+            ).alias("d2")
+        )
+    )
+    return dist.select(
+        "source",
+        F.col("n").cast("long").alias("n_vecs"),
+        F.round(F.sqrt("d2"), 6).alias("centroid_drift"),
+    ).orderBy("source")
