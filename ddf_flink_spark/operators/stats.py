@@ -32,6 +32,7 @@ __all__ = [
     "vector_covariance",
     "vector_histogram",
     "histogram_quantile_sketch",
+    "histogram_quantile_sketch_grouped",
     "factor_level_counts",
 ]
 
@@ -281,4 +282,91 @@ def histogram_quantile_sketch(
             ).alias("est_quantile"),
         )
         .orderBy("q")
+    )
+
+
+def histogram_quantile_sketch_grouped(
+    df: DataFrame,
+    group_col: str,
+    column: str,
+    quantiles: list[float] = (0.25, 0.5, 0.75, 0.9),
+    bins: int = 256,
+) -> DataFrame:
+    """PER-GROUP mergeable quantile estimates with GLOBAL bin boundaries
+    (registry q236 is the oracle-checked instance): (lo, hi) come from
+    the whole column, so every group's histogram shares the same grid —
+    which is what makes the sketch mergeable across BOTH shards and
+    groups (cell-wise adds), the property a per-source latency/length
+    dashboard needs when sources are appended daily. Per-group counts →
+    per-group cumulative window over ≤ bins rows → linear interpolation
+    inside the bin where q·n lands. NULLs excluded up front (the
+    histogram_quantile_sketch discipline). Error ≤ one global bin width.
+    Returns (group, q, est_quantile)."""
+    from pyspark.sql import Window
+
+    df = df.filter(F.col(column).isNotNull()).select(
+        F.col(group_col).alias("grp"), F.col(column).alias("v")
+    )
+    mm = df.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    counts = (
+        df.crossJoin(F.broadcast(mm))
+        .select(
+            "grp",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("v") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / bins)
+                    ),
+                    F.lit(bins - 1),
+                )
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.partitionBy("grp").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(wcum))
+    totals = counts.groupBy("grp").agg(F.sum("c").alias("n"))
+    spark = df.sparkSession
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(x)) for x in quantiles])).alias("q")
+    )
+    tgt = (
+        totals.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(mm))
+        .select("grp", "q", (F.col("q") * F.col("n")).alias("target"), "lo", "hi")
+    )
+    pick = (
+        tgt.join(
+            cum,
+            (tgt["grp"] == cum["grp"]) & (cum["cum"].cast("double") >= tgt["target"]),
+        )
+        .drop(cum["grp"])
+        .groupBy("grp", "q", "target", "lo", "hi")
+        .agg(F.min("bin").alias("bin"))
+    )
+    w_ = (F.col("hi") - F.col("lo")) / bins
+    return (
+        pick.join(cum.select(F.col("grp").alias("g2"), "bin", "c", "cum"),
+                  (F.col("grp") == F.col("g2")) & (pick["bin"] == cum["bin"]))
+        .select(
+            F.col("grp").alias(group_col),
+            "q",
+            (
+                F.col("lo")
+                + pick["bin"] * w_
+                + (
+                    (F.col("target") - (F.col("cum") - F.col("c")).cast("double"))
+                    / F.col("c").cast("double")
+                )
+                * w_
+            ).alias("est_quantile"),
+        )
+        .orderBy(group_col, "q")
     )

@@ -11409,3 +11409,69 @@ def q235_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_vecs"),
         F.round(F.sqrt("d2"), 6).alias("centroid_drift"),
     ).orderBy("source")
+
+
+@query(
+    "q236_grouped_quantile_sketch",
+    oracle="""
+    WITH vals AS (
+      SELECT source AS grp, CAST(n_chars AS DOUBLE) AS v FROM documents
+      WHERE n_chars IS NOT NULL
+    ),
+    mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals),
+    binned AS (
+      SELECT grp,
+             CASE WHEN m.hi = m.lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((v - m.lo) / ((m.hi - m.lo) / 256)) AS BIGINT),
+                             255) END AS bin
+      FROM vals CROSS JOIN mm m
+    ),
+    counts AS (SELECT grp, bin, COUNT(*) AS c FROM binned GROUP BY grp, bin),
+    cum AS (
+      SELECT grp, bin, c,
+             SUM(c) OVER (PARTITION BY grp ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts
+    ),
+    totals AS (SELECT grp, SUM(c) AS n FROM counts GROUP BY grp),
+    qs AS (SELECT UNNEST([0.25, 0.5, 0.75, 0.9]) AS q),
+    tgt AS (
+      SELECT t.grp, qs.q, qs.q * t.n AS target, m.lo, m.hi
+      FROM totals t CROSS JOIN qs CROSS JOIN mm m
+    ),
+    pick AS (
+      SELECT tg.grp, tg.q, tg.target, tg.lo, tg.hi, MIN(cu.bin) AS bin
+      FROM tgt tg JOIN cum cu
+        ON cu.grp = tg.grp AND CAST(cu.cum AS DOUBLE) >= tg.target
+      GROUP BY tg.grp, tg.q, tg.target, tg.lo, tg.hi
+    )
+    SELECT p.grp AS source, p.q,
+           ROUND(p.lo + p.bin * ((p.hi - p.lo) / 256)
+                 + ((p.target - CAST(cu.cum - cu.c AS DOUBLE))
+                    / CAST(cu.c AS DOUBLE)) * ((p.hi - p.lo) / 256), 4)
+             AS est_quantile
+    FROM pick p JOIN cum cu ON cu.grp = p.grp AND cu.bin = p.bin
+    ORDER BY source, q
+    """,
+)
+def q236_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP quantiles from ONE mergeable sketch family
+    (operators/stats.histogram_quantile_sketch_grouped): all groups
+    share GLOBAL bin boundaries, so per-source histograms merge
+    cell-wise across groups AND across daily shards — the dashboard
+    primitive (per-source length/latency percentiles) that a per-group
+    GK sketch can't give you (different per-group summaries don't
+    merge). DuckDB replays bins, per-group cumulative counts and the
+    interpolation exactly. O(groups × bins) state; the cumulative
+    window partitions by group over ≤256 rows."""
+    from .operators.stats import histogram_quantile_sketch_grouped
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    out = histogram_quantile_sketch_grouped(
+        d, "source", "n_chars", quantiles=[0.25, 0.5, 0.75, 0.9], bins=256
+    )
+    return out.select(
+        "source", "q", F.round("est_quantile", 4).alias("est_quantile")
+    ).orderBy("source", "q")

