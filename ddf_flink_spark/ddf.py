@@ -758,6 +758,37 @@ class DDF:
             out.orderBy(group_col) if group_col else out, keep_factors=False
         )
 
+    def quantile_sketch_grouped(
+        self,
+        group_col: str,
+        column: str,
+        quantiles: list[float] = (0.25, 0.5, 0.75, 0.9),
+        bins: int = 256,
+    ) -> "DDF":
+        """Per-group quantile estimates from one shared-grid mergeable
+        histogram sketch (registry q236) —
+        operators/stats.histogram_quantile_sketch_grouped."""
+        from .operators.stats import histogram_quantile_sketch_grouped as _hq
+
+        return self._derive(
+            _hq(self._df, group_col, column, list(quantiles), bins), keep_factors=False
+        )
+
+    def shard(self, n_shards: int, id_col: str = "doc_id", seed: int = 0) -> "DDF":
+        """Deterministic dataloader sharding (registry q228): append a
+        ``shard`` column = md5(seed:id) mod n — a pure data function, so
+        every run/engine deals identical shards."""
+        from pyspark.sql import functions as F
+
+        from .functions.dedup import md5_long
+
+        return self._derive(
+            self._df.withColumn(
+                "shard",
+                (md5_long(F.col(id_col).cast("string"), salt=seed) % n_shards).cast("int"),
+            )
+        )
+
     def quantile_sketch(
         self,
         column: str,

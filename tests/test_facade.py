@@ -564,3 +564,21 @@ def test_semantic_dedup_facade(mgr, spark):
     kept = sorted(r["vec_id"] for r in emb.semantic_dedup(k=2, tau=0.99).df.collect())
     assert 0 in kept and 2 in kept
     assert 1 not in kept  # duplicate collapsed to canonical id 0
+
+
+def test_grouped_sketch_and_shard_facades(mgr, spark):
+    from pyspark.sql import functions as F
+
+    docs = mgr.new_ddf(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    gq = docs.quantile_sketch_grouped("source", "n_chars", quantiles=[0.5], bins=64)
+    rows = gq.df.collect()
+    n_sources = docs.df.select("source").distinct().count()
+    assert len(rows) == n_sources
+    sharded = docs.shard(8)
+    counts = {r["shard"]: r["n"] for r in
+              sharded.df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= set(range(8)) and sum(counts.values()) == docs.num_rows()
+    # determinism: re-derive and compare assignments exactly
+    again = {r["doc_id"]: r["shard"] for r in docs.shard(8).df.select("doc_id", "shard").collect()}
+    first = {r["doc_id"]: r["shard"] for r in sharded.df.select("doc_id", "shard").collect()}
+    assert again == first
