@@ -11475,3 +11475,91 @@ def q236_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source", "q", F.round("est_quantile", 4).alias("est_quantile")
     ).orderBy("source", "q")
+
+
+@query(
+    "q237_js_divergence_sources",
+    oracle="""
+    WITH toks AS (
+      SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents
+    ),
+    sw AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w),
+    stot AS (SELECT source, SUM(c) AS n FROM sw GROUP BY source),
+    cw AS (SELECT w, SUM(c) AS cc FROM sw GROUP BY w),
+    ctot AS (SELECT SUM(c) AS nn FROM sw),
+    terms AS (
+      SELECT s.source,
+             s.c / CAST(st.n AS DOUBLE) AS p,
+             (c2.cc - s.c) / CAST((SELECT nn FROM ctot) - st.n AS DOUBLE) AS q
+      FROM sw s
+      JOIN stot st USING (source)
+      JOIN cw c2 USING (w)
+    ),
+    -- words absent from the source but present in the rest: p = 0
+    rest_only AS (
+      SELECT st.source,
+             0.0 AS p,
+             (c2.cc - COALESCE(s.c, 0))
+               / CAST((SELECT nn FROM ctot) - st.n AS DOUBLE) AS q
+      FROM stot st
+      CROSS JOIN cw c2
+      LEFT JOIN sw s ON s.source = st.source AND s.w = c2.w
+      WHERE s.w IS NULL
+    ),
+    allterms AS (SELECT * FROM terms UNION ALL SELECT * FROM rest_only),
+    scored AS (
+      SELECT source,
+             CAST(ROUND((CASE WHEN p > 0 THEN 0.5 * p * LN(2 * p / (p + q)) ELSE 0 END
+                       + CASE WHEN q > 0 THEN 0.5 * q * LN(2 * q / (p + q)) ELSE 0 END)
+                        * 1e9) AS BIGINT) AS t9
+      FROM allterms
+    )
+    SELECT source, ROUND(SUM(t9) / 1e9, 6) AS js_divergence
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def q237_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON divergence of every source's unigram distribution
+    vs the REST of the corpus — the symmetric, bounded (≤ ln 2)
+    distribution-shift score that completes the drift family: q198 PSI
+    (windowed, binned numerics), q235 embedding-centroid distance
+    (semantic), q223 per-doc KL (outlier docs) — this one ranks whole
+    SOURCES by how unlike the rest of the mix they are (the signal that
+    a crawler started ingesting a different kind of content). Per-term
+    values are round-1e9 exact-int sums (shuffle-order independent,
+    engine-replayable); the vocabulary join is O(sources × vocab) —
+    vocab-bounded, never doc-bounded."""
+    from .functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens("text")).alias("w"))
+    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    stot = sw.groupBy("source").agg(F.sum("c").alias("n"))
+    cw = sw.groupBy("w").agg(F.sum("c").alias("cc"))
+    ctot = sw.agg(F.sum("c").alias("nn"))
+    # full (source × vocab) grid so rest-only words (p = 0) are present
+    grid = stot.crossJoin(cw)
+    joined = (
+        grid.join(sw, ["source", "w"], "left")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            (F.coalesce(F.col("c"), F.lit(0)) / F.col("n").cast("double")).alias("p"),
+            (
+                (F.col("cc") - F.coalesce(F.col("c"), F.lit(0)))
+                / (F.col("nn") - F.col("n")).cast("double")
+            ).alias("q"),
+        )
+    )
+    m2 = F.col("p") + F.col("q")
+    term = F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(2 * F.col("p") / m2)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(2 * F.col("q") / m2)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        joined.select("source", F.round(term * 1e9).cast("long").alias("t9"))
+        .groupBy("source")
+        .agg(F.round(F.sum("t9") / 1e9, 6).alias("js_divergence"))
+        .orderBy("source")
+    )

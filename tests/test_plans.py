@@ -439,6 +439,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # cum>=target pick joins |groups|x4 targets against |groups|x<=256
     # cumulative bins
     "q236_grouped_quantile_sketch": {"single-partition", "cartesian-product"},
+    # sources x vocabulary grid (vocab-bounded by design; rest-only
+    # words need p=0 rows) + the 1-row corpus-total broadcast
+    "q237_js_divergence_sources": {"single-partition", "cartesian-product"},
     # window over VOCAB (≪ corpus); non-equi join against the fixed 4-row
     # coverage-levels side (bounded broadcast)
     "q165_vocab_coverage": {"single-partition", "cartesian-product"},
