@@ -276,6 +276,39 @@ class DDF:
             _scd2(self._df, updates.df, key_cols, compare_cols, eff_col, from_col, to_col)
         )
 
+    def embedding_drift(
+        self, docs: "DDF", id_col: str = "vec_id", doc_id_col: str = "doc_id",
+        group_col: str = "source", vec_col: str = "embedding",
+    ) -> "DDF":
+        """Per-group embedding-centroid distance from the corpus centroid
+        (registry q235) — exact scaled-int centroids, semantic drift."""
+        from pyspark.sql import functions as F
+
+        e = self._df.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        d = docs.df.select(F.col(doc_id_col).alias("__id"), F.col(group_col).alias("grp"))
+        comp = (
+            e.join(d, "__id")
+            .select("grp", F.posexplode("v").alias("dim", "x"))
+            .select("grp", "dim", F.round(F.col("x") * 1e9).cast("long").alias("x9"))
+        )
+        per = comp.groupBy("grp", "dim").agg(F.sum("x9").alias("s9"), F.count(F.lit(1)).alias("n"))
+        corpus = per.groupBy("dim").agg(F.sum("s9").alias("cs9"), F.sum("n").alias("cn"))
+        dist = (
+            per.join(corpus, "dim")
+            .groupBy("grp", "n")
+            .agg(F.sum(F.pow(
+                F.col("s9") / F.col("n").cast("double") / 1e9
+                - F.col("cs9") / F.col("cn").cast("double") / 1e9, 2)).alias("d2"))
+        )
+        out = dist.select(
+            F.col("grp").alias(group_col),
+            F.col("n").cast("long").alias("n_vecs"),
+            F.round(F.sqrt("d2"), 6).alias("centroid_drift"),
+        )
+        return self._derive(out, keep_factors=False)
+
     def merge_upsert(self, changes: "DDF", key_cols: list[str], op_col: str = "op") -> "DDF":
         """MERGE INTO semantics (type-1 upsert + delete; registry q232):
         matched 'U' rows replace, unmatched 'U' rows insert, 'D' keys are

@@ -11563,3 +11563,103 @@ def q237_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("t9") / 1e9, 6).alias("js_divergence"))
         .orderBy("source")
     )
+
+
+@query(
+    "q238_pmi_collocations",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS cu FROM (
+        SELECT UNNEST(ts) AS w FROM toks
+      ) GROUP BY w
+    ),
+    nn AS (SELECT SUM(cu) AS n FROM uni),
+    bg AS (
+      SELECT ts[i] AS w1, ts[i+1] AS w2, COUNT(*) AS cb
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 1)) AS i) s
+      WHERE LEN(ts) >= 2
+      GROUP BY 1, 2
+    ),
+    nb AS (SELECT SUM(cb) AS m FROM bg),
+    scored AS (
+      SELECT b.w1, b.w2, b.cb,
+             LN( (b.cb / CAST((SELECT m FROM nb) AS DOUBLE))
+                 / ( (u1.cu / CAST((SELECT n FROM nn) AS DOUBLE))
+                   * (u2.cu / CAST((SELECT n FROM nn) AS DOUBLE)) ) ) AS pmi
+      FROM bg b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2
+      WHERE b.cb >= 5
+    )
+    SELECT w1, w2, CAST(cb AS BIGINT) AS n_pair, ROUND(pmi, 4) AS pmi
+    FROM scored
+    ORDER BY ROUND(pmi, 6) DESC, w1, w2 LIMIT 25
+    """,
+)
+def q238_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION MINING by pointwise mutual information — the phrase
+    extractor behind multiword-vocab construction and tokenizer-merge
+    candidates: PMI(w1,w2) = ln( p(w1w2) / (p(w1)·p(w2)) ) over corpus
+    bigrams with a minimum pair count (the classic sparse-PMI guard).
+    Top-25 frontier ranked on the round-6 score with a lexical
+    tiebreak (the q154 discipline — libm ln ulps can't reorder it).
+    Shuffle profile: two vocab-keyed aggregations and two vocab-sized
+    joins — O(tokens) explode rows, vocab-bounded state, top-k via
+    TakeOrderedAndProject."""
+    from .functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    nn = uni.agg(F.sum("cu").alias("n"))
+    bg = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i).alias("w1"),
+                        F.element_at("ts", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    # the bigram-mass denominator counts ALL bigrams; the min-count
+    # guard prunes only the scored candidates
+    nb = bg.agg(F.sum("cb").alias("m"))
+    scored = (
+        bg.filter(F.col("cb") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").cast("long").alias("n_pair"),
+            F.log(
+                (F.col("cb") / F.col("m").cast("double"))
+                / (
+                    (F.col("cu1") / F.col("n").cast("double"))
+                    * (F.col("cu2") / F.col("n").cast("double"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.select(
+            "w1", "w2", "n_pair",
+            F.round("pmi", 4).alias("pmi"),
+            F.round("pmi", 6).alias("__rank"),
+        )
+        .orderBy(F.desc("__rank"), "w1", "w2")
+        .limit(25)
+        .drop("__rank")
+    )

@@ -582,3 +582,14 @@ def test_grouped_sketch_and_shard_facades(mgr, spark):
     again = {r["doc_id"]: r["shard"] for r in docs.shard(8).df.select("doc_id", "shard").collect()}
     first = {r["doc_id"]: r["shard"] for r in sharded.df.select("doc_id", "shard").collect()}
     assert again == first
+
+
+def test_embedding_drift_facade(mgr, spark):
+    """DDF.embedding_drift mirrors q235: per-source centroid distance,
+    one row per source, non-negative."""
+    emb = mgr.new_ddf(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
+    docs = mgr.new_ddf(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    out = emb.embedding_drift(docs).df.collect()
+    n_sources = docs.df.select("source").distinct().count()
+    assert len(out) == n_sources
+    assert all(r["centroid_drift"] >= 0 for r in out)

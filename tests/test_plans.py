@@ -442,6 +442,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # sources x vocabulary grid (vocab-bounded by design; rest-only
     # words need p=0 rows) + the 1-row corpus-total broadcast
     "q237_js_divergence_sources": {"single-partition", "cartesian-product"},
+    # unigram/bigram mass totals are 1-row aggregates crossJoined
+    # broadcast into the PMI scoring
+    "q238_pmi_collocations": {"single-partition", "cartesian-product"},
     # window over VOCAB (≪ corpus); non-equi join against the fixed 4-row
     # coverage-levels side (bounded broadcast)
     "q165_vocab_coverage": {"single-partition", "cartesian-product"},
