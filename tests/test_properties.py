@@ -700,3 +700,38 @@ def test_grouped_quantile_sketch_merge_and_error_bound(spark):
         for r in histogram_quantile_sketch_grouped(df_union, "grp", "v", bins=bins).collect()
     }
     assert got == got2
+
+
+def test_merge_upsert_matches_python_reference(spark):
+    """merge_upsert on random base/change batches must equal the plain
+    dict-semantics reference: delete 'D' keys, replace/insert 'U' rows,
+    pass everything else through."""
+    import random
+
+    from ddf_flink_spark.operators.scd import merge_upsert
+
+    rng = random.Random(232)
+    for trial in range(3):
+        base = {k: (f"v{rng.randint(0, 9)}", float(rng.randint(0, 99)))
+                for k in rng.sample(range(50), 30)}
+        ops = {}
+        for k in rng.sample(range(60), 25):
+            ops[k] = ("D" if rng.random() < 0.3 else "U",
+                      f"n{rng.randint(0, 9)}", float(rng.randint(100, 199)))
+        want = dict(base)
+        for k, (op, v, x) in ops.items():
+            if op == "D":
+                want.pop(k, None)
+            else:
+                want[k] = (v, x)
+
+        base_df = spark.createDataFrame(
+            [(k, v, x) for k, (v, x) in base.items()], "k long, v string, x double"
+        )
+        chg_df = spark.createDataFrame(
+            [(k, op, v, x) for k, (op, v, x) in ops.items()],
+            "k long, op string, v string, x double",
+        )
+        got = {r["k"]: (r["v"], r["x"])
+               for r in merge_upsert(base_df, chg_df, ["k"]).collect()}
+        assert got == want, (trial, set(got) ^ set(want))
