@@ -11663,3 +11663,61 @@ def q238_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .drop("__rank")
     )
+
+
+@query(
+    "q239_dedup_threshold_sweep",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 2)) AS i) s
+      WHERE LEN(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS sh_n
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ROUND(s.sh_n / CAST(sa.sz + sb.sz - s.sh_n AS DOUBLE), 4) AS j,
+             s.id_a, s.id_b
+      FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.id_a
+      JOIN sizes sb ON sb.doc_id = s.id_b
+    ),
+    th AS (SELECT UNNEST([0.5, 0.6, 0.7, 0.8]) AS threshold)
+    SELECT th.threshold,
+           CAST(COUNT(*) FILTER (p.j >= th.threshold) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN p.j >= th.threshold THEN p.id_b END)
+                AS BIGINT) AS n_docs_flagged
+    FROM th LEFT JOIN pairs p ON p.j >= 0.5
+    GROUP BY th.threshold ORDER BY th.threshold
+    """,
+)
+def q239_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP OPERATING-POINT SWEEP — the tuning table a curation run is
+    configured from: exact-Jaccard pair counts and flagged-doc counts
+    (docs that would lose to a lower-id partner, the greedy removal
+    upper bound) at thresholds 0.5/0.6/0.7/0.8, computed from ONE pass
+    over the pair space (the inverted-index join runs once at the
+    loosest threshold; the sweep is conditional aggregation over the
+    cached pair list — never four joins). Complements q213's LSH
+    recall witness: q213 picks the banding for a chosen threshold,
+    this picks the threshold. DuckDB replays pairs and both rollups."""
+    thresholds = [0.5, 0.6, 0.7, 0.8]
+    from .functions.dedup import jaccard_candidates
+
+    d = t(spark, sf_dir, "documents")
+    pairs = jaccard_candidates(d, threshold=0.5, n=3).localCheckpoint()
+    th = spark.createDataFrame([(x,) for x in thresholds], "threshold double")
+    return (
+        th.join(pairs, pairs["jaccard"] >= th["threshold"], "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("id_a").cast("long").alias("n_pairs"),
+            F.countDistinct("id_b").cast("long").alias("n_docs_flagged"),
+        )
+        .orderBy("threshold")
+    )

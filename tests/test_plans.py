@@ -445,6 +445,8 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # unigram/bigram mass totals are 1-row aggregates crossJoined
     # broadcast into the PMI scoring
     "q238_pmi_collocations": {"single-partition", "cartesian-product"},
+    # non-equi join against the fixed 4-row threshold side (broadcast)
+    "q239_dedup_threshold_sweep": {"cartesian-product"},
     # window over VOCAB (≪ corpus); non-equi join against the fixed 4-row
     # coverage-levels side (bounded broadcast)
     "q165_vocab_coverage": {"single-partition", "cartesian-product"},
