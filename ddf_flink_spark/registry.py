@@ -11721,3 +11721,49 @@ def q239_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "q240_corpus_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                         LOWER(text)), 1, 15)) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS char_mass,
+           CAST(CAST(SUM(h) AS HUGEINT) % 9223372036854775783 AS BIGINT)
+             AS content_fingerprint
+    FROM fp
+    """,
+)
+def q240_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS CONTENT FINGERPRINT — the dataset-versioning primitive: a
+    single row certifying "this is byte-for-byte the same corpus"
+    across runs, engines, and partition layouts. Per-doc 60-bit md5 of
+    (id:text) summed modulo a 63-bit prime — ORDER-INDEPENDENT (sum is
+    commutative) and content-sensitive (any edited/added/dropped doc
+    moves it), so two teams can agree on exactly which corpus version a
+    model was trained on with one number each. Map-only scan + one
+    1-row aggregate; exact integer arithmetic end to end (the mod-prime
+    keeps the running sum in range — DuckDB accumulates in HUGEINT,
+    Spark folds through DECIMAL(38,0) before the modulo, both exact)."""
+    from .functions.dedup import md5_long
+
+    d = t(spark, sf_dir, "documents")
+    fp = d.select(
+        "n_chars",
+        md5_long(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.lower("text"))
+        ).alias("h"),
+    )
+    prime = 9223372036854775783  # largest prime < 2^63
+    return fp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("char_mass"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(prime))
+        .cast("long")
+        .alias("content_fingerprint"),
+    )

@@ -447,6 +447,8 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     "q238_pmi_collocations": {"single-partition", "cartesian-product"},
     # non-equi join against the fixed 4-row threshold side (broadcast)
     "q239_dedup_threshold_sweep": {"cartesian-product"},
+    # the whole query IS one 1-row corpus aggregate (O(1) output)
+    "q240_corpus_fingerprint": {"single-partition"},
     # window over VOCAB (≪ corpus); non-equi join against the fixed 4-row
     # coverage-levels side (bounded broadcast)
     "q165_vocab_coverage": {"single-partition", "cartesian-product"},
