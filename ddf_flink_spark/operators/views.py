@@ -115,4 +115,13 @@ def sample_exact_deterministic(
     from ..functions.dedup import md5_long
 
     key = md5_long(F.col(id_col).cast("string"), salt=seed)
-    return df.withColumn("__skey", key).orderBy("__skey").limit(n).drop("__skey")
+    # Secondary sort on the id column: if two rows ever hash-tie at the
+    # LIMIT-n boundary the selected SET would otherwise be
+    # nondeterministic (and oracle SQL ordering by (hash, id) would
+    # disagree with an engine that broke the tie the other way).
+    return (
+        df.withColumn("__skey", key)
+        .orderBy("__skey", id_col)
+        .limit(n)
+        .drop("__skey")
+    )

@@ -6152,14 +6152,21 @@ def q152_neardup_pipeline_crossengine(spark: SparkSession, sf_dir: str) -> DataF
         jaccard_candidates,
         minhash_lsh_candidates,
     )
+    from .storage import (
+        propagate_checkpoint_ids,
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
 
     d = t(spark, sf_dir, "documents")
     # the candidate pairs feed BOTH the corpus restriction and the
     # verification semi-join — materialize so the md5 signature job
-    # (the pipeline's dominant cost) runs exactly once
-    pairs = minhash_lsh_candidates(
-        d, num_hashes=16, bands=4, hash_family="md5"
-    ).localCheckpoint()
+    # (the pipeline's dominant cost) runs exactly once; tracked so the
+    # blocks ride the result frame and its internal band checkpoint is
+    # freed the moment the pair list is materialized
+    raw_pairs = minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_family="md5")
+    pairs = tracked_local_checkpoint(raw_pairs)
+    release_checkpoint(raw_pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -6180,13 +6187,14 @@ def q152_neardup_pipeline_crossengine(spark: SparkSession, sf_dir: str) -> DataF
         "doc_id",
         "left_semi",
     )
-    return (
+    return propagate_checkpoint_ids(
         kept.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("doc_id").cast("long").alias("kept_checksum"),
         )
-        .orderBy("source")
+        .orderBy("source"),
+        pairs,
     )
 
 
@@ -7187,6 +7195,7 @@ def q170_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     full pipeline (Lloyd rounds + pair gate) exactly."""
     from .functions.similarity import cosine
     from .ml.kmeans import kmeans_lloyd
+    from .storage import propagate_checkpoint_ids, tracked_local_checkpoint
 
     e = t(spark, sf_dir, "embeddings")
     assigned = kmeans_lloyd(e, "embedding", "vec_id", k=4, iters=2)
@@ -7194,7 +7203,9 @@ def q170_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    members = assigned.select("id", "cluster").join(vecs, "id").localCheckpoint()
+    members = tracked_local_checkpoint(
+        assigned.select("id", "cluster").join(vecs, "id")
+    )
     a = members.select(
         F.col("cluster"), F.col("id").alias("id_a"), F.col("v").alias("va")
     )
@@ -7209,7 +7220,7 @@ def q170_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     kept_flag = members.join(drops.withColumn("__dropped", F.lit(1)), "id", "left")
-    return (
+    return propagate_checkpoint_ids(
         kept_flag.groupBy(F.col("cluster").cast("long").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -7220,7 +7231,8 @@ def q170_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("kept_checksum"),
         )
-        .orderBy("cluster")
+        .orderBy("cluster"),
+        members,
     )
 
 
@@ -11218,19 +11230,21 @@ def q233_ivf_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {{pipeline}},
     bsh AS (
-      SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
-             || ts[i+3] || ' ' || ts[i+4] AS g
+      SELECT DISTINCT CAST(('0x' || SUBSTRING(md5(
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+               || ts[i+3] || ' ' || ts[i+4]), 1, 15)) AS BIGINT) AS gh
       FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 4)) AS i) s
       WHERE doc_id % 41 = 0 AND LEN(ts) >= 5
     ),
     csh AS (
       SELECT DISTINCT doc_id,
-             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
-             || ts[i+3] || ' ' || ts[i+4] AS g
+             CAST(('0x' || SUBSTRING(md5(
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+               || ts[i+3] || ' ' || ts[i+4]), 1, 15)) AS BIGINT) AS gh
       FROM tok, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(ts) - 4)) AS i) s
       WHERE LEN(ts) >= 5
     ),
-    contaminated AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh USING (g)),
+    contaminated AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh USING (gh)),
     final AS (
       SELECT d.doc_id, d.n_chars
       FROM documents d
@@ -11271,12 +11285,20 @@ def q234_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_candidates,
     )
     from .functions.text import tokens
+    from .storage import (
+        propagate_checkpoint_ids,
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
 
     d = t(spark, sf_dir, "documents")
-    # near-dup canonical over the full corpus (q152 composition)
-    pairs = minhash_lsh_candidates(
-        d, num_hashes=16, bands=4, hash_family="md5"
-    ).localCheckpoint()
+    # near-dup canonical over the full corpus (q152 composition);
+    # tracked checkpoint so the pair blocks ride the result frame and
+    # the internal band checkpoint is freed as soon as the pair list
+    # is materialized
+    raw_pairs = minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_family="md5")
+    pairs = tracked_local_checkpoint(raw_pairs)
+    release_checkpoint(raw_pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -11293,15 +11315,21 @@ def q234_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor_ids = clusters.filter(F.col("id") == F.col("cluster")).select(
         F.col("id").alias("doc_id")
     )
-    # benchmark decontamination (5-gram overlap with the held-out docs)
+    # benchmark decontamination (5-gram overlap with the held-out
+    # docs). Both sides hash the gram to a 60-bit md5 long IN the
+    # explode projection (the q220 discipline): the bench-side
+    # DISTINCT, the broadcast set, and every exchange past the explode
+    # carry longs, never shingle strings — at 100 TB that is the
+    # difference between shuffling ~40-byte grams and 8-byte keys.
     bench_g = (
         exploded_shingles(d.filter(F.col("doc_id") % 41 == 0), "text", "doc_id", 5)
-        .select("g")
+        .select(md5_long(F.col("g")).alias("gh"))
         .distinct()
     )
     contaminated = (
         exploded_shingles(d, "text", "doc_id", 5)
-        .join(F.broadcast(bench_g), "g", "left_semi")
+        .select("id", md5_long(F.col("g")).alias("gh"))
+        .join(F.broadcast(bench_g), "gh", "left_semi")
         .select(F.col("id").alias("doc_id"))
         .distinct()
     )
@@ -11314,7 +11342,7 @@ def q234_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(contaminated, "doc_id", "left_anti")
     )
-    return (
+    return propagate_checkpoint_ids(
         final.select(
             (md5_long(F.col("doc_id").cast("string"), salt=234) % 4)
             .cast("int")
@@ -11328,7 +11356,8 @@ def q234_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("char_mass"),
             F.sum("doc_id").cast("long").alias("id_checksum"),
         )
-        .orderBy("shard")
+        .orderBy("shard"),
+        pairs,
     )
 
 
@@ -11708,18 +11737,26 @@ def q239_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     this picks the threshold. DuckDB replays pairs and both rollups."""
     thresholds = [0.5, 0.6, 0.7, 0.8]
     from .functions.dedup import jaccard_candidates
+    from .storage import (
+        propagate_checkpoint_ids,
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
 
     d = t(spark, sf_dir, "documents")
-    pairs = jaccard_candidates(d, threshold=0.5, n=3).localCheckpoint()
+    raw_pairs = jaccard_candidates(d, threshold=0.5, n=3)
+    pairs = tracked_local_checkpoint(raw_pairs)
+    release_checkpoint(raw_pairs)
     th = spark.createDataFrame([(x,) for x in thresholds], "threshold double")
-    return (
+    return propagate_checkpoint_ids(
         th.join(pairs, pairs["jaccard"] >= th["threshold"], "left")
         .groupBy("threshold")
         .agg(
             F.count("id_a").cast("long").alias("n_pairs"),
             F.countDistinct("id_b").cast("long").alias("n_docs_flagged"),
         )
-        .orderBy("threshold")
+        .orderBy("threshold"),
+        pairs,
     )
 
 
@@ -11729,7 +11766,7 @@ def q239_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH fp AS (
       SELECT doc_id, n_chars,
              CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR) || ':' ||
-                                         LOWER(text)), 1, 15)) AS BIGINT) AS h
+                                         text), 1, 15)) AS BIGINT) AS h
       FROM documents
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -11743,20 +11780,23 @@ def q240_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORPUS CONTENT FINGERPRINT — the dataset-versioning primitive: a
     single row certifying "this is byte-for-byte the same corpus"
     across runs, engines, and partition layouts. Per-doc 60-bit md5 of
-    (id:text) summed modulo a 63-bit prime — ORDER-INDEPENDENT (sum is
-    commutative) and content-sensitive (any edited/added/dropped doc
-    moves it), so two teams can agree on exactly which corpus version a
-    model was trained on with one number each. Map-only scan + one
-    1-row aggregate; exact integer arithmetic end to end (the mod-prime
-    keeps the running sum in range — DuckDB accumulates in HUGEINT,
-    Spark folds through DECIMAL(38,0) before the modulo, both exact)."""
+    (id:text) — the RAW text, no normalization, so even a case-only
+    edit moves the fingerprint (and no cross-engine Unicode
+    case-mapping is in play) — summed modulo a 63-bit prime:
+    ORDER-INDEPENDENT (sum is commutative) and content-sensitive (any
+    edited/added/dropped doc moves it), so two teams can agree on
+    exactly which corpus version a model was trained on with one
+    number each. Map-only scan + one 1-row aggregate; exact integer
+    arithmetic end to end (the mod-prime keeps the running sum in
+    range — DuckDB accumulates in HUGEINT, Spark folds through
+    DECIMAL(38,0) before the modulo, both exact)."""
     from .functions.dedup import md5_long
 
     d = t(spark, sf_dir, "documents")
     fp = d.select(
         "n_chars",
         md5_long(
-            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.lower("text"))
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
         ).alias("h"),
     )
     prime = 9223372036854775783  # largest prime < 2^63

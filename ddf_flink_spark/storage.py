@@ -91,10 +91,24 @@ def observed_local_checkpoint(df: DataFrame, metric_name: str, metric_col):
     registration-free; the metrics row is read off the executed plan.
 
     The metric value arrives as the natural Python type (Decimal /
-    float / int; None for an empty input)."""
+    float / int; None for an empty input).
+
+    If the metrics row cannot be read off the pre-checkpoint frame's
+    QueryExecution (e.g. a future Spark version routes
+    ``Dataset.checkpoint`` through a fresh QueryExecution so the
+    observed metrics land elsewhere), degrades to a one-off aggregation
+    of ``metric_col`` over the checkpointed frame — the two-job shape —
+    instead of failing every CC/PageRank round on a Scala
+    ``NoSuchElementException``."""
     observed = df.observe(metric_name, metric_col)
     cp = tracked_local_checkpoint(observed)
-    value = observed._jdf.queryExecution().observedMetrics().apply(metric_name).get(0)
+    try:
+        value = (
+            observed._jdf.queryExecution().observedMetrics().apply(metric_name).get(0)
+        )
+    except Exception:
+        row = cp.agg(metric_col).collect()[0]
+        value = row[0]
     return cp, value
 
 
