@@ -36,6 +36,29 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _session_tmp(name: str) -> str:
+    """Per-process sink path under the system temp dir.
+
+    Constant WITHIN a process — repeated runs of a query reuse and
+    overwrite ONE sink, never accumulate — but distinct ACROSS
+    processes, so two concurrent gate/bench sessions on one box can
+    never interleave overwrite/read on each other's sinks (a fixed
+    ``/tmp/ddf_qNN`` path would corrupt both and read as a false oracle
+    mismatch). The whole per-process directory is removed at
+    interpreter exit so pid churn doesn't leak table copies into the
+    temp dir across sessions."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), f"ddf_sinks_{os.getpid()}")
+    if not os.path.isdir(base):
+        os.makedirs(base, exist_ok=True)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return os.path.join(base, name)
+
+
 _SHIPPED: set[str] = set()
 
 
@@ -2160,8 +2183,9 @@ def q53_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = DDFManager(spark)
     ddf = m.new_ddf(t(spark, sf_dir, "orders"), name="orders_persist")
-    # fixed path + overwrite: repeated runs reuse the sink, never accumulate
-    target = ddf.persist(os.path.join(tempfile.gettempdir(), "ddf_q53_persist"))
+    # per-process path + overwrite: repeated runs in one session reuse
+    # the sink; concurrent sessions can't clobber each other's
+    target = ddf.persist(_session_tmp("q53_persist"))
     back = spark.read.parquet(target)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -3218,7 +3242,7 @@ def q88_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    target = os.path.join(tempfile.gettempdir(), "ddf_q88_part_sink")
+    target = _session_tmp("q88_part_sink")
     o = t(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(target)
     back = spark.read.parquet(target).filter(
@@ -3319,7 +3343,7 @@ def q91_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    target = os.path.join(tempfile.gettempdir(), "ddf_q91_orc")
+    target = _session_tmp("q91_orc")
     t(spark, sf_dir, "orders").write.mode("overwrite").orc(target)
     back = spark.read.orc(target)
     return back.groupBy("o_orderstatus").agg(
@@ -3508,7 +3532,7 @@ def q97_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.core import events_stream
     from .streaming.sink import read_rollup, run_incremental_rollup, windowed_rollup_updates
 
-    base = os.path.join(tempfile.gettempdir(), "ddf_q97_mv")
+    base = _session_tmp("q97_mv")
     mv, ckpt = os.path.join(base, "mv"), os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
     updates = windowed_rollup_updates(events_stream(spark, sf_dir), window="6 hours")
@@ -4001,10 +4025,11 @@ def q107_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     suffix = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
     li_tbl, o_tbl = f"bkt_li_{suffix}", f"bkt_o_{suffix}"
-    # external fixed paths + DROP IF EXISTS: idempotent across sessions
+    # external per-process paths + DROP IF EXISTS: idempotent within a
+    # session, collision-free across concurrent sessions
     # (a managed table's leftover location would collide with a fresh
     # in-memory catalog; an external path with mode=overwrite cannot)
-    base = f"{tempfile.gettempdir()}/ddf_bkt_{suffix}"
+    base = _session_tmp(f"bkt_{suffix}")
     spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
     spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
     t(spark, sf_dir, "lineitem").write.bucketBy(16, "l_orderkey").sortBy(
@@ -4575,7 +4600,7 @@ def q120_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from functools import reduce
 
-    base = os.path.join(tempfile.gettempdir(), "ddf_q120")
+    base = _session_tmp("q120")
     c = t(spark, sf_dir, "customer")
     csv_path, json_path = f"{base}/csv", f"{base}/json"
     c.write.mode("overwrite").option("header", "true").csv(csv_path)
@@ -10459,7 +10484,7 @@ def q222_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from functools import reduce
 
-    base = os.path.join(tempfile.gettempdir(), "ddf_q222")
+    base = _session_tmp("q222")
     p = t(spark, sf_dir, "part")
     orc_path = f"{base}/orc"
     p.write.mode("overwrite").option("compression", "zlib").orc(orc_path)
@@ -10800,7 +10825,7 @@ def q226_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "ddf_q226")
+    base = _session_tmp("q226")
     shutil.rmtree(base, ignore_errors=True)
     o = t(spark, sf_dir, "orders")
     o.filter(F.col("o_orderkey") % 2 == 0).select(
@@ -10852,7 +10877,7 @@ def q227_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), "ddf_q227")
+    base = _session_tmp("q227")
     shutil.rmtree(base, ignore_errors=True)
     li = t(spark, sf_dir, "lineitem")
     frag, comp = f"{base}/fragmented", f"{base}/compacted"
@@ -11205,7 +11230,7 @@ def q233_ivf_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .functions.similarity import ivf_build, ivf_topk
 
-    base = os.path.join(tempfile.gettempdir(), "ddf_q233")
+    base = _session_tmp("q233")
     shutil.rmtree(base, ignore_errors=True)
     e = t(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_build(e, n_lists=8, quantizer="lloyd")

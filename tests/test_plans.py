@@ -592,3 +592,30 @@ def test_audit_exemptions_are_bounded_at_runtime(spark, name):
         f"{name}: exempted hazards exceed the measured bound "
         f"({RUNTIME_BOUND_ROWS} rows): {over}; all measures: {measures}"
     )
+
+
+def test_no_constant_temp_paths_in_registry():
+    """Every sink path under the system temp dir must be per-process
+    (``_session_tmp`` / ``mkdtemp`` / applicationId-scoped), never a
+    constant like ``/tmp/ddf_q233``: two concurrent gate/bench sessions
+    on one box would interleave overwrite/read on a shared sink and
+    surface as a false oracle mismatch (round-5 VERDICT defect #2)."""
+    import re
+    from pathlib import Path
+
+    src = (
+        Path(__file__).resolve().parents[1] / "ddf_flink_spark" / "registry.py"
+    ).read_text()
+    # constant string literal joined to gettempdir(): forbid both the
+    # os.path.join form and the f-string form unless the literal embeds
+    # a per-process discriminator further on the same line
+    offenders = []
+    for i, line in enumerate(src.splitlines(), 1):
+        if "gettempdir()" not in line:
+            continue
+        if re.search(r"gettempdir\(\),\s*\"[^\"{]+\"\s*\)", line) or re.search(
+            r"gettempdir\(\)\}/[A-Za-z0-9_]+\"", line
+        ):
+            if "getpid()" not in line and "applicationId" not in line:
+                offenders.append((i, line.strip()))
+    assert not offenders, f"constant temp-dir sink paths: {offenders}"
