@@ -110,6 +110,59 @@ CORE19 = [
 ]
 
 
+def _jvm_pid(spark) -> int | None:
+    """Pid of the gateway JVM (local mode: driver + all executor threads)."""
+    proc = getattr(spark.sparkContext._gateway, "proc", None)
+    return getattr(proc, "pid", None)
+
+
+def _cohort_cpu_seconds(jvm_pid: int | None) -> float:
+    """User+sys CPU consumed so far by the whole bench cohort: this
+    python driver, the Spark JVM, and every live JVM descendant
+    (pyspark.daemon / Arrow UDF workers), plus each process's reaped
+    children. A monotonic counter — per-run ``cpu_s`` is the delta
+    across the run. Unlike wall time, CPU-seconds barely move when the
+    shared box is loaded, so round-over-round comparisons of this
+    number separate real plan regressions from host contention
+    (round-5's committed wall numbers were load-contaminated and the
+    artifact alone couldn't tell)."""
+    t = os.times()
+    total = t.user + t.system + t.children_user + t.children_system
+    if jvm_pid is None:
+        return total
+    hz = os.sysconf("SC_CLK_TCK")
+    ppid: dict[int, int] = {}
+    cpu: dict[int, float] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                fields = fh.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue
+        # fields after comm: [1]=ppid, [11]=utime, [12]=stime,
+        # [13]=cutime, [14]=cstime (reaped children)
+        ppid[int(d)] = int(fields[1])
+        cpu[int(d)] = (
+            int(fields[11]) + int(fields[12]) + int(fields[13]) + int(fields[14])
+        ) / hz
+    cohort = {jvm_pid}
+    grew = True
+    while grew:
+        grew = False
+        for pid, parent in ppid.items():
+            if parent in cohort and pid not in cohort:
+                cohort.add(pid)
+                grew = True
+    return total + sum(cpu.get(pid, 0.0) for pid in cohort)
+
+
+def _loadavg() -> list[float]:
+    with open("/proc/loadavg") as fh:
+        return [float(x) for x in fh.read().split()[:3]]
+
+
 def main() -> None:
     from ddf_flink_spark.registry import QUERIES
     from ddf_flink_spark.session import get_spark
@@ -118,6 +171,8 @@ def main() -> None:
     spark = get_spark("ddf_flink_spark_bench")
     # warm the JVM + parquet footer cache with a trivial job
     spark.range(1000).count()
+    jvm_pid = _jvm_pid(spark)
+    load_start = _loadavg()
 
     sf = None
     try:
@@ -127,17 +182,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
+    cpu_s: dict[str, float] = {}
+    cpu_spread: dict[str, dict[str, float]] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
         warm: list[float] = []
+        warm_cpu: list[float] = []
         for run in range(1 + N_WARM):
+            c0 = _cohort_cpu_seconds(jvm_pid)
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 4)
+            cpu_delta = round(_cohort_cpu_seconds(jvm_pid) - c0, 4)
             # the run's frame is dead: free checkpoint/cache blocks so
             # storage doesn't accumulate across the suite (measured to
             # degrade late queries by minutes once enough dead blocks
@@ -147,11 +207,20 @@ def main() -> None:
                 cold[name] = elapsed
             else:
                 warm.append(elapsed)
+                warm_cpu.append(cpu_delta)
         timings[name] = min(warm)
         spread[name] = {
             "min": min(warm),
             "med": round(statistics.median(warm), 4),
             "max": max(warm),
+        }
+        # min CPU: later runs shed JIT-compilation CPU, mirroring the
+        # steady-state wall methodology
+        cpu_s[name] = min(warm_cpu)
+        cpu_spread[name] = {
+            "min": min(warm_cpu),
+            "med": round(statistics.median(warm_cpu), 4),
+            "max": max(warm_cpu),
         }
 
     print(
@@ -168,6 +237,18 @@ def main() -> None:
                 ),
                 "core19_members": CORE19,
                 "cold_sec": round(sum(cold.values()), 4),
+                # CPU-seconds (user+sys of driver + JVM + python
+                # workers): load-insensitive — the round-over-round
+                # regression signal; wall times above remain the
+                # throughput headline
+                "cpu_s": cpu_s,
+                "cpu_spread": cpu_spread,
+                "total_cpu_s": round(sum(cpu_s.values()), 4),
+                "core19_cpu_s": round(
+                    sum(cpu_s[n] for n in CORE19 if n in cpu_s), 4
+                ),
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
                 "sf": sf,
             }
         )

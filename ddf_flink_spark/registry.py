@@ -11346,27 +11346,29 @@ def q234_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISTINCT, the broadcast set, and every exchange past the explode
     # carry longs, never shingle strings — at 100 TB that is the
     # difference between shuffling ~40-byte grams and 8-byte keys.
+    # Decontamination runs LAST, over the quality-gate + dedup
+    # survivors only — the per-row most expensive stage (full-text
+    # 5-gram explode + hash) touches the SMALLEST set; semantics are
+    # identical because the anti-join can only remove rows already in
+    # the final set.
     bench_g = (
         exploded_shingles(d.filter(F.col("doc_id") % 41 == 0), "text", "doc_id", 5)
         .select(md5_long(F.col("g")).alias("gh"))
         .distinct()
     )
+    pre_final = d.join(survivor_ids, "doc_id", "left_semi").filter(
+        (F.col("n_chars") >= 100)
+        & (F.size(tokens("text")) >= 20)
+        & (F.col("doc_id") % 41 != 0)
+    )
     contaminated = (
-        exploded_shingles(d, "text", "doc_id", 5)
+        exploded_shingles(pre_final, "text", "doc_id", 5)
         .select("id", md5_long(F.col("g")).alias("gh"))
         .join(F.broadcast(bench_g), "gh", "left_semi")
         .select(F.col("id").alias("doc_id"))
         .distinct()
     )
-    final = (
-        d.join(survivor_ids, "doc_id", "left_semi")
-        .filter(
-            (F.col("n_chars") >= 100)
-            & (F.size(tokens("text")) >= 20)
-            & (F.col("doc_id") % 41 != 0)
-        )
-        .join(contaminated, "doc_id", "left_anti")
-    )
+    final = pre_final.join(contaminated, "doc_id", "left_anti")
     return propagate_checkpoint_ids(
         final.select(
             (md5_long(F.col("doc_id").cast("string"), salt=234) % 4)
