@@ -7,12 +7,14 @@ REAL wherever stdlib+numpy suffice: WAV (``wave``), P6 PPM, 24-bit BMP,
 chunks), and baseline sequential JPEG (Annex-K Huffman entropy decode,
 dequantize, IDCT, YCbCr→RGB — see the JPEG section below).
 ``resize_media`` does real nearest-neighbor resampling over the raster
-formats. Only MP4 truly needs external codec libraries and remains
-stubbed: ``decode_media``'s generic feature-extraction raises
-``NotImplementedError`` unless ``deterministic_fake=True``, which
-produces a seeded fake feature vector from the bytes (so the Spark-side
-plumbing — schema, partitioning, UDF signature, Arrow batch shape — is
-real and tested even for those).
+formats. MP4 gets a REAL pure-stdlib ISO BMFF container layer
+(``mp4_encode_container``/``mp4_parse_container``/``decode_mp4`` — box
+framing, mvhd timing, tkhd geometry, hdlr track census); only FRAME
+decode (H.264/AAC) genuinely needs external codec libraries and stays
+honestly out of scope. ``decode_media``'s ``deterministic_fake=True``
+path produces a seeded fake feature vector from the bytes (so the
+Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
+shape — is real and tested even for formats with no extractor).
 
 Design for scale:
 * media bytes live in ONE binary column next to a metadata struct —
@@ -37,12 +39,14 @@ __all__ = [
     "attach_bmp_media",
     "attach_fake_media",
     "attach_jpeg_media",
+    "attach_mp4_media",
     "attach_png_media",
     "attach_ppm_media",
     "attach_wav_media",
     "decode_bmp",
     "decode_jpeg",
     "decode_media",
+    "decode_mp4",
     "decode_png",
     "decode_ppm",
     "decode_wav",
@@ -50,6 +54,9 @@ __all__ = [
     "frame_sample_plan",
     "jpeg_decode_baseline",
     "jpeg_encode_baseline",
+    "mp4_encode_container",
+    "mp4_parse_container",
+    "mp4_walk_boxes",
     "resize_media",
 ]
 
@@ -248,26 +255,21 @@ def decode_media(
 ) -> DataFrame:
     """Decode + feature-extract each media row → ``features array<float>``.
 
-    Generic (any-container) decode is NOT IMPLEMENTED in this container
-    (no PIL/librosa/ffmpeg); pass ``deterministic_fake=True`` to exercise
-    the full distributed path with seeded fake features (MD5-seeded from
-    the bytes, so output is reproducible everywhere). Real stdlib decoders
-    exist for WAV/PPM/BMP/PNG/JPEG — use those for supported formats.
+    Real paths: ``video/mp4`` rows get CONTAINER-level features via the
+    pure-stdlib ISO BMFF parser (duration, track census, geometry —
+    frame/pixel features genuinely need external codecs absent here and
+    are honestly out of scope); the raster/audio mimes have full typed
+    decoders (``decode_wav``/``decode_ppm``/``decode_bmp``/
+    ``decode_png``/``decode_jpeg``) which a caller should prefer since
+    they return typed stats, not a flat vector. Unrecognized mimes
+    raise ValueError per row. Pass ``deterministic_fake=True`` to
+    exercise the full distributed path with seeded fake features
+    (MD5-seeded from the bytes, so output is reproducible everywhere).
 
-    The batch closure is deliberately self-contained (its imports and the
-    fake decode live inside it) so cloudpickle ships it by value — Python
-    workers never need this package importable.
+    The fake-path closure is self-contained; the real path references
+    the module-level parser, shipped to workers by
+    ``registry.ensure_shipped`` (the decode_jpeg pattern).
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "generic media feature-extraction requires codec libraries "
-            "(PIL/ffmpeg) not present in this container; use the REAL "
-            "stdlib decoders for WAV/PPM/BMP/PNG/JPEG (decode_wav/"
-            "decode_ppm/decode_bmp/decode_png/decode_jpeg — MP4 is the "
-            "only remaining stub), or pass deterministic_fake=True to "
-            "run this plumbing with seeded fake features"
-        )
-
     out_schema = (
         "media_id bigint, kind string, width int, height int, features array<float>"
     )
@@ -283,14 +285,40 @@ def decode_media(
             rng = _np.random.default_rng(seed)
             return rng.standard_normal(out_dim).astype(_np.float32).tolist()
 
+        def real_decode(mime: str, content: bytes) -> list[float]:
+            if mime == "video/mp4":
+                m = mp4_parse_container(content)
+                vec = [
+                    float(m["duration_ms"]),
+                    float(m["n_tracks"]),
+                    float(m["n_video_tracks"]),
+                    float(m["n_audio_tracks"]),
+                    float(m["width"]),
+                    float(m["height"]),
+                ]
+                return (vec + [0.0] * out_dim)[:out_dim]
+            raise ValueError(
+                f"no generic feature extractor for mime {mime!r}: use the "
+                "typed decoders (decode_wav/decode_ppm/decode_bmp/"
+                "decode_png/decode_jpeg/decode_mp4) or "
+                "deterministic_fake=True"
+            )
+
         for pdf in batches:
+            if deterministic_fake:
+                feats = [fake_decode(bytes(c)) for c in pdf["content"]]
+            else:
+                feats = [
+                    real_decode(m, bytes(c))
+                    for m, c in zip(pdf["mime"], pdf["content"])
+                ]
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "width": pdf["width"],
                     "height": pdf["height"],
-                    "features": [fake_decode(bytes(c)) for c in pdf["content"]],
+                    "features": feats,
                 }
             )
 
@@ -398,8 +426,8 @@ def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
 # A real compressed-format decode with zero dependencies beyond the
 # stdlib: zlib inflate + the five PNG scanline filters. The container
 # has no PIL/ffmpeg, so this is the honest replacement for the former
-# compressed-media stub (JPEG/MP4 still raise in decode_media — their
-# codecs genuinely need external libraries).
+# compressed-media stub (JPEG decodes fully below; MP4's container
+# layer parses below too — only its FRAME codecs need external libs).
 
 
 def _png_paeth(a: int, b: int, c: int) -> int:
@@ -722,8 +750,9 @@ def decode_bmp(df: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------- JPEG
 # Baseline sequential JPEG (ITU-T T.81), stdlib+numpy only — the last
-# feasible pure-stdlib media codec (MP4 genuinely needs external
-# libraries and stays the one environmental stub). The reference has no
+# feasible pure-stdlib PIXEL codec (MP4 frame decode genuinely needs
+# external libraries; its container layer parses at the bottom of this
+# module). The reference has no
 # media surface at all; this is extension parity with the PNG/BMP/PPM/WAV
 # family above. Spec constants (zigzag order, Annex K Huffman tables) are
 # pinned by independent literals in tests/test_llm_ops.py so a matching
@@ -1154,6 +1183,276 @@ def decode_jpeg(df: DataFrame) -> DataFrame:
                     "mean_r": [p[2] for p in parsed],
                     "mean_g": [p[3] for p in parsed],
                     "mean_b": [p[4] for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container layer (ISO/IEC 14496-12, public spec).
+#
+# The CONTAINER is fully parseable in pure stdlib: box framing
+# (size+type, 64-bit largesize, size==0 runs-to-EOF), movie timing
+# (``mvhd`` timescale/duration), per-track geometry (``tkhd`` 16.16
+# fixed-point width/height) and handler classification (``hdlr``
+# vide/soun). FRAME decode genuinely needs external codec libraries
+# (H.264/AAC) absent from this container and stays out of scope — the
+# parser returns REAL metadata without ever touching sample data, which
+# is exactly what a 100 TB video-curation pass filters on before paying
+# for any decode. Writer and parser are independent implementations of
+# the spec (the q241 analytic oracle predicts the parsed values from
+# the planting formula alone, so a matching encode/parse bug pair
+# cannot self-certify; byte-level layout is additionally pinned against
+# hand-built literals in tests/test_llm_ops.py).
+
+
+def _mp4_box(typ: bytes, *parts: bytes) -> bytes:
+    body = b"".join(parts)
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def _mp4_full_box(typ: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _mp4_box(typ, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+# identity transformation matrix (9 × 32-bit: 16.16 fixed, last 2.30)
+_MP4_MATRIX = b"".join(
+    v.to_bytes(4, "big") for v in (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+)
+
+
+def mp4_encode_container(
+    duration_ms: int,
+    width: int,
+    height: int,
+    n_audio_tracks: int = 0,
+    timescale: int = 600,
+    payload: bytes = b"",
+) -> bytes:
+    """Spec-conformant minimal MP4: ``ftyp`` (isom/mp42) + ``moov``
+    (``mvhd`` + one video ``trak`` + ``n_audio_tracks`` audio traks,
+    each trak = ``tkhd`` + ``mdia(mdhd, hdlr)``) + ``mdat`` carrying
+    ``payload``. Durations are stored in ``timescale`` units (the
+    classic 600 Hz default)."""
+    dur = duration_ms * timescale // 1000
+
+    def u32(v: int) -> bytes:
+        return int(v).to_bytes(4, "big")
+
+    def u16(v: int) -> bytes:
+        return int(v).to_bytes(2, "big")
+
+    mvhd = _mp4_full_box(
+        b"mvhd",
+        0,
+        0,
+        u32(0) + u32(0) + u32(timescale) + u32(dur)  # created/modified/ts/dur
+        + u32(0x00010000)  # rate 1.0
+        + u16(0x0100) + u16(0)  # volume 1.0 + reserved
+        + b"\x00" * 8  # reserved
+        + _MP4_MATRIX
+        + b"\x00" * 24  # pre_defined
+        + u32(2 + n_audio_tracks),  # next_track_ID
+    )
+    mdhd = _mp4_full_box(
+        b"mdhd",
+        0,
+        0,
+        u32(0) + u32(0) + u32(timescale) + u32(dur)
+        + u16(0x55C4)  # packed ISO-639 'und'
+        + u16(0),
+    )
+
+    def trak(track_id: int, handler: bytes, w: int, h: int, volume: int) -> bytes:
+        tkhd = _mp4_full_box(
+            b"tkhd",
+            0,
+            0x7,  # enabled | in-movie | in-preview
+            u32(0) + u32(0) + u32(track_id) + u32(0) + u32(dur)
+            + b"\x00" * 8  # reserved
+            + u16(0) + u16(0)  # layer, alternate_group
+            + u16(volume) + u16(0)  # volume, reserved
+            + _MP4_MATRIX
+            + u32(w << 16) + u32(h << 16),  # 16.16 fixed
+        )
+        name = b"VideoHandler\x00" if handler == b"vide" else b"SoundHandler\x00"
+        hdlr = _mp4_full_box(b"hdlr", 0, 0, u32(0) + handler + b"\x00" * 12 + name)
+        return _mp4_box(b"trak", tkhd, _mp4_box(b"mdia", mdhd, hdlr))
+
+    traks = [trak(1, b"vide", width, height, 0)]
+    for i in range(n_audio_tracks):
+        traks.append(trak(2 + i, b"soun", 0, 0, 0x0100))
+    ftyp = _mp4_box(b"ftyp", b"isom", (0x200).to_bytes(4, "big"), b"isom", b"mp42")
+    moov = _mp4_box(b"moov", mvhd, *traks)
+    mdat = _mp4_box(b"mdat", payload)
+    return ftyp + moov + mdat
+
+
+def mp4_walk_boxes(b: bytes, lo: int = 0, hi: int | None = None):
+    """Yield ``(type, body_lo, body_hi)`` for each box in ``b[lo:hi]``,
+    handling 32-bit sizes, ``size==1`` 64-bit largesize, and ``size==0``
+    extends-to-end. Raises ValueError on truncated/malformed framing."""
+    if hi is None:
+        hi = len(b)
+    pos = lo
+    while pos < hi:
+        if pos + 8 > hi:
+            raise ValueError("truncated box header")
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > hi:
+                raise ValueError("truncated largesize header")
+            size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = hi - pos
+        if size < hdr or pos + size > hi:
+            raise ValueError(f"malformed box {typ!r}: size {size}")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def mp4_parse_container(b: bytes) -> dict:
+    """Parse the metadata layer of an ISO BMFF file: returns
+    ``{major_brand, timescale, duration_ms, n_tracks, n_video_tracks,
+    n_audio_tracks, width, height}`` — width/height from the first
+    video track's ``tkhd`` (16.16 fixed → int), duration from ``mvhd``.
+    Pure byte arithmetic; never touches ``mdat`` sample data."""
+    major_brand = None
+    moov = None
+    for typ, blo, bhi in mp4_walk_boxes(b):
+        if typ == b"ftyp" and major_brand is None:
+            major_brand = b[blo : blo + 4].decode("latin-1")
+        elif typ == b"moov" and moov is None:
+            moov = (blo, bhi)
+    if moov is None:
+        raise ValueError("no moov box")
+    timescale = duration_units = None
+    n_tracks = n_video = n_audio = 0
+    width = height = 0
+    for typ, blo, bhi in mp4_walk_boxes(b, *moov):
+        if typ == b"mvhd":
+            ver = b[blo]
+            p = blo + 4  # skip version+flags
+            tlen = 8 if ver == 1 else 4
+            p += 2 * tlen  # creation + modification
+            timescale = int.from_bytes(b[p : p + 4], "big")
+            p += 4
+            duration_units = int.from_bytes(b[p : p + tlen], "big")
+        elif typ == b"trak":
+            n_tracks += 1
+            t_w = t_h = 0
+            handler = None
+            for t2, lo2, hi2 in mp4_walk_boxes(b, blo, bhi):
+                if t2 == b"tkhd":
+                    ver = b[lo2]
+                    p = lo2 + 4
+                    tlen = 8 if ver == 1 else 4
+                    p += 2 * tlen + 4 + 4  # created/modified/track_ID/reserved
+                    p += tlen  # duration
+                    p += 8 + 2 + 2 + 2 + 2 + 36  # reserved/layer/alt/vol/res/matrix
+                    t_w = int.from_bytes(b[p : p + 4], "big") >> 16
+                    t_h = int.from_bytes(b[p + 4 : p + 8], "big") >> 16
+                elif t2 == b"mdia":
+                    for t3, lo3, hi3 in mp4_walk_boxes(b, lo2, hi2):
+                        if t3 == b"hdlr":
+                            handler = b[lo3 + 8 : lo3 + 12]
+            if handler == b"vide":
+                n_video += 1
+                if width == 0:
+                    width, height = t_w, t_h
+            elif handler == b"soun":
+                n_audio += 1
+    if timescale in (None, 0):
+        raise ValueError("no mvhd timescale")
+    return {
+        "major_brand": major_brand,
+        "timescale": timescale,
+        "duration_ms": duration_units * 1000 // timescale,
+        "n_tracks": n_tracks,
+        "n_video_tracks": n_video,
+        "n_audio_tracks": n_audio,
+        "width": width,
+        "height": height,
+    }
+
+
+def attach_mp4_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize spec-conformant MP4 containers per row with metadata
+    planted as a closed-form function of the id (the q219 JPEG pattern):
+    duration 500+125·(id mod 97) ms at timescale 600·(1+id mod 4), a
+    video track of 16·(4+id mod 9) × 16·(3+id mod 7), plus (id mod 2)
+    audio tracks. The planting keeps mvhd units exact in both
+    directions (duration_ms multiple of 5, timescale multiple of 600 →
+    ms→units→ms round-trips in integer arithmetic), so an analytic
+    oracle can predict every parsed value."""
+    out_schema = MEDIA_SCHEMA
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def make(doc_id: int) -> tuple[int, int, int, bytes]:
+            dms = 500 + 125 * (doc_id % 97)
+            w = 16 * (4 + doc_id % 9)
+            h = 16 * (3 + doc_id % 7)
+            blob = mp4_encode_container(
+                dms,
+                w,
+                h,
+                n_audio_tracks=doc_id % 2,
+                timescale=600 * (1 + doc_id % 4),
+                payload=doc_id.to_bytes(8, "big"),
+            )
+            return dms, w, h, blob
+
+        for pdf in batches:
+            made = [make(int(i)) for i in pdf["media_id"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "video",
+                    "mime": "video/mp4",
+                    "width": [m[1] for m in made],
+                    "height": [m[2] for m in made],
+                    "duration_ms": [m[0] for m in made],
+                    "content": [m[3] for m in made],
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("media_id"))
+    return src.mapInPandas(encode_batches, schema=out_schema)
+
+
+def decode_mp4(df: DataFrame) -> DataFrame:
+    """Container-metadata decode for MP4 rows: box walk → (brand,
+    track census, duration, geometry). The 100 TB shape is the same
+    zero-shuffle Arrow map as every decoder here — and because this is
+    metadata-only, it is the CHEAP pre-filter a video pipeline runs
+    over everything before any per-frame work is scheduled."""
+    out_schema = (
+        "media_id bigint, major_brand string, n_tracks int, "
+        "n_video_tracks int, n_audio_tracks int, duration_ms int, "
+        "width int, height int"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            parsed = [mp4_parse_container(bytes(c)) for c in pdf["content"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "major_brand": [p["major_brand"] for p in parsed],
+                    "n_tracks": [p["n_tracks"] for p in parsed],
+                    "n_video_tracks": [p["n_video_tracks"] for p in parsed],
+                    "n_audio_tracks": [p["n_audio_tracks"] for p in parsed],
+                    "duration_ms": [p["duration_ms"] for p in parsed],
+                    "width": [p["width"] for p in parsed],
+                    "height": [p["height"] for p in parsed],
                 }
             )
 

@@ -11834,3 +11834,40 @@ def q240_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("content_fingerprint"),
     )
+
+
+@query(
+    "q241_mp4_container_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'isom' AS major_brand,
+           CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+           CAST(1 AS INT) AS n_video_tracks,
+           CAST(doc_id % 2 AS INT) AS n_audio_tracks,
+           CAST(500 + 125 * (doc_id % 97) AS INT) AS duration_ms,
+           CAST(16 * (4 + doc_id % 9) AS INT) AS width,
+           CAST(16 * (3 + doc_id % 7) AS INT) AS height
+    FROM documents WHERE doc_id < 400 ORDER BY doc_id
+    """,
+)
+def q241_mp4_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 metadata decode, pure stdlib (functions/multimodal
+    mp4_encode_container → mp4_parse_container): spec-conformant ISO
+    BMFF containers (ftyp/moov/mvhd/trak/tkhd/mdia/hdlr/mdat, 16.16
+    fixed-point geometry, per-doc timescales) are synthesized per doc
+    with closed-form planted metadata, and the decode walks the box
+    tree to recover brand, track census, duration (mvhd units →
+    integer-exact ms) and video geometry. The oracle predicts every
+    parsed value ANALYTICALLY from the planting formula — fully
+    independent of the codec pair; byte-level layout is pinned against
+    hand-built box literals in tests/test_llm_ops.py. Frame decode
+    needs external codecs and stays out of scope: this is the
+    metadata-only pre-filter a 100 TB video-curation pass runs over
+    everything BEFORE scheduling any per-frame work (same zero-shuffle
+    Arrow-map shape as q219; the binary column never leaves the
+    executor). Retires the package's last NotImplementedError."""
+    from .functions.multimodal import attach_mp4_media, decode_mp4
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    media = attach_mp4_media(d, "doc_id")
+    return decode_mp4(media).orderBy("media_id")

@@ -141,9 +141,12 @@ def test_multimodal_plumbing(spark):
     assert [r["features"] for r in sorted(rows, key=lambda r: r["media_id"])] == [
         r["features"] for r in sorted(again, key=lambda r: r["media_id"])
     ]
-    # real decode is explicitly stubbed
-    with pytest.raises(NotImplementedError):
-        decode_media(media, deterministic_fake=False)
+    # real decode has no extractor for the fake mime: per-row ValueError
+    # (video/mp4 rows DO decode for real — see test_decode_media_mp4)
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="no generic feature extractor"):
+        decode_media(media, deterministic_fake=False).collect()
 
 
 def test_frame_sample_plan(spark):
@@ -1303,3 +1306,133 @@ def test_repetition_ratio_planted(spark):
     got = {r["id"]: r["rep"] for r in repetition_ratio(df).collect()}
     assert got[1] == 0.0
     assert got[0] > 0.8
+
+
+# ---------------------------------------------------------------- MP4
+# The q219 discipline applied to ISO BMFF: the parser is pinned against
+# HAND-BUILT byte literals (spec layout written out field by field in
+# the test, independent of mp4_encode_container), the writer against
+# the parser round-trip, and the distributed path against q241's
+# analytic oracle.
+
+
+def _hand_built_mp4() -> bytes:
+    """A minimal ISO BMFF file written field-by-field from the spec
+    (ISO/IEC 14496-12 §8.2.2 mvhd, §8.3.2 tkhd), sharing NO code with
+    mp4_encode_container: one video track, 640×480, 7 s at timescale
+    1000, wrapped with a 64-bit-largesize free box and a size==0 mdat."""
+    import struct
+
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    ftyp = struct.pack(">I4s", 16, b"ftyp") + b"mp42" + struct.pack(">I", 1)
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0, flags 0
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", 1000, 7000)  # timescale, duration
+        + struct.pack(">i", 0x10000)  # rate
+        + struct.pack(">hH", 0x0100, 0)  # volume, reserved
+        + b"\x00" * 8
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2)  # next_track_ID
+    )
+    mvhd = struct.pack(">I4s", 8 + len(mvhd_body), b"mvhd") + mvhd_body
+    tkhd_body = (
+        b"\x00\x00\x00\x07"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1, 0)  # track_ID, reserved
+        + struct.pack(">I", 7000)  # duration
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)  # layer, alt, volume, reserved
+        + matrix
+        + struct.pack(">II", 640 << 16, 480 << 16)
+    )
+    tkhd = struct.pack(">I4s", 8 + len(tkhd_body), b"tkhd") + tkhd_body
+    hdlr_body = b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"H\x00"
+    hdlr = struct.pack(">I4s", 8 + len(hdlr_body), b"hdlr") + hdlr_body
+    mdia = struct.pack(">I4s", 8 + len(hdlr), b"mdia") + hdlr
+    trak_body = tkhd + mdia
+    trak = struct.pack(">I4s", 8 + len(trak_body), b"trak") + trak_body
+    moov_body = mvhd + trak
+    moov = struct.pack(">I4s", 8 + len(moov_body), b"moov") + moov_body
+    # 64-bit largesize free box (size field == 1, real size follows)
+    free = struct.pack(">I4sQ", 1, b"free", 16 + 4) + b"pad!"
+    # size==0 mdat: extends to end of file
+    mdat = struct.pack(">I4s", 0, b"mdat") + b"\x01\x02\x03"
+    return ftyp + moov + free + mdat
+
+
+def test_mp4_parser_against_hand_built_literal():
+    from ddf_flink_spark.functions.multimodal import mp4_parse_container
+
+    m = mp4_parse_container(_hand_built_mp4())
+    assert m["major_brand"] == "mp42"
+    assert m["timescale"] == 1000
+    assert m["duration_ms"] == 7000
+    assert m["n_tracks"] == 1
+    assert m["n_video_tracks"] == 1
+    assert m["n_audio_tracks"] == 0
+    assert (m["width"], m["height"]) == (640, 480)
+
+
+def test_mp4_box_walk_largesize_and_zero_size():
+    from ddf_flink_spark.functions.multimodal import mp4_walk_boxes
+
+    blob = _hand_built_mp4()
+    types = [t for t, _, _ in mp4_walk_boxes(blob)]
+    assert types == [b"ftyp", b"moov", b"free", b"mdat"]
+    # the size==0 mdat body must run to EOF
+    _, lo, hi = [x for x in mp4_walk_boxes(blob) if x[0] == b"mdat"][0]
+    assert blob[lo:hi] == b"\x01\x02\x03" and hi == len(blob)
+
+
+def test_mp4_malformed_raises():
+    from ddf_flink_spark.functions.multimodal import (
+        mp4_parse_container,
+        mp4_walk_boxes,
+    )
+
+    with pytest.raises(ValueError):
+        list(mp4_walk_boxes(b"\x00\x00\x00\x20ftyp"))  # size past EOF
+    with pytest.raises(ValueError):
+        list(mp4_walk_boxes(b"\x00\x00\x00\x04ftypXXXX"))  # size < header
+    with pytest.raises(ValueError):
+        mp4_parse_container(
+            b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"  # no moov at all
+        )
+
+
+def test_mp4_encode_parse_roundtrip_grid():
+    from ddf_flink_spark.functions.multimodal import (
+        mp4_encode_container,
+        mp4_parse_container,
+    )
+
+    for dms, w, h, na, ts in [
+        (500, 64, 48, 0, 600),
+        (12_125, 1920, 1080, 1, 90_000),
+        (3_600_000, 320, 240, 2, 1000),
+    ]:
+        m = mp4_parse_container(
+            mp4_encode_container(dms, w, h, n_audio_tracks=na, timescale=ts)
+        )
+        assert m["duration_ms"] == dms and (m["width"], m["height"]) == (w, h)
+        assert m["n_tracks"] == 1 + na and m["n_audio_tracks"] == na
+        assert m["timescale"] == ts and m["major_brand"] == "isom"
+
+
+def test_decode_media_mp4_real(spark):
+    """decode_media no longer raises for video: MP4 rows yield container-
+    level features through the real parser."""
+    from ddf_flink_spark.functions.multimodal import attach_mp4_media
+
+    docs = spark.createDataFrame([(7,), (12,)], "doc_id long")
+    media = attach_mp4_media(docs, "doc_id")
+    rows = {
+        r["media_id"]: r["features"]
+        for r in decode_media(media, out_dim=6, deterministic_fake=False).collect()
+    }
+    # planted: duration 500+125*(id%97), tracks 1+id%2, video 1,
+    # audio id%2, width 16*(4+id%9), height 16*(3+id%7)
+    assert rows[7] == [1375.0, 2.0, 1.0, 1.0, 176.0, 48.0]
+    assert rows[12] == [2000.0, 1.0, 1.0, 0.0, 112.0, 128.0]
