@@ -4,7 +4,11 @@ Extensions beyond the reference surface (SURVEY §7.2 step 9):
 
 * **brute-force cosine top-k** — the exact baseline: query×corpus join,
   dot product as a single ``F.aggregate``/``zip_with`` expression
-  (JVM-side, codegen'd — no Python in the pair loop), ranked per query.
+  (JVM-side — no Python in the pair loop; note higher-order array
+  functions are INTERPRETED per element, not codegen'd, which is fine
+  on the bounded candidate sets here), ranked per query. When candidate
+  sets per query grow past ~10³, pass ``rerank="arrow"`` to score
+  candidates in a vectorized Pandas UDF over numpy/BLAS instead.
 * **random-hyperplane LSH** — the scale path: sign-bit signatures from
   deterministic pseudo-random hyperplanes (seeded, reproducible across
   runs and executors), candidates meet only within a signature bucket.
@@ -55,6 +59,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _score_pairs(cand: DataFrame, rerank: str) -> DataFrame:
+    """Candidate pairs (query_id, neighbor_id, qv, qn, cv, cn) → scored
+    (query_id, neighbor_id, cos).
+
+    ``rerank="jvm"`` (default): one ``zip_with``/``aggregate`` expression
+    per pair — JVM-side but INTERPRETED per array element (higher-order
+    functions don't enter whole-stage codegen), which is the right trade
+    while candidate sets per query stay small (LSH buckets, IVF probe
+    lists, bounded brute-force witnesses).
+
+    ``rerank="arrow"``: dot products computed in a vectorized Pandas UDF
+    over numpy (BLAS ``einsum`` on a stacked float64 matrix, one Arrow
+    batch at a time) — the honest scale answer once candidate sets per
+    query grow past ~10³, where per-element interpretation dominates.
+    Both paths accumulate in float64; the round-6 rank discipline
+    downstream absorbs summation-order ulps."""
+    if rerank == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _cos_arrow(qv, cv, qn, cn):
+            import numpy as _np
+            import pandas as _pd
+
+            a = _np.stack([_np.asarray(v, dtype=_np.float64) for v in qv])
+            b = _np.stack([_np.asarray(v, dtype=_np.float64) for v in cv])
+            s = _np.einsum("ij,ij->i", a, b)
+            return _pd.Series(s / (qn.to_numpy() * cn.to_numpy()))
+
+        score = _cos_arrow("qv", "cv", "qn", "cn")
+    elif rerank == "jvm":
+        score = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    else:
+        raise ValueError(f"rerank must be 'jvm' or 'arrow', got {rerank!r}")
+    return cand.select("query_id", "neighbor_id", score.alias("cos"))
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -62,11 +103,13 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_rank: bool = False,
+    rerank: str = "jvm",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     Norms are projected once per side before the join so the pair loop
-    computes only the dot product. The per-query ranking is a window over
+    computes only the dot product (``rerank`` picks the scoring engine —
+    see :func:`_score_pairs`). The per-query ranking is a window over
     the join output — with Q queries this is a Q-partition shuffle, the
     natural distribution. Self-matches (same id) are excluded.
 
@@ -87,11 +130,7 @@ def brute_force_topk(
         l2_norm(F.col(vec_col)).alias("cn"),
     )
     pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
-    )
+    scored = _score_pairs(pairs, rerank)
     w = Window.partitionBy("query_id").orderBy(F.round("cos", 6).desc(), F.col("neighbor_id"))
     out_cols = ["query_id", "neighbor_id", F.round("cos", 4).alias("cos")]
     if keep_rank:
@@ -147,10 +186,12 @@ def lsh_topk(
     tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    rerank: str = "jvm",
 ) -> DataFrame:
     """Approximate top-k: candidates must share a full ``bits``-bit
     signature in at least one of ``tables`` independent hash tables, then
-    exact cosine re-rank within candidates.
+    exact cosine re-rank within candidates (``rerank`` picks the scoring
+    engine — see :func:`_score_pairs`).
 
     Scale: each side computes ``tables`` signatures (map-only), the join
     key is (table, signature) — expected bucket size n/2^bits, so the pair
@@ -178,17 +219,17 @@ def lsh_topk(
     cand = (
         q.join(c, on=["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "query_id_v", "query_id_n", "neighbor_id_v", "neighbor_id_n")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("query_id_v").alias("qv"),
+            F.col("query_id_n").alias("qn"),
+            F.col("neighbor_id_v").alias("cv"),
+            F.col("neighbor_id_n").alias("cn"),
+        )
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        (
-            dot(F.col("query_id_v"), F.col("neighbor_id_v"))
-            / (F.col("query_id_n") * F.col("neighbor_id_n"))
-        ).alias("cos"),
-    )
+    scored = _score_pairs(cand, rerank)
     w = Window.partitionBy("query_id").orderBy(F.round("cos", 6).desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -256,9 +297,11 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: str = "jvm",
 ) -> DataFrame:
     """Probe the ``nprobe`` nearest centroid lists per query, exact cosine
-    re-rank within the probed lists only.
+    re-rank within the probed lists only (``rerank`` picks the scoring
+    engine — see :func:`_score_pairs`).
 
     The centroid distance computation is a literal-array expression
     (centroid count is small by construction); the candidate join hits
@@ -300,10 +343,8 @@ def ivf_topk(
         "list_id",
     )
     cand = probe.join(c, on="list_id").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    scored = _score_pairs(
+        cand.select("query_id", "neighbor_id", "qv", "qn", "cv", "cn"), rerank
     )
     w = Window.partitionBy("query_id").orderBy(F.round("cos", 6).desc(), F.col("neighbor_id"))
     return (
@@ -334,8 +375,9 @@ def srp_signature_crossengine(
 
     Execution shape: the signs are plan-time literals (computed in Python
     with hashlib — same md5 contract), so each plane's projection is one
-    codegen'd ``zip_with``/``aggregate`` over the quantized vector: a
-    single map pass, no explode, no shuffle — linear scan at any corpus
+    JVM-side ``zip_with``/``aggregate`` over the quantized vector
+    (higher-order functions are interpreted per element, not
+    codegen'd): a single map pass, no explode, no shuffle — linear scan at any corpus
     size. ``hyperplane_signature`` is the seeded xxhash-flavored
     production variant; this is the interchange/verification form
     (same trade as dedup.md5_long vs xxhash64)."""
@@ -360,7 +402,8 @@ def _srp_prep(
     scale: int,
 ) -> DataFrame:
     """(id, qv, sig): integer-quantized vector + md5-SRP signature in ONE
-    codegen'd map pass (shared by ``srp_signature_crossengine`` and
+    JVM-side map pass — interpreted HOF expressions, no Python, no
+    shuffle (shared by ``srp_signature_crossengine`` and
     ``srp_lsh_topk_crossengine``)."""
     qv = F.transform(
         F.col(vec_col),
@@ -503,8 +546,8 @@ def quantize_embeddings(
     floor(x/s + 0.5) has no round-half tie ambiguity (unlike ROUND,
     whose half-even/half-up convention differs across engines), and the
     scales ride into the map stage as plan-time literals — the quantize
-    pass itself is a zero-shuffle codegen'd projection. Returns
-    (id, codes array<int>).
+    pass itself is a zero-shuffle JVM-side projection (interpreted HOF
+    transform). Returns (id, codes array<int>).
     """
     from pyspark.sql import Row
 

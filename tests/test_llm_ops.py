@@ -1436,3 +1436,32 @@ def test_decode_media_mp4_real(spark):
     # audio id%2, width 16*(4+id%9), height 16*(3+id%7)
     assert rows[7] == [1375.0, 2.0, 1.0, 1.0, 176.0, 48.0]
     assert rows[12] == [2000.0, 1.0, 1.0, 0.0, 112.0, 128.0]
+
+
+def test_arrow_rerank_matches_jvm_all_topk(spark):
+    """rerank='arrow' (vectorized numpy/BLAS scoring) must select the
+    SAME neighbors as the JVM HOF path — both accumulate in float64 and
+    the round-6 rank discipline absorbs summation-order ulps. Runs all
+    three top-k shapes over the real testdata embeddings."""
+    from ddf_flink_spark.functions.similarity import ivf_build
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 12)
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cos"]) for r in df.collect()
+        )
+
+    assert key(brute_force_topk(q, e, k=4)) == key(
+        brute_force_topk(q, e, k=4, rerank="arrow")
+    )
+    assert key(lsh_topk(q, e, k=4, bits=6, tables=3)) == key(
+        lsh_topk(q, e, k=4, bits=6, tables=3, rerank="arrow")
+    )
+    assigned, cents = ivf_build(e, n_lists=8, quantizer="lloyd")
+    assert key(ivf_topk(q, assigned, cents, k=4, nprobe=3)) == key(
+        ivf_topk(q, assigned, cents, k=4, nprobe=3, rerank="arrow")
+    )
+    with pytest.raises(ValueError, match="rerank"):
+        brute_force_topk(q, e, k=4, rerank="gpu")
