@@ -22,6 +22,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .storage import propagate_checkpoint_ids as _carry
+# _carry: ownership transfer for checkpoint-pinning frames (storage.py).
+# Any query that DERIVES from a dedup/pagerank result and returns the
+# derived frame must _carry(derived, source): the source wrapper dies at
+# function return, and its GC finalizer would otherwise free the
+# checkpoint blocks the returned lazy plan still executes through.
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -1167,9 +1174,8 @@ def q31_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import minhash_lsh_candidates
 
     d = t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(
-        d, num_hashes=32, bands=8, hash_family="md5"
-    ).orderBy("id_a", "id_b")
+    src = minhash_lsh_candidates(d, num_hashes=32, bands=8, hash_family="md5")
+    return _carry(src.orderBy("id_a", "id_b"), src)
 
 
 @query(
@@ -1193,10 +1199,11 @@ def q33_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import simhash_near_duplicates
 
     d = t(spark, sf_dir, "documents")
-    return (
-        simhash_near_duplicates(d, max_hamming=3, hash_family="md5")
-        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
-        .orderBy("id_a", "id_b")
+    src = simhash_near_duplicates(d, max_hamming=3, hash_family="md5")
+    return _carry(
+        src.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b"),
+        src,
     )
 
 
@@ -1210,7 +1217,8 @@ def q201_dedup_minhash_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import minhash_lsh_candidates
 
     d = t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, num_hashes=32, bands=8).orderBy("id_a", "id_b")
+    src = minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    return _carry(src.orderBy("id_a", "id_b"), src)
 
 
 @query("q202_dedup_simhash_xx")
@@ -1221,7 +1229,8 @@ def q202_dedup_simhash_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import simhash_near_duplicates
 
     d = t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, max_hamming=3).orderBy("id_a", "id_b")
+    src = simhash_near_duplicates(d, max_hamming=3)
+    return _carry(src.orderBy("id_a", "id_b"), src)
 
 
 # ---------------------------------------------------------------------------
@@ -4235,10 +4244,12 @@ def q113_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = d.select(F.col("doc_id").alias("id"))
     ranks = pagerank(edges, nodes, iterations=6)
-    return (
+    return _carry(
         ranks.select("id", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "id")
-        .limit(20)
+        .limit(20),
+        ranks,
+        pairs,
     )
 
 
@@ -5830,9 +5841,8 @@ def q144_minhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import minhash_lsh_candidates
 
     d = t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(
-        d, num_hashes=16, bands=4, hash_family="md5"
-    ).orderBy("id_a", "id_b")
+    src = minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_family="md5")
+    return _carry(src.orderBy("id_a", "id_b"), src)
 
 
 def _q145_oracle() -> str:
@@ -6298,7 +6308,7 @@ def q153_pagerank_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7) % n).alias("dst"))
     )
     ranks = pagerank(e1.unionByName(e2), ids, iterations=3, round_digits=6)
-    return ranks.orderBy(F.desc("rank"), "id").limit(20)
+    return _carry(ranks.orderBy(F.desc("rank"), "id").limit(20), ranks)
 
 
 @query(
@@ -8429,7 +8439,7 @@ def q208_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
     est = n_agree / F.lit(float(NH))
     nsh = F.size(F.array_intersect("ga", "gb"))
     jacc = F.round(nsh / (F.col("sza") + F.col("szb") - nsh), 4)
-    return (
+    return _carry(
         cand.join(siga, "id_a")
         .join(sigb, "id_b")
         .join(
@@ -8451,7 +8461,8 @@ def q208_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             jacc.alias("jaccard"),
             F.round(F.abs(est - jacc), 4).alias("abs_err"),
         )
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b"),
+        cand,
     )
 
 
@@ -8790,15 +8801,14 @@ def q213_lsh_recall_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import jaccard_candidates, minhash_lsh_candidates
 
     d = t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(
-        d, num_hashes=16, bands=4, hash_family="md5"
-    ).select("id_a", "id_b")
+    src = minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_family="md5")
+    cand = src.select("id_a", "id_b")
     truth = jaccard_candidates(d, threshold=0.7, n=3).select("id_a", "id_b")
     hit = truth.join(cand, ["id_a", "id_b"])
     nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
     nh = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    return (
+    return _carry(
         nc.crossJoin(F.broadcast(nt))
         .crossJoin(F.broadcast(nh))
         .select(
@@ -8811,7 +8821,8 @@ def q213_lsh_recall_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_hit") / F.col("n_candidates").cast("double"), 4
             ).alias("efficiency"),
-        )
+        ),
+        src,
     )
 
 
@@ -9381,7 +9392,8 @@ def q186_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import prefix_filter_jaccard
 
     d = t(spark, sf_dir, "documents")
-    return prefix_filter_jaccard(d, threshold=0.7).orderBy("id_a", "id_b")
+    src = prefix_filter_jaccard(d, threshold=0.7)
+    return _carry(src.orderBy("id_a", "id_b"), src)
 
 
 @query(
@@ -9424,9 +9436,8 @@ def q205_prefix_filter_shingle_jaccard(spark: SparkSession, sf_dir: str) -> Data
     from .functions.dedup import prefix_filter_jaccard
 
     d = t(spark, sf_dir, "documents")
-    return prefix_filter_jaccard(d, threshold=0.8, shingle_n=3).orderBy(
-        "id_a", "id_b"
-    )
+    src = prefix_filter_jaccard(d, threshold=0.8, shingle_n=3)
+    return _carry(src.orderBy("id_a", "id_b"), src)
 
 
 @query(

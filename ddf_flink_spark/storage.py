@@ -29,6 +29,8 @@ Two tools, both explicit:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
 __all__ = [
@@ -41,6 +43,51 @@ __all__ = [
 ]
 
 _CP_IDS_ATTR = "_ddf_checkpoint_rdd_ids"
+_FINALIZER_ATTR = "_ddf_cp_finalizer"
+
+
+def _release_ids_in_session(session_ref, ids) -> None:
+    """GC-finalizer body: unpersist ``ids`` if the session is still
+    alive. Takes a WEAK session reference (a finalizer holding the
+    session strongly would keep it alive forever) and swallows
+    everything — it may run during interpreter teardown or after
+    ``SparkContext.stop()``, where the py4j gateway is gone. RDD ids are
+    never reused within a SparkContext, so releasing an id that was
+    already freed (explicit :func:`release_checkpoint`, blanket
+    :func:`release_all_storage`) is a structural no-op."""
+    spark = session_ref()
+    if spark is None:
+        return
+    try:
+        sc = spark.sparkContext
+        if sc is None or sc._jsc is None:
+            return
+        m = sc._jsc.getPersistentRDDs()
+        for k in list(m.keySet()):
+            if int(k) in ids:
+                m.get(k).unpersist(False)
+    except Exception:
+        pass
+
+
+def _detach_finalizer(df: DataFrame) -> None:
+    f = getattr(df, _FINALIZER_ATTR, None)
+    if f is not None:
+        f.detach()
+        setattr(df, _FINALIZER_ATTR, None)
+
+
+def _attach_finalizer(df: DataFrame, spark, ids) -> None:
+    """Auto-release ``ids`` when ``df``'s Python wrapper is collected.
+    Explicit release stays primary: :func:`release_checkpoint` detaches
+    the finalizer, and the finalizer itself is a liveness-guarded no-op
+    after any explicit release (ids gone from the persistent-RDD map).
+    ``atexit=False``: at interpreter shutdown the JVM gateway may
+    already be down, and the storage dies with the JVM anyway."""
+    _detach_finalizer(df)
+    f = weakref.finalize(df, _release_ids_in_session, weakref.ref(spark), frozenset(ids))
+    f.atexit = False
+    setattr(df, _FINALIZER_ATTR, f)
 
 
 def persistent_rdd_ids(spark) -> set[int]:
@@ -122,12 +169,25 @@ def propagate_checkpoint_ids(out: DataFrame, *sources: DataFrame) -> DataFrame:
     prefix_filter_jaccard) use this — localCheckpoint is eager, so
     merely building those frames pins executor storage that would
     otherwise only be freed by a blanket ``release_all_storage`` /
-    ``DDFManager.release_storage``."""
+    ``DDFManager.release_storage``.
+
+    This is an OWNERSHIP TRANSFER: the blocks now belong to ``out``.
+    Besides carrying the ids, it attaches a ``weakref.finalize`` on
+    ``out`` so a library user who simply drops the result frame gets
+    the storage back at GC time without ever calling
+    ``release_checkpoint`` (explicit release stays primary — it
+    detaches the finalizer). Any finalizer previously attached to a
+    ``sources`` frame is detached here: the sources are the frames
+    ``out``'s lazy plan still executes through, so their wrappers going
+    out of scope inside an operator must NOT free blocks ``out``
+    needs."""
     ids: set[int] = set(getattr(out, _CP_IDS_ATTR, None) or set())
     for s in sources:
         ids |= getattr(s, _CP_IDS_ATTR, None) or set()
+        _detach_finalizer(s)
     if ids:
         setattr(out, _CP_IDS_ATTR, ids)
+        _attach_finalizer(out, out.sparkSession, ids)
     return out
 
 
@@ -146,6 +206,7 @@ def release_checkpoint(df: DataFrame | None) -> None:
         if int(k) in ids:
             m.get(k).unpersist(False)
     setattr(df, _CP_IDS_ATTR, set())
+    _detach_finalizer(df)
 
 
 def release_all_storage(spark) -> int:
