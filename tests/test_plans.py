@@ -619,3 +619,153 @@ def test_no_constant_temp_paths_in_registry():
             if "getpid()" not in line and "applicationId" not in line:
                 offenders.append((i, line.strip()))
     assert not offenders, f"constant temp-dir sink paths: {offenders}"
+
+
+@pytest.fixture
+def skew_confs(spark):
+    """Temporarily lower AQE's skew thresholds so the test-sized corpus
+    triggers the same skew-join machinery that production sizes trigger
+    at the defaults (256 MB partitions) — the MECHANISM is what's under
+    test, the thresholds scale with the data."""
+    saved = {}
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def _executed_plan(df) -> str:
+    """Final (post-AQE) physical plan — only valid AFTER an action on
+    this exact frame (a noop write plans a fresh QueryExecution)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_aqe_skew_join_split_engages_on_hot_key(skew_confs):
+    """One hot key holding 20% of the fact rows — the failure mode that
+    kills shuffle joins at 100 TB. With AQE skew-join on (session.py
+    default), the runtime must SPLIT the oversized partition:
+    SortMergeJoin(skew=true) in the executed plan, and the result is
+    identical to the unskewed computation."""
+    from pyspark.sql import functions as F
+
+    spark = skew_confs
+    # payload must be HIGH-ENTROPY: shuffle sizes are measured on
+    # lz4-compressed map outputs, and a repetitive hot-key payload
+    # compresses so well (~2 B/row measured) that the hot partition
+    # never crosses the skew factor — md5(id) keeps bytes ∝ rows
+    fact = spark.range(300_000).select(
+        F.when(F.col("id") % 5 == 0, 0)
+        .otherwise(F.col("id") % 10_000)
+        .alias("k"),
+        F.concat(F.md5(F.col("id").cast("string")), F.md5((F.col("id") + 1).cast("string"))).alias(
+            "p"
+        ),
+    )
+    dim = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    dim2 = spark.range(10_000).select(F.col("id").alias("v2"))
+    # q11-shape multiway at 100 TB: the big fact⋈dim runs as a shuffle
+    # join (skew-splittable), the second small dim broadcasts — chaining
+    # a SECOND shuffle join instead makes OptimizeSkewedJoin bail (it
+    # refuses plans where splitting might add a shuffle, and
+    # forceOptimizeSkewedJoin is off by default). The aggregate must
+    # consume `p`, or Catalyst prunes it pre-shuffle and only the
+    # (compressible) key bytes are measured for skew.
+    j = (
+        fact.join(dim, "k")
+        .join(F.broadcast(dim2), F.col("v") % 10_000 == F.col("v2"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sk"),
+            F.sum(F.length("p")).alias("sp"),
+        )
+    )
+    row = j.collect()[0]
+    assert row["n"] == 300_000
+    assert row["sk"] == sum((0 if i % 5 == 0 else i % 10_000) for i in range(300_000))
+    assert row["sp"] == 300_000 * 64
+    plan = _executed_plan(j)
+    assert "skew=true" in plan, f"AQE skew split did not engage:\n{plan[:2000]}"
+
+
+def test_lsh_bucket_degenerate_skew(skew_confs):
+    """A degenerate inverted-index bucket — one shingle present in EVERY
+    document — is the mega-bucket that kills dedup runs at scale. Two
+    defenses, both asserted: (a) the stop-shingle guard
+    (max_shingle_freq) drops the universal shingle BEFORE the self-join,
+    so the candidate pair space collapses back to the true near-dups;
+    (b) with the guard OFF, AQE's skew split engages on the bucket
+    self-join so the mega-bucket is at least spread across tasks rather
+    than serialized into one."""
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.functions.dedup import jaccard_candidates
+
+    spark = skew_confs
+    # 1500 docs, all sharing the universal prefix "common shared prefix";
+    # tails are distinct high-entropy md5 words (the shuffled (id, g)
+    # rows of the mega-bucket are identical strings + distinct ids, so a
+    # compressible tail would hide the skew from the byte-based
+    # detector) — except ids 0/1, which are exact copies
+    docs = spark.range(1_500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common shared prefix "),
+            F.md5(
+                F.when(F.col("id") <= 1, F.lit("0")).otherwise(
+                    F.col("id").cast("string")
+                )
+            ),
+            F.lit(" "),
+            F.md5(
+                F.when(F.col("id") <= 1, F.lit("7")).otherwise(
+                    (F.col("id") + 7).cast("string")
+                )
+            ),
+        ).alias("text"),
+    )
+
+    # (a) guard ON: universal shingles dropped, only the planted dup pair
+    guarded = jaccard_candidates(docs, threshold=0.5, n=3, max_shingle_freq=100)
+    assert [(r["id_a"], r["id_b"]) for r in guarded.collect()] == [(0, 1)]
+
+    # (b) guard OFF: the bucket join sees the mega-bucket. The shingle
+    # self-join sits mid-pipeline (join → agg → two size joins), and in
+    # a chained-shuffle-join plan the default OptimizeSkewedJoin BAILS
+    # (it refuses any split that may add a shuffle). The operating
+    # guidance at scale is forceOptimizeSkewedJoin=true for dedup
+    # candidate pipelines: one extra shuffle is noise next to a
+    # serialized mega-bucket. Assert the force path engages.
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    # the mega-bucket is ~1500 compressed (id, g) rows ≈ 8 KB — drop the
+    # thresholds under it (mechanism under test; thresholds scale with data)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+    try:
+        unguarded = jaccard_candidates(docs, threshold=0.99, n=3)
+        assert {(r["id_a"], r["id_b"]) for r in unguarded.collect()} == {(0, 1)}
+        plan = _executed_plan(unguarded)
+        assert "skew=true" in plan, (
+            f"AQE skew split did not engage on the degenerate bucket:\n{plan[:2000]}"
+        )
+    finally:
+        spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
