@@ -735,3 +735,162 @@ def test_merge_upsert_matches_python_reference(spark):
         got = {r["k"]: (r["v"], r["x"])
                for r in merge_upsert(base_df, chg_df, ["k"]).collect()}
         assert got == want, (trial, set(got) ^ set(want))
+
+
+# ------------------------------------------------ engine-native twin quality
+# The 6 rows-only registry entries are engine-specific hash/float twins
+# (q201 xx-MinHash, q202 xx-SimHash, q203 float-SRP) of oracle-backed md5
+# families. The md5 twins hash-verify the PIPELINE; these seeded
+# randomized differentials give the engine-native families STATISTICAL
+# evidence — pair recall/precision vs exact ground truth on random
+# corpora, within each family's S-curve band — so "rows-only" never
+# means "unchecked".
+
+
+def test_minhash_xx_recall_precision_on_random_corpora(spark):
+    """q201's production family (xxhash64, 32 hashes / 8 bands): on
+    random corpora with planted near-dups, LSH candidates must (a) find
+    ≥90% of pairs with exact 3-gram Jaccard ≥ 0.8 (banding S-curve at
+    J=0.85, r=4, b=8 gives P≈0.997; the band allows hash-family
+    variance) and (b) stay precise — no candidate pair with exact
+    J < 0.2 (random word-salad pairs must not collide through 4-hash
+    bands)."""
+    import random
+
+    from ddf_flink_spark.functions.dedup import minhash_lsh_candidates
+    from ddf_flink_spark.storage import release_all_storage
+
+    def shingles(text, n=3):
+        toks = text.lower().split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
+    def jacc(a, b):
+        return len(a & b) / len(a | b)
+
+    rng = random.Random(201)
+    vocab = [f"w{i}" for i in range(120)]
+    found_tot = truth_tot = 0
+    for trial in range(3):
+        docs = []
+        for d in range(40):
+            docs.append((d, " ".join(rng.choice(vocab) for _ in range(rng.randint(30, 60)))))
+        # plant near-dups: one substitution in a long doc keeps J >= ~0.85
+        for k in range(8):
+            base_id = rng.randrange(40)
+            words = docs[base_id][1].split(" ")
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+            docs.append((100 + k, " ".join(words)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        cands = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_candidates(df, num_hashes=32, bands=8).collect()
+        }
+        sh = {d: shingles(t) for d, t in docs}
+        ids = sorted(sh)
+        truth = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if jacc(sh[a], sh[b]) >= 0.8
+        }
+        truth_tot += len(truth)
+        found_tot += len(truth & cands)
+        low_j = [(p, jacc(sh[p[0]], sh[p[1]])) for p in cands if jacc(sh[p[0]], sh[p[1]]) < 0.2]
+        assert not low_j, f"imprecise candidates (J<0.2): {low_j}"
+        release_all_storage(spark)
+    assert truth_tot >= 20, "corpus generation must plant enough true pairs"
+    recall = found_tot / truth_tot
+    assert recall >= 0.9, f"xx-MinHash recall {recall:.3f} over {truth_tot} true pairs"
+
+
+def test_simhash_xx_blocking_lossless_on_random_corpora(spark):
+    """q202's production family (64-bit xxhash64 SimHash, Hamming ≤ 3,
+    pigeonhole blocks): on random corpora the BLOCKED join must equal
+    the brute-force Hamming join over the same signatures — pigeonhole
+    blocking is lossless by construction, and exact-dup docs must
+    always surface at hamming 0."""
+    import random
+
+    from ddf_flink_spark.functions.dedup import (
+        simhash_near_duplicates,
+        simhash_signatures,
+    )
+    from ddf_flink_spark.storage import release_all_storage
+
+    rng = random.Random(202)
+    vocab = [f"w{i}" for i in range(60)]
+    for trial in range(3):
+        docs = []
+        for d in range(45):
+            docs.append((d, " ".join(rng.choice(vocab) for _ in range(rng.randint(15, 40)))))
+        # exact dup + one light perturbation
+        docs.append((100, docs[trial][1]))
+        words = docs[trial + 1][1].split(" ")
+        words[0] = rng.choice(vocab)
+        docs.append((101, " ".join(words)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+        blocked = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_near_duplicates(df, max_hamming=3).collect()
+        }
+        sigs = {r.id: r.sig for r in simhash_signatures(df).collect()}
+        ids = sorted(sigs)
+        brute = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+                if h <= 3:
+                    brute[(a, b)] = h
+        assert blocked == brute, (
+            f"pigeonhole blocking diverged from brute force: "
+            f"{set(blocked) ^ set(brute)}"
+        )
+        assert blocked.get((trial, 100)) == 0, "exact dup must pair at hamming 0"
+        release_all_storage(spark)
+
+
+def test_srp_float_topk_recall_on_random_vectors(spark):
+    """q203's production family (float hyperplane SRP-LSH): on random
+    gaussian corpora with planted near-neighbors (cos ≈ 0.95+), lsh_topk
+    must recover the planted neighbor as the top-1 for ≥80% of queries
+    (hyperplane LSH at 6 bits × 4 tables: collision P for θ≈18° is
+    ≈ (1-θ/π)^6 ≈ 0.53/table → ≥95% over 4 tables; the band leaves room
+    for the re-rank tie behavior), and every reported neighbor's cosine
+    must match the exact brute-force value for that pair (the re-rank is
+    exact, only the candidate set is approximate)."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import brute_force_topk, lsh_topk
+    from ddf_flink_spark.storage import release_all_storage
+
+    rng = random.Random(203)
+    dim = 16
+    for trial in range(2):
+        corpus = []
+        for i in range(60):
+            corpus.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+        # planted near-neighbors of the first 10 vectors
+        for q in range(10):
+            base = corpus[q][1]
+            corpus.append((1000 + q, [x + rng.gauss(0, 0.12) for x in base]))
+        df = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+        queries = df.filter("vec_id < 10")
+        approx = {
+            r.query_id: r.neighbor_id
+            for r in lsh_topk(queries, df, k=1, bits=6, tables=4, dim=dim).collect()
+        }
+        hits = sum(1 for q in range(10) if approx.get(q) == 1000 + q)
+        assert hits >= 8, f"SRP-LSH found planted neighbor for only {hits}/10 queries"
+        # exact re-rank: reported cosines equal brute-force cosines pairwise
+        exact = {
+            (r.query_id, r.neighbor_id): r.cos
+            for r in brute_force_topk(queries, df, k=59).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id): r.cos
+            for r in lsh_topk(queries, df, k=3, bits=6, tables=4, dim=dim).collect()
+        }
+        wrong = {p: (c, exact.get(p)) for p, c in got.items() if exact.get(p) != c}
+        assert not wrong, f"re-ranked cosines diverge from exact: {wrong}"
+        release_all_storage(spark)
