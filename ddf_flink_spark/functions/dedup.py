@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from .text import fingerprint
 
 __all__ = [
+    "ensure_compute_parallelism",
     "exact_duplicates",
     "dedup_exact",
     "word_shingles",
@@ -108,6 +109,45 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(winners, on=id_col, how="left_semi")
 
 
+def ensure_compute_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Decouple compute-dense stage parallelism from the source file
+    layout. A small parquet file (one rowgroup) plans as 1-2 scan
+    partitions, and because scan + explode fuse into ONE stage, the most
+    expensive per-token work (shingle explode, signature hashing) then
+    runs on 1-2 of the cluster's cores — measured 2× end-to-end on the
+    50k-doc sf1 corpus (prefix-filter 23.4→12.7 s, SimHash 7.0→3.4 s)
+    just by repartitioning the input to core count first.
+
+    Doubly conditional, so it can only fire where it pays:
+
+    * partitions < default parallelism — at real scale (thousands of
+      input splits) and on shuffled intermediates (≥ shuffle
+      partitions) this is false and the function is a no-op;
+    * Catalyst's size estimate ≥ 2 MiB — below that the serialized
+      explode finishes in well under a second and the extra exchange +
+      32-task scheduling costs MORE than it saves (interleaved A/B on
+      q234 at sf0.1, ~580 KB estimated: guard-on 5.3–5.7 s vs
+      guard-off 4.5–5.2 s; at sf1's ~5.6 MiB the same guard is a
+      2.2–2.4× end-to-end WIN — prefix-filter 22.0→9.1 s, passage
+      windows 5.1→2.3 s, SimHash 7.0→3.4 s).
+
+    The repartition round-robins rows; every consumer keys on content
+    (explode → groupBy/join), so results are partitioning-invariant."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    try:
+        if int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()) < (
+            2 * 1024 * 1024
+        ):
+            return df
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)
+
+
 # ------------------------------------------------------------- n-gram sets
 def word_shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-grams (shingles) of the lowercased text — a single
@@ -134,6 +174,7 @@ def exploded_shingles(
     concatenated row-wise (codegen'd). The HOF form (per-element
     interpreted ``slice``+``concat_ws`` lambda) measured ~4.7× slower at
     sf0.1 — the same interpreted-lambda trap as the SimHash fold."""
+    df = ensure_compute_parallelism(df)
     toks = F.split(F.lower(text_col), " ")
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     zipped = F.array_distinct(

@@ -344,6 +344,9 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     One explode + one groupBy; every later BPE round operates on
     DISTINCT words weighted by freq, so per-round cost is O(|vocab|)
     not O(corpus)."""
+    from .dedup import ensure_compute_parallelism
+
+    df = ensure_compute_parallelism(df)
     return (
         df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -468,8 +471,9 @@ def passage_windows(
     one row with its cross-engine 60-bit hash: (id, *extra, h). The
     passage-granularity index under q220's duplication report — shuffle
     carries hashes, never window text; O(tokens) rows."""
-    from .dedup import md5_long
+    from .dedup import ensure_compute_parallelism, md5_long
 
+    df = ensure_compute_parallelism(df)
     extra = list(extra_cols or [])
     toks = df.select(
         F.col(id_col).alias("id"), *extra, tokens(text_col).alias("ts")
@@ -530,6 +534,9 @@ def repetition_ratio(
     ``n``-gram windows — the degenerate-text signal (loops, stuffing).
     Returns (id, n_grams, rep). Registry q221 rolls it up per language
     with the exact-int-sum mean discipline."""
+    from .dedup import ensure_compute_parallelism
+
+    df = ensure_compute_parallelism(df)
     grams = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("ts"))
         .filter(F.size("ts") >= n)
@@ -568,6 +575,9 @@ def kl_novelty(
     aggregations, two dimension joins (corpus word counts; doc lengths)
     — O(tokens) rows, the vocabulary table never funnels through one
     partition."""
+    from .dedup import ensure_compute_parallelism
+
+    df = ensure_compute_parallelism(df)
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w"))
     dlen = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     corpus = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
