@@ -769,3 +769,39 @@ def test_lsh_bucket_degenerate_skew(skew_confs):
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k"
         )
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+
+
+def test_ensure_compute_parallelism_conditions(spark):
+    """The explode-parallelism guard must fire ONLY where it pays: a
+    big (≥2 MiB estimated) under-partitioned frame gets repartitioned
+    to core count; a small frame and an already-parallel frame pass
+    through plan-identical (no exchange added — at real scale the
+    guard must never add a shuffle to a well-partitioned pipeline)."""
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.functions.dedup import ensure_compute_parallelism
+
+    par = spark.sparkContext.defaultParallelism
+
+    big = spark.range(200_000).coalesce(1).select(
+        F.col("id"),
+        F.concat(*[F.md5((F.col("id") + i).cast("string")) for i in range(4)]).alias(
+            "text"
+        ),
+    )
+    assert big.rdd.getNumPartitions() == 1
+    out = ensure_compute_parallelism(big)
+    assert out.rdd.getNumPartitions() == par, "big 1-partition input must spread"
+
+    small = spark.range(50).coalesce(1).select(
+        F.col("id"), F.col("id").cast("string").alias("text")
+    )
+    assert ensure_compute_parallelism(small) is small, "sub-2MiB input passes through"
+
+    wide = spark.range(200_000).repartition(par).select(
+        F.col("id"),
+        F.concat(*[F.md5((F.col("id") + i).cast("string")) for i in range(4)]).alias(
+            "text"
+        ),
+    )
+    assert ensure_compute_parallelism(wide) is wide, "already-parallel input passes through"
