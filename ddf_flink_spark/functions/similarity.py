@@ -39,6 +39,7 @@ __all__ = [
     "quantize_embeddings",
     "pca_power_iteration",
     "pq_search",
+    "ivfpq_search",
 ]
 
 
@@ -772,3 +773,138 @@ def pq_search(
         .limit(topk)
         .select(F.col("id").alias("neighbor_id"), "pq_dist2")
     )
+
+
+def ivfpq_search(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 8,
+    nprobe: int = 3,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """IVF-PQ composite index [Jégou et al. 2011] — the canonical
+    billion-scale ANN layout: an IVF coarse quantizer prunes the corpus
+    to ``nprobe`` cells, then PQ ASYMMETRIC DISTANCE (m table lookups
+    per candidate, no float math) ranks only the candidates inside the
+    probed cells. Composes the two verified halves exactly: the coarse
+    quantizer and probe rule are q39's (deterministic rounded-Lloyd
+    cells, probe frontier ranked by ROUND(-dot, 6) with list-id
+    tiebreak, computed IN-ENGINE), the codebooks/LUT/ADC are q188's
+    (per-subspace Lloyd, round-6 query, round-9 DECIMAL LUT cells,
+    exact DECIMAL ADC sums). PQ encodes RAW vectors, not residuals —
+    the residual refinement is a quality (not scale) knob and raw-PQ
+    keeps every stage cross-engine replayable.
+
+    At 100 TB: codes (m·log2(k) bits/vector) replace raw vectors, cells
+    are the partition layout (q233 persists exactly this), the LUT is
+    m·k broadcast cells, and the scan touches ~nprobe/n_lists of the
+    codes table — ADC over a partition-pruned read.
+
+    Returns topk (neighbor_id, pq_dist2) ascending, id tie-break,
+    query (lowest id, q188 discipline) excluded."""
+    from ..ml.kmeans import kmeans_lloyd
+    from ..storage import propagate_checkpoint_ids, tracked_local_checkpoint
+
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"ivfpq_search: dim {dim} not divisible by m={m}")
+    w = dim // m
+    emb = tracked_local_checkpoint(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+    )
+
+    # coarse quantizer: deterministic Lloyd cells (q39/q155 machinery)
+    assign, coarse = kmeans_lloyd(
+        emb.select("id", F.col("v").alias("embedding")),
+        "embedding",
+        "id",
+        k=n_lists,
+        iters=iters,
+        return_centroids=True,
+    )
+    cells = assign.select("id", F.col("cluster").alias("list_id"))
+
+    # per-subspace PQ codebooks (q188 machinery)
+    codes = None
+    cents: list[list[list[float]]] = []
+    for j in range(m):
+        sub = emb.select("id", F.slice("v", j * w + 1, w).alias("embedding"))
+        assigned_j, c = kmeans_lloyd(
+            sub, "embedding", "id", k=k, iters=iters, return_centroids=True
+        )
+        cents.append(c)
+        aj = assigned_j.select("id", F.col("cluster").alias(f"code{j}"))
+        codes = aj if codes is None else codes.join(aj, "id")
+
+    # query: lowest id; LUT uses its ROUND-6 values (q188), the probe
+    # uses the raw vector with round-6 RANKS (q39) — both in-engine
+    qrow = (
+        emb.orderBy("id")
+        .limit(1)
+        .select("id", "v", F.transform("v", lambda x: F.round(x, 6)).alias("q"))
+        .collect()[0]
+    )
+    qid, qv6 = qrow["id"], list(qrow["q"])
+
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    scored_lists = F.transform(
+        F.sequence(F.lit(0), F.lit(n_lists - 1)),
+        lambda i: F.struct(
+            F.round(-dot(F.col("v"), F.element_at(F.col("cents"), i + 1)), 6).alias(
+                "neg"
+            ),
+            i.alias("list_id"),
+        ),
+    )
+    probe_row = (
+        emb.filter(F.col("id") == qid)
+        .select(cent_arr.alias("cents"), "v")
+        .select(F.slice(F.array_sort(scored_lists), 1, nprobe).alias("p"))
+        .collect()[0]
+    )
+    probed = [int(s["list_id"]) for s in probe_row["p"]]
+
+    lut_rows = []
+    for j in range(m):
+        for c in range(k):
+            for dpos in range(w):
+                lut_rows.append(
+                    (j, c, float(qv6[j * w + dpos]), float(cents[j][c][dpos]))
+                )
+    lut = (
+        spark.createDataFrame(lut_rows, "j int, code int, qd double, cd double")
+        .groupBy("j", "code")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("qd") - F.col("cd")) * (F.col("qd") - F.col("cd")), 9
+                ).cast("decimal(30,9)")
+            ).alias("sq")
+        )
+    )
+
+    cand = cells.filter(
+        F.col("list_id").isin(probed) & (F.col("id") != qid)
+    ).select("id")
+    codes_long = codes.join(cand, "id", "left_semi").select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"code{j}") for j in range(m)])).alias(
+            "j", "code"
+        ),
+    )
+    out = (
+        codes_long.join(F.broadcast(lut), ["j", "code"])
+        .groupBy("id")
+        .agg(F.round(F.sum("sq").cast("double"), 6).alias("pq_dist2"))
+        .orderBy("pq_dist2", "id")
+        .limit(topk)
+        .select(F.col("id").alias("neighbor_id"), "pq_dist2")
+    )
+    return propagate_checkpoint_ids(out, emb)

@@ -11882,3 +11882,147 @@ def q241_mp4_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     media = attach_mp4_media(d, "doc_id")
     return decode_mp4(media).orderBy("media_id")
+
+
+def _q242_oracle(
+    n_lists: int = 8, nprobe: int = 3, m: int = 4, w: int = 16, k: int = 4, topk: int = 5
+) -> str:
+    # Composes the two verified oracle chains: q39's coarse-quantizer
+    # cells + probe rule (qsel/probe/cells CTEs) and q188's per-subspace
+    # codebooks + round-9 DECIMAL LUT + exact ADC (emb{j}/codes/q/lut
+    # CTEs) — ADC restricted to candidates inside the probed cells.
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    blocks = []
+    code_units = []
+    lut_units = []
+    for j in range(m):
+        lo, hi = j * w + 1, j * w + w
+        assign_j = f"""
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb{j} e CROSS JOIN {{cent}} c
+    """
+        update_j = f"""
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {{assigned}} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+        blocks.append(f"""
+    emb{j} AS (SELECT id, list_slice(v, {lo}, {hi}) AS v FROM emb),
+    pc0_{j} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb{j} ORDER BY id LIMIT {k})
+    ),
+    ps0_{j} AS ({assign_j.format(cent=f"pc0_{j}")}),
+    pa0_{j} AS (SELECT id, v, cluster FROM ps0_{j} WHERE rn = 1),
+    pm1_{j} AS ({update_j.format(assigned=f"pa0_{j}")}),
+    pc1n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM pm1_{j} GROUP BY cluster),
+    pc1_{j} AS (SELECT pc0_{j}.cluster, COALESCE(pc1n_{j}.c, pc0_{j}.c) AS c
+               FROM pc0_{j} LEFT JOIN pc1n_{j} USING (cluster)),
+    ps1_{j} AS ({assign_j.format(cent=f"pc1_{j}")}),
+    pa1_{j} AS (SELECT id, v, cluster FROM ps1_{j} WHERE rn = 1),
+    pm2_{j} AS ({update_j.format(assigned=f"pa1_{j}")}),
+    pc2n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM pm2_{j} GROUP BY cluster),
+    pc2_{j} AS (SELECT pc1_{j}.cluster, COALESCE(pc2n_{j}.c, pc1_{j}.c) AS c
+               FROM pc1_{j} LEFT JOIN pc2n_{j} USING (cluster)),
+    ps2_{j} AS ({assign_j.format(cent=f"pc2_{j}")}),
+    pa2_{j} AS (SELECT id, cluster FROM ps2_{j} WHERE rn = 1),
+    lutsrc{j} AS (
+      SELECT c.cluster AS code, c.c AS cv, list_slice(q.q, {lo}, {hi}) AS qv
+      FROM pc2_{j} c CROSS JOIN q
+    ),
+    lut{j} AS (
+      SELECT {j} AS j, code,
+             SUM(CAST(ROUND((u.qx - u.cx) * (u.qx - u.cx), 9)
+                      AS DECIMAL(30,9))) AS sq
+      FROM lutsrc{j},
+           LATERAL (SELECT UNNEST(qv) AS qx, UNNEST(cv) AS cx) u
+      GROUP BY 1, 2
+    )""")
+        code_units.append(f"SELECT id, {j} AS j, cluster AS code FROM pa2_{j}")
+        lut_units.append(f"SELECT * FROM lut{j}")
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
+    qsel AS (SELECT id, v FROM emb ORDER BY id LIMIT 1),
+    q AS (SELECT id, list_transform(v, x -> ROUND(x, 6)) AS q FROM qsel),
+    probe AS (
+      SELECT c.cluster,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(-list_dot_product(qsel.v, c.c), 6), c.cluster
+             ) AS prn
+      FROM qsel CROSS JOIN c2 c
+    ),
+    {",".join(blocks)},
+    codes AS ({" UNION ALL ".join(code_units)}),
+    lut AS ({" UNION ALL ".join(lut_units)}),
+    cand AS (
+      SELECT cells.id
+      FROM probe JOIN cells ON cells.cluster = probe.cluster
+      WHERE probe.prn <= {nprobe} AND cells.id != (SELECT id FROM qsel)
+    ),
+    adc AS (
+      SELECT codes.id, ROUND(CAST(SUM(sq) AS DOUBLE), 6) AS pq_dist2
+      FROM codes JOIN lut USING (j, code)
+      WHERE codes.id IN (SELECT id FROM cand)
+      GROUP BY codes.id
+    )
+    SELECT id AS neighbor_id, pq_dist2
+    FROM adc ORDER BY pq_dist2, id LIMIT {topk}
+    """
+
+
+@query("q242_ivfpq_search", oracle=_q242_oracle())
+def q242_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (functions/similarity.ivfpq_search) — the
+    canonical billion-scale index layout [Jégou et al. 2011]: the
+    deterministic-Lloyd coarse quantizer prunes to nprobe=3 of 8 cells
+    (q39's verified probe rule), then PQ asymmetric distance — m=4
+    subspace codes, a broadcast 4×4 round-9 DECIMAL LUT, exact DECIMAL
+    ADC sums (q188's verified scoring) — ranks only the candidates in
+    the probed cells. DuckDB replays BOTH quantizer chains, the probe
+    frontier, the candidate restriction, and every ADC value: the full
+    composite index — build, probe, score — is hash-verified end to
+    end. Completes the ANN family: brute q40 / SRP-LSH q42 / IVF q39
+    (+persisted q233) / PQ q188 / IVF-PQ here."""
+    from .functions.similarity import ivfpq_search
+
+    e = t(spark, sf_dir, "embeddings")
+    return ivfpq_search(e, n_lists=8, nprobe=3, m=4, k=4, iters=2, topk=5)
