@@ -974,6 +974,36 @@ class DDF:
             keep_factors=False,
         )
 
+    def ivfpq_search(
+        self,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_lists: int = 8,
+        nprobe: int = 3,
+        m: int = 4,
+        k: int = 4,
+        topk: int = 5,
+    ) -> "DDF":
+        """IVF-PQ composite ANN from the lowest-id query vector: coarse
+        cells prune to ``nprobe`` lists, PQ asymmetric distance ranks
+        the candidates (functions/similarity.ivfpq_search; registry
+        q242 — the canonical billion-scale index layout)."""
+        from .functions.similarity import ivfpq_search as _ivfpq
+
+        return self._derive(
+            _ivfpq(
+                self._df,
+                vec_col,
+                id_col,
+                n_lists=n_lists,
+                nprobe=nprobe,
+                m=m,
+                k=k,
+                topk=topk,
+            ),
+            keep_factors=False,
+        )
+
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":
         """Mark categorical (core setAsFactor; ``BinningHandlerSpec.scala:19-22``)."""

