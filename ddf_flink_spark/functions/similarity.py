@@ -712,14 +712,22 @@ def pq_search(
     ranked ascending with id tie-break, query excluded."""
     from ..ml.kmeans import kmeans_lloyd
 
+    from ..storage import propagate_checkpoint_ids, tracked_local_checkpoint
+
     spark = df.sparkSession
     dim = len(df.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"pq_search: dim {dim} not divisible by m={m}")
     w = dim // m
-    emb = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).localCheckpoint()
+    # tracked: the result frame carries the checkpoint ids (ownership
+    # transfer + GC auto-release), instead of pinning blocks until a
+    # blanket release_all_storage — the one bare localCheckpoint this
+    # module still had
+    emb = tracked_local_checkpoint(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+    )
 
     codes = None
     cents: list[list[list[float]]] = []
@@ -764,14 +772,15 @@ def pq_search(
             "j", "code"
         ),
     )
-    return (
+    return propagate_checkpoint_ids(
         codes_long.join(F.broadcast(lut), ["j", "code"])
         .groupBy("id")
         .agg(F.round(F.sum("sq").cast("double"), 6).alias("pq_dist2"))
         .filter(F.col("id") != qid)
         .orderBy("pq_dist2", "id")
         .limit(topk)
-        .select(F.col("id").alias("neighbor_id"), "pq_dist2")
+        .select(F.col("id").alias("neighbor_id"), "pq_dist2"),
+        emb,
     )
 
 
