@@ -1004,6 +1004,35 @@ class DDF:
             keep_factors=False,
         )
 
+    def ivfadc_search(
+        self,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_lists: int = 8,
+        nprobe: int = 3,
+        m: int = 4,
+        k: int = 4,
+        topk: int = 5,
+    ) -> "DDF":
+        """Full residual IVFADC from the lowest-id query vector: PQ on
+        residuals with one ADC LUT per probed cell
+        (functions/similarity.ivfadc_search; registry q243)."""
+        from .functions.similarity import ivfadc_search as _ivfadc
+
+        return self._derive(
+            _ivfadc(
+                self._df,
+                vec_col,
+                id_col,
+                n_lists=n_lists,
+                nprobe=nprobe,
+                m=m,
+                k=k,
+                topk=topk,
+            ),
+            keep_factors=False,
+        )
+
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":
         """Mark categorical (core setAsFactor; ``BinningHandlerSpec.scala:19-22``)."""

@@ -40,6 +40,7 @@ __all__ = [
     "pca_power_iteration",
     "pq_search",
     "ivfpq_search",
+    "ivfadc_search",
 ]
 
 
@@ -917,3 +918,163 @@ def ivfpq_search(
         .select(F.col("id").alias("neighbor_id"), "pq_dist2")
     )
     return propagate_checkpoint_ids(out, emb)
+
+
+def ivfadc_search(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 8,
+    nprobe: int = 3,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """FULL residual IVFADC [Jégou et al. 2011 §III] — :func:`ivfpq_
+    search` with the residual refinement that makes the composite the
+    production-grade index: PQ codebooks are trained on RESIDUALS
+    r = v − coarse_centroid(cell), which concentrates the quantizer's
+    budget on the within-cell variance, and the query builds ONE LUT
+    PER PROBED CELL (the query's residual differs per cell: r_q(c) =
+    q − centroid(c)), so ADC scores candidates against the residual
+    geometry of their own cell.
+
+    Cross-engine discipline end to end: residuals are single IEEE
+    subtractions of the round-4 centroid from the raw vector (bit-
+    identical in any engine), the per-cell query residuals are rounded
+    to 6 IN-ENGINE before leaving the plan, LUT cells are round-9
+    DECIMAL sums, ADC is an exact DECIMAL sum — the DuckDB oracle
+    (registry q243) replays the coarse chain, the residual transform,
+    the m residual codebook chains, the per-cell LUTs, and every ADC
+    value.
+
+    Scale shape is q242's plus one broadcast: codes replace vectors,
+    the per-cell LUTs are nprobe·m·k broadcast cells, candidates come
+    from a partition-pruned read of the probed cells."""
+    from ..ml.kmeans import kmeans_lloyd
+    from ..storage import propagate_checkpoint_ids, tracked_local_checkpoint
+
+    spark = df.sparkSession
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"ivfadc_search: dim {dim} not divisible by m={m}")
+    w = dim // m
+    emb = tracked_local_checkpoint(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+    )
+
+    # coarse quantizer + cells (q39 chain)
+    assign, coarse = kmeans_lloyd(
+        emb.select("id", F.col("v").alias("embedding")),
+        "embedding",
+        "id",
+        k=n_lists,
+        iters=iters,
+        return_centroids=True,
+    )
+    cells = assign.select("id", F.col("cluster").alias("list_id"))
+
+    # residuals: v − coarse[cell], a single IEEE subtract per component
+    coarse_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    remb = tracked_local_checkpoint(
+        emb.join(cells, "id").select(
+            "id",
+            "list_id",
+            F.zip_with(
+                "v",
+                F.element_at(coarse_arr, F.col("list_id") + 1),
+                lambda a, b: a - b,
+            ).alias("v"),
+        )
+    )
+
+    # PQ codebooks per subspace, trained on residuals (q188 chain)
+    codes = None
+    cents: list[list[list[float]]] = []
+    for j in range(m):
+        sub = remb.select("id", F.slice("v", j * w + 1, w).alias("embedding"))
+        assigned_j, c = kmeans_lloyd(
+            sub, "embedding", "id", k=k, iters=iters, return_centroids=True
+        )
+        cents.append(c)
+        aj = assigned_j.select("id", F.col("cluster").alias(f"code{j}"))
+        codes = aj if codes is None else codes.join(aj, "id")
+
+    # query (lowest id) + probe frontier (q39 rule, in-engine)
+    qid = emb.orderBy("id").limit(1).collect()[0]["id"]
+    scored_lists = F.transform(
+        F.sequence(F.lit(0), F.lit(n_lists - 1)),
+        lambda i: F.struct(
+            F.round(-dot(F.col("v"), F.element_at(F.col("cents"), i + 1)), 6).alias(
+                "neg"
+            ),
+            i.alias("list_id"),
+        ),
+    )
+    qf = emb.filter(F.col("id") == qid).select(coarse_arr.alias("cents"), "v")
+    probe_row = qf.select(
+        F.slice(F.array_sort(scored_lists), 1, nprobe).alias("p")
+    ).collect()[0]
+    probed = [int(s["list_id"]) for s in probe_row["p"]]
+
+    # per-probed-cell query residuals, ROUND-6 IN-ENGINE (the q188
+    # discipline — engine rounding semantics must match the oracle)
+    qres_rows = (
+        qf.select(
+            F.explode(F.array(*[F.lit(c) for c in probed])).alias("cell"), "v", "cents"
+        )
+        .select(
+            "cell",
+            F.zip_with(
+                "v",
+                F.element_at(F.col("cents"), F.col("cell") + 1),
+                lambda a, b: F.round(a - b, 6),
+            ).alias("q"),
+        )
+        .collect()
+    )
+    lut_rows = []
+    for row in qres_rows:
+        cell, qr = int(row["cell"]), list(row["q"])
+        for j in range(m):
+            for c in range(k):
+                for dpos in range(w):
+                    lut_rows.append(
+                        (cell, j, c, float(qr[j * w + dpos]), float(cents[j][c][dpos]))
+                    )
+    lut = (
+        spark.createDataFrame(
+            lut_rows, "cell int, j int, code int, qd double, cd double"
+        )
+        .groupBy("cell", "j", "code")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("qd") - F.col("cd")) * (F.col("qd") - F.col("cd")), 9
+                ).cast("decimal(30,9)")
+            ).alias("sq")
+        )
+    )
+
+    cand = cells.filter(
+        F.col("list_id").isin(probed) & (F.col("id") != qid)
+    ).select("id", F.col("list_id").alias("cell"))
+    codes_long = codes.join(cand, "id").select(
+        "id",
+        "cell",
+        F.posexplode(F.array(*[F.col(f"code{j}") for j in range(m)])).alias(
+            "j", "code"
+        ),
+    )
+    out = (
+        codes_long.join(F.broadcast(lut), ["cell", "j", "code"])
+        .groupBy("id")
+        .agg(F.round(F.sum("sq").cast("double"), 6).alias("pq_dist2"))
+        .orderBy("pq_dist2", "id")
+        .limit(topk)
+        .select(F.col("id").alias("neighbor_id"), "pq_dist2")
+    )
+    return propagate_checkpoint_ids(out, emb, remb)

@@ -12026,3 +12026,173 @@ def q242_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     return ivfpq_search(e, n_lists=8, nprobe=3, m=4, k=4, iters=2, topk=5)
+
+
+def _q243_oracle(
+    n_lists: int = 8, nprobe: int = 3, m: int = 4, w: int = 16, k: int = 4, topk: int = 5
+) -> str:
+    # q242's composition plus the residual refinement: remb = v − c2[cell]
+    # (single IEEE subtract of the round-4 centroid — bit-identical
+    # cross-engine), PQ chains trained on remb slices, and one LUT per
+    # probed cell built from the ROUND-6 per-cell query residual.
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    blocks = []
+    code_units = []
+    lut_units = []
+    for j in range(m):
+        lo, hi = j * w + 1, j * w + w
+        assign_j = f"""
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM remb{j} e CROSS JOIN {{cent}} c
+    """
+        update_j = f"""
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {{assigned}} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+        blocks.append(f"""
+    remb{j} AS (SELECT id, list_slice(v, {lo}, {hi}) AS v FROM remb),
+    rc0_{j} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM remb{j} ORDER BY id LIMIT {k})
+    ),
+    rs0_{j} AS ({assign_j.format(cent=f"rc0_{j}")}),
+    ra0_{j} AS (SELECT id, v, cluster FROM rs0_{j} WHERE rn = 1),
+    rm1_{j} AS ({update_j.format(assigned=f"ra0_{j}")}),
+    rc1n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM rm1_{j} GROUP BY cluster),
+    rc1_{j} AS (SELECT rc0_{j}.cluster, COALESCE(rc1n_{j}.c, rc0_{j}.c) AS c
+               FROM rc0_{j} LEFT JOIN rc1n_{j} USING (cluster)),
+    rs1_{j} AS ({assign_j.format(cent=f"rc1_{j}")}),
+    ra1_{j} AS (SELECT id, v, cluster FROM rs1_{j} WHERE rn = 1),
+    rm2_{j} AS ({update_j.format(assigned=f"ra1_{j}")}),
+    rc2n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM rm2_{j} GROUP BY cluster),
+    rc2_{j} AS (SELECT rc1_{j}.cluster, COALESCE(rc2n_{j}.c, rc1_{j}.c) AS c
+               FROM rc1_{j} LEFT JOIN rc2n_{j} USING (cluster)),
+    rs2_{j} AS ({assign_j.format(cent=f"rc2_{j}")}),
+    ra2_{j} AS (SELECT id, cluster FROM rs2_{j} WHERE rn = 1),
+    lutsrc{j} AS (
+      SELECT qres.cell, c.cluster AS code, c.c AS cv, list_slice(qres.q, {lo}, {hi}) AS qv
+      FROM rc2_{j} c CROSS JOIN qres
+    ),
+    lut{j} AS (
+      SELECT cell, {j} AS j, code,
+             SUM(CAST(ROUND((u.qx - u.cx) * (u.qx - u.cx), 9)
+                      AS DECIMAL(30,9))) AS sq
+      FROM lutsrc{j},
+           LATERAL (SELECT UNNEST(qv) AS qx, UNNEST(cv) AS cx) u
+      GROUP BY 1, 2, 3
+    )""")
+        code_units.append(f"SELECT id, {j} AS j, cluster AS code FROM ra2_{j}")
+        lut_units.append(f"SELECT * FROM lut{j}")
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
+    rsrc AS (
+      SELECT e.id, e.v AS ev, c2.c AS cc
+      FROM emb e JOIN cells ON cells.id = e.id
+                 JOIN c2 ON c2.cluster = cells.cluster
+    ),
+    remb AS (
+      SELECT id, LIST(u.vx - u.cx ORDER BY u.i) AS v
+      FROM rsrc,
+           LATERAL (SELECT UNNEST(rsrc.ev) AS vx, UNNEST(rsrc.cc) AS cx,
+                    generate_subscripts(rsrc.ev, 1) AS i) u
+      GROUP BY id
+    ),
+    qsel AS (SELECT id, v FROM emb ORDER BY id LIMIT 1),
+    probe AS (
+      SELECT c.cluster,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(-list_dot_product(qsel.v, c.c), 6), c.cluster
+             ) AS prn
+      FROM qsel CROSS JOIN c2 c
+    ),
+    qrsrc AS (
+      SELECT p.cluster AS cell, qsel.v AS qv, c2.c AS cc
+      FROM probe p JOIN c2 ON c2.cluster = p.cluster
+                   CROSS JOIN qsel
+      WHERE p.prn <= {nprobe}
+    ),
+    qres AS (
+      SELECT cell, LIST(ROUND(u.qx - u.cx, 6) ORDER BY u.i) AS q
+      FROM qrsrc,
+           LATERAL (SELECT UNNEST(qrsrc.qv) AS qx, UNNEST(qrsrc.cc) AS cx,
+                    generate_subscripts(qrsrc.qv, 1) AS i) u
+      GROUP BY cell
+    ),
+    {",".join(blocks)},
+    codes AS ({" UNION ALL ".join(code_units)}),
+    lut AS ({" UNION ALL ".join(lut_units)}),
+    cand AS (
+      SELECT cells.id, cells.cluster AS cell
+      FROM probe JOIN cells ON cells.cluster = probe.cluster
+      WHERE probe.prn <= {nprobe} AND cells.id != (SELECT id FROM qsel)
+    ),
+    adc AS (
+      SELECT codes.id, ROUND(CAST(SUM(sq) AS DOUBLE), 6) AS pq_dist2
+      FROM codes
+      JOIN cand USING (id)
+      JOIN lut ON lut.cell = cand.cell AND lut.j = codes.j AND lut.code = codes.code
+      GROUP BY codes.id
+    )
+    SELECT id AS neighbor_id, pq_dist2
+    FROM adc ORDER BY pq_dist2, id LIMIT {topk}
+    """
+
+
+@query("q243_ivfadc_residual", oracle=_q243_oracle())
+def q243_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL residual IVFADC (functions/similarity.ivfadc_search) — q242
+    plus the residual refinement of Jégou et al. 2011 §III, the
+    production-grade composite: PQ codebooks trained on r = v −
+    coarse_centroid(cell) (residuals concentrate quantizer budget on
+    within-cell variance), and ONE ADC LUT PER PROBED CELL because the
+    query's residual differs per cell. The DuckDB oracle replays the
+    coarse chain, the residual transform (single IEEE subtracts of
+    round-4 centroids — bit-identical cross-engine), all m residual
+    codebook chains, the per-cell round-9 DECIMAL LUTs, and every
+    exact-DECIMAL ADC value. The ANN family is now complete through
+    the production index: brute / SRP-LSH / IVF(+persisted) / PQ /
+    IVF-PQ / residual IVFADC."""
+    from .functions.similarity import ivfadc_search
+
+    e = t(spark, sf_dir, "embeddings")
+    return ivfadc_search(e, n_lists=8, nprobe=3, m=4, k=4, iters=2, topk=5)

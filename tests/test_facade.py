@@ -604,3 +604,14 @@ def test_ivfpq_facade(mgr, spark):
     )
     top = emb.ivfpq_search(n_lists=4, nprobe=4, m=2, k=3, topk=3).df.collect()
     assert len(top) == 3 and top[0].neighbor_id == 5  # same residue as query id 0
+
+
+def test_ivfadc_facade(mgr, spark):
+    emb = mgr.new_ddf(
+        spark.createDataFrame(
+            [(i, [float(i % 5)] * 8) for i in range(20)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    top = emb.ivfadc_search(n_lists=4, nprobe=4, m=2, k=3, topk=3).df.collect()
+    assert len(top) == 3 and top[0].neighbor_id == 5  # same residue as query id 0

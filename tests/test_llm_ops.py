@@ -1487,3 +1487,33 @@ def test_ivfpq_search_finds_identical_vector(spark):
     assert out[0].neighbor_id == 99
     dists = [r.pq_dist2 for r in out]
     assert dists == sorted(dists)
+
+
+def test_ivfadc_residual_finds_identical_vector(spark):
+    """Residual IVFADC: a clone of the query shares its cell AND its
+    residual codes — minimum ADC distance, rank 1. Residual refinement
+    must also hold: the clone's ADC distance is ≤ the raw-PQ (q242
+    path) clone distance on the same corpus (residual codebooks
+    quantize within-cell variance more tightly)."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import ivfadc_search, ivfpq_search
+    from ddf_flink_spark.storage import release_checkpoint
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    rows.append((99, list(rows[0][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    adc_df = ivfadc_search(df, n_lists=4, nprobe=2, m=4, k=4, iters=2, topk=3)
+    adc = adc_df.collect()
+    release_checkpoint(adc_df)
+    assert adc[0].neighbor_id == 99
+    assert [r.pq_dist2 for r in adc] == sorted(r.pq_dist2 for r in adc)
+
+    raw_df = ivfpq_search(df, n_lists=4, nprobe=2, m=4, k=4, iters=2, topk=3)
+    raw = raw_df.collect()
+    release_checkpoint(raw_df)
+    clone_adc = next(r.pq_dist2 for r in adc if r.neighbor_id == 99)
+    clone_raw = next((r.pq_dist2 for r in raw if r.neighbor_id == 99), None)
+    if clone_raw is not None:
+        assert clone_adc <= clone_raw + 1e-9

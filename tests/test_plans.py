@@ -423,6 +423,11 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     "q126_tpch_q19_disjunctive": {"single-partition"},  # 1-row revenue agg
     "q128_tpch_q22_dormant_customers": {"single-partition"},  # global AVG subquery
     "q137_tpch_q6_revenue_filter": {"single-partition"},  # 1-row agg
+    # Spark's InjectRuntimeFilter builds a bloom filter for the
+    # codes⋈candidates join: bloom_filter_agg's single-partition
+    # exchange carries ONE buffer row (O(1) output) — the engine's own
+    # runtime-filter machinery, not a data funnel
+    "q243_ivfadc_residual": {"single-partition"},
     "q140_tpch_q15_top_supplier": {"single-partition"},  # global MAX subquery
     "q141_tpch_q17_small_qty_revenue": {"single-partition"},  # 1-row agg
     "q143_morton_layout": {"single-partition"},  # 1-row box aggregate
