@@ -841,7 +841,14 @@ def connected_components(
     # the edge set is loop-only — the returned frame joins labels to the
     # UNCHECKPOINTED nodes side, so bidir's blocks are dead here
     release_checkpoint(bidir)
-    # isolated nodes (never in any edge) are their own cluster
-    return all_nodes.join(labels, "id", "left").select(
-        "id", F.coalesce("label", "id").alias("cluster")
+    from ..storage import propagate_checkpoint_ids
+
+    # isolated nodes (never in any edge) are their own cluster; the
+    # result executes through the final labels checkpoint, so its ids
+    # ride along for an exact release_checkpoint(result)
+    return propagate_checkpoint_ids(
+        all_nodes.join(labels, "id", "left").select(
+            "id", F.coalesce("label", "id").alias("cluster")
+        ),
+        labels,
     )

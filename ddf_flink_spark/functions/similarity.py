@@ -75,8 +75,12 @@ def _score_pairs(cand: DataFrame, rerank: str) -> DataFrame:
     over numpy (BLAS ``einsum`` on a stacked float64 matrix, one Arrow
     batch at a time) — the honest scale answer once candidate sets per
     query grow past ~10³, where per-element interpretation dominates.
-    Both paths accumulate in float64; the round-6 rank discipline
-    downstream absorbs summation-order ulps."""
+    Callers project ``qv``/``cv`` as ``array<double>`` (cast once at
+    projection, before any pair fan-out), so BOTH engines see identical
+    float64 inputs and per-product values — float32 sources are upcast
+    exactly, never multiplied in native width. The only remaining
+    divergence is summation order (einsum pairwise vs sequential fold),
+    which the round-6 rank discipline downstream absorbs."""
     if rerank == "arrow":
         from pyspark.sql.functions import pandas_udf
 
@@ -123,12 +127,12 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),
     )
     pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
@@ -211,7 +215,7 @@ def lsh_topk(
     def with_sigs(df: DataFrame, idn: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(idn),
-            F.col(vec_col).alias(f"{idn}_v"),
+            F.col(vec_col).cast("array<double>").alias(f"{idn}_v"),
             l2_norm(F.col(vec_col)).alias(f"{idn}_n"),
             F.explode(F.array(*[s(F.col(vec_col)) for s in sig_structs])).alias("ts"),
         ).select(idn, f"{idn}_v", f"{idn}_n", "ts.tbl", "ts.sig")
@@ -313,7 +317,7 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
         cent_arr.alias("cents"),
     )
@@ -340,7 +344,7 @@ def ivf_topk(
     )
     c = assigned_corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),
         "list_id",
     )
@@ -721,9 +725,9 @@ def pq_search(
         raise ValueError(f"pq_search: dim {dim} not divisible by m={m}")
     w = dim // m
     # tracked: the result frame carries the checkpoint ids (ownership
-    # transfer + GC auto-release), instead of pinning blocks until a
-    # blanket release_all_storage — the one bare localCheckpoint this
-    # module still had
+    # transfer; session ledger reclaims if dropped), instead of pinning
+    # blocks until a blanket release_all_storage — the one bare
+    # localCheckpoint this module still had
     emb = tracked_local_checkpoint(
         df.select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")

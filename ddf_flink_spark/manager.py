@@ -114,16 +114,21 @@ class DDFManager:
         rows = ["\t".join("null" if v is None else str(v) for v in row) for row in res.collect()]
         return res.columns, rows
 
-    def release_storage(self) -> int:
-        """Free ALL executor-storage blocks pinned by checkpointing/
+    def release_storage(self, only_tracked: bool = False) -> int:
+        """Free executor-storage blocks pinned by checkpointing/
         caching operators (k-fold caches, connected-components /
         PageRank / k-means / PCA / prefix-filter checkpoints). Call at
         batch boundaries in long-lived sessions; frames built BEFORE
         the release must not be re-executed afterwards (their truncated
-        lineage cannot recompute). Returns the number of released RDDs.
+        lineage cannot recompute). ``only_tracked=True`` releases only
+        the blocks this library's operators created (the session
+        ledger), leaving the user's own ``cache()``/``persist()``
+        frames intact. Returns the number of released RDDs.
         See ``ddf_flink_spark/storage.py``."""
-        from .storage import release_all_storage
+        from .storage import release_all_storage, release_session_storage
 
+        if only_tracked:
+            return release_session_storage(self.spark)
         return release_all_storage(self.spark)
 
     def shutdown(self) -> None:

@@ -24,10 +24,12 @@ from pyspark.sql import functions as F
 
 from .storage import propagate_checkpoint_ids as _carry
 # _carry: ownership transfer for checkpoint-pinning frames (storage.py).
-# Any query that DERIVES from a dedup/pagerank result and returns the
-# derived frame must _carry(derived, source): the source wrapper dies at
-# function return, and its GC finalizer would otherwise free the
-# checkpoint blocks the returned lazy plan still executes through.
+# A query that DERIVES from a dedup/pagerank result should
+# _carry(derived, source) so the ids ride the returned frame and
+# release_checkpoint(result) is exact. GC-drop of an uncarried source is
+# SAFE (bounded leak, reclaimed by the session ledger at boundary
+# release) — auto-free-at-GC is opt-in via storage.auto_release_on_gc
+# and only for terminal frames.
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -3802,14 +3804,16 @@ def q102_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left_semi",
     )
-    return (
+    return _carry(
         cleaned.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("doc_id").cast("long").alias("id_checksum"),
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
-        .orderBy("lang")
+        .orderBy("lang"),
+        pairs,
+        clusters,
     )
 
 

@@ -45,6 +45,16 @@ def get_spark(app_name: str = "ddf_flink_spark", **extra_conf: str) -> SparkSess
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Periodic driver System.gc(): on a large-heap long-lived session
+        # the driver may not GC for hours, so ContextCleaner never learns
+        # that shuffle files / broadcast blocks / checkpoint RDD wrappers
+        # died — executor disk and storage accumulate until a measured
+        # GC/spill storm (PERF.md, q205@sf1: 16× CPU outlier). 15 min is
+        # cheap insurance: a driver full GC costs ~100 ms and fires only
+        # when the interval elapses. On a many-executor deployment the
+        # same knob bounds per-executor shuffle-file retention. Override
+        # via extra_conf for latency-critical drivers.
+        .config("spark.cleaner.periodicGC.interval", "15min")
     )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)

@@ -10,6 +10,18 @@ minutes once enough dead checkpoint blocks accumulated). The reference
 has no equivalent concern — its engine materializes intermediates per
 job and frees them with the job.
 
+Lifetime model (explicit release primary, GC strictly opt-in):
+every tracked checkpoint id also lands in a per-session LEDGER, so a
+frame dropped without release is a bounded leak reclaimed at the next
+:func:`release_session_storage` / :func:`release_all_storage` boundary —
+never a job-time failure. A ``weakref.finalize`` that frees blocks when
+a Python wrapper dies is only attached via :func:`auto_release_on_gc`
+and only safe on TERMINAL frames: derived DataFrames hold no Python
+reference to their parent wrapper, so auto-attaching at every propagate
+turns derive-then-drop into a nondeterministic
+CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at execution time (observed on Spark
+4.1.2).
+
 Two tools, both explicit:
 
 * :func:`tracked_local_checkpoint` — a ``localCheckpoint`` that records
@@ -37,13 +49,32 @@ __all__ = [
     "tracked_local_checkpoint",
     "observed_local_checkpoint",
     "propagate_checkpoint_ids",
+    "auto_release_on_gc",
     "release_checkpoint",
+    "release_session_storage",
     "release_all_storage",
     "persistent_rdd_ids",
 ]
 
 _CP_IDS_ATTR = "_ddf_checkpoint_rdd_ids"
 _FINALIZER_ATTR = "_ddf_cp_finalizer"
+
+# Session-level ledger of every RDD id a tracked_local_checkpoint created,
+# keyed weakly by SparkSession. This is the safety net for frames whose
+# wrappers are dropped without an explicit release: the ids sit here (a
+# BOUNDED leak — blocks stay until a boundary release) instead of being
+# freed by a GC finalizer that cannot know whether some derived lazy frame
+# still executes through them. release_checkpoint / release_all_storage /
+# release_session_storage all retire ids from the ledger.
+_SESSION_IDS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _ledger(spark) -> set:
+    s = _SESSION_IDS.get(spark)
+    if s is None:
+        s = set()
+        _SESSION_IDS[spark] = s
+    return s
 
 
 def _release_ids_in_session(session_ref, ids) -> None:
@@ -117,6 +148,7 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     except Exception:  # unexpected plan shape — legacy diff fallback
         created = persistent_rdd_ids(spark) - before
     setattr(cp, _CP_IDS_ATTR, created)
+    _ledger(spark).update(created)
     return cp
 
 
@@ -171,24 +203,67 @@ def propagate_checkpoint_ids(out: DataFrame, *sources: DataFrame) -> DataFrame:
     otherwise only be freed by a blanket ``release_all_storage`` /
     ``DDFManager.release_storage``.
 
-    This is an OWNERSHIP TRANSFER: the blocks now belong to ``out``.
-    Besides carrying the ids, it attaches a ``weakref.finalize`` on
-    ``out`` so a library user who simply drops the result frame gets
-    the storage back at GC time without ever calling
-    ``release_checkpoint`` (explicit release stays primary — it
-    detaches the finalizer). Any finalizer previously attached to a
-    ``sources`` frame is detached here: the sources are the frames
-    ``out``'s lazy plan still executes through, so their wrappers going
-    out of scope inside an operator must NOT free blocks ``out``
-    needs."""
+    This is an OWNERSHIP TRANSFER of the *handle*, not a GC hook: the
+    carried ids make ``release_checkpoint(out)`` exact, and any frame
+    DERIVED from ``out`` keeps executing correctly even after ``out``'s
+    wrapper is collected. Dropping ``out`` without releasing is a
+    BOUNDED leak — the ids stay in the session ledger and are reclaimed
+    by the next :func:`release_session_storage` /
+    :func:`release_all_storage` boundary. Auto-free-at-GC is available
+    but OPT-IN via :func:`auto_release_on_gc`, because a finalizer fires
+    on Python wrapper death, which says nothing about whether some
+    derived lazy plan still reads the blocks (a derive-then-drop under
+    an auto-attached finalizer fails nondeterministically with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — reproduced on Spark 4.1.2).
+    Any finalizer previously attached to a ``sources`` frame is
+    detached here for the same reason: the sources are the frames
+    ``out``'s lazy plan still executes through."""
     ids: set[int] = set(getattr(out, _CP_IDS_ATTR, None) or set())
     for s in sources:
         ids |= getattr(s, _CP_IDS_ATTR, None) or set()
         _detach_finalizer(s)
     if ids:
         setattr(out, _CP_IDS_ATTR, ids)
-        _attach_finalizer(out, out.sparkSession, ids)
+        _ledger(out.sparkSession).update(ids)
     return out
+
+
+def auto_release_on_gc(df: DataFrame) -> DataFrame:
+    """OPT-IN: free ``df``'s carried checkpoint blocks when its Python
+    wrapper is garbage-collected. Only safe for TERMINAL frames — ones
+    the caller will execute through ``df`` itself and never derive
+    from: a finalizer fires on wrapper death, and a derived DataFrame
+    holds no Python reference to ``df``, so deriving-then-dropping an
+    auto-release frame kills the derived plan's checkpoint blocks
+    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at job time). Library users who
+    chain operators should instead rely on the session ledger +
+    :func:`release_session_storage` at their batch boundaries, or call
+    :func:`release_checkpoint` explicitly (which detaches this
+    finalizer). Returns ``df``."""
+    ids = getattr(df, _CP_IDS_ATTR, None)
+    if ids:
+        _attach_finalizer(df, df.sparkSession, ids)
+    return df
+
+
+def release_session_storage(spark) -> int:
+    """Unpersist every checkpoint block this module's helpers created in
+    ``spark`` that has not already been explicitly released — the
+    boundary reclaim for dropped-without-release frames. Unlike
+    :func:`release_all_storage` it touches ONLY ledger-tracked ids, so a
+    user's own ``cache()``/``persist()`` frames survive. Returns how
+    many ids were released."""
+    ledger = _SESSION_IDS.get(spark)
+    if not ledger:
+        return 0
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for k in list(m.keySet()):
+        if int(k) in ledger:
+            m.get(k).unpersist(False)
+            n += 1
+    ledger.clear()
+    return n
 
 
 def release_checkpoint(df: DataFrame | None) -> None:
@@ -201,10 +276,14 @@ def release_checkpoint(df: DataFrame | None) -> None:
     ids = getattr(df, _CP_IDS_ATTR, None)
     if not ids:
         return
-    m = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    spark = df.sparkSession
+    m = spark.sparkContext._jsc.getPersistentRDDs()
     for k in list(m.keySet()):
         if int(k) in ids:
             m.get(k).unpersist(False)
+    ledger = _SESSION_IDS.get(spark)
+    if ledger:
+        ledger.difference_update(ids)
     setattr(df, _CP_IDS_ATTR, set())
     _detach_finalizer(df)
 
@@ -218,4 +297,7 @@ def release_all_storage(spark) -> int:
     for k in list(m.keySet()):
         m.get(k).unpersist(False)
         n += 1
+    ledger = _SESSION_IDS.get(spark)
+    if ledger:
+        ledger.clear()
     return n

@@ -837,46 +837,68 @@ def test_dedup_operators_propagate_checkpoint_ids(spark):
         assert after <= before | ids
 
 
-def test_checkpoint_auto_release_on_gc(spark):
-    """A library user who builds a checkpoint-pinning frame and simply
-    DROPS it must get the executor storage back at GC time, without any
-    explicit release call (VERDICT r5 #6): propagate_checkpoint_ids
-    attaches a weakref.finalize on the public result frame. Explicit
-    release stays primary — release_checkpoint detaches the finalizer,
-    and interior source frames have theirs detached at propagate time
-    (ownership transfer), so an operator-local cp wrapper being
-    collected never frees blocks the returned lazy frame still needs."""
+def test_checkpoint_gc_drop_is_safe_and_ledger_reclaims(spark):
+    """Storage-lifetime contract (round-7 ADVICE): deriving from a
+    checkpoint-pinning result and DROPPING the intermediate wrapper must
+    stay executable — GC-drop is a no-op, never an auto-free. A
+    finalizer fires on Python wrapper death, which says nothing about
+    whether a derived lazy plan still reads the blocks; the round-6
+    auto-attach turned q102-style compositions into nondeterministic
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Dropped-without-release blocks
+    are instead a BOUNDED leak the session ledger reclaims at
+    release_session_storage; auto-free-at-GC is opt-in for terminal
+    frames via auto_release_on_gc."""
     import gc
 
     from ddf_flink_spark.functions.dedup import minhash_lsh_candidates
-    from ddf_flink_spark.storage import persistent_rdd_ids, release_checkpoint
+    from ddf_flink_spark.storage import (
+        auto_release_on_gc,
+        persistent_rdd_ids,
+        release_checkpoint,
+        release_session_storage,
+    )
 
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta epsilon zeta doc {i % 3}") for i in range(30)],
         "doc_id long, text string",
     )
 
-    # build + drop + gc: blocks drain with no explicit release
+    # 1) derive-then-drop regression (the q102 pattern): the derived
+    # frame holds no Python reference to `out`, so if GC freed the
+    # banding checkpoint blocks this count() would die at job time
     out = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
     ids = set(getattr(out, "_ddf_checkpoint_rdd_ids"))
     assert ids and ids <= persistent_rdd_ids(spark)
-    out.count()  # the lazy frame executes fine while the wrapper is live
+    derived = out.groupBy("id_a").count()
     del out
     gc.collect()
-    assert not (ids & persistent_rdd_ids(spark)), (
-        "dropping the result frame must auto-release its checkpoint blocks"
-    )
+    derived.count()  # must succeed — GC-drop is a no-op
+    assert ids <= persistent_rdd_ids(spark), "GC must not free dropped blocks"
+    del derived
+    gc.collect()
+    # the ledger reclaims the bounded leak at an explicit boundary
+    assert release_session_storage(spark) >= len(ids)
+    assert not (ids & persistent_rdd_ids(spark))
 
-    # explicit release first, then GC: the finalizer is detached and the
-    # drop is a no-op (no double-release, no foreign-id risk)
-    out2 = minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    # 2) opt-in terminal auto-release: old round-6 behavior, explicitly
+    out2 = auto_release_on_gc(minhash_lsh_candidates(docs, num_hashes=8, bands=4))
     ids2 = set(getattr(out2, "_ddf_checkpoint_rdd_ids"))
     out2.count()
-    release_checkpoint(out2)
-    assert getattr(out2, "_ddf_cp_finalizer", None) is None
     del out2
     gc.collect()
-    assert not (ids2 & persistent_rdd_ids(spark))
+    assert not (ids2 & persistent_rdd_ids(spark)), (
+        "auto_release_on_gc frames must drain at GC"
+    )
+
+    # 3) explicit release detaches the opt-in finalizer (no double-free)
+    out3 = auto_release_on_gc(minhash_lsh_candidates(docs, num_hashes=8, bands=4))
+    ids3 = set(getattr(out3, "_ddf_checkpoint_rdd_ids"))
+    out3.count()
+    release_checkpoint(out3)
+    assert getattr(out3, "_ddf_cp_finalizer", None) is None
+    del out3
+    gc.collect()
+    assert not (ids3 & persistent_rdd_ids(spark))
 
 
 def test_merge_upsert_semantics(spark):
