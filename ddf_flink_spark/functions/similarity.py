@@ -41,6 +41,9 @@ __all__ = [
     "pq_search",
     "ivfpq_search",
     "ivfadc_search",
+    "ivfadc_batch_search",
+    "ivfadc_index_build",
+    "ivfadc_index_search",
 ]
 
 
@@ -1082,3 +1085,239 @@ def ivfadc_search(
         .select(F.col("id").alias("neighbor_id"), "pq_dist2")
     )
     return propagate_checkpoint_ids(out, emb, remb)
+
+
+def ivfadc_index_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 8,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+):
+    """Train the residual-IVFADC index ONCE and return it as data:
+    ``(index, coarse, codebooks)`` where ``index`` is a DataFrame
+    (id, list_id, code0..code{m-1}) — the per-cell PQ codes table, the
+    thing a 100 TB deployment persists partitioned BY list_id so probes
+    become partition-pruned reads — ``coarse`` is the n_lists coarse
+    centroids and ``codebooks`` the m per-subspace residual codebooks
+    (model parameters, driver-resident lists exactly like a persisted
+    sidecar). Training is the q243 chain verbatim: deterministic-Lloyd
+    coarse quantizer, residuals r = v − coarse[cell] as single IEEE
+    subtracts, per-subspace deterministic-Lloyd codebooks on the
+    residuals. Build once here, then serve any number of query batches
+    with :func:`ivfadc_index_search` — fresh-build and
+    persisted-reload results are hash-equal (q245)."""
+    from ..ml.kmeans import kmeans_lloyd
+    from ..storage import propagate_checkpoint_ids, tracked_local_checkpoint
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"ivfadc_index_build: dim {dim} not divisible by m={m}")
+    w = dim // m
+    emb = tracked_local_checkpoint(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+    )
+    assign, coarse = kmeans_lloyd(
+        emb.select("id", F.col("v").alias("embedding")),
+        "embedding",
+        "id",
+        k=n_lists,
+        iters=iters,
+        return_centroids=True,
+    )
+    cells = assign.select("id", F.col("cluster").alias("list_id"))
+    coarse_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    remb = tracked_local_checkpoint(
+        emb.join(cells, "id").select(
+            "id",
+            "list_id",
+            F.zip_with(
+                "v",
+                F.element_at(coarse_arr, F.col("list_id") + 1),
+                lambda a, b: a - b,
+            ).alias("v"),
+        )
+    )
+    codes = None
+    cents: list[list[list[float]]] = []
+    for j in range(m):
+        sub = remb.select("id", F.slice("v", j * w + 1, w).alias("embedding"))
+        assigned_j, c = kmeans_lloyd(
+            sub, "embedding", "id", k=k, iters=iters, return_centroids=True
+        )
+        cents.append(c)
+        aj = assigned_j.select("id", F.col("cluster").alias(f"code{j}"))
+        codes = aj if codes is None else codes.join(aj, "id")
+    index = propagate_checkpoint_ids(cells.join(codes, "id"), emb, remb)
+    return index, coarse, cents
+
+
+def ivfadc_index_search(
+    index: DataFrame,
+    coarse: list,
+    codebooks: list,
+    queries: DataFrame,
+    q_vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    nprobe: int = 3,
+    topk: int = 5,
+    static_probe: bool = False,
+) -> DataFrame:
+    """Serve a batch of queries from a residual-IVFADC index — built
+    this session by :func:`ivfadc_index_build` or RELOADED from its
+    persisted parquet layout (codes partitioned by list_id + model
+    sidecars). All per-query work is IN-ENGINE:
+
+    * probe assignment: each query ranks the coarse centroids (model
+      literals) by ROUND(-dot, 6), list-id tiebreak — one map pass;
+    * per-cell query residuals: ``zip_with`` against the probed
+      centroid, ROUND-6 in-engine;
+    * ADC LUTs: query-residual frame × BROADCAST m·k codebook frame,
+      each cell an exact DECIMAL fold of round-9 squared diffs (equal
+      to a SUM — decimal addition is exact, order-independent);
+    * candidates: the probed cells of the codes table; ADC is m LUT
+      lookups per candidate; per-query top-k is a window rank.
+
+    ``static_probe=True`` collects the batch's distinct probe frontier
+    (≤ Q·nprobe ints — the one bounded driver action) and pushes it as
+    a LITERAL ``list_id IN (...)`` filter, so a list_id-partitioned
+    parquet index is read PARTITION-PRUNED (PartitionFilters in the
+    scan — plan-locked in tests). The default join path keeps the plan
+    fully lazy for large Q, where the probe set approaches all cells
+    anyway. Self-matches are excluded. Returns (query_id, neighbor_id,
+    pq_dist2), per-query rank ≤ topk, ascending distance, id
+    tie-break."""
+    from ..storage import propagate_checkpoint_ids
+
+    spark = index.sparkSession
+    m = len(codebooks)
+    k = len(codebooks[0])
+    w = len(codebooks[0][0])
+    n_lists = len(coarse)
+    coarse_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+
+    q = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(q_vec_col).cast("array<double>").alias("qv"),
+    )
+    scored_lists = F.transform(
+        F.sequence(F.lit(0), F.lit(n_lists - 1)),
+        lambda i: F.struct(
+            F.round(-dot(F.col("qv"), F.element_at(coarse_arr, i + 1)), 6).alias(
+                "neg"
+            ),
+            i.alias("list_id"),
+        ),
+    )
+    probed = q.select(
+        "query_id",
+        "qv",
+        F.explode(F.slice(F.array_sort(scored_lists), 1, nprobe)).alias("s"),
+    ).select("query_id", "qv", F.col("s.list_id").alias("cell"))
+    qres = probed.select(
+        "query_id",
+        "cell",
+        F.zip_with(
+            "qv",
+            F.element_at(coarse_arr, F.col("cell") + 1),
+            lambda a, b: F.round(a - b, 6),
+        ).alias("q"),
+    )
+    cb = spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in codebooks[j][c]])
+            for j in range(m)
+            for c in range(k)
+        ],
+        "j int, code int, cd array<double>",
+    )
+    lut = qres.join(F.broadcast(cb)).select(
+        "query_id",
+        "cell",
+        "j",
+        "code",
+        F.aggregate(
+            F.zip_with(
+                F.slice("q", F.col("j") * w + 1, F.lit(w)),
+                F.col("cd"),
+                lambda x, y: F.round((x - y) * (x - y), 9).cast("decimal(30,9)"),
+            ),
+            F.lit(0).cast("decimal(30,9)"),
+            lambda acc, x: (acc + x).cast("decimal(30,9)"),
+        ).alias("sq"),
+    )
+
+    idx = index
+    if static_probe:
+        probe_cells = sorted(
+            {int(r["cell"]) for r in probed.select("cell").distinct().collect()}
+        )
+        idx = index.filter(F.col("list_id").isin(probe_cells))
+    cand = probed.select("query_id", "cell").join(
+        idx.withColumnRenamed("list_id", "cell"), "cell"
+    ).filter(F.col("id") != F.col("query_id"))
+    codes_long = cand.select(
+        "query_id",
+        "cell",
+        "id",
+        F.posexplode(F.array(*[F.col(f"code{j}") for j in range(m)])).alias(
+            "j", "code"
+        ),
+    )
+    adc = (
+        codes_long.join(lut, ["query_id", "cell", "j", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum("sq").cast("double"), 6).alias("pq_dist2"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy("pq_dist2", "id")
+    out = (
+        adc.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", F.col("id").alias("neighbor_id"), "pq_dist2")
+    )
+    return propagate_checkpoint_ids(out, index)
+
+
+def ivfadc_batch_search(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str | None = None,
+    q_id_col: str | None = None,
+    n_lists: int = 8,
+    nprobe: int = 3,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """BATCH residual IVFADC serving — :func:`ivfadc_search` generalized
+    to a ``queries`` DataFrame of Q query vectors with every per-query
+    step IN-ENGINE: :func:`ivfadc_index_build` (train once, O(iters·m)
+    driver actions independent of Q) composed with
+    :func:`ivfadc_index_search` (one lazy serving plan — probe map
+    pass, in-engine per-cell residual LUTs against a broadcast codebook
+    frame, window top-k). This is the operator a retrieval/dedup
+    pipeline runs at 100 TB (millions of queries against one index);
+    the single-query :func:`ivfadc_search` stays as the oracle-checked
+    demo, and for any query vector the batch rows replay its
+    (neighbor_id, pq_dist2) exactly (parity-pinned in tests; q244 vs
+    q243 in the registry)."""
+    index, coarse, cents = ivfadc_index_build(
+        df, vec_col=vec_col, id_col=id_col, n_lists=n_lists, m=m, k=k, iters=iters
+    )
+    return ivfadc_index_search(
+        index,
+        coarse,
+        cents,
+        queries,
+        q_vec_col=q_vec_col or vec_col,
+        q_id_col=q_id_col or id_col,
+        nprobe=nprobe,
+        topk=topk,
+    )

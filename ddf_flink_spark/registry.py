@@ -12200,3 +12200,259 @@ def q243_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     return ivfadc_search(e, n_lists=8, nprobe=3, m=4, k=4, iters=2, topk=5)
+
+
+def _q244_oracle(
+    n_q: int = 64,
+    n_lists: int = 8,
+    nprobe: int = 3,
+    m: int = 4,
+    w: int = 16,
+    k: int = 4,
+    topk: int = 5,
+) -> str:
+    # q243's full residual-IVFADC replay generalized to a BATCH of the
+    # n_q lowest-id query vectors: probe ranks get PARTITION BY query_id,
+    # residuals/LUTs/ADC carry query_id, and the final top-k is a
+    # per-query window. Training CTEs (coarse chain, residual transform,
+    # m residual codebook chains) are byte-identical to q243's — the
+    # batch changes serving only, which is exactly the Spark-side claim.
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    blocks = []
+    code_units = []
+    lut_units = []
+    for j in range(m):
+        lo, hi = j * w + 1, j * w + w
+        assign_j = f"""
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM remb{j} e CROSS JOIN {{cent}} c
+    """
+        update_j = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+        blocks.append(f"""
+    remb{j} AS (SELECT id, list_slice(v, {lo}, {hi}) AS v FROM remb),
+    rc0_{j} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM remb{j} ORDER BY id LIMIT {k})
+    ),
+    rs0_{j} AS ({assign_j.format(cent=f"rc0_{j}")}),
+    ra0_{j} AS (SELECT id, v, cluster FROM rs0_{j} WHERE rn = 1),
+    rm1_{j} AS ({update_j.format(assigned=f"ra0_{j}")}),
+    rc1n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM rm1_{j} GROUP BY cluster),
+    rc1_{j} AS (SELECT rc0_{j}.cluster, COALESCE(rc1n_{j}.c, rc0_{j}.c) AS c
+               FROM rc0_{j} LEFT JOIN rc1n_{j} USING (cluster)),
+    rs1_{j} AS ({assign_j.format(cent=f"rc1_{j}")}),
+    ra1_{j} AS (SELECT id, v, cluster FROM rs1_{j} WHERE rn = 1),
+    rm2_{j} AS ({update_j.format(assigned=f"ra1_{j}")}),
+    rc2n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM rm2_{j} GROUP BY cluster),
+    rc2_{j} AS (SELECT rc1_{j}.cluster, COALESCE(rc2n_{j}.c, rc1_{j}.c) AS c
+               FROM rc1_{j} LEFT JOIN rc2n_{j} USING (cluster)),
+    rs2_{j} AS ({assign_j.format(cent=f"rc2_{j}")}),
+    ra2_{j} AS (SELECT id, cluster FROM rs2_{j} WHERE rn = 1),
+    lutsrc{j} AS (
+      SELECT qres.query_id, qres.cell, c.cluster AS code, c.c AS cv,
+             list_slice(qres.q, {lo}, {hi}) AS qv
+      FROM rc2_{j} c CROSS JOIN qres
+    ),
+    lut{j} AS (
+      SELECT query_id, cell, {j} AS j, code,
+             SUM(CAST(ROUND((u.qx - u.cx) * (u.qx - u.cx), 9)
+                      AS DECIMAL(30,9))) AS sq
+      FROM lutsrc{j},
+           LATERAL (SELECT UNNEST(qv) AS qx, UNNEST(cv) AS cx) u
+      GROUP BY 1, 2, 3, 4
+    )""")
+        code_units.append(f"SELECT id, {j} AS j, cluster AS code FROM ra2_{j}")
+        lut_units.append(f"SELECT * FROM lut{j}")
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
+    rsrc AS (
+      SELECT e.id, e.v AS ev, c2.c AS cc
+      FROM emb e JOIN cells ON cells.id = e.id
+                 JOIN c2 ON c2.cluster = cells.cluster
+    ),
+    remb AS (
+      SELECT id, LIST(u.vx - u.cx ORDER BY u.i) AS v
+      FROM rsrc,
+           LATERAL (SELECT UNNEST(rsrc.ev) AS vx, UNNEST(rsrc.cc) AS cx,
+                    generate_subscripts(rsrc.ev, 1) AS i) u
+      GROUP BY id
+    ),
+    qset AS (SELECT id AS query_id, v FROM emb ORDER BY id LIMIT {n_q}),
+    probe AS (
+      SELECT q.query_id, c.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND(-list_dot_product(q.v, c.c), 6), c.cluster
+             ) AS prn
+      FROM qset q CROSS JOIN c2 c
+    ),
+    qrsrc AS (
+      SELECT p.query_id, p.cluster AS cell, q.v AS qv, c2.c AS cc
+      FROM probe p JOIN c2 ON c2.cluster = p.cluster
+                   JOIN qset q ON q.query_id = p.query_id
+      WHERE p.prn <= {nprobe}
+    ),
+    qres AS (
+      SELECT query_id, cell, LIST(ROUND(u.qx - u.cx, 6) ORDER BY u.i) AS q
+      FROM qrsrc,
+           LATERAL (SELECT UNNEST(qrsrc.qv) AS qx, UNNEST(qrsrc.cc) AS cx,
+                    generate_subscripts(qrsrc.qv, 1) AS i) u
+      GROUP BY query_id, cell
+    ),
+    {",".join(blocks)},
+    codes AS ({" UNION ALL ".join(code_units)}),
+    lut AS ({" UNION ALL ".join(lut_units)}),
+    cand AS (
+      SELECT probe.query_id, cells.id, cells.cluster AS cell
+      FROM probe JOIN cells ON cells.cluster = probe.cluster
+      WHERE probe.prn <= {nprobe} AND cells.id != probe.query_id
+    ),
+    adc AS (
+      SELECT cand.query_id, codes.id,
+             ROUND(CAST(SUM(sq) AS DOUBLE), 6) AS pq_dist2
+      FROM codes
+      JOIN cand USING (id)
+      JOIN lut ON lut.query_id = cand.query_id AND lut.cell = cand.cell
+              AND lut.j = codes.j AND lut.code = codes.code
+      GROUP BY cand.query_id, codes.id
+    ),
+    ranked AS (
+      SELECT query_id, id AS neighbor_id, pq_dist2,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY pq_dist2, id
+             ) AS rn
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, pq_dist2
+    FROM ranked WHERE rn <= {topk}
+    ORDER BY query_id, pq_dist2, neighbor_id
+    """
+
+
+@query("q244_ivfadc_batch_serving", oracle=_q244_oracle())
+def q244_ivfadc_batch_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH multi-query residual-IVFADC serving (functions/similarity.
+    ivfadc_batch_search) — q243's index queried by the 64 lowest-id
+    vectors in ONE lazy plan: probe assignment is a map pass over a
+    broadcast centroid literal, per-cell query residuals and the ADC
+    LUTs are computed IN-ENGINE (query frame × broadcast m·k codebook
+    frame, exact DECIMAL folds of round-9 squared diffs), candidates
+    come from the probed cells, and the per-query top-k is a window
+    rank. No per-query driver work anywhere — the driver-built LUT
+    loop of the single-query demos (q188/q242/q243) is retired for
+    serving. For any one query the rows replay q243's exactly
+    (parity-pinned in tests/test_llm_ops.py). The DuckDB oracle
+    replays training byte-identically to q243's and generalizes the
+    serving chain with PARTITION BY query_id."""
+    from .functions.similarity import ivfadc_batch_search
+
+    e = t(spark, sf_dir, "embeddings")
+    return ivfadc_batch_search(
+        e,
+        e.orderBy("vec_id").limit(64),
+        n_lists=8,
+        nprobe=3,
+        m=4,
+        k=4,
+        iters=2,
+        topk=5,
+    )
+
+
+@query("q245_ivfadc_index_persistence", oracle=_q243_oracle())
+def q245_ivfadc_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE-INDEX LIFECYCLE (extends q233 from plain IVF to the
+    production residual-IVFADC index): train once with
+    functions/similarity.ivfadc_index_build (q243's exact chain),
+    PERSIST the whole index — per-cell PQ codes as parquet partitioned
+    BY list_id, coarse centroids and the m residual codebooks as
+    parquet sidecars — then RELOAD everything in fresh reads and serve
+    q243's query (lowest vec_id) from the persisted index with
+    ivfadc_index_search(static_probe=True), whose literal
+    list_id IN (...) probe filter makes the codes read a
+    PARTITION-PRUNED scan (PartitionFilters — plan-locked in
+    tests/test_llm_ops.py). The oracle is literally q243's SQL: any
+    persistence defect (dropped codes, partition mangling, model
+    reordering, float drift in a sidecar) breaks hash-equality with the
+    freshly-built index's results. Build once, serve many — at 100 TB
+    the codes table replaces the raw vectors and each probe reads
+    nprobe/n_lists of its files."""
+    import shutil
+
+    from .functions.similarity import ivfadc_index_build, ivfadc_index_search
+    from .storage import release_checkpoint
+
+    M, K = 4, 4
+    base = _session_tmp("q245")
+    shutil.rmtree(base, ignore_errors=True)
+    e = t(spark, sf_dir, "embeddings")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=M, k=K, iters=2)
+    index.write.mode("overwrite").partitionBy("list_id").parquet(f"{base}/codes")
+    release_checkpoint(index)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(coarse)],
+        "list_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{base}/coarse")
+    spark.createDataFrame(
+        [(j, c, cents[j][c]) for j in range(M) for c in range(K)],
+        "j int, code int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{base}/codebooks")
+
+    idx = spark.read.parquet(f"{base}/codes")
+    coarse_r = [
+        list(r["centroid"])
+        for r in spark.read.parquet(f"{base}/coarse").orderBy("list_id").collect()
+    ]
+    cb = spark.read.parquet(f"{base}/codebooks").orderBy("j", "code").collect()
+    cents_r = [[list(r["centroid"]) for r in cb if r["j"] == j] for j in range(M)]
+    q = e.orderBy("vec_id").limit(1)
+    return (
+        ivfadc_index_search(
+            idx, coarse_r, cents_r, q, nprobe=3, topk=5, static_probe=True
+        )
+        .select("neighbor_id", "pq_dist2")
+        .orderBy("pq_dist2", "neighbor_id")
+    )

@@ -1517,3 +1517,144 @@ def test_ivfadc_residual_finds_identical_vector(spark):
     clone_raw = next((r.pq_dist2 for r in raw if r.neighbor_id == 99), None)
     if clone_raw is not None:
         assert clone_adc <= clone_raw + 1e-9
+
+
+def test_ivfadc_batch_parity_with_single_query(spark):
+    """ivfadc_batch_search replays ivfadc_search exactly: for the lowest-id
+    query vector, the batch rows (neighbor_id, pq_dist2) equal the
+    single-query result, and a wider batch contains that query's rows
+    unchanged — the serving generalization must not perturb the
+    oracle-pinned chain (q243 vs q244)."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import (
+        ivfadc_batch_search,
+        ivfadc_search,
+    )
+    from ddf_flink_spark.storage import release_checkpoint
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(n_lists=4, nprobe=2, m=4, k=4, iters=2, topk=3)
+
+    single_df = ivfadc_search(df, **kw)
+    single = [(r.neighbor_id, r.pq_dist2) for r in single_df.collect()]
+    release_checkpoint(single_df)
+
+    q0 = df.orderBy("vec_id").limit(1)
+    b1_df = ivfadc_batch_search(df, q0, **kw)
+    b1 = sorted(
+        ((r.neighbor_id, r.pq_dist2) for r in b1_df.collect()),
+        key=lambda x: (x[1], x[0]),
+    )
+    release_checkpoint(b1_df)
+    assert b1 == single
+
+    bn_df = ivfadc_batch_search(df, df.orderBy("vec_id").limit(8), **kw)
+    bn = bn_df.collect()
+    release_checkpoint(bn_df)
+    assert len({r.query_id for r in bn}) == 8
+    qid = single and b1 and bn[0] and df.orderBy("vec_id").first()["vec_id"]
+    mine = sorted(
+        ((r.neighbor_id, r.pq_dist2) for r in bn if r.query_id == qid),
+        key=lambda x: (x[1], x[0]),
+    )
+    assert mine == single
+    for r in bn:  # self-exclusion holds across the batch
+        assert r.neighbor_id != r.query_id
+
+
+def test_ivfadc_batch_driver_work_is_query_independent(spark):
+    """The batch server's driver-side actions belong to TRAINING only
+    (O(iters·m) kmeans rounds): constructing the serving plan for 4 vs
+    48 queries must launch the IDENTICAL number of Spark jobs — any
+    per-query collect()/createDataFrame loop (the q242/q243 demo shape
+    this operator retires) would scale job count with Q."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import ivfadc_batch_search
+    from ddf_flink_spark.storage import release_checkpoint
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(n_lists=4, nprobe=2, m=4, k=4, iters=2, topk=3)
+    sc = spark.sparkContext
+
+    def jobs_during_build(n_q):
+        start = int(sc._jsc.sc().dagScheduler().nextJobId())
+        out = ivfadc_batch_search(df, df.orderBy("vec_id").limit(n_q), **kw)
+        end = int(sc._jsc.sc().dagScheduler().nextJobId())
+        release_checkpoint(out)
+        return end - start
+
+    assert jobs_during_build(4) == jobs_during_build(48)
+
+
+def test_ivfadc_persisted_index_parity_and_partition_pruning(spark, tmp_path):
+    """q245 contract: a residual-IVFADC index persisted as
+    list_id-partitioned parquet + model sidecars serves IDENTICAL
+    results to the fresh-built index, and the static-probe serving path
+    reads the codes table PARTITION-PRUNED — the scan's
+    PartitionFilters carries the literal probe set, so a 100 TB probe
+    touches nprobe/n_lists of the index files (plan-locked here, not
+    prose)."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import (
+        ivfadc_index_build,
+        ivfadc_index_search,
+    )
+    from ddf_flink_spark.storage import release_checkpoint
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index, coarse, cents = ivfadc_index_build(df, n_lists=4, m=4, k=4, iters=2)
+    q = df.orderBy("vec_id").limit(2)
+
+    fresh = sorted(
+        (r.query_id, r.neighbor_id, r.pq_dist2)
+        for r in ivfadc_index_search(
+            index, coarse, cents, q, nprobe=2, topk=3
+        ).collect()
+    )
+
+    base = str(tmp_path / "ivfadc_index")
+    index.write.mode("overwrite").partitionBy("list_id").parquet(f"{base}/codes")
+    release_checkpoint(index)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(coarse)], "list_id int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{base}/coarse")
+    spark.createDataFrame(
+        [(j, c, cents[j][c]) for j in range(4) for c in range(4)],
+        "j int, code int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{base}/codebooks")
+
+    idx = spark.read.parquet(f"{base}/codes")
+    coarse_r = [
+        list(r["centroid"])
+        for r in spark.read.parquet(f"{base}/coarse").orderBy("list_id").collect()
+    ]
+    cb = spark.read.parquet(f"{base}/codebooks").orderBy("j", "code").collect()
+    cents_r = [[list(r["centroid"]) for r in cb if r["j"] == j] for j in range(4)]
+
+    served = ivfadc_index_search(
+        idx, coarse_r, cents_r, q, nprobe=2, topk=3, static_probe=True
+    )
+    persisted = sorted(
+        (r.query_id, r.neighbor_id, r.pq_dist2) for r in served.collect()
+    )
+    assert persisted == fresh, "persisted-index serving must replay fresh-build"
+
+    plan = served._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    mfilter = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert mfilter, "codes scan must carry PartitionFilters"
+    assert re.search(r"list_id#\d+ IN \(", mfilter.group(1)), (
+        f"static probe must prune by literal list_id set: {mfilter.group(1)}"
+    )
