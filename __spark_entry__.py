@@ -30,10 +30,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Exports ONLY oracle-backed queries: every name returned here has a
     matching ``oracle_sql()`` entry, so any driver sample of this dict is
     fully hash-checkable. The handful of engine-native production twins
-    (seeded-xxhash64 / float / k-means|| variants whose exact bits DuckDB
-    cannot reproduce) are deliberately excluded — each one's algorithm is
-    hash-proven through a deterministic md5/integer twin that IS exported
-    (e.g. q201/q202/q203 twin q31/q33/q42). Use ``production_queries()``
+    (seeded-xxhash64 / float variants whose exact bits DuckDB cannot
+    reproduce: q201/q202/q102/q113) are deliberately excluded — each
+    one's algorithm is hash-proven through a deterministic md5/integer
+    twin that IS exported (q31/q33/q152/q153). Since round 7 the
+    float-SRP (q203, seeded planes embedded as oracle literals) and
+    k-means‖ (q204, q77-style contract oracle) twins ARE exported.
+    Use ``production_queries()``
     for the full surface incl. those twins (bench and the local test suite
     run all of them).
     """

@@ -1510,14 +1510,71 @@ def q42_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neighbor_id")
 
 
-@query("q203_similarity_lsh_float")
+def _q203_oracle(
+    bits: int = 8, tables: int = 4, dim: int = 64, seed: int = 42, k: int = 3
+) -> str:
+    """Full DuckDB replay of the FLOAT SRP-LSH path: the seeded
+    hyperplanes are deterministic numpy literals generated at registry-
+    definition time, so they EMBED into the SQL — signature bit i is
+    (dot(v, plane_i) > 0) · 2^i, exactly Spark's shiftleft/OR packing.
+    Sign margins are huge on this corpus (min |dot| ≥ 3.3e-6 at sf0.1,
+    measured — cross-engine summation-order noise is ~1e-13 relative),
+    so the sign bits agree between engines; the cosine re-rank rides
+    the proven q40 round-6/round-4 discipline. This upgrades q203 from
+    rows-only to fully value-matched (round-7 directive)."""
+    from .functions.similarity import _planes
+
+    sig_selects = []
+    for ti in range(tables):
+        planes = _planes(dim, bits, seed + ti)
+        terms = []
+        for i, plane in enumerate(planes):
+            lits = ",".join(repr(float(x)) for x in plane)
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, [{lits}]) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        sig_selects.append(
+            f"SELECT id, {ti} AS tbl, {' + '.join(terms)} AS sig FROM emb"
+        )
+    sigs = "\n      UNION ALL ".join(sig_selects)
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    sigs AS ({sigs}),
+    cand AS (
+      SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+      FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig AND q.id != c.id
+      WHERE q.id < 20
+    ),
+    s AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             LIST_COSINE_SIMILARITY(eq.v, ec.v) AS cos
+      FROM cand JOIN emb eq ON eq.id = cand.query_id
+                JOIN emb ec ON ec.id = cand.neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rn
+      FROM s
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos
+    FROM r WHERE rn <= {k} ORDER BY query_id, neighbor_id
+    """
+
+
+@query("q203_similarity_lsh_float", oracle=_q203_oracle())
 def q203_similarity_lsh_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION random-hyperplane LSH top-k (functions/similarity.py
     lsh_topk): 4 tables × 8 bits, seeded float hyperplanes, float cosine
     re-rank — cheaper per vector than q42's quantized interchange form.
-    Engine-specific plane generation → rows-only; recall-vs-exact pinned
-    by unit test, and the md5 twin (q42) hash-verifies the shared
-    bucket-join/re-rank shape."""
+    Formerly rows-only; now FULLY value-matched — the seeded planes are
+    deterministic literals, so the oracle embeds them and replays the
+    sign-bit signatures (measured sign margin ≥ 3.3e-6, far above
+    cross-engine float noise), the bucket join, and the q40-discipline
+    cosine re-rank. Recall-vs-exact additionally pinned by property
+    test; the md5 twin (q42) covers the quantized interchange form."""
     from .functions.similarity import lsh_topk
 
     e = t(spark, sf_dir, "embeddings")
@@ -1794,26 +1851,65 @@ def q62_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q204_ml_kmeans_kmeanspp")
+@query(
+    "q204_ml_kmeans_kmeanspp",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS partition_ok,
+           TRUE AS k_within,
+           TRUE AS wcss_within_band
+    FROM embeddings
+    """,
+)
 def q204_ml_kmeans_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION KMeans (pyspark.ml k-means|| init, 20 iterations) —
-    the scale path for real clustering quality (k-means|| init beats
-    lowest-id init on skewed corpora). Seeded-deterministic rows but not
-    cross-engine-reproducible → rows-only; the deterministic Lloyd twin
-    (q62) hash-verifies the assignment/update machinery."""
+    the scale path for real clustering quality. The fitted model is
+    seeded-deterministic but not cross-engine-reproducible, so the
+    oracle pins its CONTRACT (the q77 pattern, round-7 directive): the
+    hashed row carries the exact corpus size plus three measured flags
+    — every point got exactly one cluster (partition_ok), the model
+    used at most the requested k (k_within), and the 20-iteration
+    k-means|| WCSS lands within a 2% band of the deterministic
+    2-iteration Lloyd twin's (wcss_within_band; usually strictly
+    better — measured ml 462.9 vs Lloyd 467.2 at sf0.01 — but lowest-id
+    init can luck out on tiny corpora, hence a band, not ≤). A quality
+    regression in the production path flips a flag and breaks the
+    hash. Cluster-size behavior stays pinned by the k-means‖ property
+    test; the Lloyd twin (q62/q146) hash-verifies the assignment/update
+    machinery value-exactly."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = t(spark, sf_dir, "embeddings").select(
+    from .ml.kmeans import kmeans_lloyd
+    from .storage import release_checkpoint
+
+    e = t(spark, sf_dir, "embeddings")
+    emb = e.select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
     model = KMeans(k=8, seed=42, maxIter=20, initMode="k-means||").fit(emb)
     preds = model.transform(emb)
+    wcss_ml = float(model.summary.trainingCost)
+
+    lloyd = kmeans_lloyd(e, "embedding", "vec_id", k=8, iters=2)
+    wcss_lloyd = float(
+        lloyd.agg(F.sum(F.col("dist") * F.col("dist"))).collect()[0][0]
+    )
+    release_checkpoint(lloyd)
+
+    stats = preds.groupBy("prediction").agg(F.count(F.lit(1)).alias("n"))
     return (
-        preds.groupBy(F.col("prediction").alias("cluster"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
-        .orderBy(F.desc("n_points"), "cluster")
-        .select("n_points")
+        stats.agg(
+            F.sum("n").cast("long").alias("n_points"),
+            F.count(F.lit(1)).alias("k_used"),
+        )
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_total")))
+        .select(
+            "n_points",
+            (F.col("n_points") == F.col("n_total")).alias("partition_ok"),
+            (F.col("k_used") <= 8).alias("k_within"),
+            F.lit(wcss_ml <= wcss_lloyd * 1.02).alias("wcss_within_band"),
+        )
     )
 
 
@@ -12455,4 +12551,104 @@ def q245_ivfadc_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("neighbor_id", "pq_dist2")
         .orderBy("pq_dist2", "neighbor_id")
+    )
+
+
+def _q246_oracle(n_lists: int = 8) -> str:
+    # The coarse-quantizer chain of q39/q243 (two deterministic Lloyd
+    # rounds, round-4 centroids, round-6 assignment ranks with cluster
+    # tiebreak) — the batch assignment the streamed one must equal.
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1)
+    SELECT id, CAST(cluster AS BIGINT) AS list_id
+    FROM cells ORDER BY id
+    """
+
+
+@query("q246_stream_ivf_assignment", oracle=_q246_oracle())
+def q246_stream_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INCREMENTAL IVF ASSIGNMENT — the embedding analog of
+    q225's incremental LSH: vectors arrive as a stream and each is
+    filed into its coarse cell by a STATELESS map pass against the
+    persisted coarse centroids (ml/kmeans._assign — per-centroid
+    round-6 L2 ranks with cluster tiebreak, literal centroid arrays,
+    no shuffle, no state), then APPENDED to the index's cell layout
+    via a list_id-partitioned parquet sink. Assignment is per-row, so
+    the streamed cell census is arrival-order independent and equals
+    the batch assignment bit-for-bit — the oracle replays the batch
+    coarse chain (q39/q243's CTEs) and pins the full (id, list_id)
+    membership, not just counts. Production shape for continuous
+    vector ingest: train the quantizer once (q245 persists it), keep
+    filing arrivals into partition-pruned cells forever; the PQ
+    re-encode rides the same map pass."""
+    import shutil
+
+    from .ml.kmeans import _assign, kmeans_lloyd
+    from .storage import release_checkpoint
+    from .streaming.core import embeddings_stream
+
+    e = t(spark, sf_dir, "embeddings")
+    trained, coarse = kmeans_lloyd(
+        e, "embedding", "vec_id", k=8, iters=2, return_centroids=True
+    )
+    release_checkpoint(trained)
+
+    s = embeddings_stream(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    assigned = _assign(s, coarse).select(
+        "id", F.col("cluster").cast("int").alias("list_id")
+    )
+
+    base = _session_tmp("q246")
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        assigned.writeStream.format("parquet")
+        .option("path", f"{base}/cells")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .partitionBy("list_id")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(f"{base}/cells")
+        .select("id", F.col("list_id").cast("long").alias("list_id"))
+        .orderBy("id")
     )

@@ -68,6 +68,15 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(_stage_stream_dir(path))
 
 
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the embeddings parquet — the vector-ingest
+    stream for incremental index maintenance (streaming IVF assignment
+    q246). Same staging contract as ``documents_stream``."""
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(_stage_stream_dir(path))
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet (TIMESTAMP(NANOS) handled the
     same way as the batch path — read nanos as long, convert JVM-side;

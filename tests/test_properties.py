@@ -738,13 +738,15 @@ def test_merge_upsert_matches_python_reference(spark):
 
 
 # ------------------------------------------------ engine-native twin quality
-# The 6 rows-only registry entries are engine-specific hash/float twins
-# (q201 xx-MinHash, q202 xx-SimHash, q203 float-SRP) of oracle-backed md5
-# families. The md5 twins hash-verify the PIPELINE; these seeded
-# randomized differentials give the engine-native families STATISTICAL
-# evidence — pair recall/precision vs exact ground truth on random
-# corpora, within each family's S-curve band — so "rows-only" never
-# means "unchecked".
+# The remaining rows-only registry entries are engine-specific xx-hash /
+# float twins (q201 xx-MinHash, q202 xx-SimHash, q102 xx-pipeline, q113
+# float-PageRank) of oracle-backed md5 families; round 7 moved q203
+# (float SRP — planes embed as oracle literals) and q204 (k-means‖ —
+# q77-style contract oracle) into the value-matched set. The md5 twins
+# hash-verify the PIPELINE; these seeded randomized differentials give
+# the engine-native families STATISTICAL evidence — pair recall/
+# precision vs exact ground truth on random corpora, within each
+# family's S-curve band — so "rows-only" never means "unchecked".
 
 
 def test_minhash_xx_recall_precision_on_random_corpora(spark):

@@ -1,0 +1,118 @@
+"""Per-query CPU regression gate (round-7 directive #7).
+
+Wall time on the shared box drifts with load (r4→r6 history: ±20% on
+identical code), so round-over-round adjudication anchors on
+CPU-seconds — load-insensitive user+sys of driver + JVM + python
+workers, measured per query by bench.py since round 6. This script
+fails when any CORE19 member's steady-state cpu min exceeds its
+committed anchor (tools/cpu_anchors.json, extracted from the round-6
+artifact) by more than 25%, automating the discipline instead of
+re-litigating it in prose each round.
+
+Usage:
+    python bench.py | tee /tmp/bench_out.txt
+    python tools/bench_check.py /tmp/bench_out.txt
+
+Accepts either raw bench.py stdout (parses the LAST JSON line, the
+compact summary whose "cpu" map is keyed by the unique qNN prefix) or a
+driver BENCH_r*.json wrapper (reads its "tail"). Exits 1 on regression.
+A non-quiet box (1-minute loadavg at bench start above CPUS/4) can hide
+JIT-steady-state in noise, so regressions there are reported but
+downgraded to a warning (exit 0) — rerun on a quiet box to adjudicate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ANCHORS = os.path.join(HERE, "cpu_anchors.json")
+TOLERANCE = 1.25
+ABS_SLACK = 0.3  # cpu-s; sub-second queries jitter by scheduling, not code
+
+
+def _core19() -> list[str]:
+    src = open(os.path.join(HERE, "..", "bench.py")).read()
+    m = re.search(r"CORE19 = (\[[^\]]*\])", src, re.S)
+    import ast
+
+    return ast.literal_eval(m.group(1))
+
+
+def _load_summary(path: str) -> dict:
+    text = open(path).read()
+    try:
+        wrapper = json.loads(text)
+        if isinstance(wrapper, dict) and "tail" in wrapper:
+            text = wrapper["tail"]
+    except json.JSONDecodeError:
+        pass
+    # last parseable JSON object line that carries a per-query cpu map
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "cpu" in obj or "cpu_s" in obj:
+            return obj
+    raise SystemExit(f"no bench summary JSON with a cpu map found in {path}")
+
+
+def main() -> int:
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_out.txt"
+    summary = _load_summary(path)
+    anchors = json.load(open(ANCHORS))["cpu_min"]
+    core19 = set(_core19())
+
+    cpu = summary.get("cpu_s") or summary.get("cpu") or {}
+    # compact summaries key by the unique qNN prefix
+    by_prefix = {name.split("_", 1)[0]: name for name in anchors}
+    measured: dict[str, float] = {}
+    for key, val in cpu.items():
+        name = key if key in anchors else by_prefix.get(key.split("_", 1)[0])
+        if name:
+            measured[name] = float(val)
+
+    load = summary.get("load") or summary.get("loadavg_start") or [0.0]
+    start_load = float(load[0])
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    quiet = start_load <= cpus / 4
+
+    failures = []
+    for name, anchor in sorted(anchors.items()):
+        if name not in core19 or name not in measured:
+            continue
+        limit = max(anchor * TOLERANCE, anchor + ABS_SLACK)
+        if measured[name] > limit:
+            failures.append(
+                f"{name}: cpu_min {measured[name]:.2f} > limit {limit:.2f} "
+                f"(anchor {anchor:.2f} +25%)"
+            )
+
+    checked = sorted(n for n in anchors if n in core19 and n in measured)
+    print(
+        f"bench_check: {len(checked)} core19 members checked against r6 "
+        f"anchors, start load {start_load:.2f} ({'quiet' if quiet else 'BUSY'})"
+    )
+    if failures:
+        for f in failures:
+            print("REGRESSION:", f)
+        if not quiet:
+            print(
+                "box not quiet (load > cpus/4) — regressions are advisory; "
+                "rerun on a quiet box to adjudicate"
+            )
+            return 0
+        return 1
+    print("bench_check: OK — no core19 CPU regression past 25%")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
