@@ -12652,3 +12652,116 @@ def q246_stream_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.col("list_id").cast("long").alias("list_id"))
         .orderBy("id")
     )
+
+
+@query(
+    "q247_quality_classifier",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             LEAST(LEN(STRING_SPLIT(LOWER(text), ' ')), 200) / 200.0 AS t,
+             LENGTH(REGEXP_REPLACE(text, '[^.,;:!?''"-]', '', 'g'))
+               / LENGTH(text) AS p,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 x -> x IN ('the','and','of','to','is','in','that','with','for','was')))
+               / LEN(STRING_SPLIT(LOWER(text), ' ')) AS s,
+             LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g'))
+               / LENGTH(text) AS g
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + EXP(-ROUND(
+               -1.0 + 3.0 * t + 4.0 * s - 6.0 * p - 6.0 * g, 6))), 4) AS score
+      FROM f
+    )
+    SELECT CAST(FLOOR(score * 10) AS INT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           TRUE AS trained_acc_ok,
+           TRUE AS trained_auc_ok
+    FROM sc GROUP BY 1 ORDER BY 1
+    """,
+)
+def q247_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED document-quality gate — the trainable counterpart of
+    q34's heuristics, the stage every production curation pipeline
+    (C4/FineWeb-style) runs. Two heads, one contract:
+
+    * **deterministic twin** (the oracle): a fixed-weight logistic
+      score over the cross-engine-replayable quality features
+      (capped token count, punct/stopword/digit ratios — q34's exact
+      SQL mirrors), z rounded to 6 BEFORE the sigmoid so both engines
+      exponentiate the identical double (1-ulp libm divergence is then
+      ~1e-16 of the score, far inside the round-4 output). Documents
+      roll up into score deciles with exact id checksums — fully
+      value-matched.
+    * **trained head**: pyspark.ml LogisticRegression on the RAW
+      feature vector, labels PLANTED by the twin's 0.5 threshold
+      (233/267 split at sf0.01, linearly separable by construction
+      with a measured z-margin ≈ 0.005). The contract flags pin that
+      the trained head RECOVERS the planted boundary: training
+      accuracy ≥ 0.95 and areaUnderROC ≥ 0.98, hashed on every row —
+      an ml-plumbing regression (vector assembly, standardization,
+      convergence) flips a flag and breaks the hash, q77-style.
+
+    Scale: feature extraction is one codegen'd scan; LR training is
+    pyspark.ml's distributed LBFGS (each iteration one treeAggregate
+    over the corpus); scoring is a map pass. Labels never leave the
+    engine; the only driver values are the two summary metrics."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    from .functions.text import quality_features
+
+    d = t(spark, sf_dir, "documents")
+    f = quality_features("text")
+    feats = d.select(
+        "doc_id",
+        (F.least(f["n_tokens"], F.lit(200)) / 200.0).alias("t"),
+        f["punct_ratio"].alias("p"),
+        f["stopword_ratio"].alias("s"),
+        f["digit_ratio"].alias("g"),
+    )
+    z6 = F.round(
+        F.lit(-1.0)
+        + F.lit(3.0) * F.col("t")
+        + F.lit(4.0) * F.col("s")
+        - F.lit(6.0) * F.col("p")
+        - F.lit(6.0) * F.col("g"),
+        6,
+    )
+    scored = feats.select(
+        "doc_id",
+        "t",
+        "p",
+        "s",
+        "g",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z6)), 4).alias("score"),
+    ).withColumn("label", (F.col("score") >= 0.5).cast("double"))
+
+    asm = VectorAssembler(inputCols=["t", "p", "s", "g"], outputCol="features")
+    train = asm.transform(scored)
+    model = LogisticRegression(maxIter=100, regParam=0.0).fit(train)
+    preds = model.transform(train)
+    acc = preds.filter(F.col("prediction") == F.col("label")).count() / preds.count()
+    auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(preds)
+
+    return (
+        scored.groupBy(
+            F.floor(F.col("score") * 10).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "id_checksum",
+            F.lit(bool(acc >= 0.95)).alias("trained_acc_ok"),
+            F.lit(bool(auc >= 0.98)).alias("trained_auc_ok"),
+        )
+        .orderBy("bucket")
+    )

@@ -151,3 +151,21 @@ def test_ml_after_iterative_operators_session_not_poisoned(spark, lineitem):
     preds = facade.apply_model(model, feature_cols=["l_quantity", "l_discount", "l_tax"])
     auc = facade.roc_auc(preds, "label")
     assert 0.0 <= auc <= 1.0
+
+
+def test_quality_classifier_recovers_planted_boundary(spark):
+    """q247's trained head: pyspark.ml LogisticRegression on the raw
+    quality features must recover the deterministic twin's planted 0.5
+    decision boundary (linearly separable in z by construction) — both
+    contract flags TRUE — and the score-decile rollup must partition
+    the corpus exactly."""
+    from ddf_flink_spark.registry import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = QUERIES["q247_quality_classifier"](spark, sf_dir).collect()
+    assert rows, "decile rollup must be non-empty"
+    assert all(r.trained_acc_ok for r in rows), "accuracy contract must hold"
+    assert all(r.trained_auc_ok for r in rows), "AUC contract must hold"
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs, "deciles must partition corpus"
+    assert all(0 <= r.bucket <= 10 for r in rows)

@@ -428,6 +428,14 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # exchange carries ONE buffer row (O(1) output) — the engine's own
     # runtime-filter machinery, not a data funnel
     "q243_ivfadc_residual": {"single-partition"},
+    # in-engine ADC LUT build: Q·nprobe query-residual rows × the
+    # BROADCAST m·k codebook frame (16 rows — MODEL parameters, not
+    # data; measured below). The cross shape is the LUT definition.
+    "q244_ivfadc_batch_serving": {"cartesian-product"},
+    "q245_ivfadc_index_persistence": {"cartesian-product"},
+    # contract-row assembly: the cluster-size aggregate (1 row)
+    # crossJoined with the corpus-count aggregate (1 row)
+    "q204_ml_kmeans_kmeanspp": {"single-partition", "cartesian-product"},
     "q140_tpch_q15_top_supplier": {"single-partition"},  # global MAX subquery
     "q141_tpch_q17_small_qty_revenue": {"single-partition"},  # 1-row agg
     "q143_morton_layout": {"single-partition"},  # 1-row box aggregate
