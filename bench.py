@@ -207,7 +207,14 @@ def main() -> None:
                 cold[name] = elapsed
             else:
                 warm.append(elapsed)
-                warm_cpu.append(cpu_delta)
+                # a NEGATIVE cohort delta means python workers exited
+                # between the two /proc sweeps (their accumulated CPU
+                # left the cohort sum) — drop the sample rather than
+                # letting min() pick an artifact (seen: q234 at -12.75)
+                if cpu_delta >= 0:
+                    warm_cpu.append(cpu_delta)
+        if not warm_cpu:
+            warm_cpu = [-1.0]  # all samples lost to worker churn
         timings[name] = min(warm)
         spread[name] = {
             "min": min(warm),

@@ -11,14 +11,23 @@ re-litigating it in prose each round.
 
 Usage:
     python bench.py | tee /tmp/bench_out.txt
-    python tools/bench_check.py /tmp/bench_out.txt
+    python tools/bench_check.py /tmp/bench_out.txt [more_runs.txt ...]
 
-Accepts either raw bench.py stdout (parses the LAST JSON line, the
-compact summary whose "cpu" map is keyed by the unique qNN prefix) or a
-driver BENCH_r*.json wrapper (reads its "tail"). Exits 1 on regression.
+Accepts raw bench.py stdout files (parses the LAST JSON line, the
+compact summary whose "cpu" map is keyed by the unique qNN prefix)
+and/or driver BENCH_r*.json wrappers (reads their "tail"). With
+multiple files the per-query BEST (min) across runs is compared —
+single-run min-of-3 CPU is spiky for sub-2s queries (measured: q56
+0.58 vs 1.55 across two same-day runs). Exits 1 on regression.
 A non-quiet box (1-minute loadavg at bench start above CPUS/4) can hide
 JIT-steady-state in noise, so regressions there are reported but
 downgraded to a warning (exit 0) — rerun on a quiet box to adjudicate.
+
+A failure here is a tripwire, not a verdict: the decisive protocol is
+the same-session INTERLEAVED A/B (old/new code alternated in one JVM,
+>=4 runs each, compare mins — see PERF.md round-7 addendum). Anchors
+are recalibrated, with a note in cpu_anchors.json, only after an
+interleaved A/B adjudicates a trip as flat.
 """
 
 from __future__ import annotations
@@ -65,22 +74,22 @@ def _load_summary(path: str) -> dict:
 
 
 def main() -> int:
-    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_out.txt"
-    summary = _load_summary(path)
+    paths = sys.argv[1:] or ["/tmp/bench_out.txt"]
+    summaries = [_load_summary(p) for p in paths]
     anchors = json.load(open(ANCHORS))["cpu_min"]
     core19 = set(_core19())
 
-    cpu = summary.get("cpu_s") or summary.get("cpu") or {}
-    # compact summaries key by the unique qNN prefix
     by_prefix = {name.split("_", 1)[0]: name for name in anchors}
     measured: dict[str, float] = {}
-    for key, val in cpu.items():
-        name = key if key in anchors else by_prefix.get(key.split("_", 1)[0])
-        if name:
-            measured[name] = float(val)
-
-    load = summary.get("load") or summary.get("loadavg_start") or [0.0]
-    start_load = float(load[0])
+    start_load = 0.0
+    for summary in summaries:
+        cpu = summary.get("cpu_s") or summary.get("cpu") or {}
+        for key, val in cpu.items():
+            name = key if key in anchors else by_prefix.get(key.split("_", 1)[0])
+            if name and float(val) >= 0:  # negative = dropped cohort sample
+                measured[name] = min(measured.get(name, 1e18), float(val))
+        load = summary.get("load") or summary.get("loadavg_start") or [0.0]
+        start_load = max(start_load, float(load[0]))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     quiet = start_load <= cpus / 4
 
