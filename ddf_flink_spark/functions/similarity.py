@@ -737,16 +737,9 @@ def pq_search(
         )
     )
 
-    codes = None
-    cents: list[list[list[float]]] = []
-    for j in range(m):
-        sub = emb.select("id", F.slice("v", j * w + 1, w).alias("embedding"))
-        assigned, c = kmeans_lloyd(
-            sub, "embedding", "id", k=k, iters=iters, return_centroids=True
-        )
-        cents.append(c)
-        aj = assigned.select("id", F.col("cluster").alias(f"code{j}"))
-        codes = aj if codes is None else codes.join(aj, "id")
+    # joint training: one Spark job per Lloyd round for all m subspaces
+    # (bit-identical to m sequential kmeans_lloyd chains — parity-pinned)
+    codes, cents = _train_pq_codebooks(emb, m, w, k, iters)
 
     qrow = (
         emb.orderBy("id")
@@ -849,16 +842,7 @@ def ivfpq_search(
     cells = assign.select("id", F.col("cluster").alias("list_id"))
 
     # per-subspace PQ codebooks (q188 machinery)
-    codes = None
-    cents: list[list[list[float]]] = []
-    for j in range(m):
-        sub = emb.select("id", F.slice("v", j * w + 1, w).alias("embedding"))
-        assigned_j, c = kmeans_lloyd(
-            sub, "embedding", "id", k=k, iters=iters, return_centroids=True
-        )
-        cents.append(c)
-        aj = assigned_j.select("id", F.col("cluster").alias(f"code{j}"))
-        codes = aj if codes is None else codes.join(aj, "id")
+    codes, cents = _train_pq_codebooks(emb, m, w, k, iters)
 
     # query: lowest id; LUT uses its ROUND-6 values (q188), the probe
     # uses the raw vector with round-6 RANKS (q39) — both in-engine
@@ -999,16 +983,7 @@ def ivfadc_search(
     )
 
     # PQ codebooks per subspace, trained on residuals (q188 chain)
-    codes = None
-    cents: list[list[list[float]]] = []
-    for j in range(m):
-        sub = remb.select("id", F.slice("v", j * w + 1, w).alias("embedding"))
-        assigned_j, c = kmeans_lloyd(
-            sub, "embedding", "id", k=k, iters=iters, return_centroids=True
-        )
-        cents.append(c)
-        aj = assigned_j.select("id", F.col("cluster").alias(f"code{j}"))
-        codes = aj if codes is None else codes.join(aj, "id")
+    codes, cents = _train_pq_codebooks(remb, m, w, k, iters)
 
     # query (lowest id) + probe frontier (q39 rule, in-engine)
     qid = emb.orderBy("id").limit(1).collect()[0]["id"]
@@ -1142,16 +1117,7 @@ def ivfadc_index_build(
             ).alias("v"),
         )
     )
-    codes = None
-    cents: list[list[list[float]]] = []
-    for j in range(m):
-        sub = remb.select("id", F.slice("v", j * w + 1, w).alias("embedding"))
-        assigned_j, c = kmeans_lloyd(
-            sub, "embedding", "id", k=k, iters=iters, return_centroids=True
-        )
-        cents.append(c)
-        aj = assigned_j.select("id", F.col("cluster").alias(f"code{j}"))
-        codes = aj if codes is None else codes.join(aj, "id")
+    codes, cents = _train_pq_codebooks(remb, m, w, k, iters)
     index = propagate_checkpoint_ids(cells.join(codes, "id"), emb, remb)
     return index, coarse, cents
 
@@ -1321,3 +1287,115 @@ def ivfadc_batch_search(
         nprobe=nprobe,
         topk=topk,
     )
+
+
+def _train_pq_codebooks(
+    remb: DataFrame, m: int, w: int, k: int, iters: int
+) -> "tuple[DataFrame, list[list[list[float]]]]":
+    """Train the m per-subspace PQ codebooks JOINTLY — one Spark job per
+    Lloyd round for ALL subspaces, instead of m independent
+    ``kmeans_lloyd`` chains (m·(iters+2) driver barriers → iters+2).
+    At production PQ widths (m=16) the sequential form's per-chain
+    collect/checkpoint barriers dominate training latency; jointly the
+    update step is a single groupBy over (subspace, cluster, dim).
+
+    Semantics are ``kmeans_lloyd``'s verbatim, applied per subspace to
+    ``slice(v, j·w+1, w)``: init = the k lowest-id rows' slices rounded
+    to 4; assignment = argmin of round-6 L2 with cluster tie-break
+    (``ml/kmeans._assign``'s exact expression); update = per-dimension
+    AVG rounded to 4; an emptied cluster keeps its previous centroid.
+    Each subspace's arithmetic touches only its own slice, so the
+    jointly-trained codebooks and codes equal the sequential chains'
+    (parity-pinned in tests; the q188/q242-q245 oracles pin the values
+    end-to-end). ``remb`` must already be materialized (checkpointed)
+    by the caller — this trainer adds no storage.
+
+    Returns (codes, cents): codes = (id, code0..code{m-1}),
+    cents[j][c] = list of w floats."""
+    spark = remb.sparkSession
+    init_rows = remb.orderBy("id").limit(k).select("v").collect()
+    if len(init_rows) < k:
+        raise ValueError(
+            f"_train_pq_codebooks: k={k} but the input has only "
+            f"{len(init_rows)} rows; need at least k rows per codebook"
+        )
+    cents: list[list[list[float]]] = [
+        [
+            [round(float(x), 4) for x in r["v"][j * w : (j + 1) * w]]
+            for r in init_rows
+        ]
+        for j in range(m)
+    ]
+
+    def assign_all(cur: list[list[list[float]]]) -> DataFrame:
+        """(id, j, cluster, vs=slice_j) — every subspace's argmin in one
+        map pass (mirrors ml/kmeans._assign per subspace)."""
+        per_j = []
+        for j in range(m):
+            sub = F.slice("v", j * w + 1, w)
+            dist_arr = F.array(
+                *[
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                sub,
+                                F.array(*[F.lit(float(x)) for x in c]),
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    )
+                    for c in cur[j]
+                ]
+            )
+            best = F.array_min(
+                F.zip_with(
+                    dist_arr,
+                    F.array(*[F.lit(ci) for ci in range(k)]),
+                    lambda d, ci: F.struct(
+                        F.round(d, 6).alias("rd"), ci.alias("cluster")
+                    ),
+                )
+            )
+            per_j.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    best["cluster"].alias("cluster"),
+                    sub.alias("vs"),
+                )
+            )
+        return remb.select(
+            "id", F.explode(F.array(*per_j)).alias("a")
+        ).select("id", "a.j", "a.cluster", "a.vs")
+
+    for _ in range(iters):
+        mean_rows = (
+            assign_all(cents)
+            .select("j", "cluster", F.posexplode("vs").alias("dim", "x"))
+            .groupBy("j", "cluster", "dim")
+            .agg(F.round(F.avg("x"), 4).alias("c"))
+            .collect()
+        )
+        by_jc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in mean_rows:
+            by_jc.setdefault((r["j"], r["cluster"]), {})[r["dim"]] = r["c"]
+        cents = [
+            [
+                [by_jc[(j, ci)][d] for d in range(w)]
+                if (j, ci) in by_jc
+                else cents[j][ci]
+                for ci in range(k)
+            ]
+            for j in range(m)
+        ]
+
+    codes = (
+        assign_all(cents)
+        .groupBy("id")
+        .pivot("j", list(range(m)))
+        .agg(F.first("cluster"))
+    )
+    for j in range(m):
+        codes = codes.withColumnRenamed(str(j), f"code{j}")
+    return codes, cents

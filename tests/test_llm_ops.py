@@ -1658,3 +1658,41 @@ def test_ivfadc_persisted_index_parity_and_partition_pruning(spark, tmp_path):
     assert re.search(r"list_id#\d+ IN \(", mfilter.group(1)), (
         f"static probe must prune by literal list_id set: {mfilter.group(1)}"
     )
+
+
+def test_joint_pq_codebook_training_matches_sequential(spark):
+    """_train_pq_codebooks (one Spark job per Lloyd round for ALL m
+    subspaces — the m× driver-barrier reduction the PQ family trains
+    through) must be BIT-IDENTICAL to m sequential kmeans_lloyd chains:
+    same centroids, same codes. Each subspace's init/assign/update
+    touches only its own slice, so the only difference is job shape."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.functions.similarity import _train_pq_codebooks
+    from ddf_flink_spark.ml.kmeans import kmeans_lloyd
+    from ddf_flink_spark.storage import release_all_storage, tracked_local_checkpoint
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(70)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    emb = tracked_local_checkpoint(df)
+    m, w, k, iters = 4, 4, 3, 2
+
+    codes_seq = None
+    cents_seq = []
+    for j in range(m):
+        sub = emb.select("id", F.slice("v", j * w + 1, w).alias("embedding"))
+        aj, c = kmeans_lloyd(sub, "embedding", "id", k=k, iters=iters, return_centroids=True)
+        cents_seq.append(c)
+        aj = aj.select("id", F.col("cluster").alias(f"code{j}"))
+        codes_seq = aj if codes_seq is None else codes_seq.join(aj, "id")
+    seq = sorted(tuple(r) for r in codes_seq.select("id", *[f"code{j}" for j in range(m)]).collect())
+
+    codes_joint, cents_joint = _train_pq_codebooks(emb, m, w, k, iters)
+    joint = sorted(tuple(r) for r in codes_joint.select("id", *[f"code{j}" for j in range(m)]).collect())
+    release_all_storage(spark)
+
+    assert cents_joint == cents_seq, "jointly-trained codebooks must match"
+    assert joint == seq, "jointly-trained codes must match"
