@@ -82,6 +82,12 @@ HEADLINE = [
     "q220_repeated_passage_detection",
     "q221_intra_doc_repetition",
     "q234_training_manifest",
+    # round-7 additions: the batch ANN serving path (train + 64-query
+    # one-plan serve — the operator a production retrieval pipeline
+    # runs) and the learned quality gate (feature scan + LR training +
+    # decile rollup)
+    "q244_ivfadc_batch_serving",
+    "q247_quality_classifier",
 ]
 
 # The 19-query set benchmarked since round 1 — a stable subtotal so

@@ -1033,6 +1033,95 @@ class DDF:
             keep_factors=False,
         )
 
+    def ivfadc_batch_search(
+        self,
+        queries: "DDF | DataFrame",
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_lists: int = 8,
+        nprobe: int = 3,
+        m: int = 4,
+        k: int = 4,
+        topk: int = 5,
+    ) -> "DDF":
+        """BATCH residual-IVFADC serving: train once on this DDF's
+        vectors, answer a whole DataFrame/DDF of query vectors in one
+        lazy plan — probe map pass, in-engine ADC LUTs, per-query
+        window top-k; no per-query driver work (functions/similarity.
+        ivfadc_batch_search; registry q244). Returns (query_id,
+        neighbor_id, pq_dist2)."""
+        from .functions.similarity import ivfadc_batch_search as _batch
+
+        qdf = queries._df if isinstance(queries, DDF) else queries
+        return self._derive(
+            _batch(
+                self._df,
+                qdf,
+                vec_col,
+                id_col,
+                n_lists=n_lists,
+                nprobe=nprobe,
+                m=m,
+                k=k,
+                topk=topk,
+            ),
+            keep_factors=False,
+        )
+
+    def ivfadc_index_build(
+        self,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_lists: int = 8,
+        m: int = 4,
+        k: int = 4,
+        iters: int = 2,
+    ):
+        """Train the residual-IVFADC index once and return it as data:
+        (codes DDF (id, list_id, code0..m-1) — persist partitioned by
+        list_id, q245's layout — coarse centroids, codebooks). Serve
+        with :meth:`ivfadc_index_search`, keep it current with
+        functions/similarity.ivfadc_encode over a stream (q248)."""
+        from .functions.similarity import ivfadc_index_build as _build
+
+        index, coarse, cents = _build(
+            self._df, vec_col, id_col, n_lists=n_lists, m=m, k=k, iters=iters
+        )
+        return self._derive(index, keep_factors=False), coarse, cents
+
+    def ivfadc_index_search(
+        self,
+        index: "DDF | DataFrame",
+        coarse: list,
+        codebooks: list,
+        q_vec_col: str = "embedding",
+        q_id_col: str = "vec_id",
+        nprobe: int = 3,
+        topk: int = 5,
+        static_probe: bool = False,
+    ) -> "DDF":
+        """Serve THIS DDF's rows as queries against a built or reloaded
+        index (functions/similarity.ivfadc_index_search; registry
+        q244/q245). ``static_probe`` pushes the literal probe set so a
+        list_id-partitioned index is read partition-pruned."""
+        from .functions.similarity import ivfadc_index_search as _search
+
+        idx = index._df if isinstance(index, DDF) else index
+        return self._derive(
+            _search(
+                idx,
+                coarse,
+                codebooks,
+                self._df,
+                q_vec_col=q_vec_col,
+                q_id_col=q_id_col,
+                nprobe=nprobe,
+                topk=topk,
+                static_probe=static_probe,
+            ),
+            keep_factors=False,
+        )
+
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":
         """Mark categorical (core setAsFactor; ``BinningHandlerSpec.scala:19-22``)."""

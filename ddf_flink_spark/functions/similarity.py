@@ -1399,3 +1399,76 @@ def _train_pq_codebooks(
     for j in range(m):
         codes = codes.withColumnRenamed(str(j), f"code{j}")
     return codes, cents
+
+
+def ivfadc_encode(
+    df: DataFrame,
+    coarse: list,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors into the residual-IVFADC index layout — a PURE
+    MAP (no shuffle, no state), so it runs identically on a batch frame
+    and on a Structured Streaming frame (q248's incremental ingest):
+
+    1. coarse cell = argmin over the coarse centroids of the round-6 L2
+       distance, cluster tie-break (``ml/kmeans._assign``'s exact rule,
+       so streamed assignments equal the batch build's bit-for-bit);
+    2. residual = v − coarse[cell], one IEEE subtract per component;
+    3. code_j = argmin over codebook j of the round-6 L2 distance of
+       residual slice j, cluster tie-break — ``_train_pq_codebooks``'s
+       final-assignment rule.
+
+    ``coarse``/``codebooks`` are the persisted model sidecars
+    (:func:`ivfadc_index_build` / q245's parquet layout). Returns
+    (id, list_id, code0..code{m-1}) — exactly the codes-table schema,
+    ready to append to the list_id-partitioned index."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    w = len(codebooks[0][0])
+    coarse_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+
+    def argmin_cell(vec, cents_py):
+        dist_arr = F.array(
+            *[
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                for c in cents_py
+            ]
+        )
+        best = F.array_min(
+            F.zip_with(
+                dist_arr,
+                F.array(*[F.lit(ci) for ci in range(len(cents_py))]),
+                lambda d, ci: F.struct(F.round(d, 6).alias("rd"), ci.alias("cluster")),
+            )
+        )
+        return best["cluster"]
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("list_id", argmin_cell(F.col("v"), coarse).cast("int"))
+    res = base.withColumn(
+        "r",
+        F.zip_with(
+            "v", F.element_at(coarse_arr, F.col("list_id") + 1), lambda a, b: a - b
+        ),
+    )
+    code_cols = [
+        argmin_cell(F.slice("r", j * w + 1, w), codebooks[j])
+        .cast("int")
+        .alias(f"code{j}")
+        for j in range(m)
+    ]
+    return res.select("id", "list_id", *code_cols)

@@ -12765,3 +12765,160 @@ def q247_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _q248_oracle(n_lists: int = 8, m: int = 4, w: int = 16, k: int = 4) -> str:
+    # q243's training CTEs (coarse chain, residual transform, m residual
+    # codebook chains) with the INDEX ITSELF as the output: full
+    # (id, list_id, code0..m-1) membership — what the streamed encode
+    # pass must reproduce bit-for-bit.
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    blocks = []
+    code_units = []
+    for j in range(m):
+        lo, hi = j * w + 1, j * w + w
+        assign_j = f"""
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM remb{j} e CROSS JOIN {{cent}} c
+    """
+        update_j = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+        blocks.append(f"""
+    remb{j} AS (SELECT id, list_slice(v, {lo}, {hi}) AS v FROM remb),
+    rc0_{j} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM remb{j} ORDER BY id LIMIT {k})
+    ),
+    rs0_{j} AS ({assign_j.format(cent=f"rc0_{j}")}),
+    ra0_{j} AS (SELECT id, v, cluster FROM rs0_{j} WHERE rn = 1),
+    rm1_{j} AS ({update_j.format(assigned=f"ra0_{j}")}),
+    rc1n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM rm1_{j} GROUP BY cluster),
+    rc1_{j} AS (SELECT rc0_{j}.cluster, COALESCE(rc1n_{j}.c, rc0_{j}.c) AS c
+               FROM rc0_{j} LEFT JOIN rc1n_{j} USING (cluster)),
+    rs1_{j} AS ({assign_j.format(cent=f"rc1_{j}")}),
+    ra1_{j} AS (SELECT id, v, cluster FROM rs1_{j} WHERE rn = 1),
+    rm2_{j} AS ({update_j.format(assigned=f"ra1_{j}")}),
+    rc2n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM rm2_{j} GROUP BY cluster),
+    rc2_{j} AS (SELECT rc1_{j}.cluster, COALESCE(rc2n_{j}.c, rc1_{j}.c) AS c
+               FROM rc1_{j} LEFT JOIN rc2n_{j} USING (cluster)),
+    rs2_{j} AS ({assign_j.format(cent=f"rc2_{j}")}),
+    ra2_{j} AS (SELECT id, cluster FROM rs2_{j} WHERE rn = 1)""")
+        code_units.append(
+            f"MAX(CASE WHEN cj.j = {j} THEN cj.code END) AS code{j}"
+        )
+    code_selects = " UNION ALL ".join(
+        f"SELECT id, {j} AS j, cluster AS code FROM ra2_{j}" for j in range(m)
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
+    rsrc AS (
+      SELECT e.id, e.v AS ev, c2.c AS cc
+      FROM emb e JOIN cells ON cells.id = e.id
+                 JOIN c2 ON c2.cluster = cells.cluster
+    ),
+    remb AS (
+      SELECT id, LIST(u.vx - u.cx ORDER BY u.i) AS v
+      FROM rsrc,
+           LATERAL (SELECT UNNEST(rsrc.ev) AS vx, UNNEST(rsrc.cc) AS cx,
+                    generate_subscripts(rsrc.ev, 1) AS i) u
+      GROUP BY id
+    ),
+    {",".join(blocks)},
+    codes AS ({code_selects})
+    SELECT cells.id, CAST(cells.cluster AS INT) AS list_id,
+           {", ".join(f"CAST(MAX(CASE WHEN cj.j = {j} THEN cj.code END) AS INT) AS code{j}" for j in range(m))}
+    FROM cells JOIN codes cj USING (id)
+    GROUP BY cells.id, cells.cluster
+    ORDER BY cells.id
+    """
+
+
+@query("q248_stream_ivfadc_ingest", oracle=_q248_oracle())
+def q248_stream_ivfadc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVFADC INGEST — the full incremental index-maintenance
+    story (q246's assignment plus the PQ re-encode): vectors arrive as
+    a stream and each is encoded into the index layout by ONE stateless
+    map pass against the persisted model (functions/similarity.
+    ivfadc_encode — coarse argmin, residual subtract, m per-subspace
+    codebook argmins, all with the round-6 rank discipline), then
+    APPENDED to the list_id-partitioned codes table. Because encode is
+    per-row and the model is frozen, the streamed index equals the
+    batch build's codes table BIT-FOR-BIT regardless of arrival order —
+    the oracle replays q243's full training chain and pins the entire
+    (id, list_id, code0..3) membership. Production loop: q245 persists
+    the model once; this query is the forever-running ingest that keeps
+    the index current; q244 serves batches against it."""
+    import shutil
+
+    from .functions.similarity import ivfadc_encode, ivfadc_index_build
+    from .storage import release_checkpoint
+    from .streaming.core import embeddings_stream
+
+    e = t(spark, sf_dir, "embeddings")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=4, k=4, iters=2)
+    release_checkpoint(index)  # the stream rebuilds the codes table
+
+    enc = ivfadc_encode(embeddings_stream(spark, sf_dir), coarse, cents)
+    base = _session_tmp("q248")
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        enc.writeStream.format("parquet")
+        .option("path", f"{base}/codes")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .partitionBy("list_id")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(f"{base}/codes")
+        .select(
+            "id",
+            F.col("list_id").cast("int").alias("list_id"),
+            *[F.col(f"code{j}").cast("int").alias(f"code{j}") for j in range(4)],
+        )
+        .orderBy("id")
+    )

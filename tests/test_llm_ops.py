@@ -1696,3 +1696,29 @@ def test_joint_pq_codebook_training_matches_sequential(spark):
 
     assert cents_joint == cents_seq, "jointly-trained codebooks must match"
     assert joint == seq, "jointly-trained codes must match"
+
+
+def test_ivfadc_encode_matches_index_build(spark):
+    """ivfadc_encode (the stateless map q248 streams through) must
+    reproduce the batch index EXACTLY: same (id, list_id, code0..m-1)
+    for every vector — the frozen-model encode rule IS the build's
+    final-assignment rule."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import (
+        ivfadc_encode,
+        ivfadc_index_build,
+    )
+    from ddf_flink_spark.storage import release_checkpoint
+
+    rng = random.Random(29)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index, coarse, cents = ivfadc_index_build(df, n_lists=4, m=4, k=4, iters=2)
+    cols = ["id", "list_id", "code0", "code1", "code2", "code3"]
+    built = sorted(tuple(r) for r in index.select(*cols).collect())
+    release_checkpoint(index)
+    encoded = sorted(
+        tuple(r) for r in ivfadc_encode(df, coarse, cents).select(*cols).collect()
+    )
+    assert encoded == built
