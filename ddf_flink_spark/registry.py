@@ -12922,3 +12922,77 @@ def q248_stream_ivfadc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@query(
+    "q249_stream_quality_gate",
+    oracle="""
+    WITH f AS (
+      SELECT lang,
+             LEAST(LEN(STRING_SPLIT(LOWER(text), ' ')), 200) / 200.0 AS t,
+             LENGTH(REGEXP_REPLACE(text, '[^.,;:!?''"-]', '', 'g'))
+               / LENGTH(text) AS p,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 x -> x IN ('the','and','of','to','is','in','that','with','for','was')))
+               / LEN(STRING_SPLIT(LOWER(text), ' ')) AS s,
+             LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g'))
+               / LENGTH(text) AS g
+      FROM documents
+    ),
+    sc AS (
+      SELECT lang,
+             ROUND(1.0 / (1.0 + EXP(-ROUND(
+               -1.0 + 3.0 * t + 4.0 * s - 6.0 * p - 6.0 * g, 6))), 4) AS score
+      FROM f
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (score >= 0.5) AS n_kept,
+           ROUND(AVG(score), 4) AS avg_score
+    FROM sc GROUP BY lang ORDER BY lang
+    """,
+)
+def q249_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING QUALITY GATE — curation-at-ingest: documents arrive as
+    a stream, each is scored by the deterministic quality twin (q247's
+    fixed-weight logistic over the codegen'd feature expressions — a
+    stateless per-row map, no state store), and a complete-mode
+    per-language aggregation tracks volume / keep-rate / mean score.
+    AvailableNow over the replayable source equals the batch SQL
+    exactly, so the oracle value-pins the streamed gate. Production
+    shape: the same scorer expression runs in the ingest pipeline and
+    in the batch backfill — one definition, both surfaces (the learned
+    head of q247 deploys the same way once trained: its scoring too is
+    a pure map)."""
+    from .functions.text import quality_features
+    from .streaming.core import documents_stream, run_available_now
+
+    d = documents_stream(spark, sf_dir)
+    f = quality_features("text")
+    z6 = F.round(
+        F.lit(-1.0)
+        + F.lit(3.0) * (F.least(f["n_tokens"], F.lit(200)) / 200.0)
+        + F.lit(4.0) * f["stopword_ratio"]
+        - F.lit(6.0) * f["punct_ratio"]
+        - F.lit(6.0) * f["digit_ratio"],
+        6,
+    )
+    scored = d.select(
+        "lang",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z6)), 4).alias("score"),
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("score") >= 0.5).cast("long")).alias("n_kept"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )
+    return (
+        run_available_now(agg, output_mode="complete")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "avg_score",
+        )
+        .orderBy("lang")
+    )
