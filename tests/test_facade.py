@@ -615,3 +615,27 @@ def test_ivfadc_facade(mgr, spark):
     )
     top = emb.ivfadc_search(n_lists=4, nprobe=4, m=2, k=3, topk=3).df.collect()
     assert len(top) == 3 and top[0].neighbor_id == 5  # same residue as query id 0
+
+
+def test_ivfadc_batch_and_index_facades(mgr, spark):
+    """The round-7 index-lifecycle facades: build → (persistable) index
+    DDF + model sidecars; serve a query DDF against it; the one-call
+    batch facade agrees with build+search composition."""
+    raw = spark.createDataFrame(
+        [(i, [float(i % 5)] * 8) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    emb = mgr.new_ddf(raw)
+    idx, coarse, cents = emb.ivfadc_index_build(n_lists=4, m=2, k=3, iters=2)
+    assert set(idx.df.columns) == {"id", "list_id", "code0", "code1"}
+
+    q = mgr.new_ddf(raw.orderBy("vec_id").limit(2))
+    served = q.ivfadc_index_search(idx, coarse, cents, nprobe=4, topk=3).df.collect()
+    assert len(served) == 6 and all(r.neighbor_id != r.query_id for r in served)
+
+    batch = emb.ivfadc_batch_search(
+        raw.orderBy("vec_id").limit(2), n_lists=4, nprobe=4, m=2, k=3, topk=3
+    ).df.collect()
+    assert sorted((r.query_id, r.neighbor_id, r.pq_dist2) for r in batch) == sorted(
+        (r.query_id, r.neighbor_id, r.pq_dist2) for r in served
+    )
