@@ -12996,3 +12996,114 @@ def q249_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _q250_oracle(
+    n_q: int = 64,
+    n_lists: int = 8,
+    nprobe: int = 3,
+    m: int = 4,
+    w: int = 16,
+    k: int = 4,
+    shortlist: int = 10,
+    topk: int = 3,
+) -> str:
+    # q244's batch-ADC chain, extended with the production second stage:
+    # the per-query ADC shortlist re-scored by EXACT cosine against the
+    # raw vectors (q40's round-6-rank / round-4-output discipline).
+    base = _q244_oracle(
+        n_q=n_q, n_lists=n_lists, nprobe=nprobe, m=m, w=w, k=k, topk=shortlist
+    )
+    # strip q244's final SELECT; reuse its CTE chain through `ranked`
+    head = base[: base.rindex("SELECT query_id, neighbor_id, pq_dist2")]
+    return f"""{head}
+    , short AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rn <= {shortlist}
+    ),
+    rescored AS (
+      SELECT s.query_id, s.neighbor_id,
+             LIST_COSINE_SIMILARITY(eq.v, ec.v) AS cos
+      FROM short s JOIN emb eq ON eq.id = s.query_id
+                   JOIN emb ec ON ec.id = s.neighbor_id
+    ),
+    rr AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS xrn
+      FROM rescored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos
+    FROM rr WHERE xrn <= {topk}
+    ORDER BY query_id, neighbor_id
+    """
+
+
+@query("q250_ivfadc_exact_rerank", oracle=_q250_oracle())
+def q250_ivfadc_exact_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE BATCH RETRIEVAL — the canonical production serving
+    shape [Jégou 2011 §IV]: the compressed-domain ADC scan produces a
+    cheap per-query SHORTLIST (q244's batch chain, top-10 by pq_dist2),
+    then ONLY the shortlist survivors are re-scored with EXACT cosine
+    against the raw vectors (q40's round-6-rank / round-4-output
+    discipline) for the final top-3. At 100 TB the economics are the
+    point: the full scan touches codes (m bytes/vector, partition-
+    pruned to the probed cells), while exact distances — the expensive
+    part — run on Q·shortlist rows only, a join back to the vector
+    store by id. Everything rides verified chains: the oracle reuses
+    q244's CTEs verbatim and appends the q40 re-rank, so the DuckDB
+    replay pins shortlist membership AND the reranked scores."""
+    from .functions.similarity import (
+        dot,
+        ivfadc_batch_search,
+        l2_norm,
+    )
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    short = ivfadc_batch_search(
+        e,
+        e.orderBy("vec_id").limit(64),
+        n_lists=8,
+        nprobe=3,
+        m=4,
+        k=4,
+        iters=2,
+        topk=10,
+    ).select("query_id", "neighbor_id")
+    ev = e.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        l2_norm(F.col("embedding")).alias("n"),
+    )
+    scored = (
+        short.join(
+            ev.select(
+                F.col("id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("n").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            ev.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("n").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("xrn", F.row_number().over(wnd))
+        .filter(F.col("xrn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+        .orderBy("query_id", "neighbor_id")
+    )

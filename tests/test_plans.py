@@ -433,6 +433,7 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # data; measured below). The cross shape is the LUT definition.
     "q244_ivfadc_batch_serving": {"cartesian-product"},
     "q245_ivfadc_index_persistence": {"cartesian-product"},
+    "q250_ivfadc_exact_rerank": {"cartesian-product"},  # same LUT cross via q244
     # contract-row assembly: the cluster-size aggregate (1 row)
     # crossJoined with the corpus-count aggregate (1 row)
     "q204_ml_kmeans_kmeanspp": {"single-partition", "cartesian-product"},
