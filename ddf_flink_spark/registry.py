@@ -13107,3 +13107,97 @@ def q250_ivfadc_exact_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
         .orderBy("query_id", "neighbor_id")
     )
+
+
+def _q251_oracle(
+    bits: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: int = 2,
+    k: int = 3,
+) -> str:
+    """q203's embedded-plane replay extended to MULTI-PROBE: per table
+    the query also probes the buckets reached by flipping the
+    ``multiprobe`` smallest-|margin| sign bits (ROUND-9 margins,
+    bit-index tiebreak — deterministic cross-engine at this corpus's
+    measured margins). Corpus side stays single-signature."""
+    from .functions.similarity import _planes
+
+    tbl_ctes = []
+    q_units = []
+    c_units = []
+    for ti in range(tables):
+        planes = _planes(dim, bits, seed + ti)
+        ds = ", ".join(
+            f"list_dot_product(v, [{','.join(repr(float(x)) for x in p)}])"
+            for p in planes
+        )
+        base = " + ".join(
+            f"(CASE WHEN dd.ds[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
+        margins = ", ".join(
+            f"{{'m': ROUND(ABS(dd.ds[{i + 1}]), 9), 'i': {i}}}" for i in range(bits)
+        )
+        probes = ", ".join(
+            f"xor(base, 1 << (msorted[{p + 1}]).i)" for p in range(multiprobe)
+        )
+        tbl_ctes.append(f"""
+    sig{ti} AS (
+      SELECT id, CAST({base} AS BIGINT) AS base,
+             list_sort([{margins}]) AS msorted
+      FROM emb, LATERAL (SELECT [{ds}] AS ds) dd
+    )""")
+        q_units.append(
+            f"SELECT id, {ti} AS tbl, UNNEST([base, {probes}]) AS sig "
+            f"FROM sig{ti} WHERE id < 20"
+        )
+        c_units.append(f"SELECT id, {ti} AS tbl, base AS sig FROM sig{ti}")
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    {",".join(tbl_ctes)},
+    qsigs AS ({" UNION ALL ".join(q_units)}),
+    csigs AS ({" UNION ALL ".join(c_units)}),
+    cand AS (
+      SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+      FROM qsigs q JOIN csigs c ON q.tbl = c.tbl AND q.sig = c.sig
+      WHERE q.id != c.id
+    ),
+    s AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             LIST_COSINE_SIMILARITY(eq.v, ec.v) AS cos
+      FROM cand JOIN emb eq ON eq.id = cand.query_id
+                JOIN emb ec ON ec.id = cand.neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rn
+      FROM s
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos
+    FROM r WHERE rn <= {k} ORDER BY query_id, neighbor_id
+    """
+
+
+@query("q251_lsh_multiprobe", oracle=_q251_oracle())
+def q251_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE SRP-LSH (functions/similarity.lsh_multiprobe_topk;
+    Lv et al. 2007, single-bit-flip variant): each query probes its own
+    bucket plus the 2 buckets across its smallest-|margin| sign bits —
+    recall rises WITHOUT growing the index (more tables = more memory;
+    more probes = more query-side lookups only), the production trade
+    at 100 TB where the signature table dominates index cost. Flip
+    selection is deterministic cross-engine (ROUND-9 margins, bit-index
+    tiebreak, corpus margins measured ≥ 3.3e-6), so the oracle replays
+    the embedded planes, every flip, the widened bucket join and the
+    q40-discipline re-rank. multiprobe=0 reproduces q203's candidates
+    exactly (property-pinned)."""
+    from .functions.similarity import lsh_multiprobe_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return lsh_multiprobe_topk(
+        e.filter(F.col("vec_id") < 20), e, k=3, dim=64, multiprobe=2
+    ).orderBy("query_id", "neighbor_id")

@@ -896,3 +896,45 @@ def test_srp_float_topk_recall_on_random_vectors(spark):
         wrong = {p: (c, exact.get(p)) for p, c in got.items() if exact.get(p) != c}
         assert not wrong, f"re-ranked cosines diverge from exact: {wrong}"
         release_all_storage(spark)
+
+
+def test_lsh_multiprobe_monotone_recall(spark):
+    """Multi-probe SRP-LSH (q251): multiprobe=0 reproduces lsh_topk's
+    output exactly, and the CANDIDATE SET grows monotonically with the
+    probe count (each extra probe only adds buckets) — so recall vs the
+    exact top-k is non-decreasing in multiprobe. Seeded random corpora,
+    the q203-family differential."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+
+    rng = random.Random(31)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 15)
+    kw = dict(k=4, bits=6, tables=3, dim=16, seed=7)
+
+    base = sorted(map(tuple, lsh_topk(q, df, **kw).collect()))
+    mp0 = sorted(map(tuple, lsh_multiprobe_topk(q, df, multiprobe=0, **kw).collect()))
+    assert mp0 == base, "multiprobe=0 must reproduce lsh_topk exactly"
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(q, df, k=4).collect()
+    }
+
+    def hits(mp):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_multiprobe_topk(q, df, multiprobe=mp, **kw).collect()
+        }
+        return len(got & exact)
+
+    h0, h2, h4 = hits(0), hits(2), hits(4)
+    assert h0 <= h2 <= h4, f"recall must be monotone in probes: {h0},{h2},{h4}"
