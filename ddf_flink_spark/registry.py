@@ -13201,3 +13201,144 @@ def q251_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_multiprobe_topk(
         e.filter(F.col("vec_id") < 20), e, k=3, dim=64, multiprobe=2
     ).orderBy("query_id", "neighbor_id")
+
+
+def _q252_oracle(
+    n_lists: int = 8,
+    k: int = 3,
+    q_lt: int = 20,
+    nprobes: tuple = (1, 2, 4, 8),
+) -> str:
+    # q39's training + probe chain, evaluated at FOUR nprobe settings
+    # against the exact (q40-chain) top-k: the recall-vs-cost tuning
+    # table, every cell deterministic and hash-pinned.
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    per_np = []
+    rec_units = []
+    for np_ in nprobes:
+        per_np.append(f"""
+    cand{np_} AS (
+      SELECT p.qid, cells.id AS nid
+      FROM probe p JOIN cells ON cells.cluster = p.cluster
+      WHERE p.prn <= {np_} AND cells.id != p.qid
+    ),
+    ranked{np_} AS (
+      SELECT c.qid, c.nid,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.qid
+               ORDER BY ROUND(list_cosine_similarity(eq.v, en.v), 6) DESC, c.nid
+             ) AS rn
+      FROM cand{np_} c
+      JOIN emb eq ON eq.id = c.qid
+      JOIN emb en ON en.id = c.nid
+    ),
+    rec{np_} AS (
+      SELECT {np_} AS nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM (SELECT qid, nid FROM ranked{np_} WHERE rn <= {k}) iv
+      JOIN exact_k USING (qid, nid)
+    )""")
+        rec_units.append(f"SELECT * FROM rec{np_}")
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
+    q AS (SELECT id, v FROM emb WHERE id < {q_lt}),
+    probe AS (
+      SELECT q.id AS qid, c.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.id
+               ORDER BY ROUND(-list_dot_product(q.v, c.c), 6), c.cluster
+             ) AS prn
+      FROM q CROSS JOIN c2 c
+    ),
+    exact AS (
+      SELECT q.id AS qid, e2.id AS nid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.id
+               ORDER BY ROUND(list_cosine_similarity(q.v, e2.v), 6) DESC, e2.id
+             ) AS rn
+      FROM q CROSS JOIN emb e2 WHERE e2.id != q.id
+    ),
+    exact_k AS (SELECT qid, nid FROM exact WHERE rn <= {k}),
+    {",".join(per_np)},
+    recs AS ({" UNION ALL ".join(rec_units)})
+    SELECT nprobe,
+           CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
+           hits,
+           ROUND(hits / ((SELECT COUNT(*) FROM q) * {k} * 1.0), 4) AS recall
+    FROM recs ORDER BY nprobe
+    """
+
+
+@query("q252_ivf_recall_sweep", oracle=_q252_oracle())
+def q252_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL-vs-NPROBE TUNING TABLE — the measurement a production ANN
+    deployment derives before fixing its quality/cost knob: the q39 IVF
+    index evaluated at nprobe ∈ {1,2,4,8} against the exact cosine
+    top-3 (q40's chain), recall@3 per setting, all in one lazy plan
+    (four probe branches unioned — the sweep is a bounded config grid,
+    not a data loop). Every cell is deterministic (round-6 probe and
+    rank disciplines), so the oracle hash-pins the entire curve —
+    'measure, don't guess' as a query, not a notebook. At nprobe =
+    n_lists the probe covers every cell, so recall = 1.0 by
+    construction (the table's own sanity row)."""
+    from .functions.similarity import brute_force_topk, ivf_build, ivf_topk
+    from .storage import release_checkpoint
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    assigned, cents = ivf_build(e, n_lists=8, quantizer="lloyd")
+    exact_pairs = brute_force_topk(q, e, k=3).select("query_id", "neighbor_id")
+    nq = q.agg(F.count(F.lit(1)).alias("n_queries"))
+
+    branches = []
+    for np_ in (1, 2, 4, 8):
+        hits = (
+            ivf_topk(q, assigned, cents, k=3, nprobe=np_)
+            .select("query_id", "neighbor_id")
+            .join(exact_pairs, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .select(F.lit(np_).alias("nprobe"), "hits")
+        )
+        branches.append(hits)
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionByName(b)
+    out = u.crossJoin(nq).select(
+        "nprobe",
+        F.col("n_queries").cast("long").alias("n_queries"),
+        "hits",
+        F.round(F.col("hits") / (F.col("n_queries") * 3.0), 4).alias("recall"),
+    ).orderBy("nprobe")
+    return _carry(out, assigned)

@@ -434,6 +434,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     "q244_ivfadc_batch_serving": {"cartesian-product"},
     "q245_ivfadc_index_persistence": {"cartesian-product"},
     "q250_ivfadc_exact_rerank": {"cartesian-product"},  # same LUT cross via q244
+    # 4-row tuning table: per-nprobe 1-row hit aggregates crossJoined
+    # with the 1-row query-count aggregate
+    "q252_ivf_recall_sweep": {"single-partition", "cartesian-product"},
     # contract-row assembly: the cluster-size aggregate (1 row)
     # crossJoined with the corpus-count aggregate (1 row)
     "q204_ml_kmeans_kmeanspp": {"single-partition", "cartesian-product"},
