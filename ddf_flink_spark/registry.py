@@ -13342,3 +13342,57 @@ def q252_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hits") / (F.col("n_queries") * 3.0), 4).alias("recall"),
     ).orderBy("nprobe")
     return _carry(out, assigned)
+
+
+@query(
+    "q253_filtered_ann",
+    oracle="""
+    WITH en AS (
+      SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en'
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 20),
+    s AS (
+      SELECT q.query_id, en.id AS neighbor_id,
+             LIST_COSINE_SIMILARITY(q.qv, en.v) AS cos
+      FROM q, en WHERE q.query_id != en.id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rn
+      FROM s
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos
+    FROM r WHERE rn <= 3 ORDER BY query_id, neighbor_id
+    """,
+)
+def q253_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED ANN — vector search under a relational
+    predicate (here: neighbors must be ENGLISH documents), the shape
+    every production retrieval system needs and most bolt on wrong.
+    The filter is applied PRE-SEARCH (corpus semi-joined to the
+    documents predicate BEFORE ranking), never post-filtering a top-k —
+    post-filter silently returns < k results whenever the unfiltered
+    top-k contains excluded rows, and its recall degrades with filter
+    selectivity. Pre-filter composes with every index in the family:
+    brute (here — exact, the oracle shape), LSH/IVF (filter the
+    signature/cells table the same way), and the persisted IVFADC
+    layout (predicate columns ride the codes table, so the filter
+    pushes into the partition-pruned scan). At 100 TB the semi-join is
+    a broadcast of the predicate's id set or a shuffle join on id —
+    either way corpus-shaped work happens once, before the pair
+    fan-out."""
+    from .functions.similarity import brute_force_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    d = t(spark, sf_dir, "documents")
+    en_ids = d.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = e.join(en_ids, "vec_id", "left_semi")
+    return brute_force_topk(
+        e.filter(F.col("vec_id") < 20), corpus, k=3
+    ).orderBy("query_id", "neighbor_id")

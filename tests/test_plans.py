@@ -90,6 +90,7 @@ def test_no_cartesian_anywhere(spark):
         "q40_similarity_bruteforce",
         "q41_embedding_neardup",
         "q42_similarity_lsh",
+        "q253_filtered_ann",
         "q70_stream_tumbling",
         "q71_stream_sliding",
         "q72_stream_sessions",
@@ -473,6 +474,7 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # k centroids / k range bounds — the documented brute-force baselines.
     "q40_similarity_bruteforce": {"cartesian-product"},
     "q41_embedding_neardup": {"cartesian-product"},
+    "q253_filtered_ann": {"cartesian-product"},  # q40's bounded 20-query cross
     "q59_range_join": {"cartesian-product"},
     "q98_nearest_centroid": {"cartesian-product"},
     "q157_user_profile_similarity": {"cartesian-product"},
