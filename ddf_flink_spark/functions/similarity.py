@@ -1133,6 +1133,7 @@ def ivfadc_index_search(
     nprobe: int = 3,
     topk: int = 5,
     static_probe: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Serve a batch of queries from a residual-IVFADC index — built
     this session by :func:`ivfadc_index_build` or RELOADED from its
@@ -1155,9 +1156,16 @@ def ivfadc_index_search(
     parquet index is read PARTITION-PRUNED (PartitionFilters in the
     scan — plan-locked in tests). The default join path keeps the plan
     fully lazy for large Q, where the probe set approaches all cells
-    anyway. Self-matches are excluded. Returns (query_id, neighbor_id,
-    pq_dist2), per-query rank ≤ topk, ascending distance, id
-    tie-break."""
+    anyway.
+
+    ``exclude_self=True`` (the default) assumes queries SHARE the
+    corpus id space (the self-query serving shape: q243/q244) and drops
+    candidates whose index id equals the query id. When serving an
+    EXTERNAL query frame whose ids are unrelated to the corpus, a
+    numerically colliding id would silently drop a true neighbor — pass
+    ``exclude_self=False`` there (round-7 ADVICE). Returns (query_id,
+    neighbor_id, pq_dist2), per-query rank ≤ topk, ascending distance,
+    id tie-break."""
     from ..storage import propagate_checkpoint_ids
 
     spark = index.sparkSession
@@ -1226,7 +1234,9 @@ def ivfadc_index_search(
         idx = index.filter(F.col("list_id").isin(probe_cells))
     cand = probed.select("query_id", "cell").join(
         idx.withColumnRenamed("list_id", "cell"), "cell"
-    ).filter(F.col("id") != F.col("query_id"))
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("id") != F.col("query_id"))
     codes_long = cand.select(
         "query_id",
         "cell",
@@ -1262,6 +1272,7 @@ def ivfadc_batch_search(
     k: int = 4,
     iters: int = 2,
     topk: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """BATCH residual IVFADC serving — :func:`ivfadc_search` generalized
     to a ``queries`` DataFrame of Q query vectors with every per-query
@@ -1274,7 +1285,9 @@ def ivfadc_batch_search(
     the single-query :func:`ivfadc_search` stays as the oracle-checked
     demo, and for any query vector the batch rows replay its
     (neighbor_id, pq_dist2) exactly (parity-pinned in tests; q244 vs
-    q243 in the registry)."""
+    q243 in the registry). ``exclude_self=True`` assumes the query ids
+    live in the corpus id space — pass False for external query frames
+    (see :func:`ivfadc_index_search`)."""
     index, coarse, cents = ivfadc_index_build(
         df, vec_col=vec_col, id_col=id_col, n_lists=n_lists, m=m, k=k, iters=iters
     )
@@ -1287,6 +1300,7 @@ def ivfadc_batch_search(
         q_id_col=q_id_col or id_col,
         nprobe=nprobe,
         topk=topk,
+        exclude_self=exclude_self,
     )
 
 
@@ -1314,18 +1328,23 @@ def _train_pq_codebooks(
     Returns (codes, cents): codes = (id, code0..code{m-1}),
     cents[j][c] = list of w floats."""
     spark = remb.sparkSession
-    init_rows = remb.orderBy("id").limit(k).select("v").collect()
+    # Init rounding happens IN-ENGINE (F.round = HALF_UP), exactly like
+    # kmeans_lloyd's seed step — Python round() is HALF_EVEN and would
+    # diverge from the sequential chains and the DuckDB ROUND oracles
+    # at exact decimal midpoints (round-7 ADVICE).
+    init_rows = (
+        remb.orderBy("id")
+        .limit(k)
+        .select(F.transform("v", lambda x: F.round(x, 4)).alias("c"))
+        .collect()
+    )
     if len(init_rows) < k:
         raise ValueError(
             f"_train_pq_codebooks: k={k} but the input has only "
             f"{len(init_rows)} rows; need at least k rows per codebook"
         )
     cents: list[list[list[float]]] = [
-        [
-            [round(float(x), 4) for x in r["v"][j * w : (j + 1) * w]]
-            for r in init_rows
-        ]
-        for j in range(m)
+        [list(r["c"])[j * w : (j + 1) * w] for r in init_rows] for j in range(m)
     ]
 
     def assign_all(cur: list[list[list[float]]]) -> DataFrame:

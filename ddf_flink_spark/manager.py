@@ -123,7 +123,11 @@ class DDFManager:
         lineage cannot recompute). ``only_tracked=True`` releases only
         the blocks this library's operators created (the session
         ledger), leaving the user's own ``cache()``/``persist()``
-        frames intact. Returns the number of released RDDs.
+        frames intact — but it still invalidates LIVE library frames
+        built before the call, not just dropped ones (the ledger can't
+        tell them apart): the boundary discipline is identical to
+        ``only_tracked=False``, only the block scope differs. Returns
+        the number of released RDDs.
         See ``ddf_flink_spark/storage.py``."""
         from .storage import release_all_storage, release_session_storage
 

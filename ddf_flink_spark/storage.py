@@ -251,8 +251,15 @@ def release_session_storage(spark) -> int:
     ``spark`` that has not already been explicitly released — the
     boundary reclaim for dropped-without-release frames. Unlike
     :func:`release_all_storage` it touches ONLY ledger-tracked ids, so a
-    user's own ``cache()``/``persist()`` frames survive. Returns how
-    many ids were released."""
+    user's own ``cache()``/``persist()`` frames survive. The ledger
+    CANNOT distinguish dropped from still-live library frames, so this
+    also invalidates any LIVE library result built before the call —
+    executing such a frame afterwards raises (its truncated lineage
+    cannot recompute). Call only at batch boundaries where every
+    previously-returned library frame is finished, exactly like
+    :func:`release_all_storage`; the only difference is whose blocks
+    are touched, not which frames stay executable. Returns how many
+    ids were released."""
     ledger = _SESSION_IDS.get(spark)
     if not ledger:
         return 0

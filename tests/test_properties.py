@@ -938,3 +938,34 @@ def test_lsh_multiprobe_monotone_recall(spark):
 
     h0, h2, h4 = hits(0), hits(2), hits(4)
     assert h0 <= h2 <= h4, f"recall must be monotone in probes: {h0},{h2},{h4}"
+
+
+def test_srp_embedded_plane_oracle_margin_premise():
+    """The q203/q251 value-matched oracles are valid ONLY while every
+    |dot(v, plane_i)| on the gate corpus clears cross-engine
+    summation-order noise (~1e-13 relative; measured corpus margin
+    3.3e-6 at sf0.1): a sign bit that close to zero could flip in one
+    engine and fail the gate with a bare hash mismatch. This test
+    asserts the PREMISE directly, so a regenerated or larger-sf
+    embeddings table that invalidates it fails HERE with a clear
+    message instead (round-7 ADVICE)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ddf_flink_spark.functions.similarity import _planes
+    from tests.conftest import SF_DIR
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    assert vecs.shape[1] == 64, f"corpus dim changed: {vecs.shape}"
+    min_margin = np.inf
+    for ti in range(4):  # q203/q251: 4 tables, 8 bits, seed 42+ti
+        planes = np.array(_planes(64, 8, 42 + ti), dtype=np.float64)
+        dots = vecs @ planes.T
+        min_margin = min(min_margin, float(np.abs(dots).min()))
+    assert min_margin > 1e-9, (
+        f"embedded-plane oracle premise violated: min |dot(v, plane)| = "
+        f"{min_margin:.3e} <= 1e-9 on {SF_DIR} — a sign bit may flip "
+        f"between Spark and DuckDB; re-derive the q203/q251 oracles (or "
+        f"demote them to rows-only) before trusting the gate"
+    )
