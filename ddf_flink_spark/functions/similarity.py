@@ -45,6 +45,8 @@ __all__ = [
     "ivfadc_batch_search",
     "ivfadc_index_build",
     "ivfadc_index_search",
+    "ivfadc_encode",
+    "ivfadc_rebalance",
 ]
 
 
@@ -1492,6 +1494,164 @@ def ivfadc_encode(
         for j in range(m)
     ]
     return res.select("id", "list_id", *code_cols)
+
+
+def ivfadc_rebalance(
+    df: DataFrame,
+    index: DataFrame,
+    coarse: list,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_cells: "list[int] | None" = None,
+    top_n: int = 2,
+    iters: int = 1,
+) -> "tuple[DataFrame, list, DataFrame]":
+    """INDEX MAINTENANCE: re-balance drifted/hot cells of a residual-
+    IVFADC index IN PLACE — the lifecycle step q248's streaming ingest
+    makes necessary (arrivals file into cells trained once; hot cells
+    grow unboundedly and their residual variance drifts away from the
+    codebooks' training distribution).
+
+    Targeted, not global: ``target_cells`` (default: the ``top_n`` most
+    populated cells, count-desc / cell-id-asc — the census is a
+    ``groupBy(list_id)`` over codes, n_lists rows) are re-clustered
+    among THEMSELVES with ``iters`` deterministic Lloyd rounds seeded
+    from their CURRENT centroids (each round: per-cell round-4 mean of
+    the current membership — an emptied cell keeps its centroid — then
+    reassignment among the updated target centroids by round-6 L2 rank,
+    target-position tiebreak). Members are then RE-ENCODED against
+    their new centroid with the UNCHANGED codebooks. Untargeted cells
+    are untouched BYTES: same centroid, same codes rows — so a query
+    whose probe frontier avoids the targets before and after serves
+    bit-equal results (contract-pinned in tests), and a partitioned
+    index rewrites only the target partitions. Movement work is
+    proportional to target-cell rows, never corpus size. Restricting
+    reassignment to the target set (rather than a global argmin) is
+    what keeps non-target partitions immutable; IVF list membership is
+    an approximation by construction (Jégou et al. 2011 §III), and the
+    restricted move preserves it exactly as well as a full retrain
+    preserves its own. At extreme scale the round-4 mean can be taken
+    over a deterministic id-hash sample of each target cell instead of
+    full membership — same machinery, cheaper update.
+
+    Returns ``(new_index, new_coarse, moves)``: ``new_index`` has the
+    codes-table schema (id, list_id, code0..code{m-1});``new_coarse``
+    is ``coarse`` with target entries replaced; ``moves`` is
+    (id, old_cell, new_cell, code0..code{m-1}) for every target-cell
+    member (``new_cell != old_cell`` rows are the reassignments —
+    q254's oracle pins this frame end-to-end)."""
+    from ..storage import propagate_checkpoint_ids, tracked_local_checkpoint
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    w = len(codebooks[0][0])
+    if target_cells is None:
+        census = (
+            index.groupBy("list_id")
+            .count()
+            .orderBy(F.desc("count"), "list_id")
+            .limit(top_n)
+            .collect()  # bounded: n_lists rows ranked, top_n returned
+        )
+        target_cells = [int(r["list_id"]) for r in census]
+    targets = sorted(int(c) for c in target_cells)
+    t_arr = F.array(*[F.lit(c) for c in targets])
+
+    emb = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    members = tracked_local_checkpoint(
+        emb.join(
+            index.filter(F.col("list_id").isin(targets)).select(
+                "id", F.col("list_id").alias("old_cell")
+            ),
+            "id",
+        ).withColumn("pos", F.array_position(t_arr, F.col("old_cell")) - 1)
+    )
+
+    def _rank_restricted(vec, cents_py):
+        """Round-6 L2 rank over the target centroid set, position
+        tiebreak — ml/kmeans._assign's rule restricted to targets."""
+        dist_arr = F.array(
+            *[
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                for c in cents_py
+            ]
+        )
+        best = F.array_min(
+            F.zip_with(
+                dist_arr,
+                F.array(*[F.lit(p) for p in range(len(cents_py))]),
+                lambda d, p: F.struct(F.round(d, 6).alias("rd"), p.alias("pos")),
+            )
+        )
+        return best["pos"]
+
+    cents_t: list[list[float]] = [[float(x) for x in coarse[c]] for c in targets]
+    assigned = members
+    for _ in range(iters):
+        mean_rows = (
+            assigned.select("pos", F.posexplode("v").alias("dim", "x"))
+            .groupBy("pos", "dim")
+            .agg(F.round(F.avg("x"), 4).alias("c"))
+            .collect()
+        )
+        by_pos: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_pos.setdefault(r["pos"], {})[r["dim"]] = r["c"]
+        cents_t = [
+            [by_pos[p][d] for d in range(len(cents_t[p]))]
+            if p in by_pos
+            else cents_t[p]
+            for p in range(len(targets))
+        ]
+        assigned = members.withColumn(
+            "pos", _rank_restricted(F.col("v"), cents_t).cast("int")
+        )
+
+    newc_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents_t])
+    res = assigned.select(
+        "id",
+        "old_cell",
+        F.element_at(t_arr, F.col("pos") + 1).alias("new_cell"),
+        F.zip_with(
+            "v", F.element_at(newc_arr, F.col("pos") + 1), lambda a, b: a - b
+        ).alias("r"),
+    )
+    code_cols = [
+        _rank_restricted(F.slice("r", j * w + 1, w), codebooks[j])
+        .cast("int")
+        .alias(f"code{j}")
+        for j in range(m)
+    ]
+    moves = res.select("id", "old_cell", "new_cell", *code_cols)
+    new_index = index.filter(~F.col("list_id").isin(targets)).unionByName(
+        moves.select(
+            "id",
+            F.col("new_cell").alias("list_id"),
+            *[F.col(f"code{j}") for j in range(m)],
+        )
+    )
+    new_coarse = [
+        cents_t[targets.index(c)] if c in targets else list(coarse[c])
+        for c in range(len(coarse))
+    ]
+    return (
+        propagate_checkpoint_ids(new_index, index, members),
+        new_coarse,
+        propagate_checkpoint_ids(moves, members),
+    )
 
 
 def lsh_multiprobe_topk(

@@ -13396,3 +13396,204 @@ def q253_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
         e.filter(F.col("vec_id") < 20), corpus, k=3
     ).orderBy("query_id", "neighbor_id")
+
+
+def _q254_oracle(
+    n_lists: int = 8, m: int = 4, w: int = 16, k: int = 4, top_n: int = 2
+) -> str:
+    """Full DuckDB replay of the targeted IVFADC re-balance (q254):
+    q243's training prefix (coarse chain c0→c2, residuals, all m
+    residual-codebook chains rc0→rc2 — the LUT blocks dropped, no query
+    here), then the maintenance chain: census → top_n hottest cells
+    (count desc, cell asc) → ONE restricted Lloyd round over their
+    members (round-4 mean seeded from current centroids, emptied cell
+    keeps its centroid; reassignment among the updated target centroids
+    by round-6 euclidean rank, target-position tiebreak) → re-encode
+    every member against its new centroid with the UNCHANGED codebooks
+    (round-6 rank, code tiebreak). Pins (id, old_cell, new_cell,
+    code0..code{m-1}) for every target-cell member."""
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    blocks = []
+    code_blocks = []
+    code_joins = []
+    code_cols = []
+    for j in range(m):
+        lo, hi = j * w + 1, j * w + w
+        assign_j = f"""
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM remb{j} e CROSS JOIN {{cent}} c
+    """
+        update_j = f"""
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {{assigned}} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+        blocks.append(f"""
+    remb{j} AS (SELECT id, list_slice(v, {lo}, {hi}) AS v FROM remb),
+    rc0_{j} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM remb{j} ORDER BY id LIMIT {k})
+    ),
+    rs0_{j} AS ({assign_j.format(cent=f"rc0_{j}")}),
+    ra0_{j} AS (SELECT id, v, cluster FROM rs0_{j} WHERE rn = 1),
+    rm1_{j} AS ({update_j.format(assigned=f"ra0_{j}")}),
+    rc1n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM rm1_{j} GROUP BY cluster),
+    rc1_{j} AS (SELECT rc0_{j}.cluster, COALESCE(rc1n_{j}.c, rc0_{j}.c) AS c
+               FROM rc0_{j} LEFT JOIN rc1n_{j} USING (cluster)),
+    rs1_{j} AS ({assign_j.format(cent=f"rc1_{j}")}),
+    ra1_{j} AS (SELECT id, v, cluster FROM rs1_{j} WHERE rn = 1),
+    rm2_{j} AS ({update_j.format(assigned=f"ra1_{j}")}),
+    rc2n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM rm2_{j} GROUP BY cluster),
+    rc2_{j} AS (SELECT rc1_{j}.cluster, COALESCE(rc2n_{j}.c, rc1_{j}.c) AS c
+               FROM rc1_{j} LEFT JOIN rc2n_{j} USING (cluster))""")
+        code_blocks.append(f"""
+    mcode{j} AS (
+      SELECT id, cluster AS code{j} FROM (
+        SELECT rres.id, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY rres.id
+                 ORDER BY ROUND(list_distance(list_slice(rres.r, {lo}, {hi}), c.c), 6),
+                          c.cluster
+               ) AS rn
+        FROM rres CROSS JOIN rc2_{j} c
+      ) s WHERE rn = 1
+    )""")
+        code_joins.append(f"JOIN mcode{j} USING (id)")
+        code_cols.append(f"CAST(mcode{j}.code{j} AS BIGINT) AS code{j}")
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
+    rsrc AS (
+      SELECT e.id, e.v AS ev, c2.c AS cc
+      FROM emb e JOIN cells ON cells.id = e.id
+                 JOIN c2 ON c2.cluster = cells.cluster
+    ),
+    remb AS (
+      SELECT id, LIST(u.vx - u.cx ORDER BY u.i) AS v
+      FROM rsrc,
+           LATERAL (SELECT UNNEST(rsrc.ev) AS vx, UNNEST(rsrc.cc) AS cx,
+                    generate_subscripts(rsrc.ev, 1) AS i) u
+      GROUP BY id
+    ),
+    {",".join(blocks)},
+    census AS (SELECT cluster, COUNT(*) AS n FROM cells GROUP BY cluster),
+    hot AS (SELECT cluster FROM census ORDER BY n DESC, cluster LIMIT {top_n}),
+    targets AS (
+      SELECT cluster, ROW_NUMBER() OVER (ORDER BY cluster) - 1 AS pos FROM hot
+    ),
+    mem AS (
+      SELECT cells.id, cells.cluster AS old_cell, t.pos, emb.v
+      FROM cells JOIN targets t ON t.cluster = cells.cluster
+                 JOIN emb ON emb.id = cells.id
+    ),
+    mu AS (
+      SELECT pos, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM mem,
+           LATERAL (SELECT UNNEST(mem.v) AS x, generate_subscripts(mem.v, 1) AS i) u
+      GROUP BY pos, u.i
+    ),
+    nc_n AS (SELECT pos, LIST(cx ORDER BY dim) AS c FROM mu GROUP BY pos),
+    oc AS (SELECT t.pos, c2.c FROM targets t JOIN c2 ON c2.cluster = t.cluster),
+    nc AS (SELECT oc.pos, COALESCE(nc_n.c, oc.c) AS c
+           FROM oc LEFT JOIN nc_n USING (pos)),
+    ras AS (
+      SELECT mem.id, mem.old_cell, mem.v, n.pos,
+             ROW_NUMBER() OVER (
+               PARTITION BY mem.id
+               ORDER BY ROUND(list_distance(mem.v, n.c), 6), n.pos
+             ) AS rn
+      FROM mem CROSS JOIN nc n
+    ),
+    fin AS (SELECT id, old_cell, v, pos FROM ras WHERE rn = 1),
+    finsrc AS (
+      SELECT fin.id, fin.old_cell, t.cluster AS new_cell, fin.v AS fv, nc.c AS cc
+      FROM fin JOIN targets t ON t.pos = fin.pos
+               JOIN nc ON nc.pos = fin.pos
+    ),
+    rres AS (
+      SELECT id, old_cell, new_cell, LIST(u.vx - u.cx ORDER BY u.i) AS r
+      FROM finsrc,
+           LATERAL (SELECT UNNEST(finsrc.fv) AS vx, UNNEST(finsrc.cc) AS cx,
+                    generate_subscripts(finsrc.fv, 1) AS i) u
+      GROUP BY id, old_cell, new_cell
+    ),
+    {",".join(code_blocks)}
+    SELECT rres.id, CAST(rres.old_cell AS BIGINT) AS old_cell,
+           CAST(rres.new_cell AS BIGINT) AS new_cell,
+           {", ".join(code_cols)}
+    FROM rres {" ".join(code_joins)}
+    ORDER BY rres.id
+    """
+
+
+@query("q254_ivfadc_rebalance", oracle=_q254_oracle())
+def q254_ivfadc_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX MAINTENANCE — targeted re-balance of the residual-IVFADC
+    index (functions/similarity.ivfadc_rebalance), closing the
+    lifecycle gap the round-7 verdict named: q248's streaming ingest
+    appends into cells trained once, so hot cells grow unboundedly and
+    drift. The two most-populated cells (count desc, id asc — the
+    census is an n_lists-row groupBy) are re-clustered among themselves
+    with one deterministic Lloyd round seeded from their current
+    centroids, and every member is re-encoded against its new centroid
+    with the UNCHANGED codebooks. Untargeted cells keep their centroid
+    and codes BYTE-IDENTICAL — a probe frontier that avoids the targets
+    serves bit-equal before/after (contract-pinned in
+    tests/test_llm_ops.py), and a list_id-partitioned index (q245)
+    rewrites only the target partitions; movement work is proportional
+    to target-cell rows, never corpus size. The oracle replays q243's
+    training prefix plus the full maintenance chain and pins
+    (id, old_cell, new_cell, code0..code3) for every member."""
+    from .functions.similarity import ivfadc_index_build, ivfadc_rebalance
+
+    M = 4
+    e = t(spark, sf_dir, "embeddings")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=M, k=4, iters=2)
+    new_index, new_coarse, moves = ivfadc_rebalance(
+        e, index, coarse, cents, top_n=2, iters=1
+    )
+    out = moves.select(
+        "id",
+        F.col("old_cell").cast("long").alias("old_cell"),
+        F.col("new_cell").cast("long").alias("new_cell"),
+        *[F.col(f"code{j}").cast("long").alias(f"code{j}") for j in range(M)],
+    ).orderBy("id")
+    return _carry(out, index, moves)

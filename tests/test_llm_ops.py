@@ -1722,3 +1722,91 @@ def test_ivfadc_encode_matches_index_build(spark):
         tuple(r) for r in ivfadc_encode(df, coarse, cents).select(*cols).collect()
     )
     assert encoded == built
+
+
+def test_ivfadc_rebalance_untouched_cells_and_serving_equality(spark):
+    """ivfadc_rebalance (q254) contracts:
+
+    1. UNTOUCHED BYTES — rows of untargeted cells appear in the new
+       index byte-identically (same id, list_id, codes), and the new
+       index has exactly the old row count (a rebalance moves rows,
+       never creates or drops them);
+    2. MOVEMENT LOCALITY — the moves frame covers exactly the target
+       cells' members;
+    3. SERVING EQUALITY — for every query whose probe frontier avoids
+       the target cells under BOTH the old and the new coarse
+       centroids, ivfadc_index_search returns identical rows before and
+       after the rebalance (the contract that lets a 100 TB deployment
+       rebalance in place while serving)."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import (
+        ivfadc_index_build,
+        ivfadc_index_search,
+        ivfadc_rebalance,
+    )
+    from ddf_flink_spark.storage import release_all_storage
+
+    rng = random.Random(254)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index, coarse, cents = ivfadc_index_build(df, n_lists=6, m=4, k=4, iters=2)
+    old_rows = {tuple(r) for r in index.collect()}
+
+    new_index, new_coarse, moves = ivfadc_rebalance(
+        df, index, coarse, cents, top_n=2, iters=1
+    )
+    mv = moves.collect()
+    new_rows = {tuple(r) for r in new_index.collect()}
+    targets = sorted({r["old_cell"] for r in mv})
+    assert len(targets) == 2
+
+    old_untouched = {r for r in old_rows if r[1] not in targets}
+    new_untouched = {r for r in new_rows if r[1] not in targets}
+    # untargeted cells byte-identical; counts conserved
+    assert old_untouched == new_untouched
+    assert len(new_rows) == len(old_rows)
+    assert len(mv) == len(old_rows) - len(old_untouched)
+    # every move lands inside the target set (restricted reassignment)
+    assert all(r["new_cell"] in targets for r in mv)
+    # untargeted coarse centroids unchanged
+    for c in range(len(coarse)):
+        if c not in targets:
+            assert new_coarse[c] == list(coarse[c])
+
+    # ---- serving equality on target-avoiding probe frontiers ----
+    def frontier(qv, cents_list, nprobe):
+        scored = sorted(
+            (round(-sum(a * b for a, b in zip(qv, c)), 6), i)
+            for i, c in enumerate(cents_list)
+        )
+        return {i for _, i in scored[:nprobe]}
+
+    nprobe = 2
+    vecs = {i: [float(x) for x in v] for i, v in rows}
+    safe = [
+        i
+        for i, v in vecs.items()
+        if not (frontier(v, coarse, nprobe) | frontier(v, new_coarse, nprobe))
+        & set(targets)
+    ]
+    assert safe, "seeded corpus must yield at least one target-avoiding query"
+    q = df.filter(F.col("vec_id").isin(safe[:8]))
+    before = sorted(
+        map(
+            tuple,
+            ivfadc_index_search(
+                index, coarse, cents, q, nprobe=nprobe, topk=3
+            ).collect(),
+        )
+    )
+    after = sorted(
+        map(
+            tuple,
+            ivfadc_index_search(
+                new_index, new_coarse, cents, q, nprobe=nprobe, topk=3
+            ).collect(),
+        )
+    )
+    assert before == after, "serving diverged on a target-avoiding frontier"
+    release_all_storage(spark)
