@@ -12306,7 +12306,12 @@ def _q244_oracle(
     w: int = 16,
     k: int = 4,
     topk: int = 5,
+    cand_extra: str = "",
 ) -> str:
+    # cand_extra: extra SQL ANDed into the candidate predicate — the
+    # PRE-search hook the tombstone (q255) and metadata-filter (q256)
+    # variants use: candidates leave the pool BEFORE ranking, exactly
+    # like the Spark side's anti-/semi-join on the codes frame.
     # q243's full residual-IVFADC replay generalized to a BATCH of the
     # n_q lowest-id query vectors: probe ranks get PARTITION BY query_id,
     # residuals/LUTs/ADC carry query_id, and the final top-k is a
@@ -12444,7 +12449,7 @@ def _q244_oracle(
     cand AS (
       SELECT probe.query_id, cells.id, cells.cluster AS cell
       FROM probe JOIN cells ON cells.cluster = probe.cluster
-      WHERE probe.prn <= {nprobe} AND cells.id != probe.query_id
+      WHERE probe.prn <= {nprobe} AND cells.id != probe.query_id{cand_extra}
     ),
     adc AS (
       SELECT cand.query_id, codes.id,
@@ -13597,3 +13602,52 @@ def q254_ivfadc_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"code{j}").cast("long").alias(f"code{j}") for j in range(M)],
     ).orderBy("id")
     return _carry(out, index, moves)
+
+
+@query(
+    "q255_index_delete_compact",
+    oracle=_q244_oracle(cand_extra=" AND cells.id % 7 != 3"),
+)
+def q255_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION LIFECYCLE for the persisted index (functions/
+    index_store) — the GDPR-shaped operation the round-7 verdict named:
+    build + persist the q245 composite layout, TOMBSTONE the ids
+    ≡ 3 (mod 7) (an O(|ids|) append — no rewrite at delete time), then
+    COMPACT: survivors of the affected cells are staged with a
+    partition-pruned scan (list_id IN affected — plan-locked in
+    tests/test_llm_ops.py) and only those partition directories are
+    swapped; untouched cells keep their files byte-identical and the
+    tombstones are retired. Serving the compacted index returns exactly
+    serve-minus-deleted: the oracle is q244's full replay with the
+    deleted ids excluded from the CANDIDATE pool pre-ranking (tombstone
+    semantics — the model keeps its historical training; deletion
+    changes the serving set, never the centroids). Pre-compaction
+    (anti-join) and post-compaction serving equality is contract-pinned
+    in tests."""
+    import shutil
+
+    from .functions.index_store import (
+        index_compact,
+        index_delete_ids,
+        load_index,
+        persist_index,
+    )
+    from .functions.similarity import ivfadc_index_build, ivfadc_index_search
+    from .storage import release_checkpoint
+
+    base = _session_tmp("q255")
+    shutil.rmtree(base, ignore_errors=True)
+    e = t(spark, sf_dir, "embeddings")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=4, k=4, iters=2)
+    persist_index(index, coarse, cents, base)
+    release_checkpoint(index)
+    index_delete_ids(
+        spark,
+        base,
+        e.filter(F.col("vec_id") % 7 == 3).select(F.col("vec_id").alias("id")),
+    )
+    index_compact(spark, base)
+    codes, coarse_r, cents_r = load_index(spark, base)
+    return ivfadc_index_search(
+        codes, coarse_r, cents_r, e.orderBy("vec_id").limit(64), nprobe=3, topk=5
+    )

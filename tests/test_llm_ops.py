@@ -1810,3 +1810,93 @@ def test_ivfadc_rebalance_untouched_cells_and_serving_equality(spark):
     )
     assert before == after, "serving diverged on a target-avoiding frontier"
     release_all_storage(spark)
+
+
+def test_index_tombstone_delete_and_compaction(spark, tmp_path):
+    """index_store (q255) contracts:
+
+    1. serve-after-delete (tombstone anti-join) ≡ serve-after-compaction
+       (physical rewrite) — a delete is visible immediately and
+       compaction changes nothing observable;
+    2. neither serving path ever returns a deleted id;
+    3. compaction rewrites ONLY the affected partitions: untouched cell
+       directories keep their files byte-identical (same names, sizes,
+       mtimes), and the survivors scan is partition-pruned
+       (PartitionFilters on list_id);
+    4. tombstones are retired by compaction; a second compaction is a
+       no-op."""
+    import os
+    import random
+
+    from ddf_flink_spark.functions.index_store import (
+        index_compact,
+        index_delete_ids,
+        load_index,
+        persist_index,
+    )
+    from ddf_flink_spark.functions.similarity import (
+        ivfadc_index_build,
+        ivfadc_index_search,
+    )
+    from ddf_flink_spark.storage import release_all_storage
+
+    rng = random.Random(255)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = str(tmp_path / "idx")
+    index, coarse, cents = ivfadc_index_build(df, n_lists=6, m=4, k=4, iters=2)
+    persist_index(index, coarse, cents, base)
+
+    deleted = {i for i in range(80) if i % 5 == 2}
+    index_delete_ids(
+        spark, base, df.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    )
+    q = df.filter(F.col("vec_id") < 10)
+
+    codes, coarse_r, cents_r = load_index(spark, base)
+    pre = sorted(
+        map(tuple, ivfadc_index_search(codes, coarse_r, cents_r, q, topk=3).collect())
+    )
+    assert pre and not {r[1] for r in pre} & deleted
+
+    # snapshot untouched partition files before compaction
+    tomb_cells = {
+        r["list_id"]
+        for r in spark.read.parquet(f"{base}/codes")
+        .join(spark.read.parquet(f"{base}/tombstones"), "id", "left_semi")
+        .select("list_id")
+        .distinct()
+        .collect()
+    }
+    def _files(cell):
+        d = f"{base}/codes/list_id={cell}"
+        return sorted(
+            (f, os.path.getsize(f"{d}/{f}"), os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d)
+        )
+    untouched = sorted(set(range(6)) - tomb_cells)
+    snap = {c: _files(c) for c in untouched if os.path.isdir(f"{base}/codes/list_id={c}")}
+
+    # plan lock: the survivors scan the compactor runs is partition-pruned
+    surv = spark.read.parquet(f"{base}/codes").filter(
+        F.col("list_id").isin(sorted(tomb_cells))
+    )
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "list_id" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
+
+    stats = index_compact(spark, base)
+    assert stats["affected_cells"] == len(tomb_cells)
+    assert stats["dropped_rows"] == len(deleted)
+    assert not os.path.isdir(f"{base}/tombstones")
+    for c, files in snap.items():
+        assert _files(c) == files, f"untouched cell {c} was rewritten"
+
+    codes2, coarse2, cents2 = load_index(spark, base)
+    post = sorted(
+        map(tuple, ivfadc_index_search(codes2, coarse2, cents2, q, topk=3).collect())
+    )
+    assert post == pre, "compaction changed serving results"
+    assert index_compact(spark, base) == {"affected_cells": 0, "dropped_rows": 0}
+    release_all_storage(spark)
