@@ -13651,3 +13651,49 @@ def q255_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfadc_index_search(
         codes, coarse_r, cents_r, e.orderBy("vec_id").limit(64), nprobe=3, topk=5
     )
+
+
+@query(
+    "q256_filtered_ann_persisted",
+    oracle=_q244_oracle(
+        n_q=20,
+        topk=3,
+        cand_extra=" AND cells.id IN (SELECT doc_id FROM documents"
+        " WHERE lang = 'en')",
+    ),
+)
+def q256_filtered_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED ANN × THE PERSISTED INDEX — q253's pre-search
+    filter semantics at IVFADC cost (the round-7 verdict's missing
+    composition; q253 composed with brute force only). The predicate
+    column RIDES the codes table: lang is joined in at persist time, so
+    at serve the filter lands IN the codes parquet scan
+    (PushedFilters — plan-locked in tests/test_llm_ops.py) and
+    candidates leave the pool BEFORE any ranking — never a post-filter
+    of a top-k, whose recall silently degrades with filter selectivity.
+    The index is trained on the FULL corpus (the filter constrains
+    serving, not the model — the same index serves every predicate).
+    The oracle is q244's full replay with the en-filter ANDed into the
+    candidate pool pre-ranking, 20 queries × top-3. At 100 TB the
+    filter rides parquet row-group pruning inside each probed
+    partition; highly-selective predicates can instead semi-join the
+    codes on a broadcast id set — same plan position, before ADC."""
+    import shutil
+
+    from .functions.index_store import load_index, persist_index
+    from .functions.similarity import ivfadc_index_build, ivfadc_index_search
+    from .storage import release_checkpoint
+
+    base = _session_tmp("q256")
+    shutil.rmtree(base, ignore_errors=True)
+    e = t(spark, sf_dir, "embeddings")
+    d = t(spark, sf_dir, "documents")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=4, k=4, iters=2)
+    enriched = index.join(d.select(F.col("doc_id").alias("id"), "lang"), "id")
+    persist_index(enriched, coarse, cents, base)
+    release_checkpoint(index)
+    codes, coarse_r, cents_r = load_index(spark, base)
+    filtered = codes.filter(F.col("lang") == "en").drop("lang")
+    return ivfadc_index_search(
+        filtered, coarse_r, cents_r, e.orderBy("vec_id").limit(20), nprobe=3, topk=3
+    )

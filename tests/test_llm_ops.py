@@ -1900,3 +1900,49 @@ def test_index_tombstone_delete_and_compaction(spark, tmp_path):
     assert post == pre, "compaction changed serving results"
     assert index_compact(spark, base) == {"affected_cells": 0, "dropped_rows": 0}
     release_all_storage(spark)
+
+
+def test_filtered_ann_predicate_lands_in_codes_scan(spark, tmp_path):
+    """q256's plan lock: with the predicate column riding the persisted
+    codes table, the serve-time filter reaches the codes parquet scan as
+    a PushedFilter (pre-search), and no returned neighbor violates the
+    predicate. Post-filtering a top-k would instead rank first and
+    filter after — structurally impossible here since the filter sits
+    below the ADC join."""
+    import random
+
+    from ddf_flink_spark.functions.index_store import load_index, persist_index
+    from ddf_flink_spark.functions.similarity import (
+        ivfadc_index_build,
+        ivfadc_index_search,
+    )
+    from ddf_flink_spark.storage import release_all_storage
+
+    rng = random.Random(256)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], "en" if i % 3 else "de")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, lang string")
+    base = str(tmp_path / "idx")
+    index, coarse, cents = ivfadc_index_build(df, n_lists=4, m=4, k=4, iters=2)
+    persist_index(
+        index.join(df.select(F.col("vec_id").alias("id"), "lang"), "id"),
+        coarse,
+        cents,
+        base,
+    )
+    codes, coarse_r, cents_r = load_index(spark, base)
+    filtered = codes.filter(F.col("lang") == "en").drop("lang")
+    out = ivfadc_index_search(
+        filtered, coarse_r, cents_r, df.filter("vec_id < 10"), nprobe=2, topk=3
+    )
+    res = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("lang" in p for p in pushed), f"lang not pushed: {pushed}"
+    en_ids = {i for i, _, l in rows if l == "en"}
+    assert res and all(r.neighbor_id in en_ids for r in res)
+    release_all_storage(spark)
