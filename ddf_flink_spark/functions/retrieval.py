@@ -30,10 +30,10 @@ Reference parity: the reference's only text surface is LIKE/grep
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "hash_chunk_embeddings", "maxsim_topk"]
 
 
 def bm25_topk(
@@ -78,4 +78,127 @@ def bm25_topk(
         .agg(F.round(F.sum("s").cast("double"), 4).alias("bm25"))
         .orderBy(F.desc("bm25"), id_col)
         .limit(topk)
+    )
+
+
+def hash_chunk_embeddings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 16,
+) -> DataFrame:
+    """Per-chunk FEATURE-HASHED embeddings (Weinberger et al. 2009,
+    "Feature Hashing for Large Scale Multitask Learning"): split each
+    document into :func:`~.text.token_chunks` windows, then embed every
+    chunk as the SIGNED token-count projection e_d = Σ_tokens
+    (±1 per bit d of md5_long(token)) — exact BIGINT sums, so the
+    embedding is engine-independent (DuckDB replays it verbatim) and
+    the norms/dots downstream are integer arithmetic until one final
+    sqrt/divide. In production the chunk encoder is a model
+    (mapInPandas over a batch scorer — q43's plumbing); feature hashing
+    keeps the RETRIEVAL maths oracle-checkable with the same shapes.
+
+    One explode + one groupBy((id, chunk_id)) — shuffled volume is
+    token occurrences of the corpus, the same bound tokenization
+    already pays. Returns (id, chunk_id, e0..e{dim-1}, n2) where n2 is
+    the exact squared norm."""
+    from .dedup import md5_long
+    from .text import token_chunks
+
+    ch = token_chunks(df, text_col, id_col, size=size, stride=stride)
+    tok = ch.select(
+        "id", "chunk_id", F.explode(F.split("chunk_text", " ")).alias("t")
+    ).withColumn("hv", md5_long("t"))
+    sums = [
+        F.sum(
+            (F.shiftright("hv", d).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"e{d}")
+        for d in range(dim)
+    ]
+    emb = tok.groupBy("id", "chunk_id").agg(*sums)
+    n2 = None
+    for d in range(dim):
+        term = F.col(f"e{d}") * F.col(f"e{d}")
+        n2 = term if n2 is None else n2 + term
+    return emb.withColumn("n2", n2.cast("long"))
+
+
+def maxsim_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 16,
+) -> DataFrame:
+    """CHUNK-LEVEL LATE-INTERACTION RETRIEVAL (the MaxSim shape of
+    Khattab & Zaharia 2020, ColBERT §3.1, one vector per query): rank
+    corpus documents by max over the document's CHUNKS of
+    cosine(query, chunk) — the passage-retrieval scoring RAG pipelines
+    run, where a long document matches if its BEST passage matches,
+    not its average. Query docs are embedded whole (one hashed vector
+    each); corpus docs are chunked (:func:`hash_chunk_embeddings`).
+
+    Scale shape: the Q query vectors broadcast into one pass over the
+    chunk-embedding frame (pair work is Q × chunks × O(dim), map-side);
+    the per-doc MAX is a partial-aggregating groupBy and the per-query
+    top-k a window rank — no global sort, no driver loop. Cosine =
+    round(int_dot / sqrt(int_norm², ...), 6): exact integers until one
+    sqrt + one divide on identical operands, so DuckDB replays every
+    score bit-for-bit (q40's rounding discipline). Zero-norm chunks or
+    queries are excluded BEFORE the divide (ANSI-safe). Self-pairs are
+    excluded. Returns (query_id, doc_id, maxsim), round-4, per-query
+    rank ≤ k by (round-6 maxsim DESC, doc_id)."""
+    from .dedup import md5_long
+
+    c_emb = hash_chunk_embeddings(
+        corpus, text_col, id_col, size=size, stride=stride, dim=dim
+    )
+    qtok = queries.select(
+        F.col(id_col).alias("qid"), F.explode(F.split(text_col, " ")).alias("t")
+    ).withColumn("hv", md5_long("t"))
+    qsums = [
+        F.sum(
+            (F.shiftright("hv", d).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"q{d}")
+        for d in range(dim)
+    ]
+    q_emb = qtok.groupBy("qid").agg(*qsums)
+    qn2 = None
+    for d in range(dim):
+        term = F.col(f"q{d}") * F.col(f"q{d}")
+        qn2 = term if qn2 is None else qn2 + term
+    q_emb = q_emb.withColumn("qn2", qn2.cast("long"))
+
+    dot = None
+    for d in range(dim):
+        term = F.col(f"e{d}") * F.col(f"q{d}")
+        dot = term if dot is None else dot + term
+    pairs = (
+        c_emb.join(F.broadcast(q_emb), F.col("id") != F.col("qid"))
+        .filter((F.col("n2") > 0) & (F.col("qn2") > 0))
+        .select(
+            "qid",
+            "id",
+            F.round(
+                dot.cast("double")
+                / F.sqrt((F.col("n2") * F.col("qn2")).cast("double")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    ms = pairs.groupBy("qid", "id").agg(F.max("cos").alias("m"))
+    wnd = Window.partitionBy("qid").orderBy(F.desc("m"), "id")
+    return (
+        ms.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("doc_id"),
+            F.round("m", 4).alias("maxsim"),
+        )
     )

@@ -13697,3 +13697,87 @@ def q256_filtered_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfadc_index_search(
         filtered, coarse_r, cents_r, e.orderBy("vec_id").limit(20), nprobe=3, topk=3
     )
+
+
+def _q257_oracle(
+    n_q: int = 5, k: int = 5, size: int = 64, stride: int = 48, dim: int = 16
+) -> str:
+    """DuckDB replay of MaxSim chunk retrieval: q135's chunk windows,
+    feature-hashed ±1 token projections (exact BIGINT sums over the
+    md5_long bit planes), integer dots/norms, ONE sqrt + divide
+    round-6 per pair, per-doc MAX, per-query top-k."""
+    e_sums = ", ".join(
+        f"SUM(((hv >> {d}) & 1) * 2 - 1) AS e{d}" for d in range(dim)
+    )
+    q_sums = ", ".join(
+        f"SUM(((hv >> {d}) & 1) * 2 - 1) AS q{d}" for d in range(dim)
+    )
+    n2 = " + ".join(f"e{d} * e{d}" for d in range(dim))
+    qn2 = " + ".join(f"q{d} * q{d}" for d in range(dim))
+    dot = " + ".join(f"c.e{d} * q.q{d}" for d in range(dim))
+    return f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+    st AS (
+      SELECT doc_id, ts,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ts) - {size} + {stride}, 1),
+                                    {stride})) AS s
+      FROM tok
+    ),
+    chtok AS (SELECT doc_id, s, UNNEST(ts[s:s+{size - 1}]) AS t FROM st),
+    h AS (
+      SELECT doc_id, s,
+             CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM chtok
+    ),
+    cemb0 AS (SELECT doc_id, s, {e_sums} FROM h GROUP BY doc_id, s),
+    cemb AS (SELECT *, {n2} AS n2 FROM cemb0),
+    qtok AS (
+      SELECT doc_id AS qid, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {n_q})
+    ),
+    qh AS (
+      SELECT qid, CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM qtok
+    ),
+    qemb0 AS (SELECT qid, {q_sums} FROM qh GROUP BY qid),
+    qemb AS (SELECT *, {qn2} AS qn2 FROM qemb0),
+    cos AS (
+      SELECT q.qid, c.doc_id,
+             ROUND(CAST({dot} AS DOUBLE)
+                   / SQRT(CAST(c.n2 * q.qn2 AS DOUBLE)), 6) AS cos
+      FROM cemb c CROSS JOIN qemb q
+      WHERE c.doc_id != q.qid AND c.n2 > 0 AND q.qn2 > 0
+    ),
+    ms AS (SELECT qid, doc_id, MAX(cos) AS m FROM cos GROUP BY qid, doc_id),
+    r AS (
+      SELECT qid, doc_id, m,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY m DESC, doc_id) AS rn
+      FROM ms
+    )
+    SELECT qid AS query_id, doc_id, ROUND(m, 4) AS maxsim
+    FROM r WHERE rn <= {k}
+    ORDER BY query_id, doc_id
+    """
+
+
+@query("q257_maxsim_chunk_retrieval", oracle=_q257_oracle())
+def q257_maxsim_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-LEVEL MaxSim RETRIEVAL (functions/retrieval.maxsim_topk) —
+    the late-interaction/passage-retrieval shape RAG pipelines run
+    (Khattab & Zaharia 2020 §3.1, one vector per query): corpus docs
+    are split into q135's 64/48 token windows, each chunk embedded by
+    exact feature hashing (±1 md5-bit projections, BIGINT sums), and a
+    document's score for a query is the MAX cosine over its chunks —
+    a long document matches if its best passage matches. The 5
+    lowest-id docs are the queries (embedded whole), top-5 neighbors
+    each. Scale shape: Q vectors broadcast into one pass over the
+    chunk frame, per-doc MAX partial-aggregates, window top-k — no
+    global sort, no driver loop. Every score is integer arithmetic
+    until one sqrt + one divide (q40's rounding discipline), so the
+    oracle replays the full chain bit-for-bit."""
+    from .functions.retrieval import maxsim_topk
+
+    d = t(spark, sf_dir, "documents")
+    return maxsim_topk(
+        d.orderBy("doc_id").limit(5), d, "text", "doc_id", k=5
+    ).orderBy("query_id", "doc_id")

@@ -1946,3 +1946,32 @@ def test_filtered_ann_predicate_lands_in_codes_scan(spark, tmp_path):
     en_ids = {i for i, _, l in rows if l == "en"}
     assert res and all(r.neighbor_id in en_ids for r in res)
     release_all_storage(spark)
+
+
+def test_maxsim_planted_passage_ranks_first(spark):
+    """maxsim_topk (q257): a corpus document that CONTAINS the query's
+    64 tokens verbatim as its first chunk window must rank top-1 with
+    maxsim = 1.0 (its chunk embedding equals the query embedding
+    exactly — integer feature hashing makes this an equality, not an
+    approximation), regardless of the rest of the document. That is the
+    late-interaction property: best-passage match, not whole-doc
+    average."""
+    import random
+
+    from ddf_flink_spark.functions.retrieval import maxsim_topk
+
+    rng = random.Random(257)
+    vocab = [f"w{i}" for i in range(300)]
+    qtoks = [rng.choice(vocab) for _ in range(64)]
+    qdf = spark.createDataFrame([(0, " ".join(qtoks))], "doc_id long, text string")
+    corpus = [(10, " ".join(qtoks + [rng.choice(vocab) for _ in range(32)]))]
+    for i in range(11, 31):
+        corpus.append((i, " ".join(rng.choice(vocab) for _ in range(90))))
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    res = maxsim_topk(qdf, cdf, k=3).collect()
+    top = max(
+        (r for r in res if r.query_id == 0),
+        key=lambda r: (r.maxsim, -r.doc_id),
+    )
+    assert (top.doc_id, top.maxsim) == (10, 1.0), res
