@@ -13781,3 +13781,74 @@ def q257_maxsim_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(
         d.orderBy("doc_id").limit(5), d, "text", "doc_id", k=5
     ).orderBy("query_id", "doc_id")
+
+
+@query("q258_ivfadc_build_persist", oracle=_q248_oracle())
+def q258_ivfadc_build_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD LEG of the ANN lifecycle, split out of q244's fused
+    train+serve headline (round-7 verdict: the fused number was the
+    most load-sensitive headliner because Lloyd training's driver
+    barriers dominate under load — bench the two legs separately):
+    train the residual-IVFADC index (q243's chain) and PERSIST the
+    composite layout (functions/index_store.persist_index — codes
+    partitioned by list_id + model sidecars). Returns the persisted
+    codes table; the oracle replays the full training chain and pins
+    the entire (id, list_id, code0..3) membership (q248's oracle —
+    the persisted build must equal the in-session build exactly)."""
+    import shutil
+
+    from .functions.index_store import persist_index
+    from .functions.similarity import ivfadc_index_build
+    from .storage import release_checkpoint
+
+    base = _session_tmp("q258")
+    shutil.rmtree(base, ignore_errors=True)
+    e = t(spark, sf_dir, "embeddings")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=4, k=4, iters=2)
+    persist_index(index, coarse, cents, base)
+    release_checkpoint(index)
+    return (
+        spark.read.parquet(f"{base}/codes")
+        .select(
+            "id",
+            F.col("list_id").cast("int").alias("list_id"),
+            *[F.col(f"code{j}").cast("int").alias(f"code{j}") for j in range(4)],
+        )
+        .orderBy("id")
+    )
+
+
+_Q259_BUILT: set[str] = set()
+
+
+@query("q259_ivfadc_persisted_serve", oracle=_q244_oracle())
+def q259_ivfadc_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE LEG of the ANN lifecycle (q258's counterpart): 64 queries
+    against the PERSISTED index in one lazy plan. The index is built
+    and persisted ONCE per process per sf_dir (a production
+    deployment's offline build — in bench the cold run pays it); every
+    subsequent invocation is reload + serving only, so the steady-state
+    bench number is the pure serving cost a 100 TB deployment cares
+    about. Results are hash-equal to q244's fused train+serve (same
+    oracle): q245 proved persisted-reload ≡ fresh-build, this entry
+    makes the serve leg a standing benchmark anchor."""
+    from .functions.index_store import load_index, persist_index
+    from .functions.similarity import ivfadc_index_build, ivfadc_index_search
+    from .storage import release_checkpoint
+
+    import os as _os
+    import shutil
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    base = _session_tmp(f"q259_{tag}")
+    e = t(spark, sf_dir, "embeddings")
+    if base not in _Q259_BUILT or not _os.path.isdir(f"{base}/codes"):
+        shutil.rmtree(base, ignore_errors=True)
+        index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=4, k=4, iters=2)
+        persist_index(index, coarse, cents, base)
+        release_checkpoint(index)
+        _Q259_BUILT.add(base)
+    codes, coarse_r, cents_r = load_index(spark, base)
+    return ivfadc_index_search(
+        codes, coarse_r, cents_r, e.orderBy("vec_id").limit(64), nprobe=3, topk=5
+    )

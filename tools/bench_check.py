@@ -4,9 +4,10 @@ Wall time on the shared box drifts with load (r4→r6 history: ±20% on
 identical code), so round-over-round adjudication anchors on
 CPU-seconds — load-insensitive user+sys of driver + JVM + python
 workers, measured per query by bench.py since round 6. This script
-fails when any CORE19 member's steady-state cpu min exceeds its
-committed anchor (tools/cpu_anchors.json, extracted from the round-6
-artifact) by more than 25%, automating the discipline instead of
+fails when any ANCHORED query's steady-state cpu min exceeds its
+committed anchor (tools/cpu_anchors.json — r6 values for the long-lived
+members, r8 quiet-box values for later additions, per the in-file
+notes) by more than 25%, automating the discipline instead of
 re-litigating it in prose each round.
 
 Usage:
@@ -94,8 +95,12 @@ def main() -> int:
     quiet = start_load <= cpus / 4
 
     failures = []
+    # Round 8: every anchored query that was measured is checked (the
+    # anchors file is the source of truth), not just CORE19 — the ANN
+    # build/serve legs (q258/q259) and the post-r6 headliners get the
+    # same regression tripwire. CORE19 membership no longer gates.
     for name, anchor in sorted(anchors.items()):
-        if name not in core19 or name not in measured:
+        if name not in measured:
             continue
         limit = max(anchor * TOLERANCE, anchor + ABS_SLACK)
         if measured[name] > limit:
@@ -104,10 +109,11 @@ def main() -> int:
                 f"(anchor {anchor:.2f} +25%)"
             )
 
-    checked = sorted(n for n in anchors if n in core19 and n in measured)
+    checked = sorted(n for n in anchors if n in measured)
     print(
-        f"bench_check: {len(checked)} core19 members checked against r6 "
-        f"anchors, start load {start_load:.2f} ({'quiet' if quiet else 'BUSY'})"
+        f"bench_check: {len(checked)} anchored queries checked "
+        f"({len([n for n in checked if n in core19])} core19), "
+        f"start load {start_load:.2f} ({'quiet' if quiet else 'BUSY'})"
     )
     if failures:
         for f in failures:
@@ -119,7 +125,7 @@ def main() -> int:
             )
             return 0
         return 1
-    print("bench_check: OK — no core19 CPU regression past 25%")
+    print("bench_check: OK — no anchored CPU regression past 25%")
     return 0
 
 
