@@ -100,32 +100,41 @@ def index_delete_ids(spark: SparkSession, base: str, ids: DataFrame) -> None:
     )
 
 
-def index_compact(spark: SparkSession, base: str) -> "dict[str, int]":
-    """Fold tombstones into the codes layout by rewriting ONLY the
+def index_compact(
+    spark: SparkSession,
+    base: str,
+    table: str = "codes",
+    part_col: str = "list_id",
+) -> "dict[str, int]":
+    """Fold tombstones into the ``table`` layout by rewriting ONLY the
     affected partitions, then retire the tombstones. Returns
     ``{"affected_cells": n, "dropped_rows": n}``. The survivors scan is
-    partition-pruned (``list_id IN affected`` reaches PartitionFilters
-    — plan-locked in tests); untouched partitions keep their files."""
+    partition-pruned (``part_col IN affected`` reaches PartitionFilters
+    — plan-locked in tests); untouched partitions keep their files.
+    ``table``/``part_col`` default to the IVFADC codes layout; any
+    id-keyed table partitioned by a bounded-cardinality column compacts
+    the same way (q261 runs it on the dedup fingerprint corpus,
+    partitioned by fingerprint bucket)."""
     tomb_dir = f"{base}/tombstones"
     if not os.path.isdir(tomb_dir):
         return {"affected_cells": 0, "dropped_rows": 0}
     tomb = spark.read.parquet(tomb_dir)
-    codes = spark.read.parquet(f"{base}/codes")
-    hit = codes.join(tomb, "id", "left_semi")
+    rows = spark.read.parquet(f"{base}/{table}")
+    hit = rows.join(tomb, "id", "left_semi")
     affected = sorted(
-        int(r["list_id"])
-        for r in hit.select("list_id").distinct().collect()  # bounded: ≤ n_lists
+        int(r[part_col])
+        for r in hit.select(part_col).distinct().collect()  # bounded: ≤ n_parts
     )
     dropped = hit.count()
     if affected:
-        survivors = codes.filter(F.col("list_id").isin(affected)).join(
+        survivors = rows.filter(F.col(part_col).isin(affected)).join(
             tomb, "id", "left_anti"
         )
-        staging = f"{base}/codes_compact_staging"
-        survivors.write.mode("overwrite").partitionBy("list_id").parquet(staging)
+        staging = f"{base}/{table}_compact_staging"
+        survivors.write.mode("overwrite").partitionBy(part_col).parquet(staging)
         for c in affected:
-            dst = f"{base}/codes/list_id={c}"
-            src = f"{staging}/list_id={c}"
+            dst = f"{base}/{table}/{part_col}={c}"
+            src = f"{staging}/{part_col}={c}"
             shutil.rmtree(dst, ignore_errors=True)
             if os.path.isdir(src):
                 shutil.move(src, dst)

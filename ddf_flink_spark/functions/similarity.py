@@ -47,6 +47,7 @@ __all__ = [
     "ivfadc_index_search",
     "ivfadc_encode",
     "ivfadc_rebalance",
+    "ivfadc_split_cell",
 ]
 
 
@@ -1423,6 +1424,37 @@ def _train_pq_codebooks(
     return codes, cents
 
 
+def _argmin_pos(vec: Column, cents_py: list) -> Column:
+    """Position of the nearest centroid in ``cents_py``: round-6
+    euclidean rank, position tiebreak — ``ml/kmeans._assign``'s exact
+    rule as one JVM expression (shared by :func:`ivfadc_encode`,
+    :func:`ivfadc_rebalance`, :func:`ivfadc_split_cell`)."""
+    dist_arr = F.array(
+        *[
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            for c in cents_py
+        ]
+    )
+    best = F.array_min(
+        F.zip_with(
+            dist_arr,
+            F.array(*[F.lit(p) for p in range(len(cents_py))]),
+            lambda d, p: F.struct(F.round(d, 6).alias("rd"), p.alias("pos")),
+        )
+    )
+    return best["pos"]
+
+
 def ivfadc_encode(
     df: DataFrame,
     coarse: list,
@@ -1451,36 +1483,10 @@ def ivfadc_encode(
     w = len(codebooks[0][0])
     coarse_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
 
-    def argmin_cell(vec, cents_py):
-        dist_arr = F.array(
-            *[
-                F.sqrt(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                )
-                for c in cents_py
-            ]
-        )
-        best = F.array_min(
-            F.zip_with(
-                dist_arr,
-                F.array(*[F.lit(ci) for ci in range(len(cents_py))]),
-                lambda d, ci: F.struct(F.round(d, 6).alias("rd"), ci.alias("cluster")),
-            )
-        )
-        return best["cluster"]
-
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("list_id", argmin_cell(F.col("v"), coarse).cast("int"))
+    ).withColumn("list_id", _argmin_pos(F.col("v"), coarse).cast("int"))
     res = base.withColumn(
         "r",
         F.zip_with(
@@ -1488,7 +1494,7 @@ def ivfadc_encode(
         ),
     )
     code_cols = [
-        argmin_cell(F.slice("r", j * w + 1, w), codebooks[j])
+        _argmin_pos(F.slice("r", j * w + 1, w), codebooks[j])
         .cast("int")
         .alias(f"code{j}")
         for j in range(m)
@@ -1570,34 +1576,6 @@ def ivfadc_rebalance(
         ).withColumn("pos", F.array_position(t_arr, F.col("old_cell")) - 1)
     )
 
-    def _rank_restricted(vec, cents_py):
-        """Round-6 L2 rank over the target centroid set, position
-        tiebreak — ml/kmeans._assign's rule restricted to targets."""
-        dist_arr = F.array(
-            *[
-                F.sqrt(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                )
-                for c in cents_py
-            ]
-        )
-        best = F.array_min(
-            F.zip_with(
-                dist_arr,
-                F.array(*[F.lit(p) for p in range(len(cents_py))]),
-                lambda d, p: F.struct(F.round(d, 6).alias("rd"), p.alias("pos")),
-            )
-        )
-        return best["pos"]
-
     cents_t: list[list[float]] = [[float(x) for x in coarse[c]] for c in targets]
     assigned = members
     for _ in range(iters):
@@ -1617,7 +1595,7 @@ def ivfadc_rebalance(
             for p in range(len(targets))
         ]
         assigned = members.withColumn(
-            "pos", _rank_restricted(F.col("v"), cents_t).cast("int")
+            "pos", _argmin_pos(F.col("v"), cents_t).cast("int")
         )
 
     newc_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents_t])
@@ -1630,7 +1608,7 @@ def ivfadc_rebalance(
         ).alias("r"),
     )
     code_cols = [
-        _rank_restricted(F.slice("r", j * w + 1, w), codebooks[j])
+        _argmin_pos(F.slice("r", j * w + 1, w), codebooks[j])
         .cast("int")
         .alias(f"code{j}")
         for j in range(m)
@@ -1647,6 +1625,120 @@ def ivfadc_rebalance(
         cents_t[targets.index(c)] if c in targets else list(coarse[c])
         for c in range(len(coarse))
     ]
+    return (
+        propagate_checkpoint_ids(new_index, index, members),
+        new_coarse,
+        propagate_checkpoint_ids(moves, members),
+    )
+
+
+def ivfadc_split_cell(
+    df: DataFrame,
+    index: DataFrame,
+    coarse: list,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell: "int | None" = None,
+    iters: int = 1,
+) -> "tuple[DataFrame, list, DataFrame]":
+    """HOT-CELL SPLIT — :func:`ivfadc_rebalance`'s sibling that GROWS
+    the index: the target cell (default: the most populated, count-desc
+    / id-asc) is split in two with ``kmeans_lloyd``'s exact discipline
+    at k=2 over its members (seeds = the 2 lowest-id members' vectors
+    rounded to 4; ``iters`` × (assign → round-4 mean update), final
+    assignment after the loop; emptied seed keeps its centroid).
+    Sub-cluster 0 keeps the cell's id, sub-cluster 1 becomes the NEW
+    cell ``len(coarse)`` — appended, so existing cell ids (and their
+    partition directories) never renumber. Members re-encode against
+    their sub-centroid with the UNCHANGED codebooks; every other cell
+    is untouched BYTES, giving the same serve-equality contract as the
+    rebalance. This is the standard remedy when one cell's population
+    makes probes that hit it scan too much (inverted-list growth
+    management, Jégou et al. 2011 §V): split work ∝ hot-cell rows, and
+    a partitioned index writes one rewritten + one new partition.
+
+    Returns ``(new_index, new_coarse, moves)`` with the
+    :func:`ivfadc_rebalance` schemas (``new_coarse`` has one more
+    entry; q260's oracle pins the moves frame end-to-end)."""
+    from ..storage import propagate_checkpoint_ids, tracked_local_checkpoint
+
+    m = len(codebooks)
+    w = len(codebooks[0][0])
+    if cell is None:
+        census = (
+            index.groupBy("list_id")
+            .count()
+            .orderBy(F.desc("count"), "list_id")
+            .limit(1)
+            .collect()  # bounded: n_lists rows ranked
+        )
+        cell = int(census[0]["list_id"])
+    emb = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    members = tracked_local_checkpoint(
+        emb.join(
+            index.filter(F.col("list_id") == cell).select("id"), "id"
+        )
+    )
+    seed_rows = (
+        members.orderBy("id")
+        .limit(2)
+        .select(F.transform("v", lambda x: F.round(x, 4)).alias("c"))
+        .collect()
+    )
+    if len(seed_rows) < 2:
+        raise ValueError(f"ivfadc_split_cell: cell {cell} has < 2 members")
+    cents_s: list[list[float]] = [list(r["c"]) for r in seed_rows]
+    for _ in range(iters):
+        assigned = members.withColumn("pos", _argmin_pos(F.col("v"), cents_s))
+        mean_rows = (
+            assigned.select("pos", F.posexplode("v").alias("dim", "x"))
+            .groupBy("pos", "dim")
+            .agg(F.round(F.avg("x"), 4).alias("c"))
+            .collect()
+        )
+        by_pos: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_pos.setdefault(r["pos"], {})[r["dim"]] = r["c"]
+        cents_s = [
+            [by_pos[p][d] for d in range(len(cents_s[p]))]
+            if p in by_pos
+            else cents_s[p]
+            for p in range(2)
+        ]
+    new_id = len(coarse)
+    cents_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents_s])
+    fin = members.withColumn("pos", _argmin_pos(F.col("v"), cents_s).cast("int"))
+    res = fin.select(
+        "id",
+        F.lit(cell).cast("int").alias("old_cell"),
+        F.when(F.col("pos") == 0, F.lit(cell))
+        .otherwise(F.lit(new_id))
+        .cast("int")
+        .alias("new_cell"),
+        F.zip_with(
+            "v", F.element_at(cents_arr, F.col("pos") + 1), lambda a, b: a - b
+        ).alias("r"),
+    )
+    code_cols = [
+        _argmin_pos(F.slice("r", j * w + 1, w), codebooks[j])
+        .cast("int")
+        .alias(f"code{j}")
+        for j in range(m)
+    ]
+    moves = res.select("id", "old_cell", "new_cell", *code_cols)
+    new_index = index.filter(F.col("list_id") != cell).unionByName(
+        moves.select(
+            "id",
+            F.col("new_cell").alias("list_id"),
+            *[F.col(f"code{j}") for j in range(m)],
+        )
+    )
+    new_coarse = [
+        cents_s[0] if c == cell else list(coarse[c]) for c in range(len(coarse))
+    ] + [cents_s[1]]
     return (
         propagate_checkpoint_ids(new_index, index, members),
         new_coarse,

@@ -13852,3 +13852,261 @@ def q259_ivfadc_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfadc_index_search(
         codes, coarse_r, cents_r, e.orderBy("vec_id").limit(64), nprobe=3, topk=5
     )
+
+
+def _q260_oracle(n_lists: int = 8, m: int = 4, w: int = 16, k: int = 4) -> str:
+    """DuckDB replay of the hot-cell SPLIT (q260): q254's training
+    prefix (coarse chain, residuals, m codebook chains), then: hottest
+    cell (count desc, id asc) → k=2 Lloyd over its members with
+    kmeans_lloyd's exact discipline (seeds = 2 lowest-id member vectors
+    round-4; assign → round-4 mean update → final assign) → sub-cluster
+    0 keeps the cell id, sub-cluster 1 becomes cell n_lists → members
+    re-encode against their sub-centroid with the unchanged codebooks.
+    Pins (id, old_cell, new_cell, code0..code{m-1})."""
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    blocks = []
+    code_blocks = []
+    code_joins = []
+    code_cols = []
+    for j in range(m):
+        lo, hi = j * w + 1, j * w + w
+        assign_j = f"""
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM remb{j} e CROSS JOIN {{cent}} c
+    """
+        update_j = f"""
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {{assigned}} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+        blocks.append(f"""
+    remb{j} AS (SELECT id, list_slice(v, {lo}, {hi}) AS v FROM remb),
+    rc0_{j} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM remb{j} ORDER BY id LIMIT {k})
+    ),
+    rs0_{j} AS ({assign_j.format(cent=f"rc0_{j}")}),
+    ra0_{j} AS (SELECT id, v, cluster FROM rs0_{j} WHERE rn = 1),
+    rm1_{j} AS ({update_j.format(assigned=f"ra0_{j}")}),
+    rc1n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM rm1_{j} GROUP BY cluster),
+    rc1_{j} AS (SELECT rc0_{j}.cluster, COALESCE(rc1n_{j}.c, rc0_{j}.c) AS c
+               FROM rc0_{j} LEFT JOIN rc1n_{j} USING (cluster)),
+    rs1_{j} AS ({assign_j.format(cent=f"rc1_{j}")}),
+    ra1_{j} AS (SELECT id, v, cluster FROM rs1_{j} WHERE rn = 1),
+    rm2_{j} AS ({update_j.format(assigned=f"ra1_{j}")}),
+    rc2n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM rm2_{j} GROUP BY cluster),
+    rc2_{j} AS (SELECT rc1_{j}.cluster, COALESCE(rc2n_{j}.c, rc1_{j}.c) AS c
+               FROM rc1_{j} LEFT JOIN rc2n_{j} USING (cluster))""")
+        code_blocks.append(f"""
+    mcode{j} AS (
+      SELECT id, cluster AS code{j} FROM (
+        SELECT rres.id, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY rres.id
+                 ORDER BY ROUND(list_distance(list_slice(rres.r, {lo}, {hi}), c.c), 6),
+                          c.cluster
+               ) AS rn
+        FROM rres CROSS JOIN rc2_{j} c
+      ) s WHERE rn = 1
+    )""")
+        code_joins.append(f"JOIN mcode{j} USING (id)")
+        code_cols.append(f"CAST(mcode{j}.code{j} AS BIGINT) AS code{j}")
+    return f"""
+    WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
+    rsrc AS (
+      SELECT e.id, e.v AS ev, c2.c AS cc
+      FROM emb e JOIN cells ON cells.id = e.id
+                 JOIN c2 ON c2.cluster = cells.cluster
+    ),
+    remb AS (
+      SELECT id, LIST(u.vx - u.cx ORDER BY u.i) AS v
+      FROM rsrc,
+           LATERAL (SELECT UNNEST(rsrc.ev) AS vx, UNNEST(rsrc.cc) AS cx,
+                    generate_subscripts(rsrc.ev, 1) AS i) u
+      GROUP BY id
+    ),
+    {",".join(blocks)},
+    census AS (SELECT cluster, COUNT(*) AS n FROM cells GROUP BY cluster),
+    hot AS (SELECT cluster FROM census ORDER BY n DESC, cluster LIMIT 1),
+    mem AS (
+      SELECT cells.id, cells.cluster AS old_cell, emb.v
+      FROM cells JOIN hot ON hot.cluster = cells.cluster
+                 JOIN emb ON emb.id = cells.id
+    ),
+    sc0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS pos,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM mem ORDER BY id LIMIT 2)
+    ),
+    ss0 AS (
+      SELECT mem.id, mem.v, s.pos,
+             ROW_NUMBER() OVER (
+               PARTITION BY mem.id
+               ORDER BY ROUND(list_distance(mem.v, s.c), 6), s.pos
+             ) AS rn
+      FROM mem CROSS JOIN sc0 s
+    ),
+    sa0 AS (SELECT id, v, pos FROM ss0 WHERE rn = 1),
+    sm1 AS (
+      SELECT pos, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM sa0,
+           LATERAL (SELECT UNNEST(sa0.v) AS x, generate_subscripts(sa0.v, 1) AS i) u
+      GROUP BY pos, u.i
+    ),
+    sc1n AS (SELECT pos, LIST(cx ORDER BY dim) AS c FROM sm1 GROUP BY pos),
+    sc1 AS (SELECT sc0.pos, COALESCE(sc1n.c, sc0.c) AS c
+            FROM sc0 LEFT JOIN sc1n USING (pos)),
+    ss1 AS (
+      SELECT mem.id, mem.old_cell, mem.v, s.pos,
+             ROW_NUMBER() OVER (
+               PARTITION BY mem.id
+               ORDER BY ROUND(list_distance(mem.v, s.c), 6), s.pos
+             ) AS rn
+      FROM mem CROSS JOIN sc1 s
+    ),
+    fin AS (SELECT id, old_cell, v, pos FROM ss1 WHERE rn = 1),
+    finsrc AS (
+      SELECT fin.id, fin.old_cell,
+             CASE WHEN fin.pos = 0 THEN fin.old_cell
+                  ELSE {n_lists} END AS new_cell,
+             fin.v AS fv, sc1.c AS cc
+      FROM fin JOIN sc1 ON sc1.pos = fin.pos
+    ),
+    rres AS (
+      SELECT id, old_cell, new_cell, LIST(u.vx - u.cx ORDER BY u.i) AS r
+      FROM finsrc,
+           LATERAL (SELECT UNNEST(finsrc.fv) AS vx, UNNEST(finsrc.cc) AS cx,
+                    generate_subscripts(finsrc.fv, 1) AS i) u
+      GROUP BY id, old_cell, new_cell
+    ),
+    {",".join(code_blocks)}
+    SELECT rres.id, CAST(rres.old_cell AS BIGINT) AS old_cell,
+           CAST(rres.new_cell AS BIGINT) AS new_cell,
+           {", ".join(code_cols)}
+    FROM rres {" ".join(code_joins)}
+    ORDER BY rres.id
+    """
+
+
+@query("q260_ivfadc_split_hot_cell", oracle=_q260_oracle())
+def q260_ivfadc_split_hot_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT-CELL SPLIT (functions/similarity.ivfadc_split_cell) — q254's
+    sibling that GROWS the index when one cell's population makes
+    probes that hit it scan too much: the most populated cell splits in
+    two (kmeans_lloyd's k=2 discipline over its members), sub-cluster 0
+    keeps the cell id, sub-cluster 1 becomes the appended cell
+    n_lists — existing cell ids and partition directories never
+    renumber. Members re-encode against their sub-centroid with the
+    UNCHANGED codebooks; all other cells stay byte-identical (same
+    serve-equality contract as q254, pinned in tests). Split work ∝
+    hot-cell rows; a partitioned index writes one rewritten + one new
+    partition. Oracle: full replay of training prefix + the split
+    chain, pinning (id, old_cell, new_cell, code0..3)."""
+    from .functions.similarity import ivfadc_index_build, ivfadc_split_cell
+
+    M = 4
+    e = t(spark, sf_dir, "embeddings")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=M, k=4, iters=2)
+    new_index, new_coarse, moves = ivfadc_split_cell(
+        e, index, coarse, cents, iters=1
+    )
+    out = moves.select(
+        "id",
+        F.col("old_cell").cast("long").alias("old_cell"),
+        F.col("new_cell").cast("long").alias("new_cell"),
+        *[F.col(f"code{j}").cast("long").alias(f"code{j}") for j in range(M)],
+    ).orderBy("id")
+    return _carry(out, index, moves)
+
+
+@query(
+    "q261_fingerprint_corpus_delete",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id,
+             CAST(('0x' || SUBSTRING(md5(text), 1, 15)) AS BIGINT) AS fp
+      FROM documents WHERE doc_id % 11 != 0
+    )
+    SELECT fp, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS keeper
+    FROM kept GROUP BY fp ORDER BY fp
+    """,
+)
+def q261_fingerprint_corpus_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION ON THE DEDUP FINGERPRINT CORPUS — q255's tombstone
+    discipline applied to the OTHER retained table a curation pipeline
+    keeps forever (the round-7 verdict named both): the exact-dedup
+    fingerprint corpus (id, md5_long(text)) is persisted partitioned by
+    fingerprint bucket (fp % 16 — the compaction unit), doc ids
+    ≡ 0 (mod 11) are tombstoned (O(|ids|) append via the SAME
+    functions/index_store.index_delete_ids), the affected buckets are
+    compacted with the generalized index_compact (partition-pruned
+    rewrite, bucket column instead of list_id), and the post-compaction
+    fingerprint census (fp, multiplicity, keeper id) is served. The
+    oracle recomputes fingerprints of the retained corpus directly —
+    serve-after-delete-and-compact ≡ fresh-minus-deleted, pinning every
+    retained fingerprint value. This is what makes a GDPR erasure
+    effective against FUTURE dedup decisions, not just the index."""
+    import shutil
+
+    from .functions.dedup import md5_long
+    from .functions.index_store import index_compact, index_delete_ids
+
+    base = _session_tmp("q261")
+    shutil.rmtree(base, ignore_errors=True)
+    d = t(spark, sf_dir, "documents")
+    fps = d.select(
+        F.col("doc_id").alias("id"), md5_long("text").alias("fp")
+    ).withColumn("bucket", (F.col("fp") % 16).cast("int"))
+    fps.write.mode("overwrite").partitionBy("bucket").parquet(f"{base}/fps")
+    index_delete_ids(
+        spark, base, d.filter(F.col("doc_id") % 11 == 0).select("doc_id")
+    )
+    index_compact(spark, base, table="fps", part_col="bucket")
+    kept = spark.read.parquet(f"{base}/fps")
+    return (
+        kept.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("id").alias("keeper"),
+        )
+        .orderBy("fp")
+    )

@@ -1975,3 +1975,75 @@ def test_maxsim_planted_passage_ranks_first(spark):
         key=lambda r: (r.maxsim, -r.doc_id),
     )
     assert (top.doc_id, top.maxsim) == (10, 1.0), res
+
+
+def test_ivfadc_split_cell_contracts(spark):
+    """ivfadc_split_cell (q260): the hot cell's members partition
+    exactly between the kept id and the appended cell len(coarse); all
+    other cells stay byte-identical; row count is conserved;
+    new_coarse grows by one with non-split entries unchanged; and
+    serving is bit-equal for probe frontiers that avoid BOTH the split
+    cell and the new cell, before and after."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import (
+        ivfadc_index_build,
+        ivfadc_index_search,
+        ivfadc_split_cell,
+    )
+    from ddf_flink_spark.storage import release_all_storage
+
+    rng = random.Random(260)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index, coarse, cents = ivfadc_index_build(df, n_lists=5, m=4, k=4, iters=2)
+    old_rows = {tuple(r) for r in index.collect()}
+
+    new_index, new_coarse, moves = ivfadc_split_cell(df, index, coarse, cents)
+    mv = moves.collect()
+    new_rows = {tuple(r) for r in new_index.collect()}
+    hot = mv[0]["old_cell"]
+    new_id = len(coarse)
+    assert len(new_coarse) == len(coarse) + 1
+    assert all(r["old_cell"] == hot for r in mv)
+    assert {r["new_cell"] for r in mv} <= {hot, new_id}
+    assert len(new_rows) == len(old_rows)
+    untouched_old = {r for r in old_rows if r[1] != hot}
+    untouched_new = {r for r in new_rows if r[1] not in (hot, new_id)}
+    assert untouched_old == untouched_new
+    for c in range(len(coarse)):
+        if c != hot:
+            assert new_coarse[c] == list(coarse[c])
+
+    def frontier(qv, cents_list, nprobe):
+        scored = sorted(
+            (round(-sum(a * b for a, b in zip(qv, c)), 6), i)
+            for i, c in enumerate(cents_list)
+        )
+        return {i for _, i in scored[:nprobe]}
+
+    vecs = {i: [float(x) for x in v] for i, v in rows}
+    safe = [
+        i
+        for i, v in vecs.items()
+        if not (frontier(v, coarse, 2) | frontier(v, new_coarse, 2))
+        & {hot, new_id}
+    ]
+    assert safe, "seeded corpus must yield a split-avoiding query"
+    q = df.filter(F.col("vec_id").isin(safe[:8]))
+    before = sorted(
+        map(
+            tuple,
+            ivfadc_index_search(index, coarse, cents, q, nprobe=2, topk=3).collect(),
+        )
+    )
+    after = sorted(
+        map(
+            tuple,
+            ivfadc_index_search(
+                new_index, new_coarse, cents, q, nprobe=2, topk=3
+            ).collect(),
+        )
+    )
+    assert before == after
+    release_all_storage(spark)
