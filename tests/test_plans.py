@@ -435,6 +435,14 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     "q244_ivfadc_batch_serving": {"cartesian-product"},
     "q245_ivfadc_index_persistence": {"cartesian-product"},
     "q250_ivfadc_exact_rerank": {"cartesian-product"},  # same LUT cross via q244
+    # same LUT cross (broadcast m·k = 16-row codebook frame) through
+    # ivfadc_index_search in the round-8 lifecycle queries
+    "q255_index_delete_compact": {"cartesian-product"},
+    "q256_filtered_ann_persisted": {"cartesian-product"},
+    "q259_ivfadc_persisted_serve": {"cartesian-product"},
+    # MaxSim: the broadcast side is the Q=5 query-vector frame (model-
+    # sized); the non-equi (id != qid) cross over it is the pair scoring
+    "q257_maxsim_chunk_retrieval": {"cartesian-product"},
     # 4-row tuning table: per-nprobe 1-row hit aggregates crossJoined
     # with the 1-row query-count aggregate
     "q252_ivf_recall_sweep": {"single-partition", "cartesian-product"},
