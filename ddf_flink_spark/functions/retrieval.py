@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "hash_chunk_embeddings", "maxsim_topk"]
+__all__ = ["bm25_topk", "hash_chunk_embeddings", "maxsim_topk", "maxsim_ivf_topk"]
 
 
 def bm25_topk(
@@ -151,8 +151,10 @@ def maxsim_topk(
     sqrt + one divide on identical operands, so DuckDB replays every
     score bit-for-bit (q40's rounding discipline). Zero-norm chunks or
     queries are excluded BEFORE the divide (ANSI-safe). Self-pairs are
-    excluded. Returns (query_id, doc_id, maxsim), round-4, per-query
-    rank ≤ k by (round-6 maxsim DESC, doc_id)."""
+    excluded. Returns (query_id, doc_id, maxsim): the ROUND-6 max itself
+    — bit-identical across engines, so no second rounding (a round-4 of
+    a round-6 value double-rounds at 4-decimal midpoints), per-query
+    rank ≤ k by (maxsim DESC, doc_id)."""
     from .dedup import md5_long
 
     c_emb = hash_chunk_embeddings(
@@ -199,6 +201,122 @@ def maxsim_topk(
         .select(
             F.col("qid").alias("query_id"),
             F.col("id").alias("doc_id"),
-            F.round("m", 4).alias("maxsim"),
+            F.col("m").alias("maxsim"),
+        )
+    )
+
+
+def maxsim_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 3,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 16,
+) -> DataFrame:
+    """IVF-PRUNED MaxSim — :func:`maxsim_topk`'s scale path: instead of
+    scoring every (query, chunk) pair, the CHUNK embeddings are coarse-
+    quantized (deterministic Lloyd over chunk vectors, exactly the q39
+    IVF discipline) and each query scores only the chunks in its
+    ``nprobe`` nearest cells; the per-doc MAX and per-query top-k then
+    run over candidates alone. At 100 TB the chunk table is the big
+    side (every doc × every window) — the probe bounds pair work to
+    ~nprobe/n_lists of it, the same economics IVF gives whole-doc ANN,
+    and the chunk-cell assignment persists/partitions exactly like the
+    q245 codes layout. Recall loss is the standard IVF trade: a doc is
+    found if its BEST-matching chunk lands in a probed cell (per-chunk
+    probing preserves the late-interaction property that only the best
+    passage must match).
+
+    All arithmetic stays cross-engine exact: chunk/query vectors are
+    integer-valued (feature hashing), so dots and norms are exact BIGINT
+    sums even as doubles; centroid means are round-4; probe and cosine
+    ranks are round-6 (q40/q39 disciplines). Chunk key = id·10⁶ +
+    chunk_id (window index) keeps the Lloyd seed order engine-
+    independent. Returns (query_id, doc_id, maxsim) — the round-6
+    max itself (see :func:`maxsim_topk` on why there is no second
+    rounding)."""
+    from ..ml.kmeans import kmeans_lloyd
+    from .dedup import md5_long
+    from .similarity import dot as _dot
+
+    c_emb = hash_chunk_embeddings(
+        corpus, text_col, id_col, size=size, stride=stride, dim=dim
+    )
+    chv = c_emb.select(
+        (F.col("id") * 1000000 + F.col("chunk_id")).alias("ck"),
+        F.col("id").alias("doc"),
+        F.array(*[F.col(f"e{d}").cast("double") for d in range(dim)]).alias("v"),
+        "n2",
+    )
+    assigned, cents = kmeans_lloyd(
+        chv, "v", "ck", k=n_lists, iters=2, return_centroids=True
+    )
+    idx = chv.join(
+        assigned.select(F.col("id").alias("ck"), F.col("cluster").alias("list_id")),
+        "ck",
+    )
+
+    qtok = queries.select(
+        F.col(id_col).alias("qid"), F.explode(F.split(text_col, " ")).alias("t")
+    ).withColumn("hv", md5_long("t"))
+    qsums = [
+        F.sum(
+            (F.shiftright("hv", d).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"q{d}")
+        for d in range(dim)
+    ]
+    q_emb = qtok.groupBy("qid").agg(*qsums)
+    qn2 = None
+    for d in range(dim):
+        term = F.col(f"q{d}") * F.col(f"q{d}")
+        qn2 = term if qn2 is None else qn2 + term
+    q_emb = q_emb.select(
+        "qid",
+        F.array(*[F.col(f"q{d}").cast("double") for d in range(dim)]).alias("qv"),
+        qn2.cast("long").alias("qn2"),
+    )
+
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    scored_lists = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda i: F.struct(
+            F.round(-_dot(F.col("qv"), F.element_at(cent_arr, i + 1)), 6).alias(
+                "neg"
+            ),
+            i.alias("list_id"),
+        ),
+    )
+    probe = q_emb.select(
+        "qid",
+        "qv",
+        "qn2",
+        F.explode(
+            F.slice(F.array_sort(scored_lists), 1, nprobe).getField("list_id")
+        ).alias("list_id"),
+    )
+    cand = probe.join(idx, "list_id").filter(F.col("doc") != F.col("qid"))
+    pairs = cand.filter((F.col("n2") > 0) & (F.col("qn2") > 0)).select(
+        "qid",
+        "doc",
+        F.round(
+            _dot(F.col("qv"), F.col("v"))
+            / F.sqrt((F.col("n2") * F.col("qn2")).cast("double")),
+            6,
+        ).alias("cos"),
+    )
+    ms = pairs.groupBy("qid", "doc").agg(F.max("cos").alias("m"))
+    wnd = Window.partitionBy("qid").orderBy(F.desc("m"), "doc")
+    return (
+        ms.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("doc").alias("doc_id"),
+            F.col("m").alias("maxsim"),
         )
     )

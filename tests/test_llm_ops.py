@@ -2047,3 +2047,33 @@ def test_ivfadc_split_cell_contracts(spark):
     )
     assert before == after
     release_all_storage(spark)
+
+
+def test_maxsim_ivf_full_probe_equals_brute(spark):
+    """maxsim_ivf_topk (q263) degenerates EXACTLY to maxsim_topk (q257)
+    when nprobe = n_lists: probing every cell admits every chunk, so
+    the candidate set — and therefore every round-6 cosine, per-doc max
+    and rank — is identical. Pins that the IVF pruning is the ONLY
+    approximation in the composition."""
+    import random
+
+    from ddf_flink_spark.functions.retrieval import maxsim_ivf_topk, maxsim_topk
+    from ddf_flink_spark.storage import release_all_storage
+
+    rng = random.Random(263)
+    vocab = [f"w{i}" for i in range(200)]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(60, 140))))
+        for i in range(40)
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = cdf.filter("doc_id < 4")
+    brute = sorted(map(tuple, maxsim_topk(qdf, cdf, k=4).collect()))
+    full = sorted(
+        map(
+            tuple,
+            maxsim_ivf_topk(qdf, cdf, k=4, n_lists=4, nprobe=4).collect(),
+        )
+    )
+    assert full == brute
+    release_all_storage(spark)

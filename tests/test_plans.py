@@ -443,6 +443,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # MaxSim: the broadcast side is the Q=5 query-vector frame (model-
     # sized); the non-equi (id != qid) cross over it is the pair scoring
     "q257_maxsim_chunk_retrieval": {"cartesian-product"},
+    # index health census: the 1-row total rides back as a broadcast
+    # crossJoin; the census agg itself is the n_lists-row funnel
+    "q262_index_health": {"single-partition", "cartesian-product"},
     # 4-row tuning table: per-nprobe 1-row hit aggregates crossJoined
     # with the 1-row query-count aggregate
     "q252_ivf_recall_sweep": {"single-partition", "cartesian-product"},
