@@ -100,29 +100,58 @@ def hash_chunk_embeddings(
     (mapInPandas over a batch scorer — q43's plumbing); feature hashing
     keeps the RETRIEVAL maths oracle-checkable with the same shapes.
 
-    One explode + one groupBy((id, chunk_id)) — shuffled volume is
-    token occurrences of the corpus, the same bound tokenization
-    already pays. Returns (id, chunk_id, e0..e{dim-1}, n2) where n2 is
-    the exact squared norm."""
-    from .dedup import md5_long
-    from .text import token_chunks
+    SHUFFLE-FREE: every chunk's embedding is computed inside its own
+    document's row — the window starts are a ``sequence``, each window's
+    token hashes a ``transform`` over a ``slice``, each component an
+    ``aggregate`` fold — then one ``posexplode`` emits a row per chunk.
+    A pure map with row expansion, no groupBy: the earlier formulation
+    exploded token occurrences and shuffled them back, paying a
+    corpus-tokens-sized exchange that this shape never creates. Being a
+    stateless map is also what lets the SAME expression run on a
+    Structured Streaming frame (q264's chunk-ingest). Returns
+    (id, chunk_id, e0..e{dim-1}, n2) where n2 is the exact squared
+    norm."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - size + stride, F.lit(1)),
+        F.lit(stride),
+    )
+    hv = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
 
-    ch = token_chunks(df, text_col, id_col, size=size, stride=stride)
-    tok = ch.select(
-        "id", "chunk_id", F.explode(F.split("chunk_text", " ")).alias("t")
-    ).withColumn("hv", md5_long("t"))
-    sums = [
-        F.sum(
-            (F.shiftright("hv", d).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-        ).alias(f"e{d}")
-        for d in range(dim)
-    ]
-    emb = tok.groupBy("id", "chunk_id").agg(*sums)
+    def comp(piece_hv, d):
+        return F.aggregate(
+            piece_hv,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, d).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+        )
+
+    def chunk_struct(start):
+        piece_hv = F.transform(F.slice(F.col("ts"), start, size), hv)
+        comps = [comp(piece_hv, d).alias(f"e{d}") for d in range(dim)]
+        return F.struct(*comps)
+
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("ts"),
+        starts.alias("starts"),
+    ).select(
+        "id",
+        F.posexplode(F.transform("starts", lambda s: chunk_struct(s))).alias(
+            "chunk_id", "e"
+        ),
+    )
     n2 = None
     for d in range(dim):
-        term = F.col(f"e{d}") * F.col(f"e{d}")
+        term = F.col(f"e.e{d}") * F.col(f"e.e{d}")
         n2 = term if n2 is None else n2 + term
-    return emb.withColumn("n2", n2.cast("long"))
+    return rows.select(
+        "id",
+        "chunk_id",
+        *[F.col(f"e.e{d}").alias(f"e{d}") for d in range(dim)],
+        n2.cast("long").alias("n2"),
+    )
 
 
 def maxsim_topk(

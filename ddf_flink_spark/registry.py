@@ -14355,3 +14355,129 @@ def q263_maxsim_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_ivf_topk(
         d.orderBy("doc_id").limit(5), d, "text", "doc_id", k=5, n_lists=8, nprobe=3
     ).orderBy("query_id", "doc_id")
+
+
+def _q264_oracle(
+    n_lists: int = 8, size: int = 64, stride: int = 48, dim: int = 16
+) -> str:
+    """q263's chunk-embedding + coarse-chain CTEs ENDING at the cell
+    membership: the batch assignment the streamed chunk ingest must
+    reproduce bit-for-bit for every (chunk key, cell)."""
+    e_sums = ", ".join(
+        f"SUM(((hv >> {d}) & 1) * 2 - 1) AS e{d}" for d in range(dim)
+    )
+    v_list = ", ".join(f"CAST(e{d} AS DOUBLE)" for d in range(dim))
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    return f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+    st AS (
+      SELECT doc_id, ts,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ts) - {size} + {stride}, 1),
+                                    {stride})) AS s
+      FROM tok
+    ),
+    chtok AS (SELECT doc_id, s, UNNEST(ts[s:s+{size - 1}]) AS t FROM st),
+    h AS (
+      SELECT doc_id, s,
+             CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM chtok
+    ),
+    cemb0 AS (SELECT doc_id, s, {e_sums} FROM h GROUP BY doc_id, s),
+    emb AS (
+      SELECT doc_id * 1000000 + (s - 1) // {stride} AS id, [{v_list}] AS v
+      FROM cemb0
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1)
+    SELECT id AS ck, CAST(cluster AS BIGINT) AS list_id
+    FROM cells ORDER BY ck
+    """
+
+
+@query("q264_stream_chunk_ingest", oracle=_q264_oracle())
+def q264_stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CHUNK-EMBEDDING INGEST — q246/q248's incremental-index
+    story for the RETRIEVAL side (q263's layout): documents arrive as a
+    stream, each row CHUNKS + EMBEDS + CELL-ASSIGNS entirely inside one
+    stateless map (functions/retrieval.hash_chunk_embeddings is
+    shuffle-free by construction — window starts are a sequence, token
+    hashes a transform, components aggregate folds, one posexplode;
+    cell = _argmin_pos against the persisted coarse centroids), then
+    APPENDS to the list_id-partitioned chunk index under AvailableNow.
+    Assignment is per-row, so the streamed membership equals the batch
+    build bit-for-bit regardless of arrival order — the oracle replays
+    chunking, hashing and the full chunk-vector Lloyd chain and pins
+    every (chunk key, cell). Production loop: q263 trains and serves;
+    this is the forever-running ingest that files new documents'
+    passages into probed cells."""
+    import shutil
+
+    from .functions.retrieval import hash_chunk_embeddings
+    from .functions.similarity import _argmin_pos
+    from .ml.kmeans import kmeans_lloyd
+    from .storage import release_checkpoint
+    from .streaming.core import documents_stream
+
+    DIM = 16
+    d = t(spark, sf_dir, "documents")
+    chv = hash_chunk_embeddings(d).select(
+        (F.col("id") * 1000000 + F.col("chunk_id")).alias("ck"),
+        F.array(*[F.col(f"e{j}").cast("double") for j in range(DIM)]).alias("v"),
+    )
+    trained, coarse = kmeans_lloyd(chv, "v", "ck", k=8, iters=2, return_centroids=True)
+    release_checkpoint(trained)  # the stream rebuilds the membership
+
+    s = hash_chunk_embeddings(documents_stream(spark, sf_dir)).select(
+        (F.col("id") * 1000000 + F.col("chunk_id")).alias("ck"),
+        F.array(*[F.col(f"e{j}").cast("double") for j in range(DIM)]).alias("v"),
+    )
+    assigned = s.select(
+        "ck", _argmin_pos(F.col("v"), coarse).cast("int").alias("list_id")
+    )
+    base = _session_tmp("q264")
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        assigned.writeStream.format("parquet")
+        .option("path", f"{base}/chunks")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .partitionBy("list_id")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(f"{base}/chunks")
+        .select("ck", F.col("list_id").cast("long").alias("list_id"))
+        .orderBy("ck")
+    )

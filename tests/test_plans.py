@@ -835,3 +835,23 @@ def test_ensure_compute_parallelism_conditions(spark):
         ),
     )
     assert ensure_compute_parallelism(wide) is wide, "already-parallel input passes through"
+
+
+def test_chunk_embedding_is_shuffle_free(spark):
+    """hash_chunk_embeddings (q257/q263/q264) must plan as a pure map
+    with row expansion — ZERO exchanges: window starts are a sequence,
+    token hashes a transform, components aggregate folds, one
+    posexplode. The earlier explode+groupBy formulation shuffled a
+    corpus-tokens-sized exchange; this lock keeps it from coming back
+    (and is what makes the same expression legal on a streaming frame —
+    q264's ingest)."""
+    from ddf_flink_spark.functions.retrieval import hash_chunk_embeddings
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        hash_chunk_embeddings(d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
