@@ -110,6 +110,10 @@ HEADLINE = [
     # about). q244 stays for round-over-round continuity.
     "q258_ivfadc_build_persist",
     "q259_ivfadc_persisted_serve",
+    # round-8 retrieval additions: brute-force late-interaction MaxSim
+    # (shuffle-free chunk embeddings) and its IVF-pruned scale path
+    "q257_maxsim_chunk_retrieval",
+    "q263_maxsim_ivf_pruned",
 ]
 
 # The 19-query set benchmarked since round 1 — a stable subtotal so

@@ -119,39 +119,46 @@ def hash_chunk_embeddings(
     )
     hv = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
 
-    def comp(piece_hv, d):
+    # Two Generate stages so each token hashes EXACTLY ONCE and the
+    # component sums materialize EXACTLY ONCE. Both matter:
+    # * posexplode materializes the per-chunk hash array (hvs) as a
+    #   physical column — folding over an inline subexpression instead
+    #   would re-run the interpreted md5 transform once PER COMPONENT
+    #   (no CSE across higher-order lambdas; measured 16× the CPU);
+    # * inline(array(struct(e0..e15))) materializes the 16 folds behind
+    #   a second Generate. Left as Project expressions, Catalyst's
+    #   CollapseProject substitutes each fold into EVERY downstream
+    #   reference (n2, dots, cosines…), growing the expression tree
+    #   multiplicatively per projection level — observed as a
+    #   plan-time driver OOM at sf0.1. Generate is a collapse barrier,
+    #   shuffle-free, and legal on streaming frames (q264).
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.transform(F.slice(toks, s, size), hv)
+            )
+        ).alias("chunk_id", "hvs"),
+    )
+
+    def comp(d):
         return F.aggregate(
-            piece_hv,
+            F.col("hvs"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + (F.shiftright(h, d).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
         )
 
-    def chunk_struct(start):
-        piece_hv = F.transform(F.slice(F.col("ts"), start, size), hv)
-        comps = [comp(piece_hv, d).alias(f"e{d}") for d in range(dim)]
-        return F.struct(*comps)
-
-    rows = df.select(
-        F.col(id_col).alias("id"),
-        toks.alias("ts"),
-        starts.alias("starts"),
-    ).select(
+    emb = hashed.select(
         "id",
-        F.posexplode(F.transform("starts", lambda s: chunk_struct(s))).alias(
-            "chunk_id", "e"
-        ),
+        "chunk_id",
+        F.inline(F.array(F.struct(*[comp(d).alias(f"e{d}") for d in range(dim)]))),
     )
     n2 = None
     for d in range(dim):
-        term = F.col(f"e.e{d}") * F.col(f"e.e{d}")
+        term = F.col(f"e{d}") * F.col(f"e{d}")
         n2 = term if n2 is None else n2 + term
-    return rows.select(
-        "id",
-        "chunk_id",
-        *[F.col(f"e.e{d}").alias(f"e{d}") for d in range(dim)],
-        n2.cast("long").alias("n2"),
-    )
+    return emb.withColumn("n2", n2.cast("long"))
 
 
 def maxsim_topk(
@@ -186,6 +193,13 @@ def maxsim_topk(
     rank ≤ k by (maxsim DESC, doc_id)."""
     from .dedup import md5_long
 
+    # decouple chunk-hashing parallelism from the corpus FILE layout
+    # (one parquet file would otherwise serialize the whole Generate
+    # chain onto one task — the round-6 explode-parallelism lesson);
+    # the shuffled payload is raw doc rows, one narrow pass
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
     c_emb = hash_chunk_embeddings(
         corpus, text_col, id_col, size=size, stride=stride, dim=dim
     )
@@ -273,6 +287,10 @@ def maxsim_ivf_topk(
     from .dedup import md5_long
     from .similarity import dot as _dot
 
+    # see maxsim_topk: parallelize chunk hashing past the file layout
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
     c_emb = hash_chunk_embeddings(
         corpus, text_col, id_col, size=size, stride=stride, dim=dim
     )
