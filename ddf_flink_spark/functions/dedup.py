@@ -109,7 +109,11 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(winners, on=id_col, how="left_semi")
 
 
-def ensure_compute_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_compute_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    min_bytes: int = 2 * 1024 * 1024,
+) -> DataFrame:
     """Decouple compute-dense stage parallelism from the source file
     layout. A small parquet file (one rowgroup) plans as 1-2 scan
     partitions, and because scan + explode fuse into ONE stage, the most
@@ -131,14 +135,22 @@ def ensure_compute_parallelism(df: DataFrame, min_partitions: int | None = None)
       2.2–2.4× end-to-end WIN — prefix-filter 22.0→9.1 s, passage
       windows 5.1→2.3 s, SimHash 7.0→3.4 s).
 
+    ``min_bytes`` tunes the size guard per consumer density: the 2 MiB
+    default is calibrated for shingle explodes; a consumer whose
+    per-byte compute is an order denser (the chunk-embedding pass —
+    dim md5-bit folds per token across overlapping windows) passes a
+    lower threshold, because its break-even input is correspondingly
+    smaller (q257 at sf0.1: 580 KB of documents is ~25 s of single-task
+    hashing).
+
     The repartition round-robins rows; every consumer keys on content
     (explode → groupBy/join), so results are partitioning-invariant."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     try:
-        if int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()) < (
-            2 * 1024 * 1024
-        ):
+        if int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ) < min_bytes:
             return df
         current = df.rdd.getNumPartitions()
     except Exception:

@@ -44,6 +44,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "persist_index",
     "load_index",
+    "persist_chunk_index",
+    "load_chunk_index",
     "index_delete_ids",
     "index_compact",
 ]
@@ -85,11 +87,65 @@ def load_index(
         for r in spark.read.parquet(f"{base}/coarse").orderBy("list_id").collect()
     ]
     cb_rows = spark.read.parquet(f"{base}/codebooks").orderBy("j", "code").collect()
+    if not cb_rows:
+        raise ValueError(
+            f"load_index: empty codebooks sidecar at {base}/codebooks — "
+            "the index model was never persisted or was erased"
+        )
     m = 1 + max(r["j"] for r in cb_rows)
     codebooks = [
         [list(r["centroid"]) for r in cb_rows if r["j"] == j] for j in range(m)
     ]
     return codes, coarse, codebooks
+
+
+def persist_chunk_index(chunks: DataFrame, coarse: list, base: str) -> None:
+    """Write the CHUNK-level MaxSim index (the q263 layout made
+    durable, mirroring :func:`persist_index`): the chunk table — one
+    row per (document, window) with its exact feature-hashed embedding
+    components and squared norm — as parquet partitioned BY ``list_id``
+    (probes become partition-pruned reads, exactly the codes-table
+    economics) plus the coarse-centroid sidecar. No codebooks: the
+    chunk index stores raw integer components (16 BIGINTs — feature
+    hashing IS the compression here); a PQ layer would compose the
+    same way the whole-doc index does."""
+    spark = chunks.sparkSession
+    chunks.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{base}/chunks"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(coarse)],
+        "list_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{base}/coarse")
+
+
+def load_chunk_index(
+    spark: SparkSession, base: str, apply_tombstones: bool = True
+) -> "tuple[DataFrame, list]":
+    """Reload ``(chunks, coarse)`` from a :func:`persist_chunk_index`
+    layout. Tombstones key on ``doc`` — the DOCUMENT id — so one
+    :func:`index_delete_ids` call removes every chunk row of the
+    deleted documents from serving (the deletion CASCADE: a GDPR
+    erasure of a document must erase all its passages). The anti-join's
+    build side is the small tombstone set, broadcast by AQE."""
+    chunks = spark.read.parquet(f"{base}/chunks")
+    if apply_tombstones and os.path.isdir(f"{base}/tombstones"):
+        chunks = chunks.join(
+            spark.read.parquet(f"{base}/tombstones").select(
+                F.col("id").alias("doc")
+            ),
+            "doc",
+            "left_anti",
+        )
+    coarse = [
+        list(r["centroid"])
+        for r in spark.read.parquet(f"{base}/coarse").orderBy("list_id").collect()
+    ]
+    if not coarse:
+        raise ValueError(
+            f"load_chunk_index: empty coarse sidecar at {base}/coarse"
+        )
+    return chunks, coarse
 
 
 def index_delete_ids(spark: SparkSession, base: str, ids: DataFrame) -> None:
@@ -105,6 +161,7 @@ def index_compact(
     base: str,
     table: str = "codes",
     part_col: str = "list_id",
+    id_col: str = "id",
 ) -> "dict[str, int]":
     """Fold tombstones into the ``table`` layout by rewriting ONLY the
     affected partitions, then retire the tombstones. Returns
@@ -114,13 +171,23 @@ def index_compact(
     ``table``/``part_col`` default to the IVFADC codes layout; any
     id-keyed table partitioned by a bounded-cardinality column compacts
     the same way (q261 runs it on the dedup fingerprint corpus,
-    partitioned by fingerprint bucket)."""
+    partitioned by fingerprint bucket). ``id_col`` is the column the
+    tombstones key on — ``doc`` for the chunk-level MaxSim index, where
+    one tombstoned DOCUMENT id removes ALL the document's chunk rows
+    (the deletion cascade a retrieval corpus needs).
+
+    Local-filesystem crash safety: each affected partition is swapped
+    via TWO renames (old aside → staged in → aside deleted last), so at
+    every crash point the survivors exist in at least one on-disk copy;
+    recovery from a crash between the renames is renaming the
+    ``*.compact_old`` directory back. On an object store the same shape
+    rides the table format's atomic commit."""
     tomb_dir = f"{base}/tombstones"
     if not os.path.isdir(tomb_dir):
         return {"affected_cells": 0, "dropped_rows": 0}
     tomb = spark.read.parquet(tomb_dir)
     rows = spark.read.parquet(f"{base}/{table}")
-    hit = rows.join(tomb, "id", "left_semi")
+    hit = rows.join(tomb, id_col, "left_semi")
     affected = sorted(
         int(r[part_col])
         for r in hit.select(part_col).distinct().collect()  # bounded: ≤ n_parts
@@ -128,16 +195,40 @@ def index_compact(
     dropped = hit.count()
     if affected:
         survivors = rows.filter(F.col(part_col).isin(affected)).join(
-            tomb, "id", "left_anti"
+            tomb, id_col, "left_anti"
         )
         staging = f"{base}/{table}_compact_staging"
         survivors.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+        # Two-rename swap so no crash point loses data: the OLD partition
+        # is renamed aside FIRST (one atomic rename), the staged one
+        # renamed in (second atomic rename), the aside copy deleted LAST.
+        # A crash between the renames leaves both the *.compact_old copy
+        # and the staging dir on disk — recovery is renaming the aside
+        # copy back (nothing was deleted before the new data was in
+        # place). The previous rmtree-then-move ordering had a window
+        # where the partition's survivors existed ONLY in staging.
         for c in affected:
             dst = f"{base}/{table}/{part_col}={c}"
             src = f"{staging}/{part_col}={c}"
-            shutil.rmtree(dst, ignore_errors=True)
+            old = f"{dst}.compact_old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(dst):
+                os.rename(dst, old)
             if os.path.isdir(src):
                 shutil.move(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
+        # Degenerate-empty edge: if compaction deleted EVERY row of the
+        # table, all partition directories are gone and a later read
+        # would fail schema inference. Keep the table readable by
+        # writing a zero-row frame with the original schema (the
+        # partition column becomes a regular column — same read schema).
+        table_dir = f"{base}/{table}"
+        if not any(
+            d.startswith(f"{part_col}=") for d in os.listdir(table_dir)
+        ):
+            spark.createDataFrame([], rows.schema).write.mode(
+                "overwrite"
+            ).parquet(table_dir)
     shutil.rmtree(tomb_dir, ignore_errors=True)
     return {"affected_cells": len(affected), "dropped_rows": int(dropped)}

@@ -191,15 +191,20 @@ def maxsim_topk(
     — bit-identical across engines, so no second rounding (a round-4 of
     a round-6 value double-rounds at 4-decimal midpoints), per-query
     rank ≤ k by (maxsim DESC, doc_id)."""
-    from .dedup import md5_long
+    from .dedup import ensure_compute_parallelism, md5_long
 
     # decouple chunk-hashing parallelism from the corpus FILE layout
     # (one parquet file would otherwise serialize the whole Generate
-    # chain onto one task — the round-6 explode-parallelism lesson);
-    # the shuffled payload is raw doc rows, one narrow pass
-    corpus = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    )
+    # chain onto one task — the round-6 explode-parallelism lesson).
+    # CONDITIONAL (dedup.py's doubly-guarded helper), never a blanket
+    # repartition: at real scale the corpus arrives in thousands of
+    # splits and an unconditional repartition would both pay a full
+    # exchange of raw text AND COLLAPSE the compute-dense chunk-hashing
+    # pass down to defaultParallelism tasks (round-8 verdict). The byte
+    # threshold is lowered to match this consumer's density: dim md5
+    # folds per token across overlapping windows break even far below
+    # the shingle-explode default.
+    corpus = ensure_compute_parallelism(corpus, min_bytes=256 * 1024)
     c_emb = hash_chunk_embeddings(
         corpus, text_col, id_col, size=size, stride=stride, dim=dim
     )
@@ -284,13 +289,12 @@ def maxsim_ivf_topk(
     max itself (see :func:`maxsim_topk` on why there is no second
     rounding)."""
     from ..ml.kmeans import kmeans_lloyd
-    from .dedup import md5_long
+    from .dedup import ensure_compute_parallelism, md5_long
     from .similarity import dot as _dot
 
-    # see maxsim_topk: parallelize chunk hashing past the file layout
-    corpus = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    )
+    # see maxsim_topk: parallelize chunk hashing past the file layout —
+    # conditionally, so an already-parallel corpus pays no exchange
+    corpus = ensure_compute_parallelism(corpus, min_bytes=256 * 1024)
     c_emb = hash_chunk_embeddings(
         corpus, text_col, id_col, size=size, stride=stride, dim=dim
     )

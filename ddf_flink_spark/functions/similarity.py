@@ -1546,7 +1546,10 @@ def ivfadc_rebalance(
     is ``coarse`` with target entries replaced; ``moves`` is
     (id, old_cell, new_cell, code0..code{m-1}) for every target-cell
     member (``new_cell != old_cell`` rows are the reassignments —
-    q254's oracle pins this frame end-to-end)."""
+    q254's oracle pins this frame end-to-end). Both frames share ONE
+    internal checkpoint whose tracked ids ride ``moves`` alone —
+    ``release_checkpoint(moves)`` exactly once, after both frames are
+    dead."""
     from ..storage import propagate_checkpoint_ids, tracked_local_checkpoint
 
     m = len(codebooks)
@@ -1625,11 +1628,12 @@ def ivfadc_rebalance(
         cents_t[targets.index(c)] if c in targets else list(coarse[c])
         for c in range(len(coarse))
     ]
-    return (
-        propagate_checkpoint_ids(new_index, index, members),
-        new_coarse,
-        propagate_checkpoint_ids(moves, members),
-    )
+    # CHECKPOINT OWNERSHIP: both returned frames derive from the ONE
+    # `members` checkpoint, so its ids ride `moves` ALONE — releasing a
+    # frame that does not own the blocks it shares would truncate the
+    # sibling's lineage mid-flight. Release `moves` (or blanket
+    # release_all_storage) only after BOTH frames are dead.
+    return (new_index, new_coarse, propagate_checkpoint_ids(moves, members))
 
 
 def ivfadc_split_cell(
@@ -1739,11 +1743,9 @@ def ivfadc_split_cell(
     new_coarse = [
         cents_s[0] if c == cell else list(coarse[c]) for c in range(len(coarse))
     ] + [cents_s[1]]
-    return (
-        propagate_checkpoint_ids(new_index, index, members),
-        new_coarse,
-        propagate_checkpoint_ids(moves, members),
-    )
+    # see ivfadc_rebalance: the `members` checkpoint is owned by `moves`
+    # alone; release it only after both returned frames are dead.
+    return (new_index, new_coarse, propagate_checkpoint_ids(moves, members))
 
 
 def lsh_multiprobe_topk(

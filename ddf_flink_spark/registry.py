@@ -14195,7 +14195,11 @@ def q262_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.index_store import load_index
 
     base = _persisted_index_base(spark, sf_dir)
-    codes, _, _ = load_index(spark, base)
+    codes, coarse_r, _ = load_index(spark, base)
+    # n_lists comes from the COARSE SIDECAR of the index being censused
+    # (not a constant): an index persisted with a different n_lists
+    # would otherwise silently mislabel imbalance/hot.
+    nl = F.lit(float(len(coarse_r)))
     census = codes.groupBy("list_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     tot = census.agg(F.sum("n").alias("total"))
     return (
@@ -14203,8 +14207,8 @@ def q262_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("list_id").cast("long").alias("list_id"),
             "n",
-            F.round(F.col("n") * F.lit(8.0) / F.col("total"), 4).alias("imbalance"),
-            (F.col("n") * F.lit(8.0) > F.lit(1.5) * F.col("total")).alias("hot"),
+            F.round(F.col("n") * nl / F.col("total"), 4).alias("imbalance"),
+            (F.col("n") * nl > F.lit(1.5) * F.col("total")).alias("hot"),
         )
         .orderBy("list_id")
     )

@@ -1902,6 +1902,36 @@ def test_index_tombstone_delete_and_compaction(spark, tmp_path):
     release_all_storage(spark)
 
 
+def test_index_compact_all_rows_deleted_stays_readable(spark, tmp_path):
+    """Degenerate-empty edge (round-8 ADVICE): compacting away EVERY
+    row must leave the table READABLE as an empty frame with the
+    original schema — not a schema-inference failure — and the swap
+    must never leave a *.compact_old directory behind."""
+    import os
+
+    from ddf_flink_spark.functions.index_store import (
+        index_compact,
+        index_delete_ids,
+    )
+
+    base = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(30)], "id long, list_id int, payload long"
+    )
+    df.write.mode("overwrite").partitionBy("list_id").parquet(f"{base}/codes")
+    index_delete_ids(spark, base, df.select("id"))
+    stats = index_compact(spark, base)
+    assert stats == {"affected_cells": 3, "dropped_rows": 30}
+    back = spark.read.parquet(f"{base}/codes")
+    assert back.count() == 0
+    assert {"id", "list_id", "payload"} <= set(back.columns)
+    assert not any(
+        d.endswith(".compact_old") for d in os.listdir(f"{base}/codes")
+    )
+    # a second compaction (no tombstones) is a no-op
+    assert index_compact(spark, base) == {"affected_cells": 0, "dropped_rows": 0}
+
+
 def test_filtered_ann_predicate_lands_in_codes_scan(spark, tmp_path):
     """q256's plan lock: with the predicate column riding the persisted
     codes table, the serve-time filter reaches the codes parquet scan as
