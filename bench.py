@@ -114,6 +114,14 @@ HEADLINE = [
     # (shuffle-free chunk embeddings) and its IVF-pruned scale path
     "q257_maxsim_chunk_retrieval",
     "q263_maxsim_ivf_pruned",
+    # round-9 split of the fused q263 (round-8 verdict #1), mirroring
+    # the q258/q259 discipline on the retrieval side: the chunk-index
+    # BUILD leg (embed + train + persist) and the persisted SERVE leg
+    # (q266 builds once per process; warm runs are reload + one lazy
+    # 5-query MaxSim plan — the steady-state RAG serving number).
+    # q263 stays for round-over-round continuity.
+    "q265_chunk_index_build_persist",
+    "q266_maxsim_persisted_serve",
 ]
 
 # The 19-query set benchmarked since round 1 — a stable subtotal so

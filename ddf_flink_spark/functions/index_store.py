@@ -185,7 +185,9 @@ def index_compact(
     tomb_dir = f"{base}/tombstones"
     if not os.path.isdir(tomb_dir):
         return {"affected_cells": 0, "dropped_rows": 0}
-    tomb = spark.read.parquet(tomb_dir)
+    # tombstones are always persisted under the column name "id"
+    # (index_delete_ids); align to the table's key column
+    tomb = spark.read.parquet(tomb_dir).select(F.col("id").alias(id_col))
     rows = spark.read.parquet(f"{base}/{table}")
     hit = rows.join(tomb, id_col, "left_semi")
     affected = sorted(

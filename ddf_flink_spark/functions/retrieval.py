@@ -33,7 +33,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "hash_chunk_embeddings", "maxsim_topk", "maxsim_ivf_topk"]
+__all__ = [
+    "bm25_topk",
+    "hash_chunk_embeddings",
+    "maxsim_topk",
+    "maxsim_ivf_topk",
+    "build_chunk_index",
+    "maxsim_persisted_topk",
+]
 
 
 def bm25_topk(
@@ -249,6 +256,186 @@ def maxsim_topk(
         .select(
             F.col("qid").alias("query_id"),
             F.col("id").alias("doc_id"),
+            F.col("m").alias("maxsim"),
+        )
+    )
+
+
+def _query_embeddings(
+    queries: DataFrame, text_col: str, id_col: str, dim: int
+) -> DataFrame:
+    """Whole-document feature-hashed query embeddings: (qid, q0..q{dim-1},
+    qn2) — the query side of every MaxSim variant (exact BIGINT sums,
+    one row per query, broadcast downstream)."""
+    from .dedup import md5_long
+
+    qtok = queries.select(
+        F.col(id_col).alias("qid"), F.explode(F.split(text_col, " ")).alias("t")
+    ).withColumn("hv", md5_long("t"))
+    qsums = [
+        F.sum(
+            (F.shiftright("hv", d).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"q{d}")
+        for d in range(dim)
+    ]
+    q_emb = qtok.groupBy("qid").agg(*qsums)
+    qn2 = None
+    for d in range(dim):
+        term = F.col(f"q{d}") * F.col(f"q{d}")
+        qn2 = term if qn2 is None else qn2 + term
+    return q_emb.withColumn("qn2", qn2.cast("long"))
+
+
+def build_chunk_index(
+    corpus: DataFrame,
+    base: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_lists: int = 8,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 16,
+) -> list:
+    """BUILD LEG of the chunk-level MaxSim lifecycle (the q258/q259
+    discipline applied to the retrieval corpus — round-8 verdict #1):
+    chunk + feature-hash the corpus (:func:`hash_chunk_embeddings`,
+    shuffle-free), train the chunk coarse quantizer (deterministic
+    Lloyd over the chunk vectors, the q39 discipline), assign every
+    chunk its cell, and PERSIST the layout via
+    :func:`~.index_store.persist_chunk_index` — chunk rows partitioned
+    by ``list_id`` + the coarse sidecar. Returns the coarse centroids.
+
+    The embedding pipeline executes ONCE: the chunk frame is
+    checkpointed before training, Lloyd's iterations and the persist
+    write both read the checkpoint. Cell assignment uses
+    ``_argmin_pos`` against the FINAL centroids — bit-equal to the
+    training assignment (final Lloyd assignment is defined against the
+    final centroids), and the exact expression q264's streaming ingest
+    files new arrivals with, so batch build and stream ingest produce
+    one consistent index. At 100 TB this is the offline job a
+    deployment schedules; the serve path never re-trains."""
+    from ..ml.kmeans import kmeans_lloyd
+    from ..storage import release_checkpoint, tracked_local_checkpoint
+    from .dedup import ensure_compute_parallelism
+    from .index_store import persist_chunk_index
+    from .similarity import _argmin_pos
+
+    corpus = ensure_compute_parallelism(corpus, min_bytes=256 * 1024)
+    c_emb = hash_chunk_embeddings(
+        corpus, text_col, id_col, size=size, stride=stride, dim=dim
+    )
+    chv = tracked_local_checkpoint(
+        c_emb.select(
+            (F.col("id") * 1000000 + F.col("chunk_id")).alias("ck"),
+            F.col("id").alias("doc"),
+            *[F.col(f"e{d}") for d in range(dim)],
+            "n2",
+            F.array(*[F.col(f"e{d}").cast("double") for d in range(dim)]).alias(
+                "v"
+            ),
+        )
+    )
+    trained, cents = kmeans_lloyd(
+        chv, "v", "ck", k=n_lists, iters=2, return_centroids=True
+    )
+    release_checkpoint(trained)  # membership re-derives from the centroids
+    idx = chv.withColumn(
+        "list_id", _argmin_pos(F.col("v"), cents).cast("int")
+    ).drop("v")
+    persist_chunk_index(idx, cents, base)
+    release_checkpoint(chv)
+    return cents
+
+
+def maxsim_persisted_topk(
+    queries: DataFrame,
+    chunks: DataFrame,
+    coarse: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    nprobe: int = 3,
+    dim: int = 16,
+    static_probe: bool = False,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """SERVE LEG of the chunk-level MaxSim lifecycle: rank documents
+    for Q queries against a PERSISTED chunk index
+    (:func:`~.index_store.load_chunk_index` output — tombstoned
+    documents already anti-joined out), in ONE lazy plan. No training,
+    no corpus embedding: the per-query work is ranking the coarse
+    centroids (model literals, a map), probing ``nprobe`` cells, exact
+    integer cosines over candidate chunks, per-doc MAX, window top-k —
+    identical maths to :func:`maxsim_ivf_topk`'s serve tail, so a
+    persisted-reload serve is bit-equal to the fused build+serve
+    (q266's oracle is q263's replay).
+
+    ``static_probe=True`` collects the batch's distinct probe frontier
+    (≤ Q·nprobe ints — the one bounded driver action) and pushes it as
+    a literal ``list_id IN (...)`` filter so the list_id-partitioned
+    chunk parquet is read PARTITION-PRUNED (PartitionFilters —
+    plan-locked in tests); the default join path stays fully lazy for
+    large Q. ``exclude_self`` drops corpus docs whose id equals the
+    query id (the self-query shape); pass False for external query
+    ids."""
+    from .similarity import dot as _dot
+
+    q_emb = _query_embeddings(queries, text_col, id_col, dim)
+    q_emb = q_emb.select(
+        "qid",
+        F.array(*[F.col(f"q{d}").cast("double") for d in range(dim)]).alias("qv"),
+        "qn2",
+    )
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    scored_lists = F.transform(
+        F.sequence(F.lit(0), F.lit(len(coarse) - 1)),
+        lambda i: F.struct(
+            F.round(-_dot(F.col("qv"), F.element_at(cent_arr, i + 1)), 6).alias(
+                "neg"
+            ),
+            i.alias("list_id"),
+        ),
+    )
+    probe = q_emb.select(
+        "qid",
+        "qv",
+        "qn2",
+        F.explode(
+            F.slice(F.array_sort(scored_lists), 1, nprobe).getField("list_id")
+        ).alias("list_id"),
+    )
+    idx = chunks
+    if static_probe:
+        cells = sorted(
+            {
+                int(r["list_id"])
+                for r in probe.select("list_id").distinct().collect()
+            }  # bounded: ≤ Q·nprobe ints
+        )
+        idx = chunks.filter(F.col("list_id").isin(cells))
+    cand = probe.join(idx, "list_id")
+    if exclude_self:
+        cand = cand.filter(F.col("doc") != F.col("qid"))
+    dot = None
+    for d in range(dim):
+        term = F.col(f"e{d}") * F.element_at("qv", d + 1)
+        dot = term if dot is None else dot + term
+    pairs = cand.filter((F.col("n2") > 0) & (F.col("qn2") > 0)).select(
+        "qid",
+        "doc",
+        F.round(
+            dot / F.sqrt((F.col("n2") * F.col("qn2")).cast("double")),
+            6,
+        ).alias("cos"),
+    )
+    ms = pairs.groupBy("qid", "doc").agg(F.max("cos").alias("m"))
+    wnd = Window.partitionBy("qid").orderBy(F.desc("m"), "doc")
+    return (
+        ms.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("doc").alias("doc_id"),
             F.col("m").alias("maxsim"),
         )
     )

@@ -14222,6 +14222,7 @@ def _q263_oracle(
     size: int = 64,
     stride: int = 48,
     dim: int = 16,
+    cand_extra: str = "",
 ) -> str:
     """DuckDB replay of IVF-pruned MaxSim (q263): q257's feature-hashed
     chunk embeddings keyed by ck = doc_id·10⁶ + window index, the q39
@@ -14318,7 +14319,7 @@ def _q263_oracle(
       JOIN cells ON cells.cluster = p.cluster
       JOIN cemb ON cemb.ck = cells.id
       JOIN qemb q ON q.qid = p.qid
-      WHERE p.prn <= {nprobe} AND cemb.doc != p.qid
+      WHERE p.prn <= {nprobe} AND cemb.doc != p.qid{cand_extra}
     ),
     cos AS (
       SELECT qid, doc,
@@ -14485,3 +14486,208 @@ def q264_stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ck", F.col("list_id").cast("long").alias("list_id"))
         .orderBy("ck")
     )
+
+
+def _q265_oracle(
+    n_lists: int = 8, size: int = 64, stride: int = 48, dim: int = 16
+) -> str:
+    """q264's chunk-embedding + chunk-vector coarse-chain CTEs extended
+    to pin the FULL persisted chunk-index row — (ck, doc, list_id,
+    e0..e{dim-1}, n2): the build leg's on-disk artifact must equal the
+    batch computation bit-for-bit, embeddings and norms included."""
+    e_sums = ", ".join(
+        f"SUM(((hv >> {d}) & 1) * 2 - 1) AS e{d}" for d in range(dim)
+    )
+    v_list = ", ".join(f"CAST(e{d} AS DOUBLE)" for d in range(dim))
+    n2 = " + ".join(f"e{d} * e{d}" for d in range(dim))
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    return f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+    st AS (
+      SELECT doc_id, ts,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ts) - {size} + {stride}, 1),
+                                    {stride})) AS s
+      FROM tok
+    ),
+    chtok AS (SELECT doc_id, s, UNNEST(ts[s:s+{size - 1}]) AS t FROM st),
+    h AS (
+      SELECT doc_id, s,
+             CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM chtok
+    ),
+    cemb0 AS (SELECT doc_id, s, {e_sums} FROM h GROUP BY doc_id, s),
+    cemb AS (
+      SELECT doc_id * 1000000 + (s - 1) // {stride} AS ck, doc_id AS doc,
+             {", ".join(f"e{d}" for d in range(dim))}, {n2} AS n2,
+             [{v_list}] AS v
+      FROM cemb0
+    ),
+    emb AS (SELECT ck AS id, v FROM cemb),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1)
+    SELECT c.ck, CAST(c.doc AS BIGINT) AS doc,
+           CAST(cells.cluster AS BIGINT) AS list_id,
+           {", ".join(f"CAST(c.e{d} AS BIGINT) AS e{d}" for d in range(dim))},
+           CAST(c.n2 AS BIGINT) AS n2
+    FROM cemb c JOIN cells ON cells.id = c.ck
+    ORDER BY c.ck
+    """
+
+
+@query("q265_chunk_index_build_persist", oracle=_q265_oracle())
+def q265_chunk_index_build_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD LEG of the chunk-level MaxSim lifecycle (functions/
+    retrieval.build_chunk_index) — the round-8 verdict's #1: q263
+    previously embedded the corpus and trained the chunk coarse
+    quantizer INSIDE the serve path on every invocation. This entry is
+    the offline build a deployment schedules instead: shuffle-free
+    chunk embeddings (one checkpointed execution feeds both Lloyd
+    training and the persist write), deterministic-Lloyd chunk coarse
+    quantizer, cell assignment via the same _argmin_pos expression the
+    streaming ingest (q264) files arrivals with, persisted as chunk
+    rows PARTITIONED BY list_id + the coarse sidecar
+    (functions/index_store.persist_chunk_index). The oracle replays
+    chunking, feature hashing, the full chunk-vector Lloyd chain and
+    pins every persisted row END-TO-END — embeddings, norms and cell
+    membership (ck, doc, list_id, e0..e15, n2)."""
+    import shutil
+
+    from .functions.retrieval import build_chunk_index
+
+    DIM = 16
+    base = _session_tmp("q265")
+    shutil.rmtree(base, ignore_errors=True)
+    d = t(spark, sf_dir, "documents")
+    build_chunk_index(d, base, n_lists=8)
+    return (
+        spark.read.parquet(f"{base}/chunks")
+        .select(
+            "ck",
+            F.col("doc").cast("long").alias("doc"),
+            F.col("list_id").cast("long").alias("list_id"),
+            *[F.col(f"e{j}") for j in range(DIM)],
+            F.col("n2").cast("long").alias("n2"),
+        )
+        .orderBy("ck")
+    )
+
+
+_CHUNK_BUILT: set[str] = set()
+
+
+def _persisted_chunk_base(spark: SparkSession, sf_dir: str) -> str:
+    """Build + persist the chunk-level MaxSim index (q265's layout)
+    ONCE per process per sf_dir; return its base path — q259's
+    per-process discipline for the retrieval side, so q266's warm runs
+    measure pure serving."""
+    import os as _os
+    import shutil
+
+    from .functions.retrieval import build_chunk_index
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    base = _session_tmp(f"q266_{tag}")
+    if base not in _CHUNK_BUILT or not _os.path.isdir(f"{base}/chunks"):
+        shutil.rmtree(base, ignore_errors=True)
+        build_chunk_index(t(spark, sf_dir, "documents"), base, n_lists=8)
+        _CHUNK_BUILT.add(base)
+    return base
+
+
+@query("q266_maxsim_persisted_serve", oracle=_q263_oracle())
+def q266_maxsim_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE LEG of the chunk-level MaxSim lifecycle (functions/
+    retrieval.maxsim_persisted_topk) — q259's build/serve discipline
+    applied to the retrieval corpus: the chunk index is built and
+    persisted ONCE per process (q265's offline build; in bench the
+    cold run pays it), and every invocation is reload + ONE lazy
+    5-query MaxSim plan — probe the coarse sidecar's centroids, score
+    candidate chunks from the probed cells, per-doc MAX, window top-k.
+    No training, no corpus embedding in the serve path: the
+    steady-state number is the pure serving cost a RAG deployment
+    cares about. Results are hash-equal to the fused q263 (same
+    oracle): persisted-reload serving ≡ fresh-build serving, the
+    contract q245 proved for whole-doc vectors, now held by the chunk
+    family."""
+    from .functions.index_store import load_chunk_index
+    from .functions.retrieval import maxsim_persisted_topk
+
+    base = _persisted_chunk_base(spark, sf_dir)
+    chunks, coarse = load_chunk_index(spark, base)
+    d = t(spark, sf_dir, "documents")
+    return maxsim_persisted_topk(
+        d.orderBy("doc_id").limit(5), chunks, coarse, k=5, nprobe=3
+    ).orderBy("query_id", "doc_id")
+
+
+@query(
+    "q268_chunk_corpus_delete_cascade",
+    oracle=_q263_oracle(cand_extra=" AND cemb.doc % 9 != 4"),
+)
+def q268_chunk_corpus_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT DELETION CASCADING TO THE CHUNK INDEX — the round-8
+    verdict's #3: a GDPR erasure of a DOCUMENT must remove ALL its
+    passage rows from the persisted retrieval index. Build + persist
+    the chunk index (q265's layout), tombstone the doc ids ≡ 4 (mod 9)
+    (index_delete_ids — an O(|ids|) append keyed on the DOCUMENT id;
+    load_chunk_index anti-joins on the chunk table's doc column, so one
+    tombstoned document erases every one of its chunks from serving
+    immediately), COMPACT (index_compact with id_col='doc' — the
+    partition-pruned stage-and-swap, untouched cell directories
+    byte-identical, tombstones retired), then serve 5 queries from the
+    compacted index. The oracle replays the FULL original training
+    chain (tombstone semantics: the model keeps its historical
+    training) with the deleted documents excluded from the CANDIDATE
+    pool pre-ranking — serve-after-delete-and-compact ≡
+    fresh-serve-minus-deleted, pinning every surviving score."""
+    import shutil
+
+    from .functions.index_store import (
+        index_compact,
+        index_delete_ids,
+        load_chunk_index,
+    )
+    from .functions.retrieval import build_chunk_index, maxsim_persisted_topk
+
+    base = _session_tmp("q268")
+    shutil.rmtree(base, ignore_errors=True)
+    d = t(spark, sf_dir, "documents")
+    build_chunk_index(d, base, n_lists=8)
+    index_delete_ids(
+        spark, base, d.filter(F.col("doc_id") % 9 == 4).select("doc_id")
+    )
+    index_compact(spark, base, table="chunks", part_col="list_id", id_col="doc")
+    chunks, coarse = load_chunk_index(spark, base)
+    return maxsim_persisted_topk(
+        d.orderBy("doc_id").limit(5), chunks, coarse, k=5, nprobe=3
+    ).orderBy("query_id", "doc_id")

@@ -2107,3 +2107,91 @@ def test_maxsim_ivf_full_probe_equals_brute(spark):
     )
     assert full == brute
     release_all_storage(spark)
+
+
+def test_chunk_index_delete_cascade_and_compaction(spark, tmp_path):
+    """q268 contracts: tombstoning ONE document id removes ALL its chunk
+    rows from serving (the cascade); serve-after-delete (anti-join) ≡
+    serve-after-compaction (physical rewrite); compaction rewrites only
+    the affected cell directories (untouched files byte-identical) and
+    retires the tombstones."""
+    import os
+    import random
+
+    from ddf_flink_spark.functions.index_store import (
+        index_compact,
+        index_delete_ids,
+        load_chunk_index,
+    )
+    from ddf_flink_spark.functions.retrieval import (
+        build_chunk_index,
+        maxsim_persisted_topk,
+    )
+
+    rng = random.Random(268)
+    vocab = [f"w{i}" for i in range(200)]
+    # 120-token docs -> 3 chunk windows each (size 64, stride 48)
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(120))) for i in range(30)
+    ]
+    cdf = spark.createDataFrame(docs, "doc_id long, text string")
+    base = str(tmp_path / "chunkidx")
+    build_chunk_index(cdf, base, n_lists=4)
+
+    victim = 7
+    n_victim_chunks = (
+        spark.read.parquet(f"{base}/chunks").filter(F.col("doc") == victim).count()
+    )
+    assert n_victim_chunks >= 2, "victim doc must span multiple chunks"
+    index_delete_ids(
+        spark, base, cdf.filter(F.col("doc_id") == victim).select("doc_id")
+    )
+
+    chunks, coarse = load_chunk_index(spark, base)
+    assert chunks.filter(F.col("doc") == victim).count() == 0, (
+        "cascade: every chunk of the tombstoned doc must leave serving"
+    )
+    q = cdf.filter("doc_id < 3")
+    pre = sorted(
+        map(
+            tuple,
+            maxsim_persisted_topk(q, chunks, coarse, k=3, nprobe=2).collect(),
+        )
+    )
+    assert pre and all(r[1] != victim for r in pre)
+
+    victim_cells = {
+        r["list_id"]
+        for r in spark.read.parquet(f"{base}/chunks")
+        .filter(F.col("doc") == victim)
+        .select("list_id")
+        .distinct()
+        .collect()
+    }
+    untouched = sorted(set(range(4)) - victim_cells)
+
+    def _files(cell):
+        d = f"{base}/chunks/list_id={cell}"
+        return sorted(
+            (f, os.path.getsize(f"{d}/{f}"), os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d)
+        )
+
+    snap = {c: _files(c) for c in untouched if os.path.isdir(f"{base}/chunks/list_id={c}")}
+    stats = index_compact(
+        spark, base, table="chunks", part_col="list_id", id_col="doc"
+    )
+    assert stats["affected_cells"] == len(victim_cells)
+    assert stats["dropped_rows"] == n_victim_chunks
+    assert not os.path.isdir(f"{base}/tombstones")
+    for c, files in snap.items():
+        assert _files(c) == files, f"untouched cell {c} was rewritten"
+
+    chunks2, coarse2 = load_chunk_index(spark, base)
+    post = sorted(
+        map(
+            tuple,
+            maxsim_persisted_topk(q, chunks2, coarse2, k=3, nprobe=2).collect(),
+        )
+    )
+    assert post == pre, "compaction changed serving results"

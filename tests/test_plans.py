@@ -855,3 +855,91 @@ def test_chunk_embedding_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_maxsim_corpus_exchange_is_conditional(spark):
+    """q257/q263's entry points must NOT round-robin an already-parallel
+    corpus (round-8 verdict #1: the prior unconditional repartition both
+    paid a full exchange of raw text and COLLAPSED the compute-dense
+    chunk-hash pass to defaultParallelism tasks at real scale) — and
+    must still spread a big single-partition corpus past its file
+    layout."""
+    from pyspark.sql import functions as F
+
+    from ddf_flink_spark.functions.retrieval import maxsim_topk
+
+    par = spark.sparkContext.defaultParallelism
+    qdf = spark.createDataFrame(
+        [(900001, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+
+    wide = spark.range(60_000).repartition(par, "id").select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.md5((F.col("id") + i).cast("string")) for i in range(8)]
+        ).alias("text"),
+    )
+    assert wide.rdd.getNumPartitions() >= par
+    plan = (
+        maxsim_topk(qdf, wide)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "RoundRobinPartitioning" not in plan, (
+        "already-parallel corpus must not be round-robined:\n" + plan[:1500]
+    )
+
+    narrow = spark.range(60_000).coalesce(1).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.md5((F.col("id") + i).cast("string")) for i in range(8)]
+        ).alias("text"),
+    )
+    assert narrow.rdd.getNumPartitions() == 1
+    plan2 = (
+        maxsim_topk(qdf, narrow)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "RoundRobinPartitioning" in plan2, (
+        "big 1-partition corpus must spread past its file layout:\n"
+        + plan2[:1500]
+    )
+
+
+def test_maxsim_persisted_probe_partition_pruned(spark, tmp_path):
+    """q266's scale contract: with static_probe=True the probe frontier
+    lands in the chunk parquet scan as PartitionFilters (a 100 TB probe
+    reads nprobe cell directories, never the corpus), and the pruned
+    path serves rows identical to the lazy join path."""
+    import random
+    import re
+
+    from ddf_flink_spark.functions.index_store import load_chunk_index
+    from ddf_flink_spark.functions.retrieval import (
+        build_chunk_index,
+        maxsim_persisted_topk,
+    )
+
+    rng = random.Random(266)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(90))) for i in range(40)
+    ]
+    cdf = spark.createDataFrame(docs, "doc_id long, text string")
+    base = str(tmp_path / "chunkidx")
+    build_chunk_index(cdf, base, n_lists=4)
+    chunks, coarse = load_chunk_index(spark, base)
+    q = cdf.filter("doc_id < 3")
+
+    pruned = maxsim_persisted_topk(
+        q, chunks, coarse, k=3, nprobe=2, static_probe=True
+    )
+    rows_pruned = sorted(map(tuple, pruned.collect()))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), (
+        "probe must reach the chunk scan as PartitionFilters:\n" + plan[:1500]
+    )
+
+    lazy = maxsim_persisted_topk(
+        q, chunks, coarse, k=3, nprobe=2, static_probe=False
+    )
+    assert rows_pruned == sorted(map(tuple, lazy.collect()))
+    assert rows_pruned, "serve must return rows"
