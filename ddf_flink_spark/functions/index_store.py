@@ -48,6 +48,8 @@ __all__ = [
     "load_chunk_index",
     "index_delete_ids",
     "index_compact",
+    "index_rebalance_on_disk",
+    "index_split_on_disk",
 ]
 
 
@@ -148,6 +150,32 @@ def load_chunk_index(
     return chunks, coarse
 
 
+def _swap_partitions(
+    table_dir: str, staging: str, part_col: str, cells: "list[int]"
+) -> None:
+    """Swap the listed partition directories of ``table_dir`` for their
+    staged replacements via TWO renames each, so no crash point loses
+    data: the OLD partition is renamed aside FIRST (one atomic rename),
+    the staged one renamed in (second atomic rename), the aside copy
+    deleted LAST. A crash between the renames leaves both the
+    ``*.compact_old`` copy and the staging dir on disk — recovery is
+    renaming the aside copy back (nothing is deleted before the new
+    data is in place). A cell with no staged replacement (all rows
+    removed) is simply retired. The staging dir is removed at the
+    end."""
+    for c in cells:
+        dst = f"{table_dir}/{part_col}={c}"
+        src = f"{staging}/{part_col}={c}"
+        old = f"{dst}.compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        if os.path.isdir(src):
+            shutil.move(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def index_delete_ids(spark: SparkSession, base: str, ids: DataFrame) -> None:
     """Tombstone ``ids`` (a one-column ``id`` frame): append-only, no
     read or rewrite of the codes — O(|ids|) regardless of index size."""
@@ -201,25 +229,7 @@ def index_compact(
         )
         staging = f"{base}/{table}_compact_staging"
         survivors.write.mode("overwrite").partitionBy(part_col).parquet(staging)
-        # Two-rename swap so no crash point loses data: the OLD partition
-        # is renamed aside FIRST (one atomic rename), the staged one
-        # renamed in (second atomic rename), the aside copy deleted LAST.
-        # A crash between the renames leaves both the *.compact_old copy
-        # and the staging dir on disk — recovery is renaming the aside
-        # copy back (nothing was deleted before the new data was in
-        # place). The previous rmtree-then-move ordering had a window
-        # where the partition's survivors existed ONLY in staging.
-        for c in affected:
-            dst = f"{base}/{table}/{part_col}={c}"
-            src = f"{staging}/{part_col}={c}"
-            old = f"{dst}.compact_old"
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.isdir(dst):
-                os.rename(dst, old)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
+        _swap_partitions(f"{base}/{table}", staging, part_col, affected)
         # Degenerate-empty edge: if compaction deleted EVERY row of the
         # table, all partition directories are gone and a later read
         # would fail schema inference. Keep the table readable by
@@ -234,3 +244,158 @@ def index_compact(
             ).parquet(table_dir)
     shutil.rmtree(tomb_dir, ignore_errors=True)
     return {"affected_cells": len(affected), "dropped_rows": int(dropped)}
+
+
+def _write_coarse(spark: SparkSession, coarse: list, base: str) -> None:
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(coarse)],
+        "list_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{base}/coarse")
+
+
+def _stage_and_swap_moves(
+    spark: SparkSession,
+    base: str,
+    codes: DataFrame,
+    moves: DataFrame,
+    new_coarse: list,
+    targets: "list[int]",
+    new_cells: "list[int]",
+    m: int,
+) -> "dict[str, int]":
+    """Shared tail of the on-disk maintenance ops: re-attach any payload
+    columns riding the codes table (q256's predicate columns) to the
+    re-encoded rows, stage the rewritten cells, swap ONLY those
+    partition directories (two-rename discipline), and overwrite the
+    coarse sidecar. ``targets`` are the cells whose members moved;
+    ``new_cells`` every cell that must be (re)written — for a split
+    this includes the appended cell id."""
+    from ..storage import release_checkpoint
+
+    extras = [
+        c
+        for c in codes.columns
+        if c not in {"id", "list_id"} and not (c.startswith("code") and c[4:].isdigit())
+    ]
+    staged = moves.select(
+        "id",
+        F.col("new_cell").cast("int").alias("list_id"),
+        *[F.col(f"code{j}") for j in range(m)],
+    )
+    if extras:
+        staged = staged.join(
+            codes.filter(F.col("list_id").isin(targets)).select("id", *extras),
+            "id",
+        )
+    moved = staged.count()
+    staging = f"{base}/codes_maint_staging"
+    staged.write.mode("overwrite").partitionBy("list_id").parquet(staging)
+    release_checkpoint(moves)
+    _swap_partitions(f"{base}/codes", staging, "list_id", new_cells)
+    _write_coarse(spark, new_coarse, base)
+    return {"targets": list(targets), "moved_rows": int(moved)}
+
+
+def index_rebalance_on_disk(
+    spark: SparkSession,
+    base: str,
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_cells: "list[int] | None" = None,
+    top_n: int = 2,
+    iters: int = 1,
+) -> "dict[str, int]":
+    """Run :func:`~.similarity.ivfadc_rebalance` AGAINST the persisted
+    q245 layout — what a deployment actually schedules (round-8 verdict
+    #4: q254 transforms in-session frames; this reads the codes +
+    sidecars from ``base``, re-clusters the target cells, and rewrites
+    ONLY their partition directories via the compaction swap, then
+    updates the coarse sidecar). Untouched cells keep their partition
+    FILES byte-identical (asserted in tests) — the rewrite budget is
+    the health census's target-cell row count, never index size.
+    ``vectors`` is the raw-vector table (re-encoding needs the
+    originals; at 100 TB this read is partition-prunable if the vector
+    table is bucketed by the same ids). Payload columns riding the
+    codes table (q256) are re-attached to the moved rows. Tombstoned
+    ids, if any, keep working: moves re-encode them too, and serving
+    still anti-joins them out — run :func:`index_compact` first to
+    avoid paying maintenance work for deleted rows. Returns
+    ``{"targets": [cells], "moved_rows": n}``."""
+    from .similarity import ivfadc_rebalance
+
+    codes, coarse, codebooks = load_index(spark, base, apply_tombstones=False)
+    if target_cells is None:
+        census = (
+            codes.groupBy("list_id")
+            .count()
+            .orderBy(F.desc("count"), "list_id")
+            .limit(top_n)
+            .collect()  # bounded: n_lists rows ranked
+        )
+        target_cells = [int(r["list_id"]) for r in census]
+    targets = sorted(int(c) for c in target_cells)
+    _, new_coarse, moves = ivfadc_rebalance(
+        vectors,
+        codes.select(
+            "id", "list_id", *[f"code{j}" for j in range(len(codebooks))]
+        ),
+        coarse,
+        codebooks,
+        vec_col,
+        id_col,
+        target_cells=targets,
+        iters=iters,
+    )
+    return _stage_and_swap_moves(
+        spark, base, codes, moves, new_coarse, targets, targets, len(codebooks)
+    )
+
+
+def index_split_on_disk(
+    spark: SparkSession,
+    base: str,
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell: "int | None" = None,
+    iters: int = 1,
+) -> "dict[str, int]":
+    """Run :func:`~.similarity.ivfadc_split_cell` against the persisted
+    layout: the hot cell's directory is rewritten with its sub-cluster-0
+    survivors, sub-cluster 1 lands in a NEW partition directory
+    ``list_id=len(coarse)``, and the coarse sidecar grows by one row —
+    every other cell's files stay byte-identical. The growth path of
+    the on-disk lifecycle (inverted-list management, Jégou et al. 2011
+    §V). Returns ``{"targets": [cell], "moved_rows": n, "new_cell": id}``."""
+    from .similarity import ivfadc_split_cell
+
+    codes, coarse, codebooks = load_index(spark, base, apply_tombstones=False)
+    if cell is None:
+        census = (
+            codes.groupBy("list_id")
+            .count()
+            .orderBy(F.desc("count"), "list_id")
+            .limit(1)
+            .collect()  # bounded: n_lists rows ranked
+        )
+        cell = int(census[0]["list_id"])
+    new_id = len(coarse)
+    _, new_coarse, moves = ivfadc_split_cell(
+        vectors,
+        codes.select(
+            "id", "list_id", *[f"code{j}" for j in range(len(codebooks))]
+        ),
+        coarse,
+        codebooks,
+        vec_col,
+        id_col,
+        cell=cell,
+        iters=iters,
+    )
+    out = _stage_and_swap_moves(
+        spark, base, codes, moves, new_coarse, [cell], [cell, new_id],
+        len(codebooks),
+    )
+    out["new_cell"] = new_id
+    return out

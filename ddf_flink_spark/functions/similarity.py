@@ -46,6 +46,7 @@ __all__ = [
     "ivfadc_index_build",
     "ivfadc_index_search",
     "ivfadc_encode",
+    "ivfadc_encode_two_level",
     "ivfadc_rebalance",
     "ivfadc_split_cell",
 ]
@@ -1488,6 +1489,155 @@ def ivfadc_encode(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("list_id", _argmin_pos(F.col("v"), coarse).cast("int"))
     res = base.withColumn(
+        "r",
+        F.zip_with(
+            "v", F.element_at(coarse_arr, F.col("list_id") + 1), lambda a, b: a - b
+        ),
+    )
+    code_cols = [
+        _argmin_pos(F.slice("r", j * w + 1, w), codebooks[j])
+        .cast("int")
+        .alias(f"code{j}")
+        for j in range(m)
+    ]
+    return res.select("id", "list_id", *code_cols)
+
+
+def _group_centroids(
+    coarse: list, n_groups: int, iters: int = 2
+) -> "tuple[list, list]":
+    """Cluster the coarse CENTROIDS themselves into ``n_groups`` groups
+    (driver-side: the centroid table is model state, n_lists ≤ ~10⁵
+    rows — the one place a Python loop is the right tool). Deterministic
+    by the package's Lloyd discipline (seeds = the first ``n_groups``
+    centroids by index, round-4 means, round-6 distance rank with index
+    tiebreak), so the grouping is reproducible run-to-run; it affects
+    only WHICH cells a partial probe visits, never the argmin maths.
+    Returns (group_reps, members) with ``members[g]`` the sorted coarse
+    indices assigned to group g (an emptied group keeps its rep and an
+    empty member list)."""
+    import math
+
+    dim = len(coarse[0])
+    vecs = [[float(x) for x in c] for c in coarse]
+
+    def _d6(v, c):
+        return round(math.sqrt(sum((a - b) * (a - b) for a, b in zip(v, c))), 6)
+
+    reps = [[round(x, 4) for x in vecs[g]] for g in range(n_groups)]
+    members: list[list[int]] = []
+    for it in range(iters + 1):
+        members = [[] for _ in range(n_groups)]
+        for i, v in enumerate(vecs):
+            best = min(range(n_groups), key=lambda g: (_d6(v, reps[g]), g))
+            members[best].append(i)
+        if it == iters:
+            break
+        reps = [
+            [
+                round(sum(vecs[i][d] for i in members[g]) / len(members[g]), 4)
+                for d in range(dim)
+            ]
+            if members[g]
+            else reps[g]
+            for g in range(n_groups)
+        ]
+    return reps, members
+
+
+def ivfadc_encode_two_level(
+    df: DataFrame,
+    coarse: list,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_groups: "int | None" = None,
+    probe_groups: "int | None" = None,
+) -> DataFrame:
+    """SCALABLE COARSE ASSIGNMENT — :func:`ivfadc_encode`'s ingest
+    bottleneck removed (round-8 verdict #2): the brute argmin ranks ALL
+    n_lists centroids per vector, so encode cost grows linearly with
+    n_lists (PERF.md addendum 3 measured it; production n_lists is
+    10⁴-10⁵). This is the standard two-level remedy (the coarse
+    quantizer of the coarse quantizer — Jégou et al. 2011 §V's
+    inverted-multi-index family shape): the centroids are clustered
+    into ``n_groups`` groups ONCE (driver-side — model state, not
+    data), and each vector ranks only the ``n_groups`` group reps plus
+    the member centroids of its ``probe_groups`` nearest groups —
+    per-vector cost n_groups + probe_groups·(n_lists/n_groups) instead
+    of n_lists (√n_lists·(1+probe_groups) at the balanced point).
+
+    Exactness contract: within the probed candidate set the argmin uses
+    EXACTLY the brute rule (round-6 L2 rank, ORIGINAL centroid-index
+    tiebreak — ``array_min`` over (rd, idx) structs), so with
+    ``probe_groups = n_groups`` the candidate set is every centroid and
+    the output is BIT-EQUAL to :func:`ivfadc_encode` (q267's oracle
+    pins this end-to-end through DuckDB's full replay). With a partial
+    probe the assignment is approximate in the same sense IVF search
+    is: a vector files into the best cell of its probed groups.
+    Residuals and PQ codes then follow the brute path unchanged.
+    Defaults: ``n_groups = ceil(sqrt(n_lists))``, ``probe_groups = 1``
+    (the production ingest setting); everything stays a PURE MAP —
+    stream-legal, no shuffle, no state."""
+    import math
+
+    m = len(codebooks)
+    w = len(codebooks[0][0])
+    n_lists = len(coarse)
+    if n_groups is None:
+        n_groups = max(1, math.ceil(math.sqrt(n_lists)))
+    if probe_groups is None:
+        probe_groups = 1
+    probe_groups = min(probe_groups, n_groups)
+    reps, members = _group_centroids(coarse, n_groups)
+
+    coarse_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    reps_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in reps])
+    members_arr = F.array(
+        *[F.array(*[F.lit(int(i)) for i in ms]) for ms in members]
+    )
+
+    def _d6(vec, cent):
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(vec, cent, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # level 1: rank the n_groups reps, keep the probe_groups nearest
+    rep_scored = F.transform(
+        F.sequence(F.lit(0), F.lit(n_groups - 1)),
+        lambda g: F.struct(
+            _d6(F.col("v"), F.element_at(reps_arr, g + 1)).alias("rd"),
+            g.alias("g"),
+        ),
+    )
+    probed = F.slice(F.array_sort(rep_scored), 1, probe_groups).getField("g")
+    # level 2: brute argmin restricted to the probed groups' members —
+    # round-6 rank, ORIGINAL index tiebreak (the _argmin_pos rule)
+    cand = F.flatten(
+        F.transform(probed, lambda g: F.element_at(members_arr, g + 1))
+    )
+    best = F.array_min(
+        F.transform(
+            cand,
+            lambda idx: F.struct(
+                _d6(F.col("v"), F.element_at(coarse_arr, idx + 1)).alias("rd"),
+                idx.alias("pos"),
+            ),
+        )
+    )
+    assigned = base.withColumn("list_id", best["pos"].cast("int"))
+    res = assigned.withColumn(
         "r",
         F.zip_with(
             "v", F.element_at(coarse_arr, F.col("list_id") + 1), lambda a, b: a - b

@@ -13404,7 +13404,12 @@ def q253_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q254_oracle(
-    n_lists: int = 8, m: int = 4, w: int = 16, k: int = 4, top_n: int = 2
+    n_lists: int = 8,
+    m: int = 4,
+    w: int = 16,
+    k: int = 4,
+    top_n: int = 2,
+    post: bool = False,
 ) -> str:
     """Full DuckDB replay of the targeted IVFADC re-balance (q254):
     q243's training prefix (coarse chain c0→c2, residuals, all m
@@ -13484,6 +13489,23 @@ def _q254_oracle(
     )""")
         code_joins.append(f"JOIN mcode{j} USING (id)")
         code_cols.append(f"CAST(mcode{j}.code{j} AS BIGINT) AS code{j}")
+    # Final projection: the MOVES frame (id, old_cell, new_cell, codes)
+    # by default; with post=True the ON-DISK maintenance variant — the
+    # rewritten partition rows exactly as persisted (id, list_id,
+    # codes), since the disk layout keeps only the new state.
+    if post:
+        final_select = f"""
+    SELECT rres.id, CAST(rres.new_cell AS BIGINT) AS list_id,
+           {", ".join(code_cols)}
+    FROM rres {" ".join(code_joins)}
+    ORDER BY rres.id"""
+    else:
+        final_select = f"""
+    SELECT rres.id, CAST(rres.old_cell AS BIGINT) AS old_cell,
+           CAST(rres.new_cell AS BIGINT) AS new_cell,
+           {", ".join(code_cols)}
+    FROM rres {" ".join(code_joins)}
+    ORDER BY rres.id"""
     return f"""
     WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),
@@ -13561,11 +13583,7 @@ def _q254_oracle(
       GROUP BY id, old_cell, new_cell
     ),
     {",".join(code_blocks)}
-    SELECT rres.id, CAST(rres.old_cell AS BIGINT) AS old_cell,
-           CAST(rres.new_cell AS BIGINT) AS new_cell,
-           {", ".join(code_cols)}
-    FROM rres {" ".join(code_joins)}
-    ORDER BY rres.id
+    {final_select}
     """
 
 
@@ -13868,7 +13886,9 @@ def q259_ivfadc_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q260_oracle(n_lists: int = 8, m: int = 4, w: int = 16, k: int = 4) -> str:
+def _q260_oracle(
+    n_lists: int = 8, m: int = 4, w: int = 16, k: int = 4, post: bool = False
+) -> str:
     """DuckDB replay of the hot-cell SPLIT (q260): q254's training
     prefix (coarse chain, residuals, m codebook chains), then: hottest
     cell (count desc, id asc) → k=2 Lloyd over its members with
@@ -13944,6 +13964,23 @@ def _q260_oracle(n_lists: int = 8, m: int = 4, w: int = 16, k: int = 4) -> str:
     )""")
         code_joins.append(f"JOIN mcode{j} USING (id)")
         code_cols.append(f"CAST(mcode{j}.code{j} AS BIGINT) AS code{j}")
+    # Final projection: the MOVES frame (id, old_cell, new_cell, codes)
+    # by default; with post=True the ON-DISK maintenance variant — the
+    # rewritten partition rows exactly as persisted (id, list_id,
+    # codes), since the disk layout keeps only the new state.
+    if post:
+        final_select = f"""
+    SELECT rres.id, CAST(rres.new_cell AS BIGINT) AS list_id,
+           {", ".join(code_cols)}
+    FROM rres {" ".join(code_joins)}
+    ORDER BY rres.id"""
+    else:
+        final_select = f"""
+    SELECT rres.id, CAST(rres.old_cell AS BIGINT) AS old_cell,
+           CAST(rres.new_cell AS BIGINT) AS new_cell,
+           {", ".join(code_cols)}
+    FROM rres {" ".join(code_joins)}
+    ORDER BY rres.id"""
     return f"""
     WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings),
@@ -14033,11 +14070,7 @@ def _q260_oracle(n_lists: int = 8, m: int = 4, w: int = 16, k: int = 4) -> str:
       GROUP BY id, old_cell, new_cell
     ),
     {",".join(code_blocks)}
-    SELECT rres.id, CAST(rres.old_cell AS BIGINT) AS old_cell,
-           CAST(rres.new_cell AS BIGINT) AS new_cell,
-           {", ".join(code_cols)}
-    FROM rres {" ".join(code_joins)}
-    ORDER BY rres.id
+    {final_select}
     """
 
 
@@ -14691,3 +14724,82 @@ def q268_chunk_corpus_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFr
     return maxsim_persisted_topk(
         d.orderBy("doc_id").limit(5), chunks, coarse, k=5, nprobe=3
     ).orderBy("query_id", "doc_id")
+
+
+@query("q267_two_level_coarse_encode", oracle=_q248_oracle())
+def q267_two_level_coarse_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL COARSE ASSIGNMENT (functions/similarity.
+    ivfadc_encode_two_level) — the round-8 verdict's #2: brute coarse
+    assignment ranks all n_lists centroids per vector, making encode
+    cost ∝ n_lists (PERF.md addendum 3; production n_lists is 10⁴-10⁵,
+    so the brute argmin is the ingest bottleneck). The centroids are
+    clustered into √n_lists groups ONCE driver-side (model state), and
+    each vector ranks the group reps plus the member centroids of its
+    probed groups — per-vector cost √n_lists·(1+probe_groups) instead
+    of n_lists, still a pure stream-legal map. THIS entry runs the
+    FULL-PROBE configuration (probe_groups = n_groups), whose candidate
+    set is every centroid: the oracle (q248's full training + encode
+    replay) therefore pins two-level-with-full-probe ≡ brute argmin
+    END-TO-END, bit-for-bit through DuckDB — the exactness contract
+    that makes the partial-probe production setting a principled
+    approximation (same round-6 rank + original-index tiebreak inside
+    the candidate set). The partial-probe speed curve is PERF.md's
+    round-9 addendum; its group-validity property is pinned in
+    tests/test_llm_ops.py."""
+    from .functions.similarity import ivfadc_encode_two_level, ivfadc_index_build
+    from .storage import release_checkpoint
+
+    e = t(spark, sf_dir, "embeddings")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=4, k=4, iters=2)
+    release_checkpoint(index)
+    out = ivfadc_encode_two_level(
+        e, coarse, cents, n_groups=3, probe_groups=3
+    )
+    return out.orderBy("id")
+
+
+@query("q269_on_disk_rebalance", oracle=_q254_oracle(post=True))
+def q269_on_disk_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-DISK INDEX MAINTENANCE (functions/index_store.
+    index_rebalance_on_disk) — the round-8 verdict's #4: q254
+    transforms in-session frames; a deployment runs the rebalance
+    against the q245 DIRECTORIES. Build + persist the composite index,
+    then rebalance the two hottest cells ON DISK: load codes + model
+    sidecars, restricted-Lloyd re-cluster (q254's exact maths), stage
+    the re-encoded rows, swap ONLY the target cells' partition
+    directories (the compaction two-rename discipline — untouched
+    partition FILES are byte-identical, asserted in
+    tests/test_llm_ops.py), and overwrite the coarse sidecar. The
+    query serves the REWRITTEN cells' rows as read back from disk;
+    the oracle is q254's full replay projected to the persisted state
+    (id, list_id, code0..code3) — on-disk maintenance ≡ in-session
+    maintenance, row for row."""
+    import shutil
+
+    from .functions.index_store import (
+        index_rebalance_on_disk,
+        persist_index,
+    )
+    from .functions.similarity import ivfadc_index_build
+    from .storage import release_checkpoint
+
+    M = 4
+    base = _session_tmp("q269")
+    shutil.rmtree(base, ignore_errors=True)
+    e = t(spark, sf_dir, "embeddings")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=M, k=4, iters=2)
+    persist_index(index, coarse, cents, base)
+    release_checkpoint(index)
+    stats = index_rebalance_on_disk(spark, base, e, top_n=2)
+    # the rewritten partitions hold exactly the target cells' members —
+    # serve them back from disk; the oracle pins every row
+    return (
+        spark.read.parquet(f"{base}/codes")
+        .filter(F.col("list_id").isin(stats["targets"]))
+        .select(
+            "id",
+            F.col("list_id").cast("long").alias("list_id"),
+            *[F.col(f"code{j}").cast("long").alias(f"code{j}") for j in range(M)],
+        )
+        .orderBy("id")
+    )

@@ -2195,3 +2195,177 @@ def test_chunk_index_delete_cascade_and_compaction(spark, tmp_path):
         )
     )
     assert post == pre, "compaction changed serving results"
+
+
+def test_two_level_encode_contracts(spark):
+    """ivfadc_encode_two_level (q267) contracts:
+
+    1. FULL PROBE ≡ BRUTE — probe_groups = n_groups makes the candidate
+       set every centroid, so (id, list_id, codes) equals ivfadc_encode
+       row-for-row;
+    2. PARTIAL-PROBE VALIDITY — with probe_groups=1 every vector files
+       into a MEMBER cell of its nearest group (never an unprobed one);
+    3. CONSISTENCY — whenever the brute-optimal cell's group IS probed,
+       the partial probe picks exactly the brute cell (the restricted
+       argmin uses the identical round-6 rank + index tiebreak)."""
+    import math
+    import random
+
+    from ddf_flink_spark.functions.similarity import (
+        _group_centroids,
+        ivfadc_encode,
+        ivfadc_encode_two_level,
+        ivfadc_index_build,
+    )
+    from ddf_flink_spark.storage import release_all_storage
+
+    rng = random.Random(267)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index, coarse, cents = ivfadc_index_build(df, n_lists=9, m=4, k=4, iters=2)
+
+    brute = {r["id"]: tuple(r)[1:] for r in ivfadc_encode(df, coarse, cents).collect()}
+    full = {
+        r["id"]: tuple(r)[1:]
+        for r in ivfadc_encode_two_level(
+            df, coarse, cents, n_groups=3, probe_groups=3
+        ).collect()
+    }
+    assert full == brute, "full probe must equal the brute argmin exactly"
+
+    reps, members = _group_centroids(coarse, 3)
+    partial = {
+        r["id"]: r["list_id"]
+        for r in ivfadc_encode_two_level(
+            df, coarse, cents, n_groups=3, probe_groups=1
+        ).collect()
+    }
+
+    def _d6(v, c):
+        return round(math.sqrt(sum((a - b) * (a - b) for a, b in zip(v, c))), 6)
+
+    vecs = {i: [float(x) for x in v] for i, v in rows}
+    consistent = 0
+    for i, v in vecs.items():
+        g = min(range(3), key=lambda gg: (_d6(v, reps[gg]), gg))
+        assert partial[i] in members[g], (
+            f"vec {i} filed into cell {partial[i]} outside probed group {g}"
+        )
+        if brute[i][0] in members[g]:
+            assert partial[i] == brute[i][0], f"vec {i} diverged inside probed group"
+            consistent += 1
+    assert consistent > 0, "seeded corpus must exercise the consistency branch"
+    release_all_storage(spark)
+
+
+def test_on_disk_maintenance_untouched_files_and_serving(spark, tmp_path):
+    """index_rebalance_on_disk / index_split_on_disk (q269) contracts:
+
+    1. untouched cells' partition FILES are byte-identical after an
+       on-disk rebalance (same names, sizes, mtimes) — the rewrite
+       budget is target-cell rows, never index size;
+    2. on-disk state ≡ in-session ivfadc_rebalance output (rows and
+       coarse sidecar), including a payload column riding the codes;
+    3. a subsequent on-disk SPLIT adds exactly one partition directory
+       (list_id = n_lists) and one coarse sidecar row, leaving every
+       non-split cell's files byte-identical."""
+    import os
+    import random
+
+    from ddf_flink_spark.functions.index_store import (
+        index_rebalance_on_disk,
+        index_split_on_disk,
+        load_index,
+        persist_index,
+    )
+    from ddf_flink_spark.functions.similarity import (
+        ivfadc_index_build,
+        ivfadc_rebalance,
+    )
+    from ddf_flink_spark.storage import release_all_storage
+
+    rng = random.Random(269)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], f"p{i % 3}")
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, tag string"
+    )
+    base = str(tmp_path / "idx")
+    index, coarse, cents = ivfadc_index_build(df, n_lists=6, m=4, k=4, iters=2)
+    persist_index(
+        index.join(df.select(F.col("vec_id").alias("id"), "tag"), "id"),
+        coarse,
+        cents,
+        base,
+    )
+
+    # expected: the in-session rebalance on the same inputs
+    exp_index, exp_coarse, exp_moves = ivfadc_rebalance(
+        df, index, coarse, cents, top_n=2, iters=1
+    )
+    expected = {
+        (r["id"], r["new_cell"], r["code0"], r["code1"], r["code2"], r["code3"])
+        for r in exp_moves.collect()
+    }
+    targets = sorted({r[1] for r in expected} | {
+        r["old_cell"] for r in exp_moves.collect()
+    })
+
+    def _files(cell):
+        d = f"{base}/codes/list_id={cell}"
+        return sorted(
+            (f, os.path.getsize(f"{d}/{f}"), os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d)
+        )
+
+    untouched = [c for c in range(6) if c not in targets]
+    snap = {c: _files(c) for c in untouched}
+
+    stats = index_rebalance_on_disk(spark, base, df, top_n=2)
+    assert sorted(stats["targets"]) == sorted(set(targets))
+    for c, files in snap.items():
+        assert _files(c) == files, f"untouched cell {c} was rewritten"
+
+    post = spark.read.parquet(f"{base}/codes").filter(
+        F.col("list_id").isin(stats["targets"])
+    )
+    got = {
+        (r["id"], r["list_id"], r["code0"], r["code1"], r["code2"], r["code3"])
+        for r in post.collect()
+    }
+    assert got == expected, "on-disk rows diverge from the in-session rebalance"
+    # payload column preserved on every moved row
+    assert post.filter(F.col("tag").isNull()).count() == 0
+    # coarse sidecar updated to the in-session centroids
+    _, coarse_r, _ = load_index(spark, base)
+    assert coarse_r == [list(c) for c in exp_coarse]
+
+    # ---- on-disk split of the (new) hottest cell ----
+    pre_dirs = {
+        d for d in os.listdir(f"{base}/codes") if d.startswith("list_id=")
+    }
+    census = (
+        spark.read.parquet(f"{base}/codes")
+        .groupBy("list_id").count().orderBy(F.desc("count"), "list_id").collect()
+    )
+    hot = int(census[0]["list_id"])
+    snap2 = {
+        c: _files(c)
+        for c in range(6)
+        if c != hot and os.path.isdir(f"{base}/codes/list_id={c}")
+    }
+    sstats = index_split_on_disk(spark, base, df)
+    assert sstats["new_cell"] == 6 and sstats["targets"] == [hot]
+    post_dirs = {
+        d for d in os.listdir(f"{base}/codes") if d.startswith("list_id=")
+    }
+    assert post_dirs == pre_dirs | {"list_id=6"}
+    for c, files in snap2.items():
+        assert _files(c) == files, f"non-split cell {c} was rewritten"
+    _, coarse_s, _ = load_index(spark, base)
+    assert len(coarse_s) == 7
+    # row conservation across the whole lifecycle
+    assert spark.read.parquet(f"{base}/codes").count() == 90
+    release_all_storage(spark)
