@@ -13887,7 +13887,12 @@ def q259_ivfadc_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q260_oracle(
-    n_lists: int = 8, m: int = 4, w: int = 16, k: int = 4, post: bool = False
+    n_lists: int = 8,
+    m: int = 4,
+    w: int = 16,
+    k: int = 4,
+    post: bool = False,
+    train_prefix: bool = False,
 ) -> str:
     """DuckDB replay of the hot-cell SPLIT (q260): q254's training
     prefix (coarse chain, residuals, m codebook chains), then: hottest
@@ -13896,14 +13901,19 @@ def _q260_oracle(
     round-4; assign → round-4 mean update → final assign) → sub-cluster
     0 keeps the cell id, sub-cluster 1 becomes cell n_lists → members
     re-encode against their sub-centroid with the unchanged codebooks.
-    Pins (id, old_cell, new_cell, code0..code{m-1})."""
+    Pins (id, old_cell, new_cell, code0..code{m-1}). ``post=True``
+    projects the persisted on-disk state instead (id, list_id, codes).
+    ``train_prefix=True`` trains the model (coarse chain + codebooks)
+    on ids ≤ max·3/5 while membership/census/split cover the FULL
+    corpus — the q271 streaming-ingest shape."""
+    tr = "embp" if train_prefix else "emb"
     assign = """
       SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
              ROW_NUMBER() OVER (
                PARTITION BY e.id
                ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
              ) AS rn
-      FROM emb e CROSS JOIN {cent} c
+      FROM {src} e CROSS JOIN {cent} c
     """
     update = """
       SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
@@ -13981,31 +13991,38 @@ def _q260_oracle(
            {", ".join(code_cols)}
     FROM rres {" ".join(code_joins)}
     ORDER BY rres.id"""
+    embp_cte = (
+        """,
+    embp AS (SELECT id, v FROM emb
+             WHERE id <= (SELECT MAX(id) * 3 // 5 FROM emb))"""
+        if train_prefix
+        else ""
+    )
     return f"""
     WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-                 FROM embeddings),
+                 FROM embeddings){embp_cte},
     c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
              list_transform(v, x -> ROUND(x, 4)) AS c
-      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+      FROM (SELECT id, v FROM {tr} ORDER BY id LIMIT {n_lists})
     ),
-    s0 AS ({assign.format(cent="c0")}),
+    s0 AS ({assign.format(src=tr, cent="c0")}),
     a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
     m1 AS ({update.format(assigned="a0")}),
     c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
     c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
            FROM c0 LEFT JOIN c1n USING (cluster)),
-    s1 AS ({assign.format(cent="c1")}),
+    s1 AS ({assign.format(src=tr, cent="c1")}),
     a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
     m2 AS ({update.format(assigned="a1")}),
     c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
     c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
            FROM c1 LEFT JOIN c2n USING (cluster)),
-    s2 AS ({assign.format(cent="c2")}),
+    s2 AS ({assign.format(src="emb", cent="c2")}),
     cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
     rsrc AS (
       SELECT e.id, e.v AS ev, c2.c AS cc
-      FROM emb e JOIN cells ON cells.id = e.id
+      FROM {tr} e JOIN cells ON cells.id = e.id
                  JOIN c2 ON c2.cluster = cells.cluster
     ),
     remb AS (
@@ -14796,6 +14813,261 @@ def q269_on_disk_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(f"{base}/codes")
         .filter(F.col("list_id").isin(stats["targets"]))
+        .select(
+            "id",
+            F.col("list_id").cast("long").alias("list_id"),
+            *[F.col(f"code{j}").cast("long").alias(f"code{j}") for j in range(M)],
+        )
+        .orderBy("id")
+    )
+
+
+def _q270_oracle(
+    k_lex: int = 100,
+    k_sem: int = 100,
+    topk: int = 10,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 16,
+) -> str:
+    """DuckDB replay of the hybrid retrieval capstone (q270): the q189
+    BM25 leg with the QUERY DOCUMENT'S OWN distinct tokens as terms,
+    the q257 chunk-MaxSim leg for the same query document, fused by
+    reciprocal rank (1/(60+rank), round-6)."""
+    e_sums = ", ".join(
+        f"SUM(((hv >> {d}) & 1) * 2 - 1) AS e{d}" for d in range(dim)
+    )
+    q_sums = ", ".join(
+        f"SUM(((hv >> {d}) & 1) * 2 - 1) AS q{d}" for d in range(dim)
+    )
+    n2 = " + ".join(f"e{d} * e{d}" for d in range(dim))
+    qn2 = " + ".join(f"q{d} * q{d}" for d in range(dim))
+    dot = " + ".join(f"c.e{d} * q.q{d}" for d in range(dim))
+    return f"""
+    WITH qdoc AS (SELECT MIN(doc_id) AS qid FROM documents),
+    docs AS (SELECT doc_id AS id, STRING_SPLIT(LOWER(text), ' ') AS ts
+             FROM documents),
+    qterms AS (
+      SELECT DISTINCT t
+      FROM documents, LATERAL UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS u(t)
+      WHERE doc_id = (SELECT qid FROM qdoc)
+    ),
+    dl AS (SELECT id, LEN(ts) AS dl FROM docs),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
+    tf AS (
+      SELECT id, t AS term, COUNT(*) AS tf
+      FROM docs, LATERAL UNNEST(ts) AS u(t)
+      WHERE t IN (SELECT t FROM qterms)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.id,
+             ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl * n_docs / total_tokens)),
+                   6) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN tot
+    ),
+    bm25 AS (
+      SELECT id, ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
+      FROM scored WHERE id != (SELECT qid FROM qdoc) GROUP BY 1
+    ),
+    lex AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS lrank
+      FROM bm25 QUALIFY lrank <= {k_lex}
+    ),
+    tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+    st AS (
+      SELECT doc_id, ts,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ts) - {size} + {stride}, 1),
+                                    {stride})) AS s
+      FROM tok
+    ),
+    chtok AS (SELECT doc_id, s, UNNEST(ts[s:s+{size - 1}]) AS t FROM st),
+    h AS (
+      SELECT doc_id, s,
+             CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM chtok
+    ),
+    cemb0 AS (SELECT doc_id, s, {e_sums} FROM h GROUP BY doc_id, s),
+    cemb AS (SELECT *, {n2} AS n2 FROM cemb0),
+    qtok AS (
+      SELECT doc_id AS qid, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents WHERE doc_id = (SELECT qid FROM qdoc)
+    ),
+    qh AS (
+      SELECT qid, CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM qtok
+    ),
+    qemb0 AS (SELECT qid, {q_sums} FROM qh GROUP BY qid),
+    qemb AS (SELECT *, {qn2} AS qn2 FROM qemb0),
+    cos AS (
+      SELECT q.qid, c.doc_id,
+             ROUND(CAST({dot} AS DOUBLE)
+                   / SQRT(CAST(c.n2 * q.qn2 AS DOUBLE)), 6) AS cos
+      FROM cemb c CROSS JOIN qemb q
+      WHERE c.doc_id != q.qid AND c.n2 > 0 AND q.qn2 > 0
+    ),
+    ms AS (SELECT doc_id, MAX(cos) AS m FROM cos GROUP BY doc_id),
+    sem AS (
+      SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY m DESC, doc_id) AS srank
+      FROM ms QUALIFY srank <= {k_sem}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.id, sem.id) AS id,
+             ROUND(COALESCE(1.0 / (60 + lrank), 0)
+                   + COALESCE(1.0 / (60 + srank), 0), 6) AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+    )
+    SELECT id AS doc_id, rrf FROM fused ORDER BY rrf DESC, id LIMIT {topk}
+    """
+
+
+@query("q270_hybrid_bm25_maxsim_rrf", oracle=_q270_oracle())
+def q270_hybrid_bm25_maxsim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL CAPSTONE — the full modern retrieval stack in
+    one oracle-checked query (round-8 verdict #5): the LEXICAL leg
+    (BM25, q175's machinery, with the query DOCUMENT'S own distinct
+    tokens as the term set — two bounded collects: the min doc id and
+    one document's vocabulary) and the SEMANTIC leg (chunk-level
+    MaxSim, q257's late-interaction scoring) each produce a top-100
+    ranking for the same query document, fused by RECIPROCAL RANK
+    [Cormack et al. 2009]: Σ 1/(60+rank) over a full outer join — the
+    composition a RAG pipeline actually serves (keyword recall +
+    passage-level semantic recall, rank-fused so incomparable score
+    scales never mix). Scale shape per leg is unchanged: BM25 shuffles
+    query-term postings only; MaxSim broadcasts one query vector over
+    the chunk frame; ranks are integers from deterministically
+    tie-broken windows, so the fusion is cross-engine exact. Both legs
+    exclude the query document itself."""
+    from pyspark.sql.window import Window
+
+    from .functions.retrieval import bm25_topk, maxsim_topk
+
+    d = t(spark, sf_dir, "documents")
+    qid = d.agg(F.min("doc_id")).collect()[0][0]  # bounded: 1 scalar
+    qdoc = d.filter(F.col("doc_id") == qid)
+    terms = [
+        r["t"]
+        for r in qdoc.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("t")
+        )
+        .distinct()
+        .collect()  # bounded: one document's vocabulary
+    ]
+    # score over the FULL corpus (BM25 stats — n_docs, avgdl, df — are
+    # model state; excluding the query from the model would shift every
+    # idf), then drop the query doc from the RANKING: topk=101 keeps
+    # enough rows that the post-filter top-100 equals ranking-without-it
+    lex = (
+        bm25_topk(d, terms, topk=101)
+        .filter(F.col("doc_id") != qid)
+        .withColumn(
+            "lrank", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        )
+        .filter(F.col("lrank") <= 100)
+        .select(F.col("doc_id").alias("id"), "lrank")
+    )
+    sem = (
+        maxsim_topk(qdoc, d, k=100)
+        .withColumn(
+            "srank",
+            F.row_number().over(Window.orderBy(F.desc("maxsim"), "doc_id")),
+        )
+        .select(F.col("doc_id").alias("id"), "srank")
+    )
+    fused = lex.join(sem, "id", "full_outer").select(
+        "id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lrank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("srank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "id")
+        .limit(10)
+        .select(F.col("id").alias("doc_id"), "rrf")
+    )
+
+
+@query(
+    "q271_stream_health_triggered_split",
+    oracle=_q260_oracle(post=True, train_prefix=True),
+)
+def q271_stream_health_triggered_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEALTH-DRIVEN MAINTENANCE TRIGGER — the operational loop
+    build → ingest → monitor → maintain closed end-to-end (round-8
+    verdict #6): the index is built offline on the corpus PREFIX
+    (vec_id ≤ max·3/5 — q258's build), the REMAINDER arrives as a
+    stream and is encoded by the stateless q248 map and APPENDED to the
+    persisted codes partitions, and each micro-batch's foreachBatch
+    runs the q262 HEALTH CENSUS over the persisted codes (an
+    n_lists-row groupBy, n_lists derived from the coarse sidecar).
+    When a cell's hot flag trips (imbalance > 1.05 here — the knob a
+    deployment tunes; q262's default 1.5 never fires on this corpus'
+    near-uniform cells), the trigger fires EXACTLY ONE on-disk split of
+    the hottest cell (functions/index_store.index_split_on_disk — the
+    partition-pruned stage-and-swap, coarse sidecar grown by one). The
+    query serves the two rewritten partitions back from disk; the
+    oracle replays prefix training, full-corpus membership, census,
+    hottest-cell election and the k=2 split re-encode, pinning every
+    rewritten row (id, list_id, code0..code3). Single-file AvailableNow
+    delivery makes the one-batch trigger deterministic; the
+    at-most-one-split guard is what a production trigger would carry
+    anyway (maintenance must not storm)."""
+    import shutil
+
+    from .functions.index_store import index_split_on_disk, persist_index
+    from .functions.similarity import ivfadc_encode, ivfadc_index_build
+    from .storage import release_checkpoint
+    from .streaming.core import embeddings_stream
+
+    M, HOT = 4, 1.05
+    base = _session_tmp("q271")
+    shutil.rmtree(base, ignore_errors=True)
+    e = t(spark, sf_dir, "embeddings")
+    cut = e.agg(F.max("vec_id")).collect()[0][0] * 3 // 5  # bounded: 1 scalar
+    index, coarse, cents = ivfadc_index_build(
+        e.filter(F.col("vec_id") <= cut), n_lists=8, m=M, k=4, iters=2
+    )
+    persist_index(index, coarse, cents, base)
+    release_checkpoint(index)
+    n_lists = len(coarse)
+
+    ingest = ivfadc_encode(
+        embeddings_stream(spark, sf_dir).filter(F.col("vec_id") > cut),
+        coarse,
+        cents,
+    )
+    fired: dict = {}
+
+    def on_batch(bdf: DataFrame, epoch: int) -> None:
+        bdf.write.mode("append").partitionBy("list_id").parquet(f"{base}/codes")
+        census = (
+            spark.read.parquet(f"{base}/codes")
+            .groupBy("list_id")
+            .count()
+            .collect()  # bounded: n_lists rows
+        )
+        total = sum(r["count"] for r in census)
+        hot = any(r["count"] * n_lists > HOT * total for r in census)
+        if hot and not fired:
+            fired["stats"] = index_split_on_disk(spark, base, e)
+
+    (
+        ingest.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert fired, "health trigger did not fire on the gate corpus"
+    stats = fired["stats"]
+    return (
+        spark.read.parquet(f"{base}/codes")
+        .filter(F.col("list_id").isin([stats["targets"][0], stats["new_cell"]]))
         .select(
             "id",
             F.col("list_id").cast("long").alias("list_id"),
