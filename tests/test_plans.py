@@ -529,6 +529,10 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # RRF fusion: the semantic leg is q40's bounded 1-query crossJoin;
     # the rank windows order the two ≤100-row top-k lists.
     "q189_hybrid_search_rrf": {"single-partition", "cartesian-product"},
+    # Hybrid BM25×MaxSim RRF: q175's 1-row corpus-scalar crossJoin +
+    # q257's broadcast 1-query non-equi pair scoring; the rank windows
+    # order the two ≤101-row top-k lists (runtime-measured below).
+    "q270_hybrid_bm25_maxsim_rrf": {"single-partition", "cartesian-product"},
     # TF-IDF keywords: n_sources is a 1-row agg crossJoined broadcast.
     "q190_tfidf_keywords": {"single-partition", "cartesian-product"},
     # Quality report: the whole report is ONE 1-row aggregate (by design
