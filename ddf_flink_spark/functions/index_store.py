@@ -50,6 +50,7 @@ __all__ = [
     "index_compact",
     "index_rebalance_on_disk",
     "index_split_on_disk",
+    "chunk_split_on_disk",
 ]
 
 
@@ -399,3 +400,87 @@ def index_split_on_disk(
     )
     out["new_cell"] = new_id
     return out
+
+
+def chunk_split_on_disk(
+    spark: SparkSession, base: str, cell: "int | None" = None, iters: int = 1
+) -> "dict[str, int]":
+    """HOT-CELL SPLIT FOR THE PERSISTED CHUNK INDEX — lifecycle parity
+    with the whole-doc index (:func:`index_split_on_disk`): the chunk
+    table STORES its vectors (the e0..e{dim-1} integer components), so
+    the split is self-contained — no external vector source to re-read.
+    The hottest cell's chunk vectors re-cluster with ``kmeans_lloyd``'s
+    exact k=2 discipline (seeds = the 2 lowest-ck members' vectors
+    round-4; ``iters`` × (assign → round-4 mean update); final round-6
+    rank, seed-position tiebreak); sub-cluster 0 keeps the cell id,
+    sub-cluster 1 becomes the NEW cell ``len(coarse)``. Only the split
+    cell's directory is rewritten plus one new directory; the coarse
+    sidecar grows by one row; every other cell's files stay
+    byte-identical. No re-encode step — the chunk index has no PQ
+    layer; membership is the only thing a split changes. Returns
+    ``{"cell": id, "new_cell": id, "moved_rows": n}``."""
+    from ..storage import release_checkpoint, tracked_local_checkpoint
+    from .similarity import _argmin_pos
+
+    chunks, coarse = load_chunk_index(spark, base, apply_tombstones=False)
+    dim = len(coarse[0])
+    if cell is None:
+        census = (
+            chunks.groupBy("list_id")
+            .count()
+            .orderBy(F.desc("count"), "list_id")
+            .limit(1)
+            .collect()  # bounded: n_lists rows ranked
+        )
+        cell = int(census[0]["list_id"])
+    new_id = len(coarse)
+    data_cols = [c for c in chunks.columns if c != "list_id"]
+    mem = tracked_local_checkpoint(
+        chunks.filter(F.col("list_id") == cell).withColumn(
+            "v", F.array(*[F.col(f"e{d}").cast("double") for d in range(dim)])
+        )
+    )
+    seed_rows = (
+        mem.orderBy("ck")
+        .limit(2)
+        .select(F.transform("v", lambda x: F.round(x, 4)).alias("c"))
+        .collect()
+    )
+    if len(seed_rows) < 2:
+        release_checkpoint(mem)
+        raise ValueError(f"chunk_split_on_disk: cell {cell} has < 2 members")
+    cents: list[list[float]] = [list(r["c"]) for r in seed_rows]
+    for _ in range(iters):
+        assigned = mem.withColumn("pos", _argmin_pos(F.col("v"), cents))
+        mean_rows = (
+            assigned.select("pos", F.posexplode("v").alias("dim", "x"))
+            .groupBy("pos", "dim")
+            .agg(F.round(F.avg("x"), 4).alias("c"))
+            .collect()  # bounded: 2×dim rows
+        )
+        by_pos: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_pos.setdefault(r["pos"], {})[r["dim"]] = r["c"]
+        cents = [
+            [by_pos[p][d] for d in range(dim)] if p in by_pos else cents[p]
+            for p in range(2)
+        ]
+    staged = mem.withColumn(
+        "pos", _argmin_pos(F.col("v"), cents).cast("int")
+    ).select(
+        *data_cols,
+        F.when(F.col("pos") == 0, F.lit(cell))
+        .otherwise(F.lit(new_id))
+        .cast("int")
+        .alias("list_id"),
+    )
+    moved = staged.filter(F.col("list_id") == new_id).count()
+    staging = f"{base}/chunks_maint_staging"
+    staged.write.mode("overwrite").partitionBy("list_id").parquet(staging)
+    release_checkpoint(mem)
+    _swap_partitions(f"{base}/chunks", staging, "list_id", [cell, new_id])
+    new_coarse = [
+        cents[0] if c == cell else list(coarse[c]) for c in range(len(coarse))
+    ] + [cents[1]]
+    _write_coarse(spark, new_coarse, base)
+    return {"cell": int(cell), "new_cell": new_id, "moved_rows": int(moved)}

@@ -15075,3 +15075,399 @@ def q271_stream_health_triggered_split(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("id")
     )
+
+
+@query("q272_stream_two_level_ingest", oracle=_q248_oracle())
+def q272_stream_two_level_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL ENCODE IN THE STREAMING INGEST TOPOLOGY — q267's
+    scale path wired where it actually matters: the forever-running
+    ingest (q248's shape) is the place production n_lists (10⁴-10⁵)
+    makes the brute coarse argmin the bottleneck (PERF.md round-9
+    addendum 1: brute grows linearly with n_lists, two-level ∝
+    √n_lists). ivfadc_encode_two_level is the SAME pure stateless map —
+    no shuffle, no state store — so swapping it into the stream changes
+    per-row cost, not topology. This entry runs the FULL-PROBE
+    configuration, so the streamed membership still equals the batch
+    build BIT-FOR-BIT (q248's oracle pins the entire
+    (id, list_id, code0..3) membership); a deployment drops
+    probe_groups to 1-2 and accepts the IVF-grade assignment
+    approximation the q267 property tests characterize."""
+    import shutil
+
+    from .functions.similarity import ivfadc_encode_two_level, ivfadc_index_build
+    from .storage import release_checkpoint
+    from .streaming.core import embeddings_stream
+
+    e = t(spark, sf_dir, "embeddings")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=4, k=4, iters=2)
+    release_checkpoint(index)  # the stream rebuilds the codes table
+
+    enc = ivfadc_encode_two_level(
+        embeddings_stream(spark, sf_dir), coarse, cents, n_groups=3, probe_groups=3
+    )
+    base = _session_tmp("q272")
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        enc.writeStream.format("parquet")
+        .option("path", f"{base}/codes")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .partitionBy("list_id")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(f"{base}/codes")
+        .select(
+            "id",
+            F.col("list_id").cast("int").alias("list_id"),
+            *[F.col(f"code{j}").cast("int").alias(f"code{j}") for j in range(4)],
+        )
+        .orderBy("id")
+    )
+
+
+def _q273_oracle(
+    n_lists: int = 8, size: int = 64, stride: int = 48, dim: int = 16
+) -> str:
+    """DuckDB replay of the CHUNK-index hot-cell split (q273): q263's
+    chunk-embedding + chunk-vector coarse chain through the cell
+    membership, then the q260 split tail over the hottest cell's chunk
+    members (k=2 Lloyd, seeds = 2 lowest-ck member vectors round-4,
+    one assign→round-4-mean round, final round-6 rank / seed-position
+    tiebreak). Pins (ck, doc, list_id) for every member of the split
+    cell — no codes: the chunk index has no PQ layer."""
+    e_sums = ", ".join(
+        f"SUM(((hv >> {d}) & 1) * 2 - 1) AS e{d}" for d in range(dim)
+    )
+    v_list = ", ".join(f"CAST(e{d} AS DOUBLE)" for d in range(dim))
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    return f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+    st AS (
+      SELECT doc_id, ts,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ts) - {size} + {stride}, 1),
+                                    {stride})) AS s
+      FROM tok
+    ),
+    chtok AS (SELECT doc_id, s, UNNEST(ts[s:s+{size - 1}]) AS t FROM st),
+    h AS (
+      SELECT doc_id, s,
+             CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM chtok
+    ),
+    cemb0 AS (SELECT doc_id, s, {e_sums} FROM h GROUP BY doc_id, s),
+    cemb AS (
+      SELECT doc_id * 1000000 + (s - 1) // {stride} AS ck, doc_id AS doc,
+             [{v_list}] AS v
+      FROM cemb0
+    ),
+    emb AS (SELECT ck AS id, v FROM cemb),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
+    census AS (SELECT cluster, COUNT(*) AS n FROM cells GROUP BY cluster),
+    hotc AS (SELECT cluster FROM census ORDER BY n DESC, cluster LIMIT 1),
+    mem AS (
+      SELECT cells.id AS ck, cemb.doc, cemb.v
+      FROM cells JOIN hotc ON hotc.cluster = cells.cluster
+                 JOIN cemb ON cemb.ck = cells.id
+    ),
+    sc0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY ck) - 1 AS pos,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT ck, v FROM mem ORDER BY ck LIMIT 2)
+    ),
+    ss0 AS (
+      SELECT mem.ck, mem.v, s.pos,
+             ROW_NUMBER() OVER (
+               PARTITION BY mem.ck
+               ORDER BY ROUND(list_distance(mem.v, s.c), 6), s.pos
+             ) AS rn
+      FROM mem CROSS JOIN sc0 s
+    ),
+    sa0 AS (SELECT ck, v, pos FROM ss0 WHERE rn = 1),
+    sm1 AS (
+      SELECT pos, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM sa0,
+           LATERAL (SELECT UNNEST(sa0.v) AS x, generate_subscripts(sa0.v, 1) AS i) u
+      GROUP BY pos, u.i
+    ),
+    sc1n AS (SELECT pos, LIST(cx ORDER BY dim) AS c FROM sm1 GROUP BY pos),
+    sc1 AS (SELECT sc0.pos, COALESCE(sc1n.c, sc0.c) AS c
+            FROM sc0 LEFT JOIN sc1n USING (pos)),
+    ss1 AS (
+      SELECT mem.ck, mem.doc, s.pos,
+             ROW_NUMBER() OVER (
+               PARTITION BY mem.ck
+               ORDER BY ROUND(list_distance(mem.v, s.c), 6), s.pos
+             ) AS rn
+      FROM mem CROSS JOIN sc1 s
+    ),
+    fin AS (SELECT ck, doc, pos FROM ss1 WHERE rn = 1)
+    SELECT fin.ck, CAST(fin.doc AS BIGINT) AS doc,
+           CAST(CASE WHEN fin.pos = 0 THEN (SELECT cluster FROM hotc)
+                     ELSE {n_lists} END AS BIGINT) AS list_id
+    FROM fin ORDER BY fin.ck
+    """
+
+
+@query("q273_chunk_index_split", oracle=_q273_oracle())
+def q273_chunk_index_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-INDEX HOT-CELL SPLIT (functions/index_store.
+    chunk_split_on_disk) — maintenance parity for the chunk family:
+    with q265 (build), q266 (serve), q264 (ingest), q268
+    (delete→compact), the chunk index now also GROWS under load the
+    way the whole-doc index does (q260/q269). Because the chunk table
+    stores its own integer embedding components, the split is
+    self-contained: the hottest cell's chunk vectors re-cluster with
+    the exact k=2 Lloyd discipline, sub-cluster 1 lands in the new
+    partition directory list_id = n_lists, the coarse sidecar grows by
+    one, and every other cell's files stay byte-identical (unit-pinned
+    alongside q269's test). The oracle replays chunking, hashing, the
+    full chunk-vector coarse chain, hottest-cell election and the
+    split, pinning (ck, doc, list_id) for every member of the split
+    cell."""
+    import shutil
+
+    from .functions.index_store import chunk_split_on_disk
+    from .functions.retrieval import build_chunk_index
+
+    base = _session_tmp("q273")
+    shutil.rmtree(base, ignore_errors=True)
+    d = t(spark, sf_dir, "documents")
+    build_chunk_index(d, base, n_lists=8)
+    stats = chunk_split_on_disk(spark, base)
+    return (
+        spark.read.parquet(f"{base}/chunks")
+        .filter(F.col("list_id").isin([stats["cell"], stats["new_cell"]]))
+        .select(
+            "ck",
+            F.col("doc").cast("long").alias("doc"),
+            F.col("list_id").cast("long").alias("list_id"),
+        )
+        .orderBy("ck")
+    )
+
+
+def _q274_oracle(
+    n_q: int = 5,
+    k: int = 5,
+    n_lists: int = 8,
+    nprobes: "tuple" = (1, 2, 4, 8),
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 16,
+) -> str:
+    """DuckDB replay of the chunk-MaxSim recall sweep (q274): q257's
+    brute top-k as ground truth, q263's probe/candidate chain evaluated
+    at each nprobe, recall@k per setting (q252's measurement for the
+    chunk family)."""
+    e_sums = ", ".join(
+        f"SUM(((hv >> {d}) & 1) * 2 - 1) AS e{d}" for d in range(dim)
+    )
+    q_sums = ", ".join(
+        f"SUM(((hv >> {d}) & 1) * 2 - 1) AS q{d}" for d in range(dim)
+    )
+    v_list = ", ".join(f"CAST(e{d} AS DOUBLE)" for d in range(dim))
+    qv_list = ", ".join(f"CAST(q{d} AS DOUBLE)" for d in range(dim))
+    n2 = " + ".join(f"e{d} * e{d}" for d in range(dim))
+    qn2 = " + ".join(f"q{d} * q{d}" for d in range(dim))
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    per_np = []
+    rec_units = []
+    for np_ in nprobes:
+        per_np.append(f"""
+    msv{np_} AS (
+      SELECT qid, doc, MAX(cos) AS m FROM ccos WHERE prn <= {np_}
+      GROUP BY qid, doc
+    ),
+    topk{np_} AS (
+      SELECT qid, doc FROM (
+        SELECT qid, doc,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY m DESC, doc) AS rn
+        FROM msv{np_}
+      ) r WHERE rn <= {k}
+    )""")
+        rec_units.append(f"""
+      SELECT {np_} AS nprobe, COUNT(*) AS hits
+      FROM topk{np_} JOIN exact_k
+        ON exact_k.qid = topk{np_}.qid AND exact_k.doc = topk{np_}.doc""")
+    return f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+    st AS (
+      SELECT doc_id, ts,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ts) - {size} + {stride}, 1),
+                                    {stride})) AS s
+      FROM tok
+    ),
+    chtok AS (SELECT doc_id, s, UNNEST(ts[s:s+{size - 1}]) AS t FROM st),
+    h AS (
+      SELECT doc_id, s,
+             CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM chtok
+    ),
+    cemb0 AS (SELECT doc_id, s, {e_sums} FROM h GROUP BY doc_id, s),
+    cemb AS (
+      SELECT doc_id * 1000000 + (s - 1) // {stride} AS ck, doc_id AS doc,
+             [{v_list}] AS v, {n2} AS n2
+      FROM cemb0
+    ),
+    emb AS (SELECT ck AS id, v FROM cemb),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS (SELECT id, cluster FROM s2 WHERE rn = 1),
+    qtok AS (
+      SELECT doc_id AS qid, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {n_q})
+    ),
+    qh AS (
+      SELECT qid, CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM qtok
+    ),
+    qemb0 AS (SELECT qid, {q_sums} FROM qh GROUP BY qid),
+    qemb AS (SELECT qid, [{qv_list}] AS qv, {qn2} AS qn2 FROM qemb0),
+    bcos AS (
+      SELECT q.qid, c.doc,
+             ROUND(list_dot_product(q.qv, c.v)
+                   / SQRT(CAST(c.n2 * q.qn2 AS DOUBLE)), 6) AS cos
+      FROM cemb c CROSS JOIN qemb q
+      WHERE c.doc != q.qid AND c.n2 > 0 AND q.qn2 > 0
+    ),
+    bms AS (SELECT qid, doc, MAX(cos) AS m FROM bcos GROUP BY qid, doc),
+    exact_k AS (
+      SELECT qid, doc FROM (
+        SELECT qid, doc,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY m DESC, doc) AS rn
+        FROM bms
+      ) r WHERE rn <= {k}
+    ),
+    probe AS (
+      SELECT q.qid, c.cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY ROUND(-list_dot_product(q.qv, c.c), 6), c.cluster
+             ) AS prn
+      FROM qemb q CROSS JOIN c2 c
+    ),
+    ccos AS (
+      SELECT p.qid, cemb.doc, p.prn,
+             ROUND(list_dot_product(q.qv, cemb.v)
+                   / SQRT(CAST(cemb.n2 * q.qn2 AS DOUBLE)), 6) AS cos
+      FROM probe p
+      JOIN cells ON cells.cluster = p.cluster
+      JOIN cemb ON cemb.ck = cells.id
+      JOIN qemb q ON q.qid = p.qid
+      WHERE cemb.doc != p.qid AND cemb.n2 > 0 AND q.qn2 > 0
+    ),
+    {",".join(per_np)},
+    recs AS ({" UNION ALL ".join(rec_units)})
+    SELECT nprobe,
+           CAST({n_q} AS BIGINT) AS n_queries,
+           CAST(hits AS BIGINT) AS hits,
+           ROUND(hits / ({n_q} * {k} * 1.0), 4) AS recall
+    FROM recs ORDER BY nprobe
+    """
+
+
+@query("q274_maxsim_recall_sweep", oracle=_q274_oracle())
+def q274_maxsim_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-MaxSim RECALL-vs-NPROBE TABLE — q252's 'measure, don't
+    guess' discipline for the chunk family: the PERSISTED chunk index
+    (q265's build, shared per-process) evaluated at nprobe ∈ {1,2,4,8}
+    against the brute MaxSim top-5 (q257's chain), recall@5 per
+    setting, all probe branches in one lazy plan. At nprobe = n_lists
+    the probe covers every cell, so recall = 1.0 by construction (the
+    table's sanity row — full-probe IVF MaxSim ≡ brute, the same
+    equivalence q263's property test pins). Every cell of the table is
+    deterministic (round-6 probe/cosine ranks), so the oracle
+    hash-pins the whole recall curve — the tuning table a RAG
+    deployment derives before fixing its quality/cost knob."""
+    from .functions.index_store import load_chunk_index
+    from .functions.retrieval import maxsim_persisted_topk, maxsim_topk
+
+    K = 5
+    base = _persisted_chunk_base(spark, sf_dir)
+    chunks, coarse = load_chunk_index(spark, base)
+    d = t(spark, sf_dir, "documents")
+    q = d.orderBy("doc_id").limit(5)
+    exact_pairs = maxsim_topk(q, d, k=K).select("query_id", "doc_id")
+
+    branches = []
+    for np_ in (1, 2, 4, 8):
+        hits = (
+            maxsim_persisted_topk(q, chunks, coarse, k=K, nprobe=np_)
+            .select("query_id", "doc_id")
+            .join(exact_pairs, ["query_id", "doc_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .select(F.lit(np_).alias("nprobe"), "hits")
+        )
+        branches.append(hits)
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionByName(b)
+    return u.select(
+        "nprobe",
+        F.lit(5).cast("long").alias("n_queries"),
+        "hits",
+        F.round(F.col("hits") / (5 * K * 1.0), 4).alias("recall"),
+    ).orderBy("nprobe")

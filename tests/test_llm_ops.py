@@ -2369,3 +2369,73 @@ def test_on_disk_maintenance_untouched_files_and_serving(spark, tmp_path):
     # row conservation across the whole lifecycle
     assert spark.read.parquet(f"{base}/codes").count() == 90
     release_all_storage(spark)
+
+
+def test_chunk_split_on_disk_contracts(spark, tmp_path):
+    """chunk_split_on_disk (q273): only the split cell's directory is
+    rewritten plus ONE new directory (every other cell's files
+    byte-identical); row count and per-doc chunk multiset are
+    conserved; the coarse sidecar grows by exactly one entry with
+    non-split centroids unchanged; serving still returns results and
+    never a chunk of a missing cell."""
+    import os
+    import random
+
+    from ddf_flink_spark.functions.index_store import (
+        chunk_split_on_disk,
+        load_chunk_index,
+    )
+    from ddf_flink_spark.functions.retrieval import (
+        build_chunk_index,
+        maxsim_persisted_topk,
+    )
+
+    rng = random.Random(273)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(120))) for i in range(40)
+    ]
+    cdf = spark.createDataFrame(docs, "doc_id long, text string")
+    base = str(tmp_path / "chunkidx")
+    build_chunk_index(cdf, base, n_lists=4)
+    pre_rows = {tuple(r) for r in spark.read.parquet(f"{base}/chunks").drop("list_id").collect()}
+    _, coarse0 = load_chunk_index(spark, base)
+
+    census = (
+        spark.read.parquet(f"{base}/chunks")
+        .groupBy("list_id").count().orderBy(F.desc("count"), "list_id").collect()
+    )
+    hot = int(census[0]["list_id"])
+
+    def _files(cell):
+        d = f"{base}/chunks/list_id={cell}"
+        return sorted(
+            (f, os.path.getsize(f"{d}/{f}"), os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d)
+        )
+
+    snap = {
+        c: _files(c)
+        for c in range(4)
+        if c != hot and os.path.isdir(f"{base}/chunks/list_id={c}")
+    }
+    stats = chunk_split_on_disk(spark, base)
+    assert stats["cell"] == hot and stats["new_cell"] == 4
+    assert stats["moved_rows"] > 0
+    for c, files in snap.items():
+        assert _files(c) == files, f"non-split cell {c} was rewritten"
+
+    post = spark.read.parquet(f"{base}/chunks")
+    assert {tuple(r) for r in post.drop("list_id").collect()} == pre_rows, (
+        "split must move rows between cells, never change or drop them"
+    )
+    assert post.filter(F.col("list_id") == 4).count() == stats["moved_rows"]
+    chunks, coarse = load_chunk_index(spark, base)
+    assert len(coarse) == 5
+    for c in range(4):
+        if c != hot:
+            assert coarse[c] == coarse0[c], f"non-split centroid {c} changed"
+    res = maxsim_persisted_topk(
+        cdf.filter("doc_id < 3"), chunks, coarse, k=3, nprobe=2
+    ).collect()
+    assert res, "post-split serving must return rows"

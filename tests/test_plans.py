@@ -533,6 +533,10 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # q257's broadcast 1-query non-equi pair scoring; the rank windows
     # order the two ≤101-row top-k lists (runtime-measured below).
     "q270_hybrid_bm25_maxsim_rrf": {"single-partition", "cartesian-product"},
+    # Recall sweep: the brute ground-truth leg is q257's broadcast
+    # 5-query non-equi pair scoring; per-nprobe hit counts are 1-row
+    # aggregates unioned into the 4-row tuning table.
+    "q274_maxsim_recall_sweep": {"single-partition", "cartesian-product"},
     # TF-IDF keywords: n_sources is a 1-row agg crossJoined broadcast.
     "q190_tfidf_keywords": {"single-partition", "cartesian-product"},
     # Quality report: the whole report is ONE 1-row aggregate (by design
