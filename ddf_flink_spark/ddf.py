@@ -1122,6 +1122,78 @@ class DDF:
             keep_factors=False,
         )
 
+    def maxsim_topk(
+        self,
+        queries: "DDF | DataFrame",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 5,
+    ) -> "DDF":
+        """Chunk-level late-interaction retrieval over THIS DDF's
+        documents: rank them for each query document by max cosine over
+        their chunk windows (functions/retrieval.maxsim_topk; registry
+        q257). Returns (query_id, doc_id, maxsim)."""
+        from .functions.retrieval import maxsim_topk as _maxsim
+
+        qdf = queries._df if isinstance(queries, DDF) else queries
+        return self._derive(
+            _maxsim(qdf, self._df, text_col, id_col, k=k), keep_factors=False
+        )
+
+    def build_chunk_index(
+        self,
+        base: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_lists: int = 8,
+    ) -> list:
+        """Offline BUILD leg of the chunk-MaxSim lifecycle: chunk +
+        embed THIS DDF's documents, train the chunk coarse quantizer,
+        persist the list_id-partitioned chunk index + coarse sidecar at
+        ``base`` (functions/retrieval.build_chunk_index; registry
+        q265). Serve with :meth:`maxsim_serve`; delete documents with
+        functions/index_store.index_delete_ids (cascades to all their
+        chunks, q268); grow hot cells with
+        functions/index_store.chunk_split_on_disk (q273). Returns the
+        coarse centroids."""
+        from .functions.retrieval import build_chunk_index as _build
+
+        return _build(self._df, base, text_col, id_col, n_lists=n_lists)
+
+    def maxsim_serve(
+        self,
+        base: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 5,
+        nprobe: int = 3,
+        static_probe: bool = False,
+    ) -> "DDF":
+        """SERVE leg: THIS DDF's rows are the queries, answered from
+        the PERSISTED chunk index at ``base`` in one lazy plan —
+        reload, probe, exact integer cosines over candidate chunks,
+        per-doc MAX, window top-k (functions/retrieval.
+        maxsim_persisted_topk; registry q266). ``static_probe`` pushes
+        the literal probe set so the partitioned chunk table is read
+        partition-pruned."""
+        from .functions.index_store import load_chunk_index
+        from .functions.retrieval import maxsim_persisted_topk as _serve
+
+        chunks, coarse = load_chunk_index(self._df.sparkSession, base)
+        return self._derive(
+            _serve(
+                self._df,
+                chunks,
+                coarse,
+                text_col,
+                id_col,
+                k=k,
+                nprobe=nprobe,
+                static_probe=static_probe,
+            ),
+            keep_factors=False,
+        )
+
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":
         """Mark categorical (core setAsFactor; ``BinningHandlerSpec.scala:19-22``)."""

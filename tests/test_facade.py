@@ -639,3 +639,34 @@ def test_ivfadc_batch_and_index_facades(mgr, spark):
     assert sorted((r.query_id, r.neighbor_id, r.pq_dist2) for r in batch) == sorted(
         (r.query_id, r.neighbor_id, r.pq_dist2) for r in served
     )
+
+
+def test_chunk_retrieval_facades(mgr, spark, tmp_path):
+    """DDF.maxsim_topk / build_chunk_index / maxsim_serve (q257/q265/
+    q266): the planted-passage document ranks top-1 with maxsim 1.0 on
+    both the brute and the persisted-serve path, and full-probe serve
+    equals brute."""
+    import random
+
+    rng = random.Random(266)
+    vocab = [f"w{i}" for i in range(300)]
+    qtoks = [rng.choice(vocab) for _ in range(64)]
+    corpus = [(10, " ".join(qtoks + [rng.choice(vocab) for _ in range(32)]))]
+    for i in range(11, 31):
+        corpus.append((i, " ".join(rng.choice(vocab) for _ in range(90))))
+    docs = mgr.new_ddf(spark.createDataFrame(corpus, "doc_id long, text string"))
+    qddf = mgr.new_ddf(
+        spark.createDataFrame([(0, " ".join(qtoks))], "doc_id long, text string")
+    )
+
+    brute = docs.maxsim_topk(qddf, k=3).df.collect()
+    top = max(brute, key=lambda r: (r.maxsim, -r.doc_id))
+    assert (top.doc_id, top.maxsim) == (10, 1.0)
+
+    base = str(tmp_path / "chunkidx")
+    coarse = docs.build_chunk_index(base, n_lists=4)
+    assert len(coarse) == 4
+    served = qddf.maxsim_serve(base, k=3, nprobe=4).df.collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, brute)), (
+        "full-probe persisted serve must equal brute maxsim"
+    )
