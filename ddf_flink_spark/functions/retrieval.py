@@ -40,6 +40,9 @@ __all__ = [
     "maxsim_ivf_topk",
     "build_chunk_index",
     "maxsim_persisted_topk",
+    "build_chunk_pq_index",
+    "maxsim_adc_topk",
+    "maxsim_adc_rerank_topk",
 ]
 
 
@@ -546,6 +549,278 @@ def maxsim_ivf_topk(
             / F.sqrt((F.col("n2") * F.col("qn2")).cast("double")),
             6,
         ).alias("cos"),
+    )
+    ms = pairs.groupBy("qid", "doc").agg(F.max("cos").alias("m"))
+    wnd = Window.partitionBy("qid").orderBy(F.desc("m"), "doc")
+    return (
+        ms.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("doc").alias("doc_id"),
+            F.col("m").alias("maxsim"),
+        )
+    )
+
+
+def build_chunk_pq_index(
+    corpus: DataFrame,
+    base: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_lists: int = 8,
+    m: int = 4,
+    k: int = 4,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 16,
+) -> "tuple[list, list]":
+    """PQ-COMPRESSED chunk index — the storage story that makes a
+    100 TB chunk table servable: :func:`build_chunk_index` persists the
+    raw integer components (dim longs per chunk); THIS build quantizes
+    them through the residual-IVFADC machinery (coarse cell + per-
+    subspace PQ codes over the residual, ``ivfadc_index_build`` applied
+    verbatim to the CHUNK vectors keyed by ck) and persists only
+    (ck, doc, code0..code{m-1}, n2) — m small ints plus the EXACT
+    squared norm — in the standard q245 layout (codes partitioned by
+    list_id + coarse/codebook sidecars), so the whole persisted-index
+    lifecycle (delete/compact/rebalance/split, q255/q269) applies to
+    the chunk family's compressed form unchanged. Keeping the exact
+    ``n2`` is what lets the ADC serve (:func:`maxsim_adc_topk`) form a
+    cosine whose DENOMINATOR is exact — only the dot is quantized.
+    Returns ``(coarse, codebooks)``."""
+    from ..storage import release_checkpoint, tracked_local_checkpoint
+    from .dedup import ensure_compute_parallelism
+    from .index_store import persist_index
+    from .similarity import ivfadc_index_build
+
+    corpus = ensure_compute_parallelism(corpus, min_bytes=256 * 1024)
+    c_emb = hash_chunk_embeddings(
+        corpus, text_col, id_col, size=size, stride=stride, dim=dim
+    )
+    chv = tracked_local_checkpoint(
+        c_emb.select(
+            (F.col("id") * 1000000 + F.col("chunk_id")).alias("ck"),
+            F.col("id").alias("doc"),
+            "n2",
+            F.array(*[F.col(f"e{d}").cast("double") for d in range(dim)]).alias(
+                "v"
+            ),
+        )
+    )
+    # exact_means: chunk residual codebook means use the order-
+    # independent round-6 DECIMAL-sum form — shuffle-partitioning must
+    # not change the persisted model (see _train_pq_codebooks)
+    index, coarse, cents = ivfadc_index_build(
+        chv, "v", "ck", n_lists=n_lists, m=m, k=k, iters=2, exact_means=True
+    )
+    full = index.join(chv.select(F.col("ck").alias("id"), "doc", "n2"), "id")
+    persist_index(full, coarse, cents, base)
+    release_checkpoint(index)
+    release_checkpoint(chv)
+    return coarse, cents
+
+
+def maxsim_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    coarse: list,
+    codebooks: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    nprobe: int = 3,
+    dim: int = 16,
+    static_probe: bool = False,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC-DISTANCE MaxSim — late-interaction retrieval served
+    entirely from the PQ-COMPRESSED chunk index
+    (:func:`build_chunk_pq_index`'s layout): the corpus side never
+    materializes a vector. Per chunk, the reconstruction
+    ĉ = coarse[cell] + r̂ gives
+
+        dot(q, ĉ) = dot(q, coarse[cell]) + Σ_j dot(q_j, codebook_j[code_j])
+
+    — the first term is one value per (query, probed cell), the second
+    is an m-lookup into a (query × m·k)-row DOT-PRODUCT LUT (simpler
+    than L2-ADC: no per-cell query residual). Both terms are round-6
+    values summed in DECIMAL(18,6) (exact, order-independent), and the
+    cosine divides by sqrt(n2·qn2) with the EXACT stored norms — only
+    the numerator is quantized, so the approximation error is purely
+    the PQ reconstruction of the dot. Scores are deterministic and the
+    oracle replays them bit-for-bit (q276). Per-doc MAX + window top-k
+    as in every MaxSim variant; ``static_probe`` partition-prunes the
+    codes scan. At 100 TB the probe touches nprobe/n_lists of a codes
+    table that is ~dim·8/m bytes-per-chunk SMALLER than the raw index
+    — the Jégou et al. 2011 memory economics applied to passages."""
+    from .similarity import dot as _dot
+
+    spark = codes.sparkSession
+    m = len(codebooks)
+    w = len(codebooks[0][0])
+    q_emb = _query_embeddings(queries, text_col, id_col, dim)
+    q_emb = q_emb.select(
+        "qid",
+        F.array(*[F.col(f"q{d}").cast("double") for d in range(dim)]).alias("qv"),
+        "qn2",
+    )
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    scored_lists = F.transform(
+        F.sequence(F.lit(0), F.lit(len(coarse) - 1)),
+        lambda i: F.struct(
+            F.round(-_dot(F.col("qv"), F.element_at(cent_arr, i + 1)), 6).alias(
+                "neg"
+            ),
+            i.alias("list_id"),
+        ),
+    )
+    probe = q_emb.select(
+        "qid",
+        "qv",
+        "qn2",
+        F.explode(
+            F.slice(F.array_sort(scored_lists), 1, nprobe).getField("list_id")
+        ).alias("list_id"),
+    ).withColumn(
+        "qcdot",
+        F.round(_dot(F.col("qv"), F.element_at(cent_arr, F.col("list_id") + 1)), 6)
+        .cast("decimal(18,6)"),
+    )
+    n_codes = len(codebooks[0])
+    cb = spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in codebooks[j][c]])
+            for j in range(m)
+            for c in range(n_codes)
+        ],
+        "j int, code int, cd array<double>",
+    )
+    lut = (
+        q_emb.crossJoin(F.broadcast(cb))
+        .select(
+            "qid",
+            "j",
+            "code",
+            F.round(
+                _dot(F.slice("qv", F.col("j") * w + 1, F.lit(w)), F.col("cd")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("d"),
+        )
+    )
+    idx = codes
+    if static_probe:
+        cells = sorted(
+            {
+                int(r["list_id"])
+                for r in probe.select("list_id").distinct().collect()
+            }  # bounded: ≤ Q·nprobe ints
+        )
+        idx = codes.filter(F.col("list_id").isin(cells))
+    cand = probe.join(idx.withColumnRenamed("id", "ck"), "list_id")
+    if exclude_self:
+        cand = cand.filter(F.col("doc") != F.col("qid"))
+    cand = cand.filter((F.col("n2") > 0) & (F.col("qn2") > 0))
+    codes_long = cand.select(
+        "qid",
+        "ck",
+        "doc",
+        "n2",
+        "qn2",
+        "qcdot",
+        F.posexplode(F.array(*[F.col(f"code{j}") for j in range(m)])).alias(
+            "j", "code"
+        ),
+    )
+    per_chunk = (
+        codes_long.join(lut, ["qid", "j", "code"])
+        .groupBy("qid", "ck", "doc", "n2", "qn2", "qcdot")
+        .agg(F.sum("d").alias("sr"))
+        .select(
+            "qid",
+            "doc",
+            F.round(
+                (F.col("qcdot") + F.col("sr")).cast("double")
+                / F.sqrt((F.col("n2") * F.col("qn2")).cast("double")),
+                6,
+            ).alias("acos"),
+        )
+    )
+    ms = per_chunk.groupBy("qid", "doc").agg(F.max("acos").alias("m"))
+    wnd = Window.partitionBy("qid").orderBy(F.desc("m"), "doc")
+    return (
+        ms.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("doc").alias("doc_id"),
+            F.col("m").alias("maxsim_adc"),
+        )
+    )
+
+
+def maxsim_adc_rerank_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    coarse: list,
+    codebooks: list,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 3,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 16,
+) -> DataFrame:
+    """TWO-STAGE MaxSim — q250's shortlist-then-exact-rerank pattern
+    applied to late interaction, the production remedy for PQ
+    reconstruction error: stage 1 runs :func:`maxsim_adc_topk` over the
+    COMPRESSED index for a ``shortlist``-deep candidate list per query
+    (memory-bounded: the corpus-wide pass touches only m-byte codes);
+    stage 2 re-embeds ONLY the shortlisted documents' chunks (a
+    semi-join — work ∝ Q·shortlist documents, never corpus) and ranks
+    them with the EXACT integer cosine, final top-k. Results within the
+    shortlist are bit-equal to brute MaxSim, so quality loss reduces to
+    shortlist recall — the knob a deployment tunes with
+    shortlist/nprobe (q274's measurement shape). Returns
+    (query_id, doc_id, maxsim) with q257's exact scoring."""
+    short = maxsim_adc_topk(
+        queries,
+        codes,
+        coarse,
+        codebooks,
+        text_col,
+        id_col,
+        k=shortlist,
+        nprobe=nprobe,
+        dim=dim,
+    ).select("query_id", "doc_id")
+    sdocs = short.select(F.col("doc_id").alias(id_col)).distinct()
+    sub = corpus.join(sdocs, id_col, "left_semi")
+    c_emb = hash_chunk_embeddings(
+        sub, text_col, id_col, size=size, stride=stride, dim=dim
+    )
+    q_emb = _query_embeddings(queries, text_col, id_col, dim)
+    dot = None
+    for d in range(dim):
+        term = F.col(f"e{d}") * F.col(f"q{d}")
+        dot = term if dot is None else dot + term
+    pairs = (
+        short.join(c_emb, short["doc_id"] == c_emb["id"])
+        .join(F.broadcast(q_emb), short["query_id"] == q_emb["qid"])
+        .filter((F.col("n2") > 0) & (F.col("qn2") > 0))
+        .select(
+            "qid",
+            F.col("id").alias("doc"),
+            F.round(
+                dot.cast("double")
+                / F.sqrt((F.col("n2") * F.col("qn2")).cast("double")),
+                6,
+            ).alias("cos"),
+        )
     )
     ms = pairs.groupBy("qid", "doc").agg(F.max("cos").alias("m"))
     wnd = Window.partitionBy("qid").orderBy(F.desc("m"), "doc")

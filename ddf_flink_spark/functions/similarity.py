@@ -1075,6 +1075,7 @@ def ivfadc_index_build(
     m: int = 4,
     k: int = 4,
     iters: int = 2,
+    exact_means: bool = False,
 ):
     """Train the residual-IVFADC index ONCE and return it as data:
     ``(index, coarse, codebooks)`` where ``index`` is a DataFrame
@@ -1122,7 +1123,7 @@ def ivfadc_index_build(
             ).alias("v"),
         )
     )
-    codes, cents = _train_pq_codebooks(remb, m, w, k, iters)
+    codes, cents = _train_pq_codebooks(remb, m, w, k, iters, exact_means=exact_means)
     index = propagate_checkpoint_ids(cells.join(codes, "id"), emb, remb)
     return index, coarse, cents
 
@@ -1309,7 +1310,8 @@ def ivfadc_batch_search(
 
 
 def _train_pq_codebooks(
-    remb: DataFrame, m: int, w: int, k: int, iters: int
+    remb: DataFrame, m: int, w: int, k: int, iters: int,
+    exact_means: bool = False,
 ) -> "tuple[DataFrame, list[list[list[float]]]]":
     """Train the m per-subspace PQ codebooks JOINTLY — one Spark job per
     Lloyd round for ALL subspaces, instead of m independent
@@ -1393,12 +1395,31 @@ def _train_pq_codebooks(
             "id", F.explode(F.array(*per_j)).alias("a")
         ).select("id", "a.j", "a.cluster", "a.vs")
 
+    # ``exact_means``: per-dimension mean as a round-6 DECIMAL(18,6)
+    # SUM (exact, summation-ORDER-independent) cast to double and
+    # divided by the count, instead of F.avg — the repo's
+    # round-then-DECIMAL-sums discipline. Plain double avg over
+    # NON-integer residuals is partition-order dependent in the last
+    # ulp, and ROUND(·, 4) amplifies a reorder ulp at a 4-decimal
+    # midpoint into a different centroid (observed: the q276 chunk
+    # build matched DuckDB under 8 shuffle partitions and diverged
+    # under 32). Whole-doc callers keep the default (their committed
+    # oracles replay plain AVG); the chunk-PQ build opts in, with its
+    # oracle replaying the same decimal-sum expression.
+    if exact_means:
+        mean_expr = F.round(
+            F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        )
+    else:
+        mean_expr = F.round(F.avg("x"), 4)
     for _ in range(iters):
         mean_rows = (
             assign_all(cents)
             .select("j", "cluster", F.posexplode("vs").alias("dim", "x"))
             .groupBy("j", "cluster", "dim")
-            .agg(F.round(F.avg("x"), 4).alias("c"))
+            .agg(mean_expr.alias("c"))
             .collect()
         )
         by_jc: dict[tuple[int, int], dict[int, float]] = {}

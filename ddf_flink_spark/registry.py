@@ -15471,3 +15471,400 @@ def q274_maxsim_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits",
         F.round(F.col("hits") / (5 * K * 1.0), 4).alias("recall"),
     ).orderBy("nprobe")
+
+
+def _chunk_pq_ctes(
+    n_lists: int = 8,
+    m: int = 8,
+    w: int = 2,
+    k: int = 16,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 16,
+) -> str:
+    """Shared WITH-body prefix for the PQ-compressed chunk index
+    oracles (q275/q276/q277): q263's chunk-embedding CTEs, the chunk-
+    vector coarse chain, residuals, the m per-subspace codebook chains
+    (q248's blocks over the CHUNK residuals), ending with ``cells``
+    (ck → cell), ``codes`` (ck, j, code), ``cemb`` (ck, doc, v, n2)
+    and ``rc2_j`` (the final codebooks) available."""
+    e_sums = ", ".join(
+        f"SUM(((hv >> {d}) & 1) * 2 - 1) AS e{d}" for d in range(dim)
+    )
+    v_list = ", ".join(f"CAST(e{d} AS DOUBLE)" for d in range(dim))
+    n2 = " + ".join(f"e{d} * e{d}" for d in range(dim))
+    assign = """
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM emb e CROSS JOIN {cent} c
+    """
+    update = """
+      SELECT cluster, u.i AS dim, ROUND(AVG(u.x), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+    blocks = []
+    for j in range(m):
+        lo, hi = j * w + 1, j * w + w
+        assign_j = f"""
+      SELECT e.id, e.v, c.cluster, list_distance(e.v, c.c) AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.id
+               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cluster
+             ) AS rn
+      FROM remb{j} e CROSS JOIN {{cent}} c
+    """
+        # exact_means replay: round-6 DECIMAL(18,6) sum / count — the
+        # order-independent mean the chunk-PQ build trains with
+        update_j = """
+      SELECT cluster, u.i AS dim,
+             ROUND(CAST(SUM(CAST(ROUND(u.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 4) AS cx
+      FROM {assigned} a,
+           LATERAL (SELECT UNNEST(a.v) AS x, generate_subscripts(a.v, 1) AS i) u
+      GROUP BY cluster, u.i
+    """
+        blocks.append(f"""
+    remb{j} AS MATERIALIZED (SELECT id, list_slice(v, {lo}, {hi}) AS v FROM remb),
+    rc0_{j} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM remb{j} ORDER BY id LIMIT {k})
+    ),
+    rs0_{j} AS ({assign_j.format(cent=f"rc0_{j}")}),
+    ra0_{j} AS (SELECT id, v, cluster FROM rs0_{j} WHERE rn = 1),
+    rm1_{j} AS ({update_j.format(assigned=f"ra0_{j}")}),
+    rc1n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM rm1_{j} GROUP BY cluster),
+    rc1_{j} AS (SELECT rc0_{j}.cluster, COALESCE(rc1n_{j}.c, rc0_{j}.c) AS c
+               FROM rc0_{j} LEFT JOIN rc1n_{j} USING (cluster)),
+    rs1_{j} AS ({assign_j.format(cent=f"rc1_{j}")}),
+    ra1_{j} AS (SELECT id, v, cluster FROM rs1_{j} WHERE rn = 1),
+    rm2_{j} AS ({update_j.format(assigned=f"ra1_{j}")}),
+    rc2n_{j} AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM rm2_{j} GROUP BY cluster),
+    rc2_{j} AS (SELECT rc1_{j}.cluster, COALESCE(rc2n_{j}.c, rc1_{j}.c) AS c
+               FROM rc1_{j} LEFT JOIN rc2n_{j} USING (cluster)),
+    rs2_{j} AS ({assign_j.format(cent=f"rc2_{j}")}),
+    ra2_{j} AS (SELECT id, cluster FROM rs2_{j} WHERE rn = 1)""")
+    code_selects = " UNION ALL ".join(
+        f"SELECT id, {j} AS j, cluster AS code FROM ra2_{j}" for j in range(m)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+    st AS (
+      SELECT doc_id, ts,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ts) - {size} + {stride}, 1),
+                                    {stride})) AS s
+      FROM tok
+    ),
+    chtok AS (SELECT doc_id, s, UNNEST(ts[s:s+{size - 1}]) AS t FROM st),
+    h AS (
+      SELECT doc_id, s,
+             CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM chtok
+    ),
+    cemb0 AS (SELECT doc_id, s, {e_sums} FROM h GROUP BY doc_id, s),
+    cemb AS MATERIALIZED (
+      SELECT doc_id * 1000000 + (s - 1) // {stride} AS ck, doc_id AS doc,
+             [{v_list}] AS v, {n2} AS n2
+      FROM cemb0
+    ),
+    emb AS MATERIALIZED (SELECT ck AS id, v FROM cemb),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster,
+             list_transform(v, x -> ROUND(x, 4)) AS c
+      FROM (SELECT id, v FROM emb ORDER BY id LIMIT {n_lists})
+    ),
+    s0 AS ({assign.format(cent="c0")}),
+    a0 AS (SELECT id, v, cluster FROM s0 WHERE rn = 1),
+    m1 AS ({update.format(assigned="a0")}),
+    c1n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+    c1 AS (SELECT c0.cluster, COALESCE(c1n.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1n USING (cluster)),
+    s1 AS ({assign.format(cent="c1")}),
+    a1 AS (SELECT id, v, cluster FROM s1 WHERE rn = 1),
+    m2 AS ({update.format(assigned="a1")}),
+    c2n AS (SELECT cluster, LIST(cx ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+    c2 AS (SELECT c1.cluster, COALESCE(c2n.c, c1.c) AS c
+           FROM c1 LEFT JOIN c2n USING (cluster)),
+    s2 AS ({assign.format(cent="c2")}),
+    cells AS MATERIALIZED (SELECT id, cluster FROM s2 WHERE rn = 1),
+    rsrc AS (
+      SELECT e.id, e.v AS ev, c2.c AS cc
+      FROM emb e JOIN cells ON cells.id = e.id
+                 JOIN c2 ON c2.cluster = cells.cluster
+    ),
+    remb AS MATERIALIZED (
+      SELECT id, LIST(u.vx - u.cx ORDER BY u.i) AS v
+      FROM rsrc,
+           LATERAL (SELECT UNNEST(rsrc.ev) AS vx, UNNEST(rsrc.cc) AS cx,
+                    generate_subscripts(rsrc.ev, 1) AS i) u
+      GROUP BY id
+    ),
+    {",".join(blocks)},
+    codes AS ({code_selects})"""
+
+
+def _q275_oracle(m: int = 8, **kw) -> str:
+    """Pins the full persisted PQ-chunk row: (ck, doc, list_id,
+    code0..code{m-1}, n2)."""
+    prefix = _chunk_pq_ctes(m=m, **kw)
+    code_cols = ", ".join(
+        f"CAST(MAX(CASE WHEN cj.j = {j} THEN cj.code END) AS BIGINT) AS code{j}"
+        for j in range(m)
+    )
+    return f"""{prefix}
+    SELECT cells.id AS ck, CAST(MAX(cemb.doc) AS BIGINT) AS doc,
+           CAST(MAX(cells.cluster) AS BIGINT) AS list_id,
+           {code_cols},
+           CAST(MAX(cemb.n2) AS BIGINT) AS n2
+    FROM cells JOIN codes cj USING (id) JOIN cemb ON cemb.ck = cells.id
+    GROUP BY cells.id
+    ORDER BY cells.id
+    """
+
+
+def _adc_score_ctes(
+    n_q: int = 5,
+    n_lists: int = 8,
+    m: int = 8,
+    w: int = 2,
+    nprobe: int = 3,
+    dim: int = 16,
+) -> str:
+    """The ADC-MaxSim serve chain given the _chunk_pq_ctes prefix:
+    query embeddings, probe, dot-product LUT (round-6 DECIMAL),
+    per-chunk reconstruction cosine with EXACT stored norms, per-doc
+    max. Ends with ``ams`` (qid, doc, am)."""
+    q_sums = ", ".join(
+        f"SUM(((hv >> {d}) & 1) * 2 - 1) AS q{d}" for d in range(dim)
+    )
+    qv_list = ", ".join(f"CAST(q{d} AS DOUBLE)" for d in range(dim))
+    qn2 = " + ".join(f"q{d} * q{d}" for d in range(dim))
+    lut_units = " UNION ALL ".join(
+        f"""SELECT qemb.qid, {j} AS j, rc2_{j}.cluster AS code,
+               CAST(ROUND(list_dot_product(
+                 list_slice(qemb.qv, {j * w + 1}, {j * w + w}), rc2_{j}.c), 6)
+                 AS DECIMAL(18,6)) AS d
+        FROM qemb CROSS JOIN rc2_{j}"""
+        for j in range(m)
+    )
+    return f""",
+    qtok AS (
+      SELECT doc_id AS qid, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {n_q})
+    ),
+    qh AS (
+      SELECT qid, CAST(('0x' || SUBSTRING(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM qtok
+    ),
+    qemb0 AS (SELECT qid, {q_sums} FROM qh GROUP BY qid),
+    qemb AS (SELECT qid, [{qv_list}] AS qv, {qn2} AS qn2 FROM qemb0),
+    probe AS (
+      SELECT qid, cluster, qcdot FROM (
+        SELECT q.qid, c.cluster,
+               CAST(ROUND(list_dot_product(q.qv, c.c), 6) AS DECIMAL(18,6))
+                 AS qcdot,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND(-list_dot_product(q.qv, c.c), 6), c.cluster
+               ) AS prn
+        FROM qemb q CROSS JOIN c2 c
+      ) p WHERE prn <= {nprobe}
+    ),
+    lut AS ({lut_units}),
+    candpq AS (
+      SELECT p.qid, cells.id AS ck, cemb.doc, cemb.n2, q.qn2, p.qcdot,
+             cj.j, cj.code
+      FROM probe p
+      JOIN cells ON cells.cluster = p.cluster
+      JOIN cemb ON cemb.ck = cells.id
+      JOIN qemb q ON q.qid = p.qid
+      JOIN codes cj ON cj.id = cells.id
+      WHERE cemb.doc != p.qid AND cemb.n2 > 0 AND q.qn2 > 0
+    ),
+    perchunk AS (
+      SELECT qid, ck, doc,
+             ROUND(CAST(MAX(qcdot) + SUM(lut.d) AS DOUBLE)
+                   / SQRT(CAST(MAX(n2) * MAX(qn2) AS DOUBLE)), 6) AS acos
+      FROM candpq JOIN lut USING (qid, j, code)
+      GROUP BY qid, ck, doc
+    ),
+    ams AS (SELECT qid, doc, MAX(acos) AS am FROM perchunk GROUP BY qid, doc)"""
+
+
+def _q276_oracle(
+    n_q: int = 5, k: int = 5, nprobe: int = 3, m: int = 8, w: int = 2
+) -> str:
+    return f"""{_chunk_pq_ctes(m=m, w=w)}{_adc_score_ctes(n_q=n_q, m=m, w=w, nprobe=nprobe)},
+    r AS (
+      SELECT qid, doc, am,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY am DESC, doc) AS rn
+      FROM ams
+    )
+    SELECT qid AS query_id, doc AS doc_id, am AS maxsim_adc
+    FROM r WHERE rn <= {k}
+    ORDER BY query_id, doc_id
+    """
+
+
+def _q277_oracle(
+    n_q: int = 5,
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 3,
+    m: int = 8,
+    w: int = 2,
+) -> str:
+    """Two-stage: ADC shortlist of ``shortlist`` docs per query, then
+    EXACT MaxSim rerank (q257's integer cosines over cemb) restricted
+    to the shortlist, final top-k."""
+    return f"""{_chunk_pq_ctes(m=m, w=w)}{_adc_score_ctes(n_q=n_q, m=m, w=w, nprobe=nprobe)},
+    short AS (
+      SELECT qid, doc FROM (
+        SELECT qid, doc,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY am DESC, doc) AS rn
+        FROM ams
+      ) r WHERE rn <= {shortlist}
+    ),
+    xcos AS (
+      SELECT s.qid, c.doc,
+             ROUND(list_dot_product(q.qv, c.v)
+                   / SQRT(CAST(c.n2 * q.qn2 AS DOUBLE)), 6) AS cos
+      FROM short s
+      JOIN cemb c ON c.doc = s.doc
+      JOIN qemb q ON q.qid = s.qid
+      WHERE c.n2 > 0 AND q.qn2 > 0
+    ),
+    xms AS (SELECT qid, doc, MAX(cos) AS mx FROM xcos GROUP BY qid, doc),
+    fr AS (
+      SELECT qid, doc, mx,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mx DESC, doc) AS rn
+      FROM xms
+    )
+    SELECT qid AS query_id, doc AS doc_id, mx AS maxsim
+    FROM fr WHERE rn <= {k}
+    ORDER BY query_id, doc_id
+    """
+
+
+@query("q275_chunk_pq_build_persist", oracle=_q275_oracle())
+def q275_chunk_pq_build_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-COMPRESSED CHUNK INDEX BUILD (functions/retrieval.
+    build_chunk_pq_index) — the storage story that makes a 100 TB
+    chunk table servable: q265 persists dim=16 raw BIGINT components
+    per chunk; this build runs the residual-IVFADC machinery VERBATIM
+    over the chunk vectors (coarse cell + m=8 per-subspace codebooks
+    on the residuals, w=2, k=16) and persists only (ck, doc,
+    code0..code7, n2) in the standard q245 layout — m small ints plus
+    the EXACT squared norm, ~16× smaller than the raw components, and
+    the whole persisted-index lifecycle (tombstone delete with the
+    doc-cascade key, partition-pruned compaction, on-disk maintenance)
+    applies unchanged. The oracle replays chunking, hashing, the chunk
+    coarse chain, residuals and all 8 codebook chains, pinning every
+    persisted row end-to-end."""
+    import shutil
+
+    from .functions.retrieval import build_chunk_pq_index
+
+    M = 8
+    base = _session_tmp("q275")
+    shutil.rmtree(base, ignore_errors=True)
+    d = t(spark, sf_dir, "documents")
+    build_chunk_pq_index(d, base, n_lists=8, m=M, k=16)
+    return (
+        spark.read.parquet(f"{base}/codes")
+        .select(
+            F.col("id").alias("ck"),
+            F.col("doc").cast("long").alias("doc"),
+            F.col("list_id").cast("long").alias("list_id"),
+            *[F.col(f"code{j}").cast("long").alias(f"code{j}") for j in range(M)],
+            F.col("n2").cast("long").alias("n2"),
+        )
+        .orderBy("ck")
+    )
+
+
+_CHUNK_PQ_BUILT: set[str] = set()
+
+
+def _persisted_chunk_pq_base(spark: SparkSession, sf_dir: str) -> str:
+    """Build + persist the PQ-compressed chunk index (q275's layout)
+    ONCE per process per sf_dir — the q259/q266 per-process build
+    discipline for the compressed retrieval side."""
+    import os as _os
+    import shutil
+
+    from .functions.retrieval import build_chunk_pq_index
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    base = _session_tmp(f"q276_{tag}")
+    if base not in _CHUNK_PQ_BUILT or not _os.path.isdir(f"{base}/codes"):
+        shutil.rmtree(base, ignore_errors=True)
+        build_chunk_pq_index(
+            t(spark, sf_dir, "documents"), base, n_lists=8, m=8, k=16
+        )
+        _CHUNK_PQ_BUILT.add(base)
+    return base
+
+
+@query("q276_maxsim_adc_serve", oracle=_q276_oracle())
+def q276_maxsim_adc_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC-DISTANCE MaxSim SERVE (functions/retrieval.
+    maxsim_adc_topk) — late interaction served ENTIRELY from the
+    PQ-compressed chunk index: dot(q, ĉ) = dot(q, coarse[cell]) +
+    Σ_j LUT_j[code_j] (one round-6 value per probed cell + m lookups
+    into a query × m·k dot-product LUT, summed in exact DECIMAL), and
+    the cosine divides by sqrt(n2·qn2) with the EXACT stored norms —
+    only the numerator is quantized. The corpus side never
+    materializes a vector: at 100 TB the probe scans m-byte codes, the
+    Jégou et al. 2011 §V memory economics applied to passages. Scores
+    are deterministic, so the oracle replays the full training + LUT +
+    ADC chain bit-for-bit. Reconstruction fidelity on THIS corpus is
+    limited by construction (the closed ~31-word vocabulary compresses
+    the cosine range, so PQ error flips near-ties — the q274-style
+    measurement); the production remedy is q277's two-stage rerank,
+    whose within-shortlist results are exact."""
+    from .functions.index_store import load_index
+    from .functions.retrieval import maxsim_adc_topk
+
+    base = _persisted_chunk_pq_base(spark, sf_dir)
+    codes, coarse_r, cents_r = load_index(spark, base)
+    d = t(spark, sf_dir, "documents")
+    return maxsim_adc_topk(
+        d.orderBy("doc_id").limit(5), codes, coarse_r, cents_r, k=5, nprobe=3
+    ).orderBy("query_id", "doc_id")
+
+
+@query("q277_maxsim_adc_rerank", oracle=_q277_oracle())
+def q277_maxsim_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE MaxSim (functions/retrieval.maxsim_adc_rerank_topk) —
+    q250's shortlist-then-exact-rerank pattern for late interaction,
+    the production shape a RAG deployment runs over a compressed chunk
+    index: stage 1 shortlists 20 docs per query from the PQ codes
+    (memory-bounded ADC, q276's maths), stage 2 re-embeds ONLY the
+    shortlisted documents' chunks (semi-join — work ∝ Q·shortlist
+    docs, never corpus) and ranks them with q257's EXACT integer
+    cosine. Within the shortlist the scores are bit-equal to brute
+    MaxSim, so quality reduces to shortlist recall — tunable with
+    shortlist/nprobe. The oracle replays the ADC shortlist AND the
+    exact rerank end-to-end."""
+    from .functions.index_store import load_index
+    from .functions.retrieval import maxsim_adc_rerank_topk
+
+    base = _persisted_chunk_pq_base(spark, sf_dir)
+    codes, coarse_r, cents_r = load_index(spark, base)
+    d = t(spark, sf_dir, "documents")
+    return maxsim_adc_rerank_topk(
+        d.orderBy("doc_id").limit(5),
+        codes,
+        coarse_r,
+        cents_r,
+        d,
+        k=5,
+        shortlist=20,
+        nprobe=3,
+    ).orderBy("query_id", "doc_id")

@@ -2439,3 +2439,42 @@ def test_chunk_split_on_disk_contracts(spark, tmp_path):
         cdf.filter("doc_id < 3"), chunks, coarse, k=3, nprobe=2
     ).collect()
     assert res, "post-split serving must return rows"
+
+
+def test_chunk_pq_build_is_partition_order_independent(spark, tmp_path):
+    """build_chunk_pq_index (q275) must persist IDENTICAL model +
+    codes regardless of input partitioning: the codebook means use the
+    exact_means round-6 DECIMAL-sum discipline, so shuffle/summation
+    order cannot flip a round-4 centroid (the q276 divergence this
+    fixed: plain double avg matched under 8 shuffle partitions and
+    differed under 32)."""
+    import random
+
+    from ddf_flink_spark.functions.index_store import load_index
+    from ddf_flink_spark.functions.retrieval import build_chunk_pq_index
+
+    rng = random.Random(275)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(120))) for i in range(40)
+    ]
+    outs = []
+    for tag, parts in (("a", 1), ("b", 7)):
+        cdf = spark.createDataFrame(
+            docs, "doc_id long, text string"
+        ).repartition(parts)
+        base = str(tmp_path / f"pq_{tag}")
+        build_chunk_pq_index(cdf, base, n_lists=4, m=8, k=8)
+        codes, coarse, cbs = load_index(spark, base)
+        outs.append(
+            (
+                sorted(map(tuple, codes.drop("list_id").collect())),
+                sorted(map(tuple, codes.select("id", "list_id").collect())),
+                coarse,
+                cbs,
+            )
+        )
+    assert outs[0][0] == outs[1][0], "codes diverged across partitionings"
+    assert outs[0][1] == outs[1][1], "cell membership diverged"
+    assert outs[0][2] == outs[1][2], "coarse centroids diverged"
+    assert outs[0][3] == outs[1][3], "codebooks diverged"

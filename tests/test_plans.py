@@ -537,6 +537,12 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     # 5-query non-equi pair scoring; per-nprobe hit counts are 1-row
     # aggregates unioned into the 4-row tuning table.
     "q274_maxsim_recall_sweep": {"single-partition", "cartesian-product"},
+    # ADC MaxSim: the dot-product LUT is the Q-row query frame crossed
+    # with the BROADCAST m·k codebook frame (128 rows — MODEL
+    # parameters); q277 adds the same LUT cross inside its shortlist
+    # stage. Both runtime-measured below.
+    "q276_maxsim_adc_serve": {"cartesian-product"},
+    "q277_maxsim_adc_rerank": {"cartesian-product"},
     # TF-IDF keywords: n_sources is a 1-row agg crossJoined broadcast.
     "q190_tfidf_keywords": {"single-partition", "cartesian-product"},
     # Quality report: the whole report is ONE 1-row aggregate (by design
