@@ -1,0 +1,555 @@
+"""Snapshot-versioned table store: atomic manifest commits, time
+travel, merge-on-read deletes, partition-pruned compaction, GC.
+
+The on-disk lifecycle ops (functions/index_store) mutate partition
+directories in place — crash-safe locally via a two-rename swap, but a
+reader that lists directories DURING a swap can still observe a
+partition mid-flight, there is no history, and object-store directory
+listings are the scalability anti-pattern every table format exists to
+kill. This module is the architecture-level answer, the same shape as
+Iceberg/Delta's metadata layer (Armbrust et al., VLDB 2020, "Delta
+Lake: High-Performance ACID Table Storage over Cloud Object Stores")
+reduced to its load-bearing core:
+
+* **Immutable data files** — every commit writes a fresh
+  ``data/c{N}/`` directory; nothing under ``data/`` is ever modified
+  or renamed afterwards (vacuum deletes, never rewrites).
+* **Atomic manifest commit** — a snapshot is ONE JSON file
+  ``manifests/v{N}.json`` holding the COMPLETE file listing (plus
+  per-file row counts and min/max column stats read from the parquet
+  footers). Publication is ``os.link(tmp, final)``, which atomically
+  fails if the version already exists — optimistic concurrency: the
+  loser of a race gets :class:`SnapshotConflict`, never a corrupt
+  table. A crash at ANY point before the link leaves the store
+  exactly at its previous version (orphaned data files are reclaimed
+  by vacuum); there is no crash window in which a reader can observe
+  a partial commit.
+* **Readers pin a snapshot** — :func:`snapshot_read` resolves one
+  manifest and reads exactly its files; a concurrent compaction or
+  append is invisible (old files are retained until vacuum), so
+  maintenance never races serving. Time travel is reading an older
+  version number.
+* **Merge-on-read deletes** — :func:`snapshot_delete` commits
+  tombstone files (O(|ids|), no data rewrite); reads anti-join them.
+  :func:`snapshot_compact` folds tombstones by rewriting ONLY the
+  partitions that contain tombstoned rows (file entries of untouched
+  partitions are carried into the new manifest verbatim — same paths,
+  byte-identical by construction).
+* **Manifest-level pruning** — the reader never lists a directory:
+  partition pruning (``parts=[...]``) and min/max stat pruning
+  (``between=("col", lo, hi)``) select file entries from the manifest
+  before Spark sees a path. Composed with a Morton-key layout
+  (functions/layout.py) this is Z-ORDER + zone-map data skipping:
+  cluster by the interleaved key at write time, prune files by the
+  key range at read time, on BOTH dimensions at once.
+
+At 100 TB: commits are O(files-touched) metadata + one atomic rename;
+reads are O(manifest) planning with zero listing round-trips; deletes
+are O(|ids|); compaction rewrites only affected partitions; GC is an
+explicit, versioned retention decision. The reference has no
+persistence lifecycle at all (its sink is a fire-and-forget TextOutput,
+``utils/package.scala:418-427``); this is a pure capability extension
+for the retained-corpus posture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "SnapshotConflict",
+    "snapshot_create",
+    "snapshot_append",
+    "snapshot_delete",
+    "snapshot_compact",
+    "snapshot_restore",
+    "snapshot_vacuum",
+    "snapshot_read",
+    "snapshot_log",
+    "snapshot_versions",
+]
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer published this version first (optimistic
+    concurrency): retry against the new latest."""
+
+
+# ---------------------------------------------------------------- I/O
+
+
+def _manifest_dir(base: str) -> str:
+    return os.path.join(base, "manifests")
+
+
+def _data_dir(base: str) -> str:
+    return os.path.join(base, "data")
+
+
+def _manifest_path(base: str, version: int) -> str:
+    return os.path.join(_manifest_dir(base), f"v{version:06d}.json")
+
+
+def snapshot_versions(base: str) -> "list[int]":
+    """All published snapshot versions, ascending."""
+    mdir = _manifest_dir(base)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def _load_manifest(base: str, version: "int | None" = None) -> dict:
+    versions = snapshot_versions(base)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {base}")
+    v = max(versions) if version is None else int(version)
+    if v not in versions:
+        raise FileNotFoundError(
+            f"snapshot v{v} not found at {base} (have {versions}) — "
+            "it may have been vacuumed"
+        )
+    with open(_manifest_path(base, v)) as fh:
+        return json.load(fh)
+
+
+def _publish(base: str, manifest: dict) -> int:
+    """Atomically publish ``manifest`` as its version. The manifest is
+    fully written and fsynced to a temp name first; ``os.link`` then
+    either creates the final name or fails with EEXIST — the only two
+    outcomes. No reader can ever see a partial manifest."""
+    os.makedirs(_manifest_dir(base), exist_ok=True)
+    v = int(manifest["version"])
+    final = _manifest_path(base, v)
+    tmp = os.path.join(_manifest_dir(base), f".v{v}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"snapshot v{v} at {base} was published by a concurrent writer"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return v
+
+
+def _scan_files(
+    commit_dir: str, part_col: "str | None", stats_cols: "list[str]"
+) -> "tuple[list[dict], int]":
+    """Enumerate the parquet files Spark just wrote under
+    ``commit_dir`` and read row counts + min/max stats for
+    ``stats_cols`` from the footers (pyarrow metadata only — no data
+    pages touched). Returns (entries, total_rows)."""
+    import pyarrow.parquet as pq
+
+    commit = os.path.basename(commit_dir.rstrip("/"))
+    entries: list[dict] = []
+    total = 0
+    for root, _dirs, files in os.walk(commit_dir):
+        part = None
+        if part_col is not None:
+            rel = os.path.relpath(root, commit_dir)
+            if rel != "." and rel.startswith(f"{part_col}="):
+                part = rel.split("=", 1)[1].split(os.sep)[0]
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            full = os.path.join(root, fname)
+            md = pq.ParquetFile(full).metadata
+            rows = md.num_rows
+            total += rows
+            stats: dict[str, list] = {}
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for col in stats_cols:
+                if col not in names:
+                    continue
+                ci = names.index(col)
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                # only JSON-portable scalar types land in the manifest
+                # (timestamp/bytes stats would need an encoding scheme)
+                if (
+                    ok
+                    and lo is not None
+                    and isinstance(lo, (int, float, str, bool))
+                    and isinstance(hi, (int, float, str, bool))
+                ):
+                    stats[col] = [lo, hi]
+            entries.append(
+                {
+                    "commit": commit,
+                    "path": os.path.relpath(full, commit_dir),
+                    "part": part,
+                    "rows": rows,
+                    **({"stats": stats} if stats else {}),
+                }
+            )
+    return entries, total
+
+
+def _next_commit_dir(base: str, version: int) -> str:
+    return os.path.join(_data_dir(base), f"c{version:06d}")
+
+
+# ------------------------------------------------------------ commits
+
+
+def snapshot_create(
+    df: DataFrame,
+    base: str,
+    part_col: "str | None" = None,
+    id_col: str = "id",
+    stats_cols: "list[str] | None" = None,
+    meta: "dict | None" = None,
+) -> int:
+    """Commit v1 of a new snapshot store at ``base``. ``part_col``
+    becomes the table's physical partitioning (compaction unit and
+    ``parts=`` pruning key); ``id_col`` is the key tombstones match on;
+    ``stats_cols`` get per-file min/max recorded in every future
+    manifest (the zone map). Returns the version (1)."""
+    if snapshot_versions(base):
+        raise SnapshotConflict(f"snapshot store already exists at {base}")
+    stats_cols = list(stats_cols or [])
+    commit_dir = _next_commit_dir(base, 1)
+    shutil.rmtree(commit_dir, ignore_errors=True)
+    w = df.write.mode("overwrite")
+    if part_col is not None:
+        w = w.partitionBy(part_col)
+    w.parquet(commit_dir)
+    entries, rows = _scan_files(commit_dir, part_col, stats_cols)
+    return _publish(
+        base,
+        {
+            "version": 1,
+            "parent": None,
+            "op": "create",
+            "part_col": part_col,
+            "id_col": id_col,
+            "stats_cols": stats_cols,
+            "schema": df.schema.json(),
+            "files": entries,
+            "tombstones": [],
+            "batch_tags": [],
+            "rows_added": rows,
+            "rows_removed": 0,
+            "meta": meta or {},
+        },
+    )
+
+
+def _child(parent: dict, op: str) -> dict:
+    return {
+        "version": int(parent["version"]) + 1,
+        "parent": int(parent["version"]),
+        "op": op,
+        "part_col": parent["part_col"],
+        "id_col": parent["id_col"],
+        "stats_cols": parent["stats_cols"],
+        "schema": parent["schema"],
+        "files": list(parent["files"]),
+        "tombstones": list(parent["tombstones"]),
+        "batch_tags": list(parent["batch_tags"]),
+        "rows_added": 0,
+        "rows_removed": 0,
+        "meta": dict(parent.get("meta", {})),
+    }
+
+
+def snapshot_append(
+    df: DataFrame,
+    base: str,
+    batch_tag: "str | None" = None,
+    meta: "dict | None" = None,
+) -> int:
+    """Append ``df`` as a new snapshot. ``batch_tag`` makes the append
+    IDEMPOTENT: a tag already present in the lineage is a no-op
+    returning the current version — so a streaming ``foreachBatch``
+    writer that tags each micro-batch with its batch id gets
+    exactly-once table contents under Structured Streaming's
+    batch-replay recovery, the standard idempotent-sink discipline."""
+    parent = _load_manifest(base)
+    if batch_tag is not None and batch_tag in parent["batch_tags"]:
+        return int(parent["version"])
+    m = _child(parent, "append")
+    commit_dir = _next_commit_dir(base, m["version"])
+    shutil.rmtree(commit_dir, ignore_errors=True)
+    w = df.write.mode("overwrite")
+    if m["part_col"] is not None:
+        w = w.partitionBy(m["part_col"])
+    w.parquet(commit_dir)
+    entries, rows = _scan_files(commit_dir, m["part_col"], m["stats_cols"])
+    m["files"] += entries
+    m["rows_added"] = rows
+    if batch_tag is not None:
+        m["batch_tags"].append(batch_tag)
+    if meta:
+        m["meta"].update(meta)
+    return _publish(base, m)
+
+
+def snapshot_delete(ids: DataFrame, base: str) -> int:
+    """Merge-on-read delete: commit ``ids`` (any one-column frame) as
+    tombstone files — O(|ids|), no data rewrite. Reads anti-join the
+    tombstones until :func:`snapshot_compact` folds them in. Time
+    travel to the pre-delete version still serves the rows (erasure of
+    HISTORY is :func:`snapshot_vacuum` retention policy, the same
+    split GDPR tooling makes)."""
+    parent = _load_manifest(base)
+    m = _child(parent, "delete")
+    commit_dir = _next_commit_dir(base, m["version"])
+    shutil.rmtree(commit_dir, ignore_errors=True)
+    ids.select(F.col(ids.columns[0]).alias(m["id_col"])).write.mode(
+        "overwrite"
+    ).parquet(commit_dir)
+    entries, rows = _scan_files(commit_dir, None, [])
+    m["tombstones"] += entries
+    m["rows_removed"] = rows
+    return _publish(base, m)
+
+
+def snapshot_restore(base: str, version: int) -> int:
+    """Roll back by rolling FORWARD: publish a new snapshot whose
+    listing is a copy of ``version``'s. History stays linear and
+    append-only; nothing is deleted."""
+    parent = _load_manifest(base)
+    old = _load_manifest(base, version)
+    m = _child(parent, "restore")
+    m["files"] = list(old["files"])
+    m["tombstones"] = list(old["tombstones"])
+    m["meta"] = dict(old.get("meta", {}))
+    m["restored_from"] = int(version)
+    return _publish(base, m)
+
+
+def _read_entries(
+    spark: SparkSession,
+    base: str,
+    entries: "list[dict]",
+    schema_json: str,
+    part_col: "str | None",
+) -> DataFrame:
+    """Materialize a manifest file listing as one DataFrame. Files are
+    grouped per commit so Spark's partition-value inference sees each
+    commit's own basePath; groups are unioned by name and projected to
+    the recorded schema's column order (deterministic regardless of
+    which commits survive pruning)."""
+    schema = StructType.fromJson(json.loads(schema_json))
+    cols = [f.name for f in schema.fields]
+    if not entries:
+        return spark.createDataFrame([], schema).select(*cols)
+    by_commit: dict[str, list[str]] = {}
+    for e in entries:
+        by_commit.setdefault(e["commit"], []).append(e["path"])
+    parts_frames = []
+    for commit, paths in sorted(by_commit.items()):
+        cdir = os.path.join(_data_dir(base), commit)
+        reader = spark.read
+        if part_col is not None:
+            reader = reader.option("basePath", cdir)
+        parts_frames.append(
+            reader.parquet(*[os.path.join(cdir, p) for p in paths])
+        )
+    df = parts_frames[0]
+    for other in parts_frames[1:]:
+        df = df.unionByName(other)
+    return df.select(*cols)
+
+
+def snapshot_read(
+    spark: SparkSession,
+    base: str,
+    version: "int | None" = None,
+    parts: "list | None" = None,
+    between: "tuple | None" = None,
+    apply_tombstones: bool = True,
+) -> DataFrame:
+    """Read one snapshot (latest by default; ``version=N`` is time
+    travel). Planning is manifest-only — no directory listing:
+
+    * ``parts=[v, ...]`` keeps only entries of those partition values.
+    * ``between=(col, lo, hi)`` keeps files whose recorded [min, max]
+      for ``col`` overlaps [lo, hi] — zone-map skipping; files without
+      stats for ``col`` are conservatively kept. The predicate is ALSO
+      applied row-level (the manifest prunes files, the filter prunes
+      rows), so the result is exact, not file-granular.
+    * tombstones (if any, and ``apply_tombstones``) are anti-joined on
+      the table's id column — merge-on-read.
+    """
+    m = _load_manifest(base, version)
+    entries = m["files"]
+    if parts is not None:
+        want = {str(p) for p in parts}
+        entries = [e for e in entries if e["part"] in want]
+    if between is not None:
+        col, lo, hi = between
+        entries = [
+            e
+            for e in entries
+            if col not in e.get("stats", {})
+            or (e["stats"][col][0] <= hi and lo <= e["stats"][col][1])
+        ]
+    df = _read_entries(spark, base, entries, m["schema"], m["part_col"])
+    if between is not None:
+        col, lo, hi = between
+        df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    if apply_tombstones and m["tombstones"]:
+        tomb = _read_entries(
+            spark,
+            base,
+            m["tombstones"],
+            StructType().add(m["id_col"], "long").json(),
+            None,
+        )
+        df = df.join(tomb, m["id_col"], "left_anti")
+    return df
+
+
+def snapshot_compact(spark: SparkSession, base: str) -> int:
+    """Fold tombstones into the data by rewriting ONLY the partitions
+    that contain tombstoned rows, as a NEW commit: survivors of the
+    affected partitions are scanned partition-pruned (``parts=``
+    manifest pruning, so the scan reads only those partitions' files)
+    and written to a fresh commit dir; the new manifest carries every
+    unaffected partition's file entries VERBATIM (same immutable paths
+    — byte-identical by construction, no copy, no rename) and drops
+    the tombstones. The pre-compaction snapshot remains readable until
+    vacuum. No-op (returns current version) when there is nothing to
+    fold."""
+    parent = _load_manifest(base)
+    if not parent["tombstones"]:
+        return int(parent["version"])
+    part_col, id_col = parent["part_col"], parent["id_col"]
+    tomb = _read_entries(
+        spark,
+        base,
+        parent["tombstones"],
+        StructType().add(id_col, "long").json(),
+        None,
+    )
+    full = snapshot_read(spark, base, apply_tombstones=False)
+    if part_col is None:
+        affected_parts: "list[str] | None" = None
+        survivors = full.join(tomb, id_col, "left_anti")
+        keep = []
+    else:
+        # column-pruned: the affected-partition probe only needs
+        # (id, part) — Spark's scan reads just those two columns
+        hit = full.select(id_col, part_col).join(tomb, id_col, "left_semi")
+        affected_parts = sorted(
+            str(r[part_col])
+            for r in hit.select(part_col).distinct().collect()  # ≤ n_parts
+        )
+        if not affected_parts:
+            # every tombstoned id misses the table: just retire them
+            m = _child(parent, "compact")
+            m["tombstones"] = []
+            return _publish(base, m)
+        survivors = snapshot_read(
+            spark, base, parts=affected_parts, apply_tombstones=False
+        ).join(tomb, id_col, "left_anti")
+        keep = [e for e in parent["files"] if e["part"] not in set(affected_parts)]
+    m = _child(parent, "compact")
+    commit_dir = _next_commit_dir(base, m["version"])
+    shutil.rmtree(commit_dir, ignore_errors=True)
+    w = survivors.write.mode("overwrite")
+    if part_col is not None:
+        w = w.partitionBy(part_col)
+    w.parquet(commit_dir)
+    entries, rows = _scan_files(commit_dir, part_col, m["stats_cols"])
+    m["files"] = keep + entries
+    m["tombstones"] = []
+    m["compacted_parts"] = affected_parts
+    return _publish(base, m)
+
+
+def snapshot_vacuum(base: str, retain_last: int = 1) -> "dict[str, int]":
+    """Garbage-collect: delete every data/tombstone file not referenced
+    by the newest ``retain_last`` manifests, drop the older manifests,
+    and remove orphaned files from aborted commits. This is the ONLY
+    operation that deletes anything; until it runs, every retained
+    snapshot (and any pinned reader on one) is fully intact. Returns
+    ``{"files_deleted": n, "manifests_deleted": n}``."""
+    versions = snapshot_versions(base)
+    if not versions:
+        return {"files_deleted": 0, "manifests_deleted": 0}
+    retained = versions[-max(1, int(retain_last)) :]
+    referenced: set[str] = set()
+    for v in retained:
+        m = _load_manifest(base, v)
+        for e in m["files"] + m["tombstones"]:
+            referenced.add(os.path.join(e["commit"], e["path"]))
+    ddir = _data_dir(base)
+    files_deleted = 0
+    if os.path.isdir(ddir):
+        for root, _dirs, files in os.walk(ddir, topdown=False):
+            for fname in files:
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, ddir)
+                if rel not in referenced:
+                    os.unlink(full)
+                    files_deleted += 1
+            if not os.listdir(root):
+                os.rmdir(root)
+    manifests_deleted = 0
+    for v in versions:
+        if v not in retained:
+            os.unlink(_manifest_path(base, v))
+            manifests_deleted += 1
+    return {"files_deleted": files_deleted, "manifests_deleted": manifests_deleted}
+
+
+def snapshot_log(spark: SparkSession, base: str) -> DataFrame:
+    """The snapshot history as a DataFrame — one row per retained
+    version: (version, op, parent, rows_added, rows_removed, n_files,
+    n_tombstone_files, visible_rows). ``visible_rows`` is summed from
+    the manifests' per-file footer counts — a metadata-only answer (no
+    data file is opened), which is exactly what makes the manifest the
+    100 TB bookkeeping layer. While tombstones are OUTSTANDING the
+    visible count is not knowable from metadata (a tombstoned id may
+    miss the table or match several rows), so it is NULL until the
+    next compaction folds them in — merge-on-read defers that work by
+    design."""
+    rows = []
+    for v in snapshot_versions(base):
+        m = _load_manifest(base, v)
+        rows.append(
+            (
+                v,
+                m["op"],
+                m["parent"],
+                int(m.get("rows_added", 0)),
+                int(m.get("rows_removed", 0)),
+                len(m["files"]),
+                len(m["tombstones"]),
+                None
+                if m["tombstones"]
+                else int(sum(e["rows"] for e in m["files"])),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, parent int, rows_added long, "
+        "rows_removed long, n_files int, n_tombstone_files int, "
+        "visible_rows long",
+    )

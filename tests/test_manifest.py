@@ -1,0 +1,312 @@
+"""Snapshot-versioned manifest store (functions/manifest.py): atomic
+commits, time travel, merge-on-read deletes, partition-pruned
+compaction, manifest-level file pruning, vacuum GC, concurrency."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddf_flink_spark.functions.manifest import (
+    SnapshotConflict,
+    _child,
+    _load_manifest,
+    _publish,
+    snapshot_append,
+    snapshot_compact,
+    snapshot_create,
+    snapshot_delete,
+    snapshot_log,
+    snapshot_read,
+    snapshot_restore,
+    snapshot_vacuum,
+    snapshot_versions,
+)
+
+
+def _mkbase(tmp_path, name):
+    base = str(tmp_path / name)
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
+def _frame(spark, lo, hi, n_parts=4):
+    return (
+        spark.range(lo, hi)
+        .withColumn("cell", (F.col("id") % n_parts).cast("int"))
+        .withColumn("val", (F.col("id") * 3 + 1).cast("long"))
+    )
+
+
+def _paths(manifest):
+    return {(e["commit"], e["path"]) for e in manifest["files"]}
+
+
+class TestLifecycle:
+    def test_create_append_read(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m1")
+        assert snapshot_create(_frame(spark, 0, 100), base, part_col="cell") == 1
+        assert snapshot_read(spark, base).count() == 100
+        assert snapshot_append(_frame(spark, 100, 150), base) == 2
+        got = snapshot_read(spark, base)
+        assert got.count() == 150
+        assert set(got.columns) == {"id", "cell", "val"}
+        # appended rows actually present with correct values
+        row = got.filter(F.col("id") == 149).collect()[0]
+        assert row["val"] == 149 * 3 + 1 and row["cell"] == 149 % 4
+
+    def test_create_on_existing_store_conflicts(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m2")
+        snapshot_create(_frame(spark, 0, 10), base)
+        with pytest.raises(SnapshotConflict):
+            snapshot_create(_frame(spark, 0, 10), base)
+
+    def test_idempotent_append_by_batch_tag(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m3")
+        snapshot_create(_frame(spark, 0, 10), base, part_col="cell")
+        v = snapshot_append(_frame(spark, 10, 20), base, batch_tag="b1")
+        assert v == 2
+        # replaying the same micro-batch is a no-op: same version, no dup rows
+        assert snapshot_append(_frame(spark, 10, 20), base, batch_tag="b1") == 2
+        assert snapshot_read(spark, base).count() == 20
+        # a different tag commits
+        assert snapshot_append(_frame(spark, 20, 25), base, batch_tag="b2") == 3
+        assert snapshot_read(spark, base).count() == 25
+
+    def test_unpartitioned_table(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m4")
+        snapshot_create(_frame(spark, 0, 50), base)  # no part_col
+        snapshot_delete(spark.range(0, 10), base)
+        assert snapshot_read(spark, base).count() == 40
+        snapshot_compact(spark, base)
+        assert snapshot_read(spark, base).count() == 40
+        assert _load_manifest(base)["tombstones"] == []
+
+
+class TestDeleteTimeTravel:
+    def test_merge_on_read_and_time_travel(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m5")
+        snapshot_create(_frame(spark, 0, 100), base, part_col="cell")
+        v_pre = snapshot_versions(base)[-1]
+        snapshot_delete(spark.range(0, 100).filter(F.col("id") % 5 == 0), base)
+        assert snapshot_read(spark, base).count() == 80
+        # the pre-delete snapshot still serves every row
+        assert snapshot_read(spark, base, version=v_pre).count() == 100
+
+    def test_tombstone_ids_missing_from_table(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m6")
+        snapshot_create(_frame(spark, 0, 20), base, part_col="cell")
+        snapshot_delete(spark.range(1000, 1100), base)  # all miss
+        assert snapshot_read(spark, base).count() == 20
+        v = snapshot_compact(spark, base)  # retires them, rewrites nothing
+        m = _load_manifest(base, v)
+        assert m["tombstones"] == [] and m["op"] == "compact"
+        assert snapshot_read(spark, base).count() == 20
+
+    def test_restore_rolls_forward(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m7")
+        snapshot_create(_frame(spark, 0, 30), base, part_col="cell")
+        snapshot_delete(spark.range(0, 15), base)
+        snapshot_compact(spark, base)
+        assert snapshot_read(spark, base).count() == 15
+        v = snapshot_restore(base, 1)
+        assert v == 4
+        assert snapshot_read(spark, base).count() == 30
+        # history stayed linear: v3 still reads the compacted state
+        assert snapshot_read(spark, base, version=3).count() == 15
+
+
+class TestCompaction:
+    def test_untouched_partition_entries_carried_verbatim(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m8")
+        snapshot_create(_frame(spark, 0, 400, n_parts=8), base, part_col="cell")
+        pre = _load_manifest(base)
+        # tombstones confined to cells 0 and 1
+        snapshot_delete(
+            spark.range(0, 400).filter(F.col("id") % 8 <= 1), base
+        )
+        v = snapshot_compact(spark, base)
+        post = _load_manifest(base, v)
+        assert sorted(post["compacted_parts"]) == ["0", "1"]
+        pre_untouched = {t for t in _paths(pre) if not _is_cell(t, (0, 1))}
+        post_untouched = {t for t in _paths(post) if not _is_cell(t, (0, 1))}
+        # untouched partitions: the SAME immutable files, not copies
+        assert pre_untouched == post_untouched
+        # affected partitions: all-new files in the new commit dir
+        assert all(
+            t[0] == f"c{v:06d}" for t in _paths(post) if _is_cell(t, (0, 1))
+        )
+        assert snapshot_read(spark, base).count() == 300
+
+    def test_all_rows_of_a_partition_deleted(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m9")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        snapshot_delete(
+            spark.range(0, 40).filter(F.col("id") % 4 == 2), base
+        )
+        v = snapshot_compact(spark, base)
+        got = snapshot_read(spark, base)
+        assert got.count() == 30
+        assert got.filter(F.col("cell") == 2).count() == 0
+        assert all(e["part"] != "2" for e in _load_manifest(base, v)["files"])
+
+    def test_whole_table_deleted_stays_readable(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m10")
+        snapshot_create(_frame(spark, 0, 20), base, part_col="cell")
+        snapshot_delete(spark.range(0, 20), base)
+        snapshot_compact(spark, base)
+        got = snapshot_read(spark, base)
+        assert got.count() == 0
+        assert set(got.columns) == {"id", "cell", "val"}
+
+    def test_pinned_reader_unaffected_by_concurrent_maintenance(
+        self, spark, tmp_path
+    ):
+        """A reader that resolved its snapshot BEFORE maintenance keeps
+        serving identical data afterwards — the isolation the in-place
+        directory swap can't give."""
+        base = _mkbase(tmp_path, "m11")
+        snapshot_create(_frame(spark, 0, 200), base, part_col="cell")
+        pinned = snapshot_read(spark, base, version=1)
+        before = sorted(r["id"] for r in pinned.collect())
+        snapshot_delete(spark.range(0, 100), base)
+        snapshot_compact(spark, base)
+        snapshot_append(_frame(spark, 200, 300), base)
+        # re-execute the pinned plan from scratch: old files still there
+        assert sorted(r["id"] for r in pinned.collect()) == before
+        assert snapshot_read(spark, base).count() == 200  # 100 del + 100 new
+
+
+def _is_cell(t, cells):
+    return any(t[1].startswith(f"cell={c}/") for c in cells)
+
+
+class TestPruning:
+    def test_partition_pruning_reads_fewer_files(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m12")
+        snapshot_create(_frame(spark, 0, 400, n_parts=8), base, part_col="cell")
+        pruned = snapshot_read(spark, base, parts=[3, 5])
+        full = snapshot_read(spark, base)
+        assert pruned.count() == full.filter(F.col("cell").isin(3, 5)).count()
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+    def test_zone_map_pruning_exact_and_skips_files(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m13")
+        # range-cluster by id so per-file min/max are disjoint
+        df = (
+            _frame(spark, 0, 10000)
+            .repartitionByRange(16, "id")
+            .sortWithinPartitions("id")
+        )
+        snapshot_create(df, base, stats_cols=["id"])
+        got = snapshot_read(spark, base, between=("id", 1000, 1200))
+        assert got.count() == 201
+        assert sorted(r["id"] for r in got.collect()) == list(range(1000, 1201))
+        full = snapshot_read(spark, base)
+        assert len(got.inputFiles()) < len(full.inputFiles())
+
+    def test_zone_map_keeps_files_without_stats(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m14")
+        snapshot_create(_frame(spark, 0, 100), base)  # no stats recorded
+        got = snapshot_read(spark, base, between=("id", 10, 20))
+        assert got.count() == 11  # row-level filter still exact
+
+    def test_morton_zorder_composition(self, spark, tmp_path):
+        """Z-ORDER + zone map: cluster by the Morton interleave of two
+        dimensions, record its stats, and a box predicate on EITHER
+        dimension prunes files through the morton-range read."""
+        from ddf_flink_spark.functions.layout import morton_key
+
+        base = _mkbase(tmp_path, "m15")
+        df = (
+            spark.range(0, 4096)
+            .withColumn("x", (F.col("id") % 64).cast("long"))
+            .withColumn("y", (F.col("id") / 64).cast("long"))
+            .withColumn("mk", morton_key("x", "y", bits=6))
+            .repartitionByRange(16, "mk")
+            .sortWithinPartitions("mk")
+        )
+        snapshot_create(df, base, stats_cols=["mk"])
+        # box query x∈[0,7], y∈[0,7] → morton keys all < 2^6
+        got = snapshot_read(spark, base, between=("mk", 0, 63)).filter(
+            (F.col("x") < 8) & (F.col("y") < 8)
+        )
+        assert got.count() == 64
+        full = snapshot_read(spark, base)
+        assert len(got.inputFiles()) < len(full.inputFiles())
+
+
+class TestConcurrencyAndGC:
+    def test_version_race_loser_gets_conflict(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m16")
+        snapshot_create(_frame(spark, 0, 10), base)
+        parent = _load_manifest(base)
+        _publish(base, _child(parent, "append"))
+        with pytest.raises(SnapshotConflict):
+            _publish(base, _child(parent, "append"))
+
+    def test_aborted_commit_is_invisible_and_vacuumed(self, spark, tmp_path):
+        """Crash BEFORE manifest publication: data files exist, no
+        manifest references them — readers are unaffected, vacuum
+        reclaims."""
+        base = _mkbase(tmp_path, "m17")
+        snapshot_create(_frame(spark, 0, 50), base)
+        # simulate: a writer wrote its commit dir then died pre-publish
+        _frame(spark, 50, 99).write.parquet(f"{base}/data/c000099")
+        assert snapshot_read(spark, base).count() == 50
+        assert snapshot_versions(base) == [1]
+        res = snapshot_vacuum(base, retain_last=1)
+        assert res["files_deleted"] > 0
+        assert not os.path.isdir(f"{base}/data/c000099")
+        assert snapshot_read(spark, base).count() == 50
+
+    def test_vacuum_retention(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m18")
+        snapshot_create(_frame(spark, 0, 100), base, part_col="cell")
+        snapshot_delete(spark.range(0, 50), base)
+        snapshot_compact(spark, base)
+        res = snapshot_vacuum(base, retain_last=1)
+        assert res["manifests_deleted"] == 2
+        assert snapshot_versions(base) == [3]
+        assert snapshot_read(spark, base).count() == 50
+        with pytest.raises(FileNotFoundError):
+            snapshot_read(spark, base, version=1)
+
+    def test_manifest_publication_is_atomic_no_temp_left(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m19")
+        snapshot_create(_frame(spark, 0, 10), base)
+        snapshot_append(_frame(spark, 10, 20), base)
+        leftovers = [
+            f for f in os.listdir(f"{base}/manifests") if f.endswith(".tmp")
+        ]
+        assert leftovers == []
+
+    def test_log_metadata_only(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m20")
+        snapshot_create(_frame(spark, 0, 100), base, part_col="cell")
+        snapshot_append(_frame(spark, 100, 130), base)
+        snapshot_delete(spark.range(0, 10), base)
+        snapshot_compact(spark, base)
+        rows = {r["version"]: r for r in snapshot_log(spark, base).collect()}
+        assert rows[1]["op"] == "create" and rows[1]["rows_added"] == 100
+        assert rows[2]["rows_added"] == 30 and rows[2]["visible_rows"] == 130
+        # outstanding tombstones → visible count deferred (NULL)
+        assert rows[3]["rows_removed"] == 10 and rows[3]["visible_rows"] is None
+        assert rows[4]["visible_rows"] == 120 and rows[4]["n_tombstone_files"] == 0
+
+    def test_stats_survive_compaction(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m21")
+        df = (
+            _frame(spark, 0, 1000)
+            .repartitionByRange(8, "id")
+            .sortWithinPartitions("id")
+        )
+        snapshot_create(df, base, part_col="cell", stats_cols=["id"])
+        snapshot_delete(spark.range(0, 100), base)
+        v = snapshot_compact(spark, base)
+        m = _load_manifest(base, v)
+        assert any("stats" in e and "id" in e["stats"] for e in m["files"])
