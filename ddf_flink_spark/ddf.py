@@ -1194,6 +1194,35 @@ class DDF:
             keep_factors=False,
         )
 
+    # ------------------------------------------------------------ snapshots
+    def snapshot_create(
+        self,
+        base: str,
+        part_col: "str | None" = None,
+        id_col: str = "id",
+        stats_cols: "list[str] | None" = None,
+    ) -> int:
+        """Commit THIS DDF as v1 of a snapshot-versioned table at
+        ``base`` (functions/manifest.py; registry q278-q283): immutable
+        data files + atomic manifest publication, giving time travel,
+        merge-on-read deletes and reader/maintenance isolation. Read it
+        back with :meth:`DDFManager.snapshot_table`."""
+        from .functions.manifest import snapshot_create as _create
+
+        return _create(
+            self._df, base, part_col=part_col, id_col=id_col,
+            stats_cols=stats_cols,
+        )
+
+    def snapshot_append(self, base: str, batch_tag: "str | None" = None) -> int:
+        """Append THIS DDF to the snapshot table at ``base`` as a new
+        version. ``batch_tag`` makes the append idempotent (a replayed
+        tag is a no-op) — the exactly-once sink discipline for
+        ``foreachBatch`` writers (registry q283)."""
+        from .functions.manifest import snapshot_append as _append
+
+        return _append(self._df, base, batch_tag=batch_tag)
+
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":
         """Mark categorical (core setAsFactor; ``BinningHandlerSpec.scala:19-22``)."""

@@ -135,5 +135,63 @@ class DDFManager:
             return release_session_storage(self.spark)
         return release_all_storage(self.spark)
 
+    # ------------------------------------------------------------ snapshots
+    def snapshot_table(
+        self,
+        base: str,
+        version: "int | None" = None,
+        parts: "list | None" = None,
+        between: "tuple | None" = None,
+        name: "str | None" = None,
+    ) -> DDF:
+        """Read one version of a snapshot-versioned table
+        (functions/manifest.py) as a DDF — latest by default,
+        ``version=N`` for time travel; ``parts``/``between`` prune
+        files at the manifest (partition values / zone-map stats)
+        before Spark sees a path. Commit with
+        :meth:`DDF.snapshot_create` / :meth:`DDF.snapshot_append`."""
+        from .functions.manifest import snapshot_read
+
+        return self.new_ddf(
+            snapshot_read(self.spark, base, version=version, parts=parts,
+                          between=between),
+            name,
+        )
+
+    def snapshot_history(self, base: str) -> DDF:
+        """The snapshot log (version, op, rows added/removed, visible
+        rows) as a DDF — answered from manifest metadata alone."""
+        from .functions.manifest import snapshot_log
+
+        return self.new_ddf(snapshot_log(self.spark, base))
+
+    def snapshot_delete(self, base: str, ids: "DDF | DataFrame") -> int:
+        """Merge-on-read delete: tombstone ``ids`` (O(|ids|), no data
+        rewrite); reads anti-join until :meth:`snapshot_compact`."""
+        from .functions.manifest import snapshot_delete as _delete
+
+        return _delete(ids.df if isinstance(ids, DDF) else ids, base)
+
+    def snapshot_compact(self, base: str) -> int:
+        """Fold tombstones in, rewriting only affected partitions as a
+        new version; prior snapshots stay readable until vacuum."""
+        from .functions.manifest import snapshot_compact as _compact
+
+        return _compact(self.spark, base)
+
+    def snapshot_restore(self, base: str, version: int) -> int:
+        """Roll back by rolling forward to a new version that copies
+        ``version``'s file listing."""
+        from .functions.manifest import snapshot_restore as _restore
+
+        return _restore(base, version)
+
+    def snapshot_vacuum(self, base: str, retain_last: int = 1) -> "dict[str, int]":
+        """Delete files unreferenced by the newest ``retain_last``
+        manifests (the only destructive operation in the store)."""
+        from .functions.manifest import snapshot_vacuum as _vacuum
+
+        return _vacuum(base, retain_last=retain_last)
+
     def shutdown(self) -> None:
         self.spark.stop()

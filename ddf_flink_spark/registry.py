@@ -15868,3 +15868,383 @@ def q277_maxsim_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=20,
         nprobe=3,
     ).orderBy("query_id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q278-q283: snapshot-versioned manifest store (functions/manifest.py) —
+# atomic commits, time travel, merge-on-read deletes, zone-map skipping,
+# manifest-backed ANN serving, exactly-once streaming ingest.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q278_snapshot_create_append_read",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q278_snapshot_create_append_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT STORE data plane (functions/manifest.py): commit v1
+    (even orderkeys) and v2 (odd orderkeys, batch-tagged), REPLAY the
+    v2 append with the same tag (idempotent no-op — the exactly-once
+    discipline), then read latest with MANIFEST-LEVEL partition pruning
+    (``parts=['A','R']`` selects file entries before Spark sees a
+    path — zero directory listings, the object-store-scale planning
+    model of Delta/Iceberg). A duplicate append or a broken prune
+    changes the counts, so the oracle pins both. The reference has no
+    persistence lifecycle at all (fire-and-forget TextOutput,
+    ``utils/package.scala:418-427``); this layer is what a retained
+    100 TB corpus runs on."""
+    import shutil
+
+    from .functions.manifest import snapshot_append, snapshot_create, snapshot_read
+
+    base = _session_tmp("q278")
+    shutil.rmtree(base, ignore_errors=True)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    snapshot_create(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        base,
+        part_col="l_returnflag",
+        id_col="l_orderkey",
+    )
+    snapshot_append(li.filter(F.col("l_orderkey") % 2 == 1), base, batch_tag="b1")
+    # recovery replay of the same micro-batch: tag short-circuits, no dup
+    snapshot_append(li.filter(F.col("l_orderkey") % 2 == 1), base, batch_tag="b1")
+    return (
+        snapshot_read(spark, base, parts=["A", "R"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q279_snapshot_time_travel",
+    oracle="""
+    WITH pre AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    post AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem WHERE l_orderkey % 7 != 3 GROUP BY l_returnflag
+    )
+    SELECT 'v1' AS snap, * FROM pre
+    UNION ALL
+    SELECT 'v3' AS snap, * FROM post
+    ORDER BY snap, l_returnflag
+    """,
+)
+def q279_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL through the delete lifecycle: v1 create → v2
+    merge-on-read DELETE (tombstone commit, O(|ids|), no rewrite) → v3
+    compact (rewrites ONLY partitions holding tombstoned rows; every
+    other partition's file entries carry into the new manifest
+    verbatim). Reading v1 AFTER the compaction still serves every
+    deleted row — data files are immutable until an explicit vacuum,
+    so a reader pinned on any retained snapshot is isolated from
+    concurrent maintenance (the property the in-place directory swap
+    of functions/index_store can't give). Output: per-flag aggregates
+    of the v1 time-travel read and the v3 post-compaction read,
+    side-by-side."""
+    import shutil
+
+    from .functions.manifest import (
+        snapshot_compact,
+        snapshot_create,
+        snapshot_delete,
+        snapshot_read,
+    )
+
+    base = _session_tmp("q279")
+    shutil.rmtree(base, ignore_errors=True)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    snapshot_create(li, base, part_col="l_returnflag", id_col="l_orderkey")
+    snapshot_delete(
+        li.filter(F.col("l_orderkey") % 7 == 3).select("l_orderkey").distinct(),
+        base,
+    )
+    snapshot_compact(spark, base)
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+            .select(F.lit(tag).alias("snap"), "l_returnflag", "n", "sum_qty")
+        )
+
+    return agg(snapshot_read(spark, base, version=1), "v1").unionByName(
+        agg(snapshot_read(spark, base), "v3")
+    ).orderBy("snap", "l_returnflag")
+
+
+@query(
+    "q280_snapshot_log",
+    oracle="""
+    WITH h1 AS (SELECT COUNT(*) AS c FROM lineitem WHERE l_orderkey % 2 = 0),
+         h2 AS (SELECT COUNT(*) AS c FROM lineitem WHERE l_orderkey % 2 = 1),
+         delc AS (SELECT COUNT(DISTINCT l_orderkey) AS c FROM lineitem
+                  WHERE l_orderkey % 7 = 3),
+         surv AS (SELECT COUNT(*) AS c FROM lineitem WHERE l_orderkey % 7 != 3)
+    SELECT * FROM (
+      SELECT 1 AS version, 'create' AS op, CAST(NULL AS INT) AS parent,
+             CAST((SELECT c FROM h1) AS BIGINT) AS rows_added,
+             CAST(0 AS BIGINT) AS rows_removed,
+             CAST((SELECT c FROM h1) AS BIGINT) AS visible_rows
+      UNION ALL
+      SELECT 2, 'append', 1, CAST((SELECT c FROM h2) AS BIGINT),
+             CAST(0 AS BIGINT),
+             CAST((SELECT c FROM h1) + (SELECT c FROM h2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'delete', 2, CAST(0 AS BIGINT),
+             CAST((SELECT c FROM delc) AS BIGINT), CAST(NULL AS BIGINT)
+      UNION ALL
+      SELECT 4, 'compact', 3, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST((SELECT c FROM surv) AS BIGINT)
+      UNION ALL
+      SELECT 5, 'restore', 4, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST((SELECT c FROM h1) + (SELECT c FROM h2) AS BIGINT)
+    ) ORDER BY version
+    """,
+)
+def q280_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT HISTORY as a query — create, tagged append, tombstone
+    delete, compaction, and RESTORE (roll-back by rolling forward: a
+    new version whose listing copies v2's — history stays linear and
+    append-only). Every number is METADATA-ONLY, summed from per-file
+    parquet-footer row counts recorded at commit time: no data file is
+    opened to answer it, which is exactly what makes the manifest the
+    100 TB bookkeeping layer. ``visible_rows`` is NULL while tombstones
+    are outstanding — a tombstoned id may miss the table or match many
+    rows, so merge-on-read defers the count to compaction; the oracle
+    pins that honesty too. File counts are deliberately NOT in the
+    output (they vary with write parallelism; row counts don't)."""
+    import shutil
+
+    from .functions.manifest import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_create,
+        snapshot_delete,
+        snapshot_log,
+        snapshot_restore,
+    )
+
+    base = _session_tmp("q280")
+    shutil.rmtree(base, ignore_errors=True)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    snapshot_create(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        base,
+        part_col="l_returnflag",
+        id_col="l_orderkey",
+    )
+    snapshot_append(li.filter(F.col("l_orderkey") % 2 == 1), base, batch_tag="b1")
+    snapshot_delete(
+        li.filter(F.col("l_orderkey") % 7 == 3).select("l_orderkey").distinct(),
+        base,
+    )
+    snapshot_compact(spark, base)
+    snapshot_restore(base, 2)
+    return (
+        snapshot_log(spark, base)
+        .select(
+            "version", "op", "parent", "rows_added", "rows_removed",
+            "visible_rows",
+        )
+        .orderBy("version")
+    )
+
+
+def _q281_oracle() -> str:
+    from .functions.layout import morton_key_sql
+
+    mk = morton_key_sql("l_partkey % 64", "l_suppkey % 64", bits=6)
+    return f"""
+    SELECT COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(SUM({mk}) AS BIGINT) AS sum_mk
+    FROM lineitem
+    WHERE l_partkey % 64 BETWEEN 8 AND 23
+      AND l_suppkey % 64 BETWEEN 16 AND 31
+    """
+
+
+@query("q281_snapshot_zonemap_skipping", oracle=_q281_oracle())
+def q281_snapshot_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER + ZONE-MAP data skipping, end to end: lineitem is
+    clustered by the Morton interleave of (l_partkey%64, l_suppkey%64)
+    (functions/layout.morton_key — q143 pins the key cross-engine) and
+    committed with per-file min/max stats on the key; the 2-D box
+    predicate x∈[8,23] × y∈[16,31] is answered by a manifest-pruned
+    read over the SUPERSET Morton range [z(8,16), z(23,31)] (the
+    interleave is monotone in each coordinate, so the box's corner
+    keys bound every key in the box) plus the exact row-level box
+    filter. Files whose [min,max] key range misses the window are
+    never handed to Spark — min/max row-group stats made table-level,
+    pruning on BOTH dimensions at once, with zero directory listings.
+    The file-skipping effect itself is asserted in
+    tests/test_manifest.py (inputFiles strictly shrinks); this query
+    pins exactness: skipping must never change an answer."""
+    import shutil
+
+    from .functions.layout import morton_key
+    from .functions.manifest import snapshot_create, snapshot_read
+
+    def z(x: int, y: int, bits: int = 6) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    base = _session_tmp("q281")
+    shutil.rmtree(base, ignore_errors=True)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        (F.col("l_partkey") % 64).alias("x"),
+        (F.col("l_suppkey") % 64).alias("y"),
+    )
+    clustered = (
+        li.withColumn("mk", morton_key("x", "y", bits=6))
+        .repartitionByRange(16, "mk")
+        .sortWithinPartitions("mk")
+    )
+    snapshot_create(clustered, base, id_col="l_orderkey", stats_cols=["mk"])
+    lo, hi = z(8, 16), z(23, 31)
+    return (
+        snapshot_read(spark, base, between=("mk", lo, hi))
+        .filter(F.col("x").between(8, 23) & F.col("y").between(16, 31))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("mk").alias("sum_mk"),
+        )
+    )
+
+
+@query(
+    "q282_manifest_ann_serve",
+    oracle=_q244_oracle(cand_extra=" AND cells.id % 5 != 1"),
+)
+def q282_manifest_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING OVER THE MANIFEST STORE — the q245/q255 lifecycle
+    re-based on snapshot isolation: the IVFADC codes table is committed
+    as snapshot v1 (partitioned by list_id, the probe unit), deletes
+    land as a tombstone commit (v2, O(|ids|)), and the serve leg reads
+    ONE pinned snapshot — merge-on-read anti-join, no compaction
+    needed before the next query, and a maintenance job compacting
+    concurrently could never race this read (immutable files + pinned
+    manifest; the two-rename directory swap of index_store needs the
+    reader to win a timing assumption instead). Candidates leave the
+    pool pre-ranking, so the oracle is q244's full replay with
+    id ≡ 1 (mod 5) excluded from the candidate set."""
+    import shutil
+
+    from .functions.manifest import snapshot_create, snapshot_delete, snapshot_read
+    from .functions.similarity import ivfadc_index_build, ivfadc_index_search
+    from .storage import release_checkpoint
+
+    base = _session_tmp("q282")
+    shutil.rmtree(base, ignore_errors=True)
+    e = t(spark, sf_dir, "embeddings")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=4, k=4, iters=2)
+    snapshot_create(index, base, part_col="list_id", id_col="id")
+    release_checkpoint(index)
+    snapshot_delete(
+        e.filter(F.col("vec_id") % 5 == 1).select(F.col("vec_id").alias("id")),
+        base,
+    )
+    codes = snapshot_read(spark, base)
+    return ivfadc_index_search(
+        codes, coarse, cents, e.orderBy("vec_id").limit(64), nprobe=3, topk=5
+    )
+
+
+@query(
+    "q283_stream_manifest_ingest",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q283_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE STREAMING INGEST into the snapshot store: the
+    events stream lands through ``foreachBatch``, each micro-batch
+    committed by functions/manifest.snapshot_append with
+    ``batch_tag=f"b{batch_id}"``. Structured Streaming's recovery
+    contract is that a failed micro-batch is REPLAYED with the same
+    batch_id — the tag check turns that replay into a no-op, which is
+    the standard idempotent-sink discipline (and this query proves it
+    by re-appending the whole stream's data under an already-used tag
+    after the run: the oracle's counts would double if the replay
+    committed). Each commit is one atomic manifest publication; a
+    crash mid-batch leaves orphan data files that vacuum reclaims,
+    never a partial table. Output: per-type counts over the ingested
+    snapshot — hash-equal to the batch table."""
+    import shutil
+
+    from .functions.manifest import snapshot_append, snapshot_create, snapshot_read
+    from .streaming.core import events_stream
+
+    base = _session_tmp("q283")
+    shutil.rmtree(base, ignore_errors=True)
+    ev_cols = ["event_id", "event_type", "value"]
+    seen_tags: list[str] = []
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"b{batch_id}"
+        b = batch_df.select(*ev_cols)
+        if not seen_tags:
+            snapshot_create(b, base, part_col="event_type", id_col="event_id")
+            snapshot_append(
+                spark.createDataFrame([], b.schema), base, batch_tag=tag
+            )
+        else:
+            snapshot_append(b, base, batch_tag=tag)
+        seen_tags.append(tag)
+
+    (
+        events_stream(spark, sf_dir)
+        .select(*ev_cols)
+        .writeStream.foreachBatch(commit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}_ckpt")
+        .start()
+        .awaitTermination()
+    )
+    # recovery replay: the same micro-batch tag must short-circuit
+    ev = t(spark, sf_dir, "events").select(*ev_cols)
+    snapshot_append(ev, base, batch_tag=seen_tags[0])
+    return (
+        snapshot_read(spark, base)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -670,3 +670,42 @@ def test_chunk_retrieval_facades(mgr, spark, tmp_path):
     assert sorted(map(tuple, served)) == sorted(map(tuple, brute)), (
         "full-probe persisted serve must equal brute maxsim"
     )
+
+
+def test_snapshot_facades(mgr, spark, tmp_path):
+    """DDF.snapshot_create/append + DDFManager.snapshot_table/history/
+    delete/compact/restore/vacuum (q278-q283): the full lifecycle
+    through the library surface."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "snapstore")
+    d1 = mgr.new_ddf(
+        spark.range(0, 100)
+        .withColumn("cell", (F.col("id") % 4).cast("int"))
+        .withColumn("val", (F.col("id") * 2).cast("long"))
+    )
+    assert d1.snapshot_create(base, part_col="cell") == 1
+    d2 = mgr.new_ddf(
+        spark.range(100, 130)
+        .withColumn("cell", (F.col("id") % 4).cast("int"))
+        .withColumn("val", (F.col("id") * 2).cast("long"))
+    )
+    assert d2.snapshot_append(base, batch_tag="b1") == 2
+    assert d2.snapshot_append(base, batch_tag="b1") == 2  # idempotent
+    assert mgr.snapshot_table(base).num_rows() == 130
+    assert mgr.snapshot_table(base, parts=[0]).num_rows() == 33
+
+    mgr.snapshot_delete(base, mgr.new_ddf(spark.range(0, 50)))
+    assert mgr.snapshot_table(base).num_rows() == 80
+    assert mgr.snapshot_table(base, version=2).num_rows() == 130  # time travel
+    mgr.snapshot_compact(base)
+    assert mgr.snapshot_table(base).num_rows() == 80
+    mgr.snapshot_restore(base, 2)
+    assert mgr.snapshot_table(base).num_rows() == 130
+
+    hist = {r["version"]: r["op"] for r in mgr.snapshot_history(base).df.collect()}
+    assert hist == {1: "create", 2: "append", 3: "delete", 4: "compact",
+                    5: "restore"}
+    res = mgr.snapshot_vacuum(base, retain_last=1)
+    assert res["manifests_deleted"] == 4
+    assert mgr.snapshot_table(base).num_rows() == 130
