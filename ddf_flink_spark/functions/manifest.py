@@ -74,6 +74,8 @@ __all__ = [
     "snapshot_read",
     "snapshot_log",
     "snapshot_versions",
+    "snapshot_replace_partitions",
+    "snapshot_changes",
 ]
 
 
@@ -481,6 +483,101 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
     m["tombstones"] = []
     m["compacted_parts"] = affected_parts
     return _publish(base, m)
+
+
+def snapshot_replace_partitions(
+    df: DataFrame,
+    base: str,
+    parts: "list",
+    op: str = "replace",
+    meta: "dict | None" = None,
+) -> int:
+    """MAINTENANCE AS A COMMIT: publish a new snapshot in which the
+    listed partitions' contents are exactly ``df`` (which must hold
+    only rows of those partitions — enforced by filter) and every
+    other partition's file entries carry over verbatim. This is the
+    versioned replacement for the in-place two-rename directory swap
+    (functions/index_store._swap_partitions): a rebalance, hot-cell
+    split or small-file compaction becomes ordinary history — pinned
+    readers are isolated, the pre-maintenance snapshot stays
+    readable, and a bad rebalance is one :func:`snapshot_restore`
+    away from undone. ``meta`` updates the manifest's side-model
+    metadata (e.g. the refreshed coarse centroids riding along with
+    the cells they describe, so model and membership version
+    TOGETHER — the atomicity the sidecar-file layout cannot give)."""
+    parent = _load_manifest(base)
+    part_col = parent["part_col"]
+    if part_col is None:
+        raise ValueError("snapshot_replace_partitions needs a partitioned table")
+    want = {str(p) for p in parts}
+    m = _child(parent, op)
+    commit_dir = _next_commit_dir(base, m["version"])
+    shutil.rmtree(commit_dir, ignore_errors=True)
+    df.filter(
+        F.col(part_col).cast("string").isin(list(want))
+    ).write.mode("overwrite").partitionBy(part_col).parquet(commit_dir)
+    entries, rows = _scan_files(commit_dir, part_col, m["stats_cols"])
+    m["files"] = [e for e in parent["files"] if e["part"] not in want] + entries
+    m["rows_added"] = rows
+    m["replaced_parts"] = sorted(want)
+    if meta:
+        m["meta"].update(meta)
+    return _publish(base, m)
+
+
+def snapshot_changes(
+    spark: SparkSession, base: str, v_from: int, v_to: int
+) -> DataFrame:
+    """ROW-LEVEL CHANGE FEED between two snapshots — what an
+    incremental downstream consumer (a training-data pipeline
+    re-sharding only what moved, a derived index, a cache) reads
+    instead of re-scanning the table. Because data files are
+    immutable, rows can only change visibility through (a) the file
+    diff — entries present in one manifest and not the other — and
+    (b) the tombstone diff over files common to both. The scan is
+    therefore bounded by the files that actually differ (plus the
+    common files only when the tombstone set changed), never table
+    size: the manifest IS the change index. Returns the ``v_to``
+    schema plus a ``_change`` column ('insert' | 'delete'); a row
+    rewritten byte-identically into a new file (compaction survivor)
+    cancels out via EXCEPT ALL and does not appear."""
+    mf = _load_manifest(base, v_from)
+    mt = _load_manifest(base, v_to)
+    key = lambda e: (e["commit"], e["path"])  # noqa: E731
+    from_keys = {key(e) for e in mf["files"]}
+    to_keys = {key(e) for e in mt["files"]}
+    added = [e for e in mt["files"] if key(e) not in from_keys]
+    removed = [e for e in mf["files"] if key(e) not in to_keys]
+    common = [e for e in mf["files"] if key(e) in to_keys]
+    part_col = mt["part_col"]
+    id_col = mt["id_col"]
+    tomb_schema = StructType().add(id_col, "long").json()
+
+    def tomb(m: dict) -> DataFrame:
+        return _read_entries(spark, base, m["tombstones"], tomb_schema, None)
+
+    tf, tt = tomb(mf), tomb(mt)
+    vis_to = _read_entries(spark, base, added, mt["schema"], part_col).join(
+        tt, id_col, "left_anti"
+    )
+    vis_from = _read_entries(spark, base, removed, mf["schema"], part_col).join(
+        tf, id_col, "left_anti"
+    )
+    inserted = vis_to.exceptAll(vis_from)
+    deleted = vis_from.exceptAll(vis_to)
+    # visibility flips on UNCHANGED files: net-new tombstones delete,
+    # net-dropped tombstones (a restore) resurrect
+    new_t = tt.exceptAll(tf).distinct()
+    dropped_t = tf.exceptAll(tt).distinct()
+    if common and (mf["tombstones"] or mt["tombstones"]):
+        common_rows = _read_entries(spark, base, common, mt["schema"], part_col)
+        deleted = deleted.unionByName(common_rows.join(new_t, id_col, "left_semi"))
+        inserted = inserted.unionByName(
+            common_rows.join(dropped_t, id_col, "left_semi")
+        )
+    return inserted.withColumn("_change", F.lit("insert")).unionByName(
+        deleted.withColumn("_change", F.lit("delete"))
+    )
 
 
 def snapshot_vacuum(base: str, retain_last: int = 1) -> "dict[str, int]":

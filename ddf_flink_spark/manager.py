@@ -186,6 +186,14 @@ class DDFManager:
 
         return _restore(base, version)
 
+    def snapshot_changes(self, base: str, v_from: int, v_to: int) -> DDF:
+        """Row-level change feed between two snapshot versions
+        (``_change`` ∈ {'insert','delete'}) — the incremental-consumer
+        read path; scan bounded by the files that differ."""
+        from .functions.manifest import snapshot_changes as _changes
+
+        return self.new_ddf(_changes(self.spark, base, v_from, v_to))
+
     def snapshot_vacuum(self, base: str, retain_last: int = 1) -> "dict[str, int]":
         """Delete files unreferenced by the newest ``retain_last``
         manifests (the only destructive operation in the store)."""

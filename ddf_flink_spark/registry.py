@@ -16248,3 +16248,149 @@ def q283_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("q284_versioned_index_maintenance", oracle=_q254_oracle(post=True))
+def q284_versioned_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX MAINTENANCE AS A SNAPSHOT COMMIT (functions/manifest.
+    snapshot_replace_partitions) — q269's on-disk rebalance re-based on
+    the manifest store: the IVFADC codes table is snapshot v1 (meta
+    carries the coarse centroids, so MODEL AND MEMBERSHIP version
+    together — the atomicity the sidecar-file layout cannot give), the
+    two hottest cells re-cluster (q254's exact restricted-Lloyd maths),
+    and the rewrite publishes as v2 in which ONLY the target cells'
+    file entries are new — every other cell's entries carry over
+    verbatim (same immutable files), pinned readers keep serving v1
+    mid-maintenance, and a bad rebalance is one snapshot_restore away
+    from undone. The in-place two-rename swap (index_store) wins no
+    timing assumptions here; there is nothing to race. The oracle is
+    q254's full replay projected to the persisted state — versioned
+    maintenance ≡ in-session maintenance, row for row."""
+    import shutil
+
+    from .functions.manifest import (
+        snapshot_create,
+        snapshot_read,
+        snapshot_replace_partitions,
+    )
+    from .functions.similarity import ivfadc_index_build, ivfadc_rebalance
+    from .storage import release_checkpoint
+
+    M = 4
+    base = _session_tmp("q284")
+    shutil.rmtree(base, ignore_errors=True)
+    e = t(spark, sf_dir, "embeddings")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=M, k=4, iters=2)
+    snapshot_create(
+        index, base, part_col="list_id", id_col="id",
+        meta={"coarse": [list(c) for c in coarse]},
+    )
+    release_checkpoint(index)
+    codes = snapshot_read(spark, base)
+    census = (
+        codes.groupBy("list_id")
+        .count()
+        .orderBy(F.desc("count"), "list_id")
+        .limit(2)
+        .collect()  # bounded: n_lists rows ranked
+    )
+    targets = sorted(int(r["list_id"]) for r in census)
+    _, new_coarse, moves = ivfadc_rebalance(
+        e, codes, coarse, cents, target_cells=targets, iters=1
+    )
+    staged = moves.select(
+        "id",
+        F.col("new_cell").cast("int").alias("list_id"),
+        *[F.col(f"code{j}") for j in range(M)],
+    )
+    snapshot_replace_partitions(
+        staged, base, parts=targets, op="rebalance",
+        meta={"coarse": [list(c) for c in new_coarse]},
+    )
+    release_checkpoint(moves)
+    return (
+        snapshot_read(spark, base)
+        .filter(F.col("list_id").isin(targets))
+        .select(
+            "id",
+            F.col("list_id").cast("long").alias("list_id"),
+            *[F.col(f"code{j}").cast("long").alias(f"code{j}") for j in range(M)],
+        )
+        .orderBy("id")
+    )
+
+
+@query(
+    "q285_snapshot_changes",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'v1v2' AS span, 'insert' AS _change, l_returnflag,
+             COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'v2v3', 'delete', l_returnflag,
+             COUNT(*), ROUND(SUM(l_quantity), 2)
+      FROM lineitem WHERE l_orderkey % 7 = 3 GROUP BY l_returnflag
+    ) ORDER BY span, _change, l_returnflag
+    """,
+)
+def q285_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE FEED between snapshots (functions/manifest.
+    snapshot_changes) — incremental consumption for downstream
+    pipelines: because data files are immutable, rows change
+    visibility only through the manifest FILE DIFF plus the tombstone
+    diff over unchanged files, so the diff scan is bounded by what
+    actually differs, never table size — the manifest IS the change
+    index. Three spans pinned: v1→v2 (an append: pure inserts),
+    v2→v3 (a tombstone-only delete: visibility flips on UNCHANGED
+    files — no file differs, only the tombstone diff fires), and
+    v3→v4 (compaction: a PHYSICAL rewrite with zero LOGICAL change —
+    survivors rewritten into new files cancel out via EXCEPT ALL, and
+    any row the compactor lost or duplicated would surface here as a
+    phantom change; the oracle has no v3v4 rows, so emptiness is
+    hash-enforced)."""
+    import shutil
+
+    from .functions.manifest import (
+        snapshot_append,
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_create,
+        snapshot_delete,
+    )
+
+    base = _session_tmp("q285")
+    shutil.rmtree(base, ignore_errors=True)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    snapshot_create(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        base,
+        part_col="l_returnflag",
+        id_col="l_orderkey",
+    )
+    snapshot_append(li.filter(F.col("l_orderkey") % 2 == 1), base)
+    snapshot_delete(
+        li.filter(F.col("l_orderkey") % 7 == 3).select("l_orderkey").distinct(),
+        base,
+    )
+    snapshot_compact(spark, base)
+
+    def agg(df: DataFrame, span: str) -> DataFrame:
+        return (
+            df.groupBy("_change", "l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+            .select(F.lit(span).alias("span"), "_change", "l_returnflag",
+                    "n", "sum_qty")
+        )
+
+    return (
+        agg(snapshot_changes(spark, base, 1, 2), "v1v2")
+        .unionByName(agg(snapshot_changes(spark, base, 2, 3), "v2v3"))
+        .unionByName(agg(snapshot_changes(spark, base, 3, 4), "v3v4"))
+        .orderBy("span", "_change", "l_returnflag")
+    )

@@ -310,3 +310,83 @@ class TestConcurrencyAndGC:
         v = snapshot_compact(spark, base)
         m = _load_manifest(base, v)
         assert any("stats" in e and "id" in e["stats"] for e in m["files"])
+
+
+class TestReplaceAndChanges:
+    def test_replace_partitions_carries_others_verbatim(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m22")
+        snapshot_create(_frame(spark, 0, 200, n_parts=4), base, part_col="cell")
+        pre = _load_manifest(base)
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_replace_partitions,
+        )
+
+        # rewrite cells 1 and 2 with doubled vals
+        replacement = (
+            _frame(spark, 0, 200, n_parts=4)
+            .filter(F.col("cell").isin(1, 2))
+            .withColumn("val", F.col("val") * 2)
+        )
+        v = snapshot_replace_partitions(
+            replacement, base, parts=[1, 2], op="rebalance",
+            meta={"note": "doubled"},
+        )
+        post = _load_manifest(base, v)
+        assert post["op"] == "rebalance" and post["meta"]["note"] == "doubled"
+        pre_other = {t for t in _paths(pre) if not _is_cell(t, (1, 2))}
+        post_other = {t for t in _paths(post) if not _is_cell(t, (1, 2))}
+        assert pre_other == post_other  # untouched cells: same files
+        got = snapshot_read(spark, base)
+        assert got.count() == 200
+        assert (
+            got.filter(F.col("cell") == 1)
+            .filter(F.col("val") != (F.col("id") * 3 + 1) * 2)
+            .count()
+            == 0
+        )
+        # rows outside the listed partitions in the replacement frame
+        # would be filtered, and v1 still serves the original values
+        old = snapshot_read(spark, base, version=1)
+        assert old.filter(F.col("cell") == 1).filter(
+            F.col("val") != F.col("id") * 3 + 1
+        ).count() == 0
+
+    def test_changes_insert_delete_compact_restore(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_changes
+
+        base = _mkbase(tmp_path, "m23")
+        snapshot_create(_frame(spark, 0, 100), base, part_col="cell")
+        snapshot_append(_frame(spark, 100, 140), base)          # v2
+        snapshot_delete(spark.range(0, 20), base)               # v3
+        snapshot_compact(spark, base)                           # v4
+        snapshot_restore(base, 2)                               # v5
+
+        c12 = snapshot_changes(spark, base, 1, 2)
+        assert c12.filter(F.col("_change") == "delete").count() == 0
+        assert sorted(
+            r["id"] for r in c12.filter(F.col("_change") == "insert").collect()
+        ) == list(range(100, 140))
+
+        # tombstone-only span: deletes surface from UNCHANGED files
+        c23 = snapshot_changes(spark, base, 2, 3)
+        assert c23.filter(F.col("_change") == "insert").count() == 0
+        assert sorted(
+            r["id"] for r in c23.filter(F.col("_change") == "delete").collect()
+        ) == list(range(0, 20))
+
+        # compaction: physical rewrite, zero logical change
+        assert snapshot_changes(spark, base, 3, 4).count() == 0
+
+        # restore: the deleted rows resurrect as inserts
+        c45 = snapshot_changes(spark, base, 4, 5)
+        assert c45.filter(F.col("_change") == "delete").count() == 0
+        assert sorted(
+            r["id"] for r in c45.filter(F.col("_change") == "insert").collect()
+        ) == list(range(0, 20))
+
+        # end-to-end span collapses to the net difference
+        c15 = snapshot_changes(spark, base, 1, 5)
+        assert c15.filter(F.col("_change") == "delete").count() == 0
+        assert sorted(
+            r["id"] for r in c15.filter(F.col("_change") == "insert").collect()
+        ) == list(range(100, 140))
