@@ -122,6 +122,11 @@ HEADLINE = [
     # q263 stays for round-over-round continuity.
     "q265_chunk_index_build_persist",
     "q266_maxsim_persisted_serve",
+    # round-9 manifest-store addition: the z-order + zone-map SERVE leg
+    # (q286 commits the clustered snapshot once per process; warm runs
+    # measure the manifest-planned pruned box scan — the steady-state
+    # data-skipping number).
+    "q286_snapshot_pruned_serve",
 ]
 
 # The 19-query set benchmarked since round 1 — a stable subtotal so

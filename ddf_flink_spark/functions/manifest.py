@@ -271,6 +271,7 @@ def _child(parent: dict, op: str) -> dict:
         "schema": parent["schema"],
         "files": list(parent["files"]),
         "tombstones": list(parent["tombstones"]),
+        "tomb_schema": parent.get("tomb_schema"),
         "batch_tags": list(parent["batch_tags"]),
         "rows_added": 0,
         "rows_removed": 0,
@@ -321,11 +322,11 @@ def snapshot_delete(ids: DataFrame, base: str) -> int:
     m = _child(parent, "delete")
     commit_dir = _next_commit_dir(base, m["version"])
     shutil.rmtree(commit_dir, ignore_errors=True)
-    ids.select(F.col(ids.columns[0]).alias(m["id_col"])).write.mode(
-        "overwrite"
-    ).parquet(commit_dir)
+    keyed = ids.select(F.col(ids.columns[0]).alias(m["id_col"]))
+    keyed.write.mode("overwrite").parquet(commit_dir)
     entries, rows = _scan_files(commit_dir, None, [])
     m["tombstones"] += entries
+    m["tomb_schema"] = m.get("tomb_schema") or keyed.schema.json()
     m["rows_removed"] = rows
     return _publish(base, m)
 
@@ -352,10 +353,13 @@ def _read_entries(
     part_col: "str | None",
 ) -> DataFrame:
     """Materialize a manifest file listing as one DataFrame. Files are
-    grouped per commit so Spark's partition-value inference sees each
+    grouped per commit so Spark's partition-value resolution sees each
     commit's own basePath; groups are unioned by name and projected to
     the recorded schema's column order (deterministic regardless of
-    which commits survive pruning)."""
+    which commits survive pruning). The RECORDED schema is handed to
+    every reader — planning never opens a footer for inference, so the
+    plan cost is O(manifest), not O(files) of metadata round-trips
+    (at 100 TB on an object store, inference is thousands of GETs)."""
     schema = StructType.fromJson(json.loads(schema_json))
     cols = [f.name for f in schema.fields]
     if not entries:
@@ -366,7 +370,7 @@ def _read_entries(
     parts_frames = []
     for commit, paths in sorted(by_commit.items()):
         cdir = os.path.join(_data_dir(base), commit)
-        reader = spark.read
+        reader = spark.read.schema(schema)
         if part_col is not None:
             reader = reader.option("basePath", cdir)
         parts_frames.append(
@@ -420,7 +424,8 @@ def snapshot_read(
             spark,
             base,
             m["tombstones"],
-            StructType().add(m["id_col"], "long").json(),
+            m.get("tomb_schema")
+            or StructType().add(m["id_col"], "long").json(),
             None,
         )
         df = df.join(tomb, m["id_col"], "left_anti")
@@ -446,7 +451,8 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
         spark,
         base,
         parent["tombstones"],
-        StructType().add(id_col, "long").json(),
+        parent.get("tomb_schema")
+        or StructType().add(id_col, "long").json(),
         None,
     )
     full = snapshot_read(spark, base, apply_tombstones=False)
@@ -551,7 +557,11 @@ def snapshot_changes(
     common = [e for e in mf["files"] if key(e) in to_keys]
     part_col = mt["part_col"]
     id_col = mt["id_col"]
-    tomb_schema = StructType().add(id_col, "long").json()
+    tomb_schema = (
+        mt.get("tomb_schema")
+        or mf.get("tomb_schema")
+        or StructType().add(id_col, "long").json()
+    )
 
     def tomb(m: dict) -> DataFrame:
         return _read_entries(spark, base, m["tombstones"], tomb_schema, None)

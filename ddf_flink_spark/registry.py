@@ -16394,3 +16394,73 @@ def q285_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(snapshot_changes(spark, base, 3, 4), "v3v4"))
         .orderBy("span", "_change", "l_returnflag")
     )
+
+
+_Q286_BUILT: set[str] = set()
+
+
+def _zordered_snapshot_base(spark: SparkSession, sf_dir: str) -> str:
+    """Build the z-ordered lineitem snapshot (q281's layout: Morton key
+    over (l_partkey%64, l_suppkey%64), range-clustered, per-file min/max
+    stats on the key) ONCE per process per sf_dir — the q259/q266
+    offline-build discipline applied to the table layout: in bench only
+    the cold run pays the cluster-and-commit; every warm run measures
+    the PRUNED READ alone, which is the number a deployment's scan path
+    cares about."""
+    import os as _os
+    import shutil
+
+    from .functions.layout import morton_key
+    from .functions.manifest import snapshot_create
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    base = _session_tmp(f"q286_{tag}")
+    if base not in _Q286_BUILT or not _os.path.isdir(f"{base}/manifests"):
+        shutil.rmtree(base, ignore_errors=True)
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_quantity",
+            (F.col("l_partkey") % 64).alias("x"),
+            (F.col("l_suppkey") % 64).alias("y"),
+        )
+        clustered = (
+            li.withColumn("mk", morton_key("x", "y", bits=6))
+            .repartitionByRange(32, "mk")
+            .sortWithinPartitions("mk")
+        )
+        snapshot_create(clustered, base, id_col="l_orderkey", stats_cols=["mk"])
+        _Q286_BUILT.add(base)
+    return base
+
+
+@query("q286_snapshot_pruned_serve", oracle=_q281_oracle())
+def q286_snapshot_pruned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE LEG of the z-order + zone-map path (q281 splits out the
+    build, q258/q259 discipline): the clustered snapshot is committed
+    once per process; this query is the steady-state 2-D box scan —
+    manifest-planned file pruning on the Morton corner range
+    [z(8,16), z(23,31)], zero directory listings, then the exact
+    row-level box filter. At 100 TB this is the difference between
+    scanning the table and scanning the ~1/16 of files whose key
+    ranges overlap the box — min/max row-group statistics promoted to
+    table-level planning. Same oracle as q281: skipping must never
+    change an answer."""
+    from .functions.manifest import snapshot_read
+
+    def z(x: int, y: int, bits: int = 6) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    base = _zordered_snapshot_base(spark, sf_dir)
+    return (
+        snapshot_read(spark, base, between=("mk", z(8, 16), z(23, 31)))
+        .filter(F.col("x").between(8, 23) & F.col("y").between(16, 31))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("mk").alias("sum_mk"),
+        )
+    )
