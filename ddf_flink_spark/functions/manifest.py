@@ -76,6 +76,7 @@ __all__ = [
     "snapshot_versions",
     "snapshot_replace_partitions",
     "snapshot_changes",
+    "snapshot_optimize",
 ]
 
 
@@ -284,17 +285,49 @@ def snapshot_append(
     base: str,
     batch_tag: "str | None" = None,
     meta: "dict | None" = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append ``df`` as a new snapshot. ``batch_tag`` makes the append
     IDEMPOTENT: a tag already present in the lineage is a no-op
     returning the current version — so a streaming ``foreachBatch``
     writer that tags each micro-batch with its batch id gets
     exactly-once table contents under Structured Streaming's
-    batch-replay recovery, the standard idempotent-sink discipline."""
+    batch-replay recovery, the standard idempotent-sink discipline.
+
+    ``merge_schema=True`` enables ADD-COLUMN evolution: new fields in
+    ``df`` extend the recorded table schema (appended after the
+    existing fields); readers of any version fill the columns missing
+    from older data files with NULL — the explicit-schema parquet read
+    does this for free, so no old file is ever rewritten. Changing an
+    existing column's type is rejected (that is a rewrite, not an
+    append); without the flag a schema mismatch is an error rather
+    than a silent drift."""
     parent = _load_manifest(base)
     if batch_tag is not None and batch_tag in parent["batch_tags"]:
         return int(parent["version"])
     m = _child(parent, "append")
+    recorded = StructType.fromJson(json.loads(parent["schema"]))
+    by_name = {f.name: f for f in recorded.fields}
+    new_fields = []
+    for f in df.schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            new_fields.append(f)
+        elif old.dataType != f.dataType:
+            raise ValueError(
+                f"snapshot_append: column '{f.name}' is {old.dataType} in the "
+                f"table but {f.dataType} in the append — type changes are a "
+                "rewrite, not an append"
+            )
+    if new_fields:
+        if not merge_schema:
+            raise ValueError(
+                "snapshot_append: new columns "
+                f"{[f.name for f in new_fields]} — pass merge_schema=True "
+                "to evolve the table schema"
+            )
+        evolved = StructType(list(recorded.fields) + new_fields)
+        m["schema"] = evolved.json()
     commit_dir = _next_commit_dir(base, m["version"])
     shutil.rmtree(commit_dir, ignore_errors=True)
     w = df.write.mode("overwrite")
@@ -588,6 +621,45 @@ def snapshot_changes(
     return inserted.withColumn("_change", F.lit("insert")).unionByName(
         deleted.withColumn("_change", F.lit("delete"))
     )
+
+
+def snapshot_optimize(
+    spark: SparkSession,
+    base: str,
+    min_files: int = 2,
+    parts: "list | None" = None,
+) -> int:
+    """SMALL-FILE COMPACTION (the OPTIMIZE of the table formats) as an
+    ordinary commit: every partition holding at least ``min_files``
+    files (all of them, or just ``parts``) is rewritten as ONE file per
+    partition via :func:`snapshot_replace_partitions`; partitions
+    already at one file carry over verbatim, and the change feed
+    between the two versions is EMPTY by construction — a physical
+    rewrite with zero logical change (pinned in tests through
+    :func:`snapshot_changes`). The streaming-ingest counterpart of
+    compaction: a ``foreachBatch`` writer commits one small file per
+    partition per micro-batch, and read amplification grows with every
+    batch until this folds them. Returns the new version (or the
+    current one when nothing qualifies). At 100 TB, run per hot
+    partition on a schedule; the rewrite budget is the listed
+    partitions' bytes, never table size."""
+    parent = _load_manifest(base)
+    part_col = parent["part_col"]
+    if part_col is None:
+        raise ValueError("snapshot_optimize needs a partitioned table")
+    counts: dict[str, int] = {}
+    for e in parent["files"]:
+        counts[e["part"]] = counts.get(e["part"], 0) + 1
+    want = None if parts is None else {str(p) for p in parts}
+    targets = sorted(
+        p for p, n in counts.items() if n >= min_files and (want is None or p in want)
+    )
+    if not targets:
+        return int(parent["version"])
+    packed = snapshot_read(
+        spark, base, parts=targets, apply_tombstones=False
+    ).repartition(part_col)
+    return snapshot_replace_partitions(packed, base, targets, op="optimize")
 
 
 def snapshot_vacuum(base: str, retain_last: int = 1) -> "dict[str, int]":

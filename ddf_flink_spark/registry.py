@@ -16464,3 +16464,139 @@ def q286_snapshot_pruned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("mk").alias("sum_mk"),
         )
     )
+
+
+@query(
+    "q287_snapshot_optimize",
+    oracle="""
+    SELECT metric, value FROM (
+      SELECT 'rows_' || l_returnflag AS metric, COUNT(*) AS value
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'files_' || l_returnflag, 1 FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'change_rows', 0
+    ) ORDER BY metric
+    """,
+)
+def q287_snapshot_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE OPTIMIZE as a commit (functions/manifest.
+    snapshot_optimize): lineitem lands in FOUR streaming-shaped
+    appends (one small commit per quarter — the read-amplification
+    pattern every foreachBatch ingest produces), then one optimize
+    rewrites each partition to a single file via
+    snapshot_replace_partitions. Pinned: per-flag row counts (packing
+    loses nothing), EXACTLY one file per partition afterwards (the
+    manifest's file entries, a deterministic physical fact — unlike
+    pre-optimize file counts, which vary with write parallelism and
+    are deliberately not in the output), and an EMPTY change feed
+    across the optimize version (physical rewrite, zero logical
+    change — a lost or duplicated row would surface as a phantom
+    insert/delete)."""
+    import shutil
+
+    from .functions.manifest import (
+        _load_manifest,
+        snapshot_append,
+        snapshot_changes,
+        snapshot_create,
+        snapshot_optimize,
+        snapshot_read,
+    )
+
+    base = _session_tmp("q287")
+    shutil.rmtree(base, ignore_errors=True)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    snapshot_create(
+        li.filter(F.col("l_orderkey") % 4 == 0),
+        base,
+        part_col="l_returnflag",
+        id_col="l_orderkey",
+    )
+    for r in (1, 2, 3):
+        snapshot_append(li.filter(F.col("l_orderkey") % 4 == r), base)
+    v = snapshot_optimize(spark, base)
+    m = _load_manifest(base, v)
+    per_part_files = {}
+    for e in m["files"]:
+        per_part_files[e["part"]] = per_part_files.get(e["part"], 0) + 1
+    files_rows = [(f"files_{p}", n) for p, n in per_part_files.items()]
+    change_rows = [
+        ("change_rows", snapshot_changes(spark, base, v - 1, v).count())
+    ]
+    facts = spark.createDataFrame(
+        files_rows + change_rows, "metric string, value long"
+    )
+    rows = (
+        snapshot_read(spark, base)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.concat(F.lit("rows_"), F.col("l_returnflag")).alias("metric"),
+            "value",
+        )
+    )
+    return rows.unionByName(facts).orderBy("metric")
+
+
+@query(
+    "q288_snapshot_schema_evolution",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           COUNT(CASE WHEN l_orderkey % 2 = 1 THEN 1 END) AS n_src,
+           CAST(SUM(CASE WHEN l_orderkey % 2 = 1 THEN l_linenumber END)
+                AS BIGINT) AS sum_src
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q288_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-COLUMN SCHEMA EVOLUTION (functions/manifest.snapshot_append
+    with merge_schema=True): v1 commits (key, qty, flag); v2 appends
+    the odd-key half WITH a new ``src`` column. The recorded table
+    schema evolves to the union; readers hand the evolved schema to
+    the parquet scan, so v1's files — never rewritten, never touched —
+    serve NULL for the new column while v2's rows carry their values:
+    the per-flag non-null count and sum of ``src`` pin exactly which
+    rows have the column. Type CHANGES are rejected (that is a
+    rewrite, not an append) and time travel to v1 still reads the old
+    schema (both unit-pinned). At 100 TB, add-column is a metadata
+    edit — zero data movement."""
+    import shutil
+
+    from .functions.manifest import snapshot_append, snapshot_create, snapshot_read
+
+    base = _session_tmp("q288")
+    shutil.rmtree(base, ignore_errors=True)
+    li = t(spark, sf_dir, "lineitem")
+    snapshot_create(
+        li.filter(F.col("l_orderkey") % 2 == 0).select(
+            "l_orderkey", "l_quantity", "l_returnflag"
+        ),
+        base,
+        part_col="l_returnflag",
+        id_col="l_orderkey",
+    )
+    snapshot_append(
+        li.filter(F.col("l_orderkey") % 2 == 1).select(
+            "l_orderkey",
+            "l_quantity",
+            "l_returnflag",
+            F.col("l_linenumber").alias("src"),
+        ),
+        base,
+        merge_schema=True,
+    )
+    return (
+        snapshot_read(spark, base)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("src").alias("n_src"),
+            F.sum("src").alias("sum_src"),
+        )
+        .orderBy("l_returnflag")
+    )

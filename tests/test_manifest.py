@@ -390,3 +390,81 @@ class TestReplaceAndChanges:
         assert sorted(
             r["id"] for r in c15.filter(F.col("_change") == "insert").collect()
         ) == list(range(100, 140))
+
+
+class TestOptimizeAndEvolution:
+    def test_optimize_packs_small_files_with_zero_logical_change(
+        self, spark, tmp_path
+    ):
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_changes,
+            snapshot_optimize,
+        )
+
+        base = _mkbase(tmp_path, "m24")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        for lo in (40, 80, 120):  # streaming-shaped: one small commit each
+            snapshot_append(_frame(spark, lo, lo + 40), base)
+        pre = _load_manifest(base)
+        pre_counts = {}
+        for e in pre["files"]:
+            pre_counts[e["part"]] = pre_counts.get(e["part"], 0) + 1
+        assert all(n >= 4 for n in pre_counts.values())
+        v = snapshot_optimize(spark, base)
+        post = _load_manifest(base, v)
+        post_counts = {}
+        for e in post["files"]:
+            post_counts[e["part"]] = post_counts.get(e["part"], 0) + 1
+        assert all(n == 1 for n in post_counts.values())
+        assert snapshot_read(spark, base).count() == 160
+        # physical rewrite, zero logical change
+        assert snapshot_changes(spark, base, v - 1, v).count() == 0
+        # idempotent: nothing qualifies now
+        assert snapshot_optimize(spark, base) == v
+
+    def test_optimize_scoped_to_parts_carries_others_verbatim(
+        self, spark, tmp_path
+    ):
+        from ddf_flink_spark.functions.manifest import snapshot_optimize
+
+        base = _mkbase(tmp_path, "m25")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        snapshot_append(_frame(spark, 40, 80), base)
+        pre = _load_manifest(base)
+        v = snapshot_optimize(spark, base, parts=[0])
+        post = _load_manifest(base, v)
+        pre_other = {t for t in _paths(pre) if not _is_cell(t, (0,))}
+        post_other = {t for t in _paths(post) if not _is_cell(t, (0,))}
+        assert pre_other == post_other
+        assert sum(1 for e in post["files"] if e["part"] == "0") == 1
+
+    def test_schema_evolution_add_column(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m26")
+        snapshot_create(_frame(spark, 0, 50), base, part_col="cell")
+        batch = _frame(spark, 50, 70).withColumn(
+            "extra", (F.col("id") * 10).cast("long")
+        )
+        with pytest.raises(ValueError, match="merge_schema"):
+            snapshot_append(batch, base)
+        snapshot_append(batch, base, merge_schema=True)
+        got = snapshot_read(spark, base)
+        assert got.columns == ["id", "cell", "val", "extra"]
+        assert got.filter(F.col("extra").isNull()).count() == 50
+        assert got.filter(F.col("extra") == F.col("id") * 10).count() == 20
+        # time travel reads the OLD schema
+        assert "extra" not in snapshot_read(spark, base, version=1).columns
+
+    def test_schema_type_change_rejected(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m27")
+        snapshot_create(_frame(spark, 0, 10), base)
+        bad = _frame(spark, 10, 20).withColumn("val", F.col("val").cast("string"))
+        with pytest.raises(ValueError, match="type changes"):
+            snapshot_append(bad, base, merge_schema=True)
+
+    def test_missing_columns_in_append_read_as_null(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m28")
+        snapshot_create(_frame(spark, 0, 10), base)
+        snapshot_append(spark.range(10, 15).select("id"), base)
+        got = snapshot_read(spark, base)
+        assert got.count() == 15
+        assert got.filter(F.col("val").isNull()).count() == 5
