@@ -150,13 +150,57 @@ def _publish(base: str, manifest: dict) -> int:
     return v
 
 
+# Per-file Bloom parameters: m bits packed into 64-bit words, k probes
+# via double hashing over the md5 of the value's canonical string form.
+# False-positive rate at m=1024, k=5 is < 1% up to ~100 values/file and
+# degrades gracefully — a false positive only costs reading one file.
+_BLOOM_M = 1024
+_BLOOM_K = 5
+
+
+def _bloom_hashes(value) -> "list[int]":
+    """The k bit positions for ``value`` — canonical string encoding so
+    the write side and the read-side probe agree for int/str alike."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).digest()
+    h1 = int.from_bytes(h[:8], "big")
+    h2 = int.from_bytes(h[8:], "big") | 1
+    return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+def _bloom_words(values) -> "list[int]":
+    words = [0] * (_BLOOM_M // 64)
+    for v in values:
+        if v is None:
+            continue
+        for pos in _bloom_hashes(v):
+            words[pos // 64] |= 1 << (pos % 64)
+    return words
+
+
+def _bloom_maybe_contains(words: "list[int]", value) -> bool:
+    return all(
+        words[pos // 64] >> (pos % 64) & 1 for pos in _bloom_hashes(value)
+    )
+
+
 def _scan_files(
-    commit_dir: str, part_col: "str | None", stats_cols: "list[str]"
+    commit_dir: str,
+    part_col: "str | None",
+    stats_cols: "list[str]",
+    bloom_cols: "list[str] | None" = None,
 ) -> "tuple[list[dict], int]":
     """Enumerate the parquet files Spark just wrote under
     ``commit_dir`` and read row counts + min/max stats for
     ``stats_cols`` from the footers (pyarrow metadata only — no data
-    pages touched). Returns (entries, total_rows)."""
+    pages touched). ``bloom_cols`` additionally builds a per-file
+    Bloom filter over each listed column — the ONE write-side step
+    that reads data (that single column, via pyarrow), the trade every
+    bloom index makes: point lookups on an UNCLUSTERED high-cardinality
+    column can then prune files min/max stats cannot (on a column the
+    layout isn't sorted by, every file's [min,max] spans the domain).
+    Returns (entries, total_rows)."""
     import pyarrow.parquet as pq
 
     commit = os.path.basename(commit_dir.rstrip("/"))
@@ -199,6 +243,12 @@ def _scan_files(
                     and isinstance(hi, (int, float, str, bool))
                 ):
                     stats[col] = [lo, hi]
+            blooms: dict[str, list[int]] = {}
+            for col in bloom_cols or []:
+                if col not in names:
+                    continue
+                vals = pq.read_table(full, columns=[col])[col].to_pylist()
+                blooms[col] = _bloom_words(vals)
             entries.append(
                 {
                     "commit": commit,
@@ -206,6 +256,7 @@ def _scan_files(
                     "part": part,
                     "rows": rows,
                     **({"stats": stats} if stats else {}),
+                    **({"bloom": blooms} if blooms else {}),
                 }
             )
     return entries, total
@@ -224,23 +275,27 @@ def snapshot_create(
     part_col: "str | None" = None,
     id_col: str = "id",
     stats_cols: "list[str] | None" = None,
+    bloom_cols: "list[str] | None" = None,
     meta: "dict | None" = None,
 ) -> int:
     """Commit v1 of a new snapshot store at ``base``. ``part_col``
     becomes the table's physical partitioning (compaction unit and
     ``parts=`` pruning key); ``id_col`` is the key tombstones match on;
     ``stats_cols`` get per-file min/max recorded in every future
-    manifest (the zone map). Returns the version (1)."""
+    manifest (the zone map); ``bloom_cols`` get a per-file Bloom
+    filter for ``point=`` lookups on columns the layout is NOT sorted
+    by. Returns the version (1)."""
     if snapshot_versions(base):
         raise SnapshotConflict(f"snapshot store already exists at {base}")
     stats_cols = list(stats_cols or [])
+    bloom_cols = list(bloom_cols or [])
     commit_dir = _next_commit_dir(base, 1)
     shutil.rmtree(commit_dir, ignore_errors=True)
     w = df.write.mode("overwrite")
     if part_col is not None:
         w = w.partitionBy(part_col)
     w.parquet(commit_dir)
-    entries, rows = _scan_files(commit_dir, part_col, stats_cols)
+    entries, rows = _scan_files(commit_dir, part_col, stats_cols, bloom_cols)
     return _publish(
         base,
         {
@@ -250,6 +305,7 @@ def snapshot_create(
             "part_col": part_col,
             "id_col": id_col,
             "stats_cols": stats_cols,
+            "bloom_cols": bloom_cols,
             "schema": df.schema.json(),
             "files": entries,
             "tombstones": [],
@@ -269,6 +325,7 @@ def _child(parent: dict, op: str) -> dict:
         "part_col": parent["part_col"],
         "id_col": parent["id_col"],
         "stats_cols": parent["stats_cols"],
+        "bloom_cols": parent.get("bloom_cols", []),
         "schema": parent["schema"],
         "files": list(parent["files"]),
         "tombstones": list(parent["tombstones"]),
@@ -334,7 +391,9 @@ def snapshot_append(
     if m["part_col"] is not None:
         w = w.partitionBy(m["part_col"])
     w.parquet(commit_dir)
-    entries, rows = _scan_files(commit_dir, m["part_col"], m["stats_cols"])
+    entries, rows = _scan_files(
+        commit_dir, m["part_col"], m["stats_cols"], m["bloom_cols"]
+    )
     m["files"] += entries
     m["rows_added"] = rows
     if batch_tag is not None:
@@ -421,6 +480,7 @@ def snapshot_read(
     version: "int | None" = None,
     parts: "list | None" = None,
     between: "tuple | None" = None,
+    point: "tuple | None" = None,
     apply_tombstones: bool = True,
 ) -> DataFrame:
     """Read one snapshot (latest by default; ``version=N`` is time
@@ -432,6 +492,14 @@ def snapshot_read(
       stats for ``col`` are conservatively kept. The predicate is ALSO
       applied row-level (the manifest prunes files, the filter prunes
       rows), so the result is exact, not file-granular.
+    * ``point=(col, value)`` is the POINT-LOOKUP path: files are kept
+      only if the recorded [min, max] admits the value AND the
+      per-file Bloom filter (``bloom_cols`` at create time) possibly
+      contains it — on a column the layout is NOT sorted by, min/max
+      spans the domain in every file and the Bloom is what turns
+      "scan the table" into "read ~1 file" (false positives only cost
+      reading one extra file; the row-level equality filter keeps the
+      result exact). Files without a Bloom are conservatively kept.
     * tombstones (if any, and ``apply_tombstones``) are anti-joined on
       the table's id column — merge-on-read.
     """
@@ -448,10 +516,27 @@ def snapshot_read(
             if col not in e.get("stats", {})
             or (e["stats"][col][0] <= hi and lo <= e["stats"][col][1])
         ]
+    if point is not None:
+        col, value = point
+        entries = [
+            e
+            for e in entries
+            if (
+                col not in e.get("stats", {})
+                or (e["stats"][col][0] <= value <= e["stats"][col][1])
+            )
+            and (
+                col not in e.get("bloom", {})
+                or _bloom_maybe_contains(e["bloom"][col], value)
+            )
+        ]
     df = _read_entries(spark, base, entries, m["schema"], m["part_col"])
     if between is not None:
         col, lo, hi = between
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    if point is not None:
+        col, value = point
+        df = df.filter(F.col(col) == value)
     if apply_tombstones and m["tombstones"]:
         tomb = _read_entries(
             spark,
@@ -517,7 +602,9 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
     if part_col is not None:
         w = w.partitionBy(part_col)
     w.parquet(commit_dir)
-    entries, rows = _scan_files(commit_dir, part_col, m["stats_cols"])
+    entries, rows = _scan_files(
+        commit_dir, part_col, m["stats_cols"], m["bloom_cols"]
+    )
     m["files"] = keep + entries
     m["tombstones"] = []
     m["compacted_parts"] = affected_parts
@@ -555,7 +642,9 @@ def snapshot_replace_partitions(
     df.filter(
         F.col(part_col).cast("string").isin(list(want))
     ).write.mode("overwrite").partitionBy(part_col).parquet(commit_dir)
-    entries, rows = _scan_files(commit_dir, part_col, m["stats_cols"])
+    entries, rows = _scan_files(
+        commit_dir, part_col, m["stats_cols"], m["bloom_cols"]
+    )
     m["files"] = [e for e in parent["files"] if e["part"] not in want] + entries
     m["rows_added"] = rows
     m["replaced_parts"] = sorted(want)

@@ -142,19 +142,20 @@ class DDFManager:
         version: "int | None" = None,
         parts: "list | None" = None,
         between: "tuple | None" = None,
+        point: "tuple | None" = None,
         name: "str | None" = None,
     ) -> DDF:
         """Read one version of a snapshot-versioned table
         (functions/manifest.py) as a DDF — latest by default,
-        ``version=N`` for time travel; ``parts``/``between`` prune
-        files at the manifest (partition values / zone-map stats)
-        before Spark sees a path. Commit with
+        ``version=N`` for time travel; ``parts``/``between``/``point``
+        prune files at the manifest (partition values / zone-map stats
+        / per-file Bloom filters) before Spark sees a path. Commit with
         :meth:`DDF.snapshot_create` / :meth:`DDF.snapshot_append`."""
         from .functions.manifest import snapshot_read
 
         return self.new_ddf(
             snapshot_read(self.spark, base, version=version, parts=parts,
-                          between=between),
+                          between=between, point=point),
             name,
         )
 

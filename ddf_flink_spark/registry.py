@@ -16600,3 +16600,56 @@ def q288_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q289_snapshot_bloom_point_lookup",
+    oracle="""
+    WITH k AS (SELECT MAX(l_partkey) AS v FROM lineitem
+               WHERE l_partkey % 2 = 0)
+    SELECT (SELECT v FROM k) AS part_key, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem WHERE l_partkey = (SELECT v FROM k)
+    """,
+)
+def q289_snapshot_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-INDEXED POINT LOOKUP (functions/manifest, ``point=``):
+    lineitem is committed with a per-file Bloom filter on l_partkey —
+    a column the physical layout is NOT sorted by, so every file's
+    [min, max] spans roughly the whole part domain and zone-map stats
+    cannot prune an equality probe. The manifest's Bloom turns "scan
+    every file" into "read the files that might contain the key"
+    (false positives cost one extra file each; the row-level equality
+    filter keeps the answer exact — pruning must never change a
+    result, same contract as q281/q286). At 100 TB this is the
+    secondary-index story for id-keyed erasure verification and
+    record-level audits: O(files-that-match) reads, zero directory
+    listings, no external index service. File-skipping effect is
+    unit-pinned (tests/test_manifest.py: <half the files read);
+    this oracle pins exactness on the probed key's rows."""
+    import shutil
+
+    from .functions.manifest import snapshot_create, snapshot_read
+
+    base = _session_tmp("q289")
+    shutil.rmtree(base, ignore_errors=True)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    key = int(
+        li.filter(F.col("l_partkey") % 2 == 0)
+        .agg(F.max("l_partkey"))
+        .collect()[0][0]  # bounded: 1 scalar
+    )
+    snapshot_create(
+        li.repartition(16),
+        base,
+        id_col="l_orderkey",
+        stats_cols=["l_partkey"],
+        bloom_cols=["l_partkey"],
+    )
+    return snapshot_read(spark, base, point=("l_partkey", key)).agg(
+        F.lit(key).cast("long").alias("part_key"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -468,3 +468,55 @@ class TestOptimizeAndEvolution:
         got = snapshot_read(spark, base)
         assert got.count() == 15
         assert got.filter(F.col("val").isNull()).count() == 5
+
+
+class TestBloomPointLookup:
+    def _store(self, spark, tmp_path, name):
+        base = _mkbase(tmp_path, name)
+        # val is a scrambled high-cardinality column: every file's
+        # [min,max] spans ~the whole domain, so min/max stats alone
+        # cannot prune a point lookup — the Bloom has to
+        df = (
+            spark.range(0, 5000)
+            .withColumn("val", (F.col("id") * 2654435761 % 100003).cast("long"))
+            .repartition(16)
+        )
+        snapshot_create(df, base, stats_cols=["val"], bloom_cols=["val"])
+        return base
+
+    def test_point_lookup_exact_and_prunes(self, spark, tmp_path):
+        base = self._store(spark, tmp_path, "m29")
+        probe = (4242 * 2654435761) % 100003
+        got = snapshot_read(spark, base, point=("val", probe))
+        rows = got.collect()
+        assert [r["id"] for r in rows] == [4242]
+        full = snapshot_read(spark, base)
+        # the Bloom prunes most of the 16 files; min/max could not
+        assert len(got.inputFiles()) < len(full.inputFiles()) / 2
+
+    def test_absent_value_reads_nothing(self, spark, tmp_path):
+        base = self._store(spark, tmp_path, "m30")
+        got = snapshot_read(spark, base, point=("val", 100002))
+        assert got.count() == 0
+
+    def test_bloom_survives_append_and_compact(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import _load_manifest as lm
+
+        base = self._store(spark, tmp_path, "m31")
+        snapshot_append(
+            spark.range(5000, 6000)
+            .withColumn("val", (F.col("id") * 2654435761 % 100003).cast("long"))
+            .repartition(4),
+            base,
+        )
+        m = lm(base)
+        assert all("bloom" in e and "val" in e["bloom"] for e in m["files"])
+        probe = (5500 * 2654435761) % 100003
+        got = snapshot_read(spark, base, point=("val", probe))
+        assert [r["id"] for r in got.collect()] == [5500]
+
+    def test_bloomless_files_conservatively_kept(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m32")
+        snapshot_create(spark.range(0, 100).withColumn("val", F.col("id") * 7), base)
+        got = snapshot_read(spark, base, point=("val", 77))
+        assert [r["id"] for r in got.collect()] == [11]
