@@ -350,6 +350,60 @@ def build_chunk_index(
     return cents
 
 
+def _probe_frame(q_emb: DataFrame, coarse: list, nprobe: int) -> DataFrame:
+    """Per-query probe frontier: rank the coarse centroids (model
+    literals — a map over the query frame, no shuffle) and explode the
+    top ``nprobe`` cell ids. Shared by the persisted serve path and
+    :func:`chunk_probe_cells`, so any consumer computes the exact same
+    frontier (round-6 negated dot, cell-id tiebreak)."""
+    from .similarity import dot as _dot
+
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    scored_lists = F.transform(
+        F.sequence(F.lit(0), F.lit(len(coarse) - 1)),
+        lambda i: F.struct(
+            F.round(-_dot(F.col("qv"), F.element_at(cent_arr, i + 1)), 6).alias(
+                "neg"
+            ),
+            i.alias("list_id"),
+        ),
+    )
+    return q_emb.select(
+        "qid",
+        "qv",
+        "qn2",
+        F.explode(
+            F.slice(F.array_sort(scored_lists), 1, nprobe).getField("list_id")
+        ).alias("list_id"),
+    )
+
+
+def chunk_probe_cells(
+    queries: DataFrame,
+    coarse: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nprobe: int = 3,
+    dim: int = 16,
+) -> "list[int]":
+    """The batch's DISTINCT probe frontier as plain ints (bounded
+    collect: ≤ Q·nprobe) — computed BEFORE any chunk-table read, so a
+    manifest-backed chunk index can be opened with
+    ``snapshot_read(parts=cells)`` and the probe is pruned at the
+    MANIFEST (no directory listing, no partition filter needed in the
+    plan): the two-phase serve q290 runs. Identical frontier maths to
+    :func:`maxsim_persisted_topk`'s ``static_probe``."""
+    q_emb = _query_embeddings(queries, text_col, id_col, dim).select(
+        "qid",
+        F.array(*[F.col(f"q{d}").cast("double") for d in range(dim)]).alias("qv"),
+        "qn2",
+    )
+    probe = _probe_frame(q_emb, coarse, nprobe)
+    return sorted(
+        {int(r["list_id"]) for r in probe.select("list_id").distinct().collect()}
+    )
+
+
 def maxsim_persisted_topk(
     queries: DataFrame,
     chunks: DataFrame,
@@ -381,32 +435,13 @@ def maxsim_persisted_topk(
     large Q. ``exclude_self`` drops corpus docs whose id equals the
     query id (the self-query shape); pass False for external query
     ids."""
-    from .similarity import dot as _dot
-
     q_emb = _query_embeddings(queries, text_col, id_col, dim)
     q_emb = q_emb.select(
         "qid",
         F.array(*[F.col(f"q{d}").cast("double") for d in range(dim)]).alias("qv"),
         "qn2",
     )
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
-    scored_lists = F.transform(
-        F.sequence(F.lit(0), F.lit(len(coarse) - 1)),
-        lambda i: F.struct(
-            F.round(-_dot(F.col("qv"), F.element_at(cent_arr, i + 1)), 6).alias(
-                "neg"
-            ),
-            i.alias("list_id"),
-        ),
-    )
-    probe = q_emb.select(
-        "qid",
-        "qv",
-        "qn2",
-        F.explode(
-            F.slice(F.array_sort(scored_lists), 1, nprobe).getField("list_id")
-        ).alias("list_id"),
-    )
+    probe = _probe_frame(q_emb, coarse, nprobe)
     idx = chunks
     if static_probe:
         cells = sorted(

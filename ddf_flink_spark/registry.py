@@ -16653,3 +16653,49 @@ def q289_snapshot_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@query("q290_manifest_chunk_serve", oracle=_q263_oracle())
+def q290_manifest_chunk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-MaxSim SERVED FROM THE MANIFEST STORE — the lifecycle
+    unification's retrieval leg (codes: q282, maintenance: q284,
+    chunks: here): the persisted chunk table is committed as a
+    snapshot (partitioned by list_id, coarse centroids in the manifest
+    meta so model and membership version together), and the serve is
+    TWO-PHASE: (1) functions/retrieval.chunk_probe_cells computes the
+    batch's distinct probe frontier BEFORE any table read (≤ Q·nprobe
+    ints, same round-6 frontier maths as static_probe), (2)
+    snapshot_read(parts=cells) opens EXACTLY the probed cells' files —
+    pruning decided at the manifest, zero directory listings, no
+    partition filter left for the plan to prove. Results are
+    hash-equal to the fused q263 and the directory-layout serve q266
+    (same oracle): WHERE the index lives must never change WHAT it
+    serves."""
+    import shutil
+
+    from .functions.manifest import snapshot_create, snapshot_read
+    from .functions.retrieval import (
+        build_chunk_index,
+        chunk_probe_cells,
+        maxsim_persisted_topk,
+    )
+
+    base = _session_tmp("q290")
+    idx_dir = _session_tmp("q290_build")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    d = t(spark, sf_dir, "documents")
+    coarse = build_chunk_index(d, idx_dir, n_lists=8)
+    snapshot_create(
+        spark.read.parquet(f"{idx_dir}/chunks"),
+        base,
+        part_col="list_id",
+        id_col="doc",
+        meta={"coarse": [list(c) for c in coarse]},
+    )
+    q = d.orderBy("doc_id").limit(5)
+    cells = chunk_probe_cells(q, coarse, nprobe=3)
+    chunks = snapshot_read(spark, base, parts=cells)
+    return maxsim_persisted_topk(q, chunks, coarse, k=5, nprobe=3).orderBy(
+        "query_id", "doc_id"
+    )
