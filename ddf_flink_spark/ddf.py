@@ -1223,6 +1223,14 @@ class DDF:
 
         return _append(self._df, base, batch_tag=batch_tag)
 
+    def snapshot_upsert(self, base: str, batch_tag: "str | None" = None) -> int:
+        """MERGE this DDF into the snapshot table at ``base`` in one
+        atomic commit: matched ids update, new ids insert (registry
+        q291); ``batch_tag`` gives exactly-once replay."""
+        from .functions.manifest import snapshot_upsert as _upsert
+
+        return _upsert(self._df, base, batch_tag=batch_tag)
+
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":
         """Mark categorical (core setAsFactor; ``BinningHandlerSpec.scala:19-22``)."""

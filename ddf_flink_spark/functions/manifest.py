@@ -77,6 +77,7 @@ __all__ = [
     "snapshot_replace_partitions",
     "snapshot_changes",
     "snapshot_optimize",
+    "snapshot_upsert",
 ]
 
 
@@ -417,9 +418,69 @@ def snapshot_delete(ids: DataFrame, base: str) -> int:
     keyed = ids.select(F.col(ids.columns[0]).alias(m["id_col"]))
     keyed.write.mode("overwrite").parquet(commit_dir)
     entries, rows = _scan_files(commit_dir, None, [])
+    for e in entries:
+        # applies only to data commits older than this delete: a
+        # same-id row appended LATER is a new row, not a deleted one
+        e["applies_before"] = m["version"]
     m["tombstones"] += entries
     m["tomb_schema"] = m.get("tomb_schema") or keyed.schema.json()
     m["rows_removed"] = rows
+    return _publish(base, m)
+
+
+def snapshot_upsert(
+    df: DataFrame, base: str, batch_tag: "str | None" = None
+) -> int:
+    """MERGE-shaped UPSERT in ONE atomic commit: every row of ``df``
+    REPLACES any existing row with the same id (tombstone on the
+    batch's ids — merge-on-read, no data rewrite) and is appended as
+    the new current version of that key. Because both the tombstone
+    files and the data files ride a single manifest publication, no
+    reader can ever observe the delete without the insert (the
+    delete-then-append two-version sequence has exactly that torn
+    state between commits). New ids insert, existing ids update —
+    MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT, the CDC-apply
+    operation every warehouse sink runs. ``batch_tag`` gives the same
+    exactly-once replay discipline as :func:`snapshot_append`.
+    Tombstones fold at the next :func:`snapshot_compact` as usual.
+
+    Subtlety a naive upsert gets wrong: the batch's OWN rows must not
+    be anti-joined away by the tombstones they shipped with — the
+    read path applies tombstones only to files from STRICTLY OLDER
+    commits (each file entry knows its commit; the tombstone commit
+    id rides the tombstone entries)."""
+    parent = _load_manifest(base)
+    if batch_tag is not None and batch_tag in parent["batch_tags"]:
+        return int(parent["version"])
+    m = _child(parent, "upsert")
+    commit_dir = _next_commit_dir(base, m["version"])
+    shutil.rmtree(commit_dir, ignore_errors=True)
+    id_col = m["id_col"]
+    w = df.write.mode("overwrite")
+    if m["part_col"] is not None:
+        w = w.partitionBy(m["part_col"])
+    w.parquet(os.path.join(commit_dir, "rows"))
+    df.select(id_col).distinct().write.mode("overwrite").parquet(
+        os.path.join(commit_dir, "tomb")
+    )
+    row_entries, rows = _scan_files(
+        os.path.join(commit_dir, "rows"), m["part_col"], m["stats_cols"],
+        m["bloom_cols"],
+    )
+    tomb_entries, removed = _scan_files(os.path.join(commit_dir, "tomb"), None, [])
+    commit_name = os.path.basename(commit_dir)
+    for e in row_entries:
+        e["commit"] = f"{commit_name}/rows"
+    for e in tomb_entries:
+        e["commit"] = f"{commit_name}/tomb"
+        e["applies_before"] = m["version"]
+    m["files"] += row_entries
+    m["tombstones"] += tomb_entries
+    m["tomb_schema"] = m.get("tomb_schema") or df.select(id_col).schema.json()
+    m["rows_added"] = rows
+    m["rows_removed"] = removed
+    if batch_tag is not None:
+        m["batch_tags"].append(batch_tag)
     return _publish(base, m)
 
 
@@ -443,6 +504,7 @@ def _read_entries(
     entries: "list[dict]",
     schema_json: str,
     part_col: "str | None",
+    tag_commit_version: bool = False,
 ) -> DataFrame:
     """Materialize a manifest file listing as one DataFrame. Files are
     grouped per commit so Spark's partition-value resolution sees each
@@ -454,8 +516,13 @@ def _read_entries(
     (at 100 TB on an object store, inference is thousands of GETs)."""
     schema = StructType.fromJson(json.loads(schema_json))
     cols = [f.name for f in schema.fields]
+    if tag_commit_version:
+        cols = cols + ["_cv"]
     if not entries:
-        return spark.createDataFrame([], schema).select(*cols)
+        out = spark.createDataFrame([], schema)
+        if tag_commit_version:
+            out = out.withColumn("_cv", F.lit(0).cast("long"))
+        return out.select(*cols)
     by_commit: dict[str, list[str]] = {}
     for e in entries:
         by_commit.setdefault(e["commit"], []).append(e["path"])
@@ -465,13 +532,69 @@ def _read_entries(
         reader = spark.read.schema(schema)
         if part_col is not None:
             reader = reader.option("basePath", cdir)
-        parts_frames.append(
-            reader.parquet(*[os.path.join(cdir, p) for p in paths])
-        )
+        grp = reader.parquet(*[os.path.join(cdir, p) for p in paths])
+        if tag_commit_version:
+            grp = grp.withColumn(
+                "_cv", F.lit(_commit_version(commit)).cast("long")
+            )
+        parts_frames.append(grp)
     df = parts_frames[0]
     for other in parts_frames[1:]:
         df = df.unionByName(other)
     return df.select(*cols)
+
+
+def _commit_version(commit: str) -> int:
+    """'c000004' or 'c000004/rows' → 4."""
+    import re
+
+    return int(re.match(r"c(\d+)", commit).group(1))
+
+
+# Tombstones apply only to data files from commits STRICTLY OLDER than
+# their applies_before bound: a delete at version V must not erase a
+# same-id row appended at V+1, and an upsert's own rows must survive
+# the tombstones they shipped with. Entries without a bound (none are
+# written anymore, kept for robustness) apply to everything.
+_AB_UNBOUNDED = 1 << 62
+
+
+def _tomb_frame(spark: SparkSession, base: str, m: dict) -> DataFrame:
+    """Tombstones of manifest ``m`` as (id_col, _ab) — grouped by their
+    applies_before bound so each group carries its bound as a literal."""
+    schema_json = m.get("tomb_schema") or StructType().add(
+        m["id_col"], "long"
+    ).json()
+    by_ab: dict[int, list[dict]] = {}
+    for e in m["tombstones"]:
+        by_ab.setdefault(int(e.get("applies_before", _AB_UNBOUNDED)), []).append(e)
+    frames = []
+    for ab, entries in sorted(by_ab.items()):
+        frames.append(
+            _read_entries(spark, base, entries, schema_json, None).withColumn(
+                "_ab", F.lit(ab).cast("long")
+            )
+        )
+    if not frames:
+        return _read_entries(spark, base, [], schema_json, None).withColumn(
+            "_ab", F.lit(_AB_UNBOUNDED).cast("long")
+        )
+    df = frames[0]
+    for other in frames[1:]:
+        df = df.unionByName(other)
+    return df
+
+
+def _anti_tombstones(df: DataFrame, tomb: DataFrame, id_col: str) -> DataFrame:
+    """Scoped merge-on-read anti-join: drop rows whose id matches a
+    tombstone whose bound admits the row's commit (_cv < _ab). The
+    equality key keeps the join hash-based; the bound is a residual
+    condition. Input ``df`` must carry _cv; it is dropped on the way
+    out."""
+    t = tomb.select(F.col(id_col).alias("_tid"), "_ab")
+    return df.join(
+        t, (df[id_col] == t["_tid"]) & (df["_cv"] < t["_ab"]), "left_anti"
+    ).drop("_cv")
 
 
 def snapshot_read(
@@ -530,23 +653,19 @@ def snapshot_read(
                 or _bloom_maybe_contains(e["bloom"][col], value)
             )
         ]
-    df = _read_entries(spark, base, entries, m["schema"], m["part_col"])
+    scoped = bool(apply_tombstones and m["tombstones"])
+    df = _read_entries(
+        spark, base, entries, m["schema"], m["part_col"],
+        tag_commit_version=scoped,
+    )
     if between is not None:
         col, lo, hi = between
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     if point is not None:
         col, value = point
         df = df.filter(F.col(col) == value)
-    if apply_tombstones and m["tombstones"]:
-        tomb = _read_entries(
-            spark,
-            base,
-            m["tombstones"],
-            m.get("tomb_schema")
-            or StructType().add(m["id_col"], "long").json(),
-            None,
-        )
-        df = df.join(tomb, m["id_col"], "left_anti")
+    if scoped:
+        df = _anti_tombstones(df, _tomb_frame(spark, base, m), m["id_col"])
     return df
 
 
@@ -565,23 +684,34 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
     if not parent["tombstones"]:
         return int(parent["version"])
     part_col, id_col = parent["part_col"], parent["id_col"]
-    tomb = _read_entries(
-        spark,
-        base,
-        parent["tombstones"],
-        parent.get("tomb_schema")
-        or StructType().add(id_col, "long").json(),
-        None,
-    )
-    full = snapshot_read(spark, base, apply_tombstones=False)
+    tomb = _tomb_frame(spark, base, parent)
+    t = tomb.select(F.col(id_col).alias("_tid"), "_ab")
+
+    def read_tagged(parts=None):
+        return _read_entries(
+            spark,
+            base,
+            parent["files"]
+            if parts is None
+            else [e for e in parent["files"] if e["part"] in set(parts)],
+            parent["schema"],
+            part_col,
+            tag_commit_version=True,
+        )
+
+    full = read_tagged()
     if part_col is None:
         affected_parts: "list[str] | None" = None
-        survivors = full.join(tomb, id_col, "left_anti")
+        survivors = _anti_tombstones(full, tomb, id_col)
         keep = []
     else:
         # column-pruned: the affected-partition probe only needs
-        # (id, part) — Spark's scan reads just those two columns
-        hit = full.select(id_col, part_col).join(tomb, id_col, "left_semi")
+        # (id, part, _cv) — Spark's scan reads just those columns
+        probe = full.select(id_col, part_col, "_cv")
+        hit = probe.join(
+            t, (probe[id_col] == t["_tid"]) & (probe["_cv"] < t["_ab"]),
+            "left_semi",
+        )
         affected_parts = sorted(
             str(r[part_col])
             for r in hit.select(part_col).distinct().collect()  # ≤ n_parts
@@ -591,9 +721,9 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
             m = _child(parent, "compact")
             m["tombstones"] = []
             return _publish(base, m)
-        survivors = snapshot_read(
-            spark, base, parts=affected_parts, apply_tombstones=False
-        ).join(tomb, id_col, "left_anti")
+        survivors = _anti_tombstones(
+            read_tagged(affected_parts), tomb, id_col
+        )
         keep = [e for e in parent["files"] if e["part"] not in set(affected_parts)]
     m = _child(parent, "compact")
     commit_dir = _next_commit_dir(base, m["version"])
@@ -679,34 +809,47 @@ def snapshot_changes(
     common = [e for e in mf["files"] if key(e) in to_keys]
     part_col = mt["part_col"]
     id_col = mt["id_col"]
-    tomb_schema = (
-        mt.get("tomb_schema")
-        or mf.get("tomb_schema")
-        or StructType().add(id_col, "long").json()
+    if not mf.get("tomb_schema"):
+        mf = dict(mf, tomb_schema=mt.get("tomb_schema"))
+    tf = _tomb_frame(spark, base, mf)
+    tt = _tomb_frame(spark, base, mt)
+    vis_to = _anti_tombstones(
+        _read_entries(
+            spark, base, added, mt["schema"], part_col, tag_commit_version=True
+        ),
+        tt,
+        id_col,
     )
-
-    def tomb(m: dict) -> DataFrame:
-        return _read_entries(spark, base, m["tombstones"], tomb_schema, None)
-
-    tf, tt = tomb(mf), tomb(mt)
-    vis_to = _read_entries(spark, base, added, mt["schema"], part_col).join(
-        tt, id_col, "left_anti"
-    )
-    vis_from = _read_entries(spark, base, removed, mf["schema"], part_col).join(
-        tf, id_col, "left_anti"
+    vis_from = _anti_tombstones(
+        _read_entries(
+            spark, base, removed, mf["schema"], part_col,
+            tag_commit_version=True,
+        ),
+        tf,
+        id_col,
     )
     inserted = vis_to.exceptAll(vis_from)
     deleted = vis_from.exceptAll(vis_to)
     # visibility flips on UNCHANGED files: net-new tombstones delete,
-    # net-dropped tombstones (a restore) resurrect
+    # net-dropped tombstones (a restore) resurrect — each within its
+    # applies_before scope (a tombstone never flips rows of commits it
+    # does not cover)
     new_t = tt.exceptAll(tf).distinct()
     dropped_t = tf.exceptAll(tt).distinct()
+
+    def scoped_semi(rows: DataFrame, bounds: DataFrame) -> DataFrame:
+        b = bounds.select(F.col(id_col).alias("_tid"), "_ab")
+        return rows.join(
+            b, (rows[id_col] == b["_tid"]) & (rows["_cv"] < b["_ab"]),
+            "left_semi",
+        ).drop("_cv")
+
     if common and (mf["tombstones"] or mt["tombstones"]):
-        common_rows = _read_entries(spark, base, common, mt["schema"], part_col)
-        deleted = deleted.unionByName(common_rows.join(new_t, id_col, "left_semi"))
-        inserted = inserted.unionByName(
-            common_rows.join(dropped_t, id_col, "left_semi")
+        common_rows = _read_entries(
+            spark, base, common, mt["schema"], part_col, tag_commit_version=True
         )
+        deleted = deleted.unionByName(scoped_semi(common_rows, new_t))
+        inserted = inserted.unionByName(scoped_semi(common_rows, dropped_t))
     return inserted.withColumn("_change", F.lit("insert")).unionByName(
         deleted.withColumn("_change", F.lit("delete"))
     )

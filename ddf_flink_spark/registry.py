@@ -16699,3 +16699,153 @@ def q290_manifest_chunk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_persisted_topk(q, chunks, coarse, k=5, nprobe=3).orderBy(
         "query_id", "doc_id"
     )
+
+
+@query(
+    "q291_snapshot_upsert",
+    oracle="""
+    WITH mx AS (SELECT MAX(l_orderkey) AS m FROM lineitem),
+    batch_keys AS (
+      SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey % 10 = 7
+    ),
+    final AS (
+      SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+      WHERE l_orderkey % 10 != 7
+      UNION ALL
+      SELECT k, 999.0, 'U' FROM batch_keys
+      UNION ALL
+      SELECT (SELECT m FROM mx) + t.i, 111.0, 'U'
+      FROM generate_series(1, 3) AS t(i)
+    )
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM final GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q291_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-shaped UPSERT in ONE atomic commit (functions/manifest.
+    snapshot_upsert): keys ≡ 7 (mod 10) are UPDATED (every existing
+    row of the key replaced by one new row — WHEN MATCHED UPDATE) and
+    three brand-new keys INSERT (WHEN NOT MATCHED), in a single
+    manifest publication: tombstones on the batch's ids + the batch's
+    data files ride one version, so no reader can observe the delete
+    without the insert (a delete-then-append sequence has exactly that
+    torn state between its two commits). The tombstones are SCOPED to
+    strictly-older commits, so the batch's own rows survive the
+    tombstones they shipped with — and, the semantics this forces
+    right everywhere: deleting an id never erases a LATER append of
+    the same id (unit-pinned). This is the CDC-apply operation every
+    warehouse sink runs; compaction folds the tombstones on the normal
+    schedule."""
+    import shutil
+
+    from .functions.manifest import snapshot_create, snapshot_read, snapshot_upsert
+
+    base = _session_tmp("q291")
+    shutil.rmtree(base, ignore_errors=True)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    snapshot_create(li, base, part_col="l_returnflag", id_col="l_orderkey")
+    mx = int(li.agg(F.max("l_orderkey")).collect()[0][0])  # bounded: 1 scalar
+    updates = (
+        li.filter(F.col("l_orderkey") % 10 == 7)
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            "l_orderkey",
+            F.lit(999.0).alias("l_quantity"),
+            F.lit("U").alias("l_returnflag"),
+        )
+    )
+    inserts = spark.range(1, 4).select(
+        (F.col("id") + mx).alias("l_orderkey"),
+        F.lit(111.0).alias("l_quantity"),
+        F.lit("U").alias("l_returnflag"),
+    )
+    snapshot_upsert(updates.unionByName(inserts), base, batch_tag="cdc1")
+    return (
+        snapshot_read(spark, base)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q292_incremental_view_maintenance",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 7 != 3
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q292_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE over the change feed — what the
+    manifest's CDC is FOR: a downstream aggregate (per-flag count +
+    quantity total) is maintained by folding ONLY the deltas, never
+    rescanning the table. The view is seeded from v1 and advanced by
+    snapshot_changes(1→2) (an append) and (2→3) (a tombstone-only
+    delete), each applied as signed rows (+1 insert / −1 delete) into
+    one groupBy — O(|delta|) work per refresh, the manifest bounds the
+    delta scan to the files that differ. Quantities accumulate in
+    DECIMAL so the incremental sum is order-independent and lands
+    bit-equal to the oracle's direct recompute of the final state:
+    incremental ≡ recompute is the entire correctness contract of IVM,
+    and it is hash-enforced here."""
+    import shutil
+
+    from .functions.manifest import (
+        snapshot_append,
+        snapshot_changes,
+        snapshot_create,
+        snapshot_delete,
+    )
+
+    base = _session_tmp("q292")
+    shutil.rmtree(base, ignore_errors=True)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    snapshot_create(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        base,
+        part_col="l_returnflag",
+        id_col="l_orderkey",
+    )
+    snapshot_append(li.filter(F.col("l_orderkey") % 2 == 1), base)
+    snapshot_delete(
+        li.filter(F.col("l_orderkey") % 7 == 3).select("l_orderkey").distinct(),
+        base,
+    )
+    seed = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        "l_returnflag", "l_quantity", F.lit(1).alias("sign")
+    )
+    deltas = [
+        snapshot_changes(spark, base, v, v + 1).select(
+            "l_returnflag",
+            "l_quantity",
+            F.when(F.col("_change") == "insert", 1).otherwise(-1).alias("sign"),
+        )
+        for v in (1, 2)
+    ]
+    signed = seed.unionByName(deltas[0]).unionByName(deltas[1])
+    return (
+        signed.groupBy("l_returnflag")
+        .agg(
+            F.sum("sign").alias("n"),
+            F.round(
+                F.sum(
+                    F.col("l_quantity").cast("decimal(12,2)") * F.col("sign")
+                ).cast("double"),
+                2,
+            ).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -520,3 +520,88 @@ class TestBloomPointLookup:
         snapshot_create(spark.range(0, 100).withColumn("val", F.col("id") * 7), base)
         got = snapshot_read(spark, base, point=("val", 77))
         assert [r["id"] for r in got.collect()] == [11]
+
+
+class TestUpsertAndTombstoneScope:
+    def test_upsert_updates_and_inserts_atomically(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_upsert
+
+        base = _mkbase(tmp_path, "m33")
+        snapshot_create(_frame(spark, 0, 100), base, part_col="cell")
+        # update ids 90..99 (val -> id*1000), insert ids 100..109
+        batch = (
+            spark.range(90, 110)
+            .withColumn("cell", (F.col("id") % 4).cast("int"))
+            .withColumn("val", (F.col("id") * 1000).cast("long"))
+        )
+        v = snapshot_upsert(batch, base, batch_tag="u1")
+        assert v == 2
+        got = snapshot_read(spark, base)
+        assert got.count() == 110  # 100 - 10 replaced + 20 batch
+        assert got.filter((F.col("id") == 95) & (F.col("val") == 95000)).count() == 1
+        assert got.filter((F.col("id") == 95) & (F.col("val") != 95000)).count() == 0
+        assert got.filter(F.col("id") == 105).count() == 1
+        # replay is a no-op
+        assert snapshot_upsert(batch, base, batch_tag="u1") == 2
+        assert snapshot_read(spark, base).count() == 110
+        # time travel: pre-upsert values intact
+        old = snapshot_read(spark, base, version=1)
+        assert old.filter((F.col("id") == 95) & (F.col("val") == 95 * 3 + 1)).count() == 1
+
+    def test_upsert_then_compact_folds_cleanly(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_upsert
+
+        base = _mkbase(tmp_path, "m34")
+        snapshot_create(_frame(spark, 0, 50), base, part_col="cell")
+        batch = (
+            spark.range(0, 10)
+            .withColumn("cell", (F.col("id") % 4).cast("int"))
+            .withColumn("val", F.lit(-1).cast("long"))
+        )
+        snapshot_upsert(batch, base)
+        v = snapshot_compact(spark, base)
+        got = snapshot_read(spark, base)
+        assert got.count() == 50
+        assert got.filter(F.col("val") == -1).count() == 10
+        assert _load_manifest(base, v)["tombstones"] == []
+
+    def test_delete_does_not_erase_later_append_of_same_id(self, spark, tmp_path):
+        """A tombstone is scoped to the commits it was issued against:
+        deleting id 7 then APPENDING a new row with id 7 must serve the
+        new row (the unscoped anti-join got this wrong)."""
+        base = _mkbase(tmp_path, "m35")
+        snapshot_create(_frame(spark, 0, 20), base, part_col="cell")
+        snapshot_delete(spark.range(7, 8), base)
+        assert snapshot_read(spark, base).count() == 19
+        reborn = (
+            spark.range(7, 8)
+            .withColumn("cell", (F.col("id") % 4).cast("int"))
+            .withColumn("val", F.lit(777).cast("long"))
+        )
+        snapshot_append(reborn, base)
+        got = snapshot_read(spark, base).filter(F.col("id") == 7).collect()
+        assert len(got) == 1 and got[0]["val"] == 777
+        # and compaction preserves the reborn row
+        snapshot_compact(spark, base)
+        got = snapshot_read(spark, base).filter(F.col("id") == 7).collect()
+        assert len(got) == 1 and got[0]["val"] == 777
+
+    def test_changes_across_upsert(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_changes,
+            snapshot_upsert,
+        )
+
+        base = _mkbase(tmp_path, "m36")
+        snapshot_create(_frame(spark, 0, 30), base, part_col="cell")
+        batch = (
+            spark.range(25, 35)
+            .withColumn("cell", (F.col("id") % 4).cast("int"))
+            .withColumn("val", (F.col("id") * 1000).cast("long"))
+        )
+        snapshot_upsert(batch, base)
+        c = snapshot_changes(spark, base, 1, 2)
+        ins = {r["id"] for r in c.filter(F.col("_change") == "insert").collect()}
+        dels = {r["id"] for r in c.filter(F.col("_change") == "delete").collect()}
+        assert ins == set(range(25, 35))   # new current versions
+        assert dels == set(range(25, 30))  # replaced old versions
