@@ -16849,3 +16849,69 @@ def q292_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("q293_stream_manifest_ann_ingest", oracle=_q248_oracle())
+def q293_stream_manifest_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE STREAMING ANN INGEST THROUGH THE MANIFEST — q248's
+    stateless encode map landing in the snapshot store instead of bare
+    partition directories: each micro-batch of vectors is encoded
+    against the frozen model (coarse argmin, residual, m codebook
+    argmins — per-row, no shuffle, no state store) and committed by
+    snapshot_append with ``batch_tag=b{batch_id}``, so Structured
+    Streaming's batch-replay recovery can never double-ingest a vector
+    (q283's discipline on the index table), every micro-batch is one
+    atomic manifest publication (a crash mid-batch leaves orphan files
+    for vacuum, never a torn codes table), and the serve side keeps
+    reading its pinned snapshot mid-ingest. The streamed membership
+    equals the batch build BIT-FOR-BIT regardless of arrival order —
+    q248's full-training-chain oracle pins every row. This closes the
+    manifest lifecycle loop for the ANN family: build (q282), maintain
+    (q284), ingest (here), serve (q282/q290)."""
+    import shutil
+
+    from .functions.manifest import snapshot_append, snapshot_create, snapshot_read
+    from .functions.similarity import ivfadc_encode, ivfadc_index_build
+    from .storage import release_checkpoint
+    from .streaming.core import embeddings_stream
+
+    e = t(spark, sf_dir, "embeddings")
+    index, coarse, cents = ivfadc_index_build(e, n_lists=8, m=4, k=4, iters=2)
+    release_checkpoint(index)  # the stream rebuilds the codes table
+
+    base = _session_tmp("q293")
+    shutil.rmtree(base, ignore_errors=True)
+    enc = ivfadc_encode(embeddings_stream(spark, sf_dir), coarse, cents)
+    seen: list[str] = []
+
+    def commit(bdf: DataFrame, batch_id: int) -> None:
+        tag = f"b{batch_id}"
+        if not seen:
+            snapshot_create(bdf, base, part_col="list_id", id_col="id")
+            snapshot_append(
+                spark.createDataFrame([], bdf.schema), base, batch_tag=tag
+            )
+        else:
+            snapshot_append(bdf, base, batch_tag=tag)
+        seen.append(tag)
+
+    (
+        enc.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", f"{base}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # recovery replay of the first micro-batch: must be a no-op
+    snapshot_append(
+        ivfadc_encode(e, coarse, cents), base, batch_tag=seen[0]
+    )
+    return (
+        snapshot_read(spark, base)
+        .select(
+            "id",
+            F.col("list_id").cast("int").alias("list_id"),
+            *[F.col(f"code{j}").cast("int").alias(f"code{j}") for j in range(4)],
+        )
+        .orderBy("id")
+    )
