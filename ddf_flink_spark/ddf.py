@@ -1201,17 +1201,20 @@ class DDF:
         part_col: "str | None" = None,
         id_col: str = "id",
         stats_cols: "list[str] | None" = None,
+        bloom_cols: "list[str] | None" = None,
     ) -> int:
         """Commit THIS DDF as v1 of a snapshot-versioned table at
-        ``base`` (functions/manifest.py; registry q278-q283): immutable
+        ``base`` (functions/manifest.py; registry q278-q293): immutable
         data files + atomic manifest publication, giving time travel,
-        merge-on-read deletes and reader/maintenance isolation. Read it
-        back with :meth:`DDFManager.snapshot_table`."""
+        merge-on-read deletes and reader/maintenance isolation.
+        ``stats_cols`` records per-file min/max (zone map);
+        ``bloom_cols`` records per-file Bloom filters for point
+        lookups. Read it back with :meth:`DDFManager.snapshot_table`."""
         from .functions.manifest import snapshot_create as _create
 
         return _create(
             self._df, base, part_col=part_col, id_col=id_col,
-            stats_cols=stats_cols,
+            stats_cols=stats_cols, bloom_cols=bloom_cols,
         )
 
     def snapshot_append(self, base: str, batch_tag: "str | None" = None) -> int:

@@ -605,3 +605,30 @@ class TestUpsertAndTombstoneScope:
         dels = {r["id"] for r in c.filter(F.col("_change") == "delete").collect()}
         assert ins == set(range(25, 35))   # new current versions
         assert dels == set(range(25, 30))  # replaced old versions
+
+
+class TestPlans:
+    def test_tombstone_anti_join_broadcasts(self, spark, tmp_path):
+        """The merge-on-read anti-join's build side is the (small)
+        tombstone set — at runtime AQE must pick a broadcast join, not
+        shuffle the data side (the posture that keeps deletes free at
+        100 TB read time)."""
+        base = _mkbase(tmp_path, "m37")
+        snapshot_create(_frame(spark, 0, 2000), base, part_col="cell")
+        snapshot_delete(spark.range(0, 50), base)
+        df = snapshot_read(spark, base)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_snapshot_scan_column_pruning(self, spark, tmp_path):
+        """A projection over a snapshot read must prune at the parquet
+        scan (ReadSchema), exactly like a direct table read — the
+        manifest layer adds no materialization barrier."""
+        base = _mkbase(tmp_path, "m38")
+        snapshot_create(_frame(spark, 0, 100), base, part_col="cell")
+        df = snapshot_read(spark, base).select("id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "val" not in read_schema
