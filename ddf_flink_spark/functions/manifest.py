@@ -201,7 +201,12 @@ def _scan_files(
     bloom index makes: point lookups on an UNCLUSTERED high-cardinality
     column can then prune files min/max stats cannot (on a column the
     layout isn't sorted by, every file's [min,max] spans the domain).
-    Returns (entries, total_rows)."""
+    Honesty note for scale: this driver-side pass is bounded by one
+    column of one commit's files (a commit is a micro-batch or a few
+    partitions, never the table) — a production writer would fold the
+    same hashing into the executor-side write path (a custom committer
+    emitting the words alongside each file) so nothing funnels through
+    the driver. Returns (entries, total_rows)."""
     import pyarrow.parquet as pq
 
     commit = os.path.basename(commit_dir.rstrip("/"))
@@ -860,6 +865,7 @@ def snapshot_optimize(
     base: str,
     min_files: int = 2,
     parts: "list | None" = None,
+    max_records_per_file: "int | None" = None,
 ) -> int:
     """SMALL-FILE COMPACTION (the OPTIMIZE of the table formats) as an
     ordinary commit: every partition holding at least ``min_files``
@@ -874,7 +880,13 @@ def snapshot_optimize(
     batch until this folds them. Returns the new version (or the
     current one when nothing qualifies). At 100 TB, run per hot
     partition on a schedule; the rewrite budget is the listed
-    partitions' bytes, never table size."""
+    partitions' bytes, never table size — and set
+    ``max_records_per_file`` so a hot partition bin-packs into several
+    right-sized files instead of serializing into one giant one (the
+    writer splits at that row count; "one file per partition" is the
+    small-table default, not the scale posture). Folding commits also
+    bounds the reader's union width: every optimized partition's files
+    land in ONE commit directory."""
     parent = _load_manifest(base)
     part_col = parent["part_col"]
     if part_col is None:
@@ -891,7 +903,15 @@ def snapshot_optimize(
     packed = snapshot_read(
         spark, base, parts=targets, apply_tombstones=False
     ).repartition(part_col)
-    return snapshot_replace_partitions(packed, base, targets, op="optimize")
+    if max_records_per_file is None:
+        return snapshot_replace_partitions(packed, base, targets, op="optimize")
+    spark.conf.set(
+        "spark.sql.files.maxRecordsPerFile", str(int(max_records_per_file))
+    )
+    try:
+        return snapshot_replace_partitions(packed, base, targets, op="optimize")
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
 
 
 def snapshot_vacuum(base: str, retain_last: int = 1) -> "dict[str, int]":

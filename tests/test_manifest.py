@@ -632,3 +632,23 @@ class TestPlans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
         assert "val" not in read_schema
+
+    def test_optimize_max_records_per_file_bin_packs(self, spark, tmp_path):
+        """A hot partition must bin-pack into several right-sized files,
+        not serialize into one giant one."""
+        from ddf_flink_spark.functions.manifest import snapshot_optimize
+
+        base = _mkbase(tmp_path, "m39")
+        snapshot_create(_frame(spark, 0, 400, n_parts=2), base, part_col="cell")
+        snapshot_append(_frame(spark, 400, 800, n_parts=2), base)
+        v = snapshot_optimize(spark, base, max_records_per_file=100)
+        post = _load_manifest(base, v)
+        counts = {}
+        for e in post["files"]:
+            counts[e["part"]] = counts.get(e["part"], 0) + 1
+        # 400 rows/partition at <=100 rows/file -> >= 4 files each
+        assert all(n >= 4 for n in counts.values())
+        assert all(e["rows"] <= 100 for e in post["files"])
+        assert snapshot_read(spark, base).count() == 800
+        # the session conf does not leak
+        assert not spark.conf.get("spark.sql.files.maxRecordsPerFile", None)
