@@ -803,7 +803,11 @@ def snapshot_changes(
     size: the manifest IS the change index. Returns the ``v_to``
     schema plus a ``_change`` column ('insert' | 'delete'); a row
     rewritten byte-identically into a new file (compaction survivor)
-    cancels out via EXCEPT ALL and does not appear."""
+    cancels out via EXCEPT ALL and does not appear. Across a SCHEMA
+    EVOLUTION boundary both sides are read in ``v_to``'s schema — old
+    files fill the added columns with NULL (the same rule the plain
+    read applies), so the diff is well-typed and an unchanged row
+    still cancels."""
     mf = _load_manifest(base, v_from)
     mt = _load_manifest(base, v_to)
     key = lambda e: (e["commit"], e["path"])  # noqa: E731
@@ -827,7 +831,7 @@ def snapshot_changes(
     )
     vis_from = _anti_tombstones(
         _read_entries(
-            spark, base, removed, mf["schema"], part_col,
+            spark, base, removed, mt["schema"], part_col,
             tag_commit_version=True,
         ),
         tf,

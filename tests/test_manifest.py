@@ -652,3 +652,28 @@ class TestPlans:
         assert snapshot_read(spark, base).count() == 800
         # the session conf does not leak
         assert not spark.conf.get("spark.sql.files.maxRecordsPerFile", None)
+
+    def test_changes_across_schema_evolution(self, spark, tmp_path):
+        """The change feed spans an add-column boundary: deltas come
+        back in the TARGET version's schema with NULL for columns the
+        old files never had."""
+        from ddf_flink_spark.functions.manifest import snapshot_changes
+
+        base = _mkbase(tmp_path, "m40")
+        snapshot_create(_frame(spark, 0, 20), base, part_col="cell")
+        evolved = _frame(spark, 20, 30).withColumn(
+            "extra", (F.col("id") + 5).cast("long")
+        )
+        snapshot_append(evolved, base, merge_schema=True)
+        c = snapshot_changes(spark, base, 1, 2)
+        assert "extra" in c.columns
+        ins = c.filter(F.col("_change") == "insert").collect()
+        assert sorted(r["id"] for r in ins) == list(range(20, 30))
+        assert all(r["extra"] == r["id"] + 5 for r in ins)
+        assert c.filter(F.col("_change") == "delete").count() == 0
+        # and a delete AFTER evolution diffs old-file rows as v_to rows
+        snapshot_delete(spark.range(0, 5), base)
+        c23 = snapshot_changes(spark, base, 2, 3)
+        dels = c23.filter(F.col("_change") == "delete").collect()
+        assert sorted(r["id"] for r in dels) == list(range(0, 5))
+        assert all(r["extra"] is None for r in dels)
