@@ -969,3 +969,55 @@ def test_srp_embedded_plane_oracle_margin_premise():
         f"between Spark and DuckDB; re-derive the q203/q251 oracles (or "
         f"demote them to rows-only) before trusting the gate"
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-manifest pruning invariants (functions/manifest.py): the two
+# facts file skipping rests on. Pure Python — no Spark session needed.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.one_of(st.integers(-(2**62), 2**62), st.text(max_size=40)),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_never_false_negative(values):
+    """A Bloom filter may keep a file it needn't, NEVER skip one it
+    must read: every inserted value probes positive."""
+    from ddf_flink_spark.functions.manifest import (
+        _bloom_maybe_contains,
+        _bloom_words,
+    )
+
+    words = _bloom_words(values)
+    assert all(_bloom_maybe_contains(words, v) for v in values)
+
+
+@given(
+    st.integers(0, 63), st.integers(0, 63), st.integers(0, 63),
+    st.integers(0, 63), st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_morton_corner_keys_bound_the_box(x0, x1, y0, y1, data):
+    """The zone-map read for a 2-D box uses the Morton range
+    [z(xlo,ylo), z(xhi,yhi)] as a SUPERSET prune (q281/q286): because
+    the interleave is monotone in each coordinate separately, the
+    box's corner keys bound every key in the box — a file skipped by
+    that range can hold no box row."""
+    xlo, xhi = sorted((x0, x1))
+    ylo, yhi = sorted((y0, y1))
+
+    def z(x, y, bits=6):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    x = data.draw(st.integers(xlo, xhi))
+    y = data.draw(st.integers(ylo, yhi))
+    assert z(xlo, ylo) <= z(x, y) <= z(xhi, yhi)
