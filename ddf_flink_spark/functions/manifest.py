@@ -240,13 +240,17 @@ def _scan_files(
                         break
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-                # only JSON-portable scalar types land in the manifest
-                # (timestamp/bytes stats would need an encoding scheme)
+                # numeric only: parquet writers may TRUNCATE string
+                # min/max (an understated max would make the superset
+                # prune wrongly skip a file), and bools/timestamps
+                # would need an encoding scheme. Blooms, not zone maps,
+                # are the string path.
                 if (
                     ok
-                    and lo is not None
-                    and isinstance(lo, (int, float, str, bool))
-                    and isinstance(hi, (int, float, str, bool))
+                    and isinstance(lo, (int, float))
+                    and isinstance(hi, (int, float))
+                    and not isinstance(lo, bool)
+                    and not isinstance(hi, bool)
                 ):
                     stats[col] = [lo, hi]
             blooms: dict[str, list[int]] = {}
@@ -904,8 +908,13 @@ def snapshot_optimize(
     )
     if not targets:
         return int(parent["version"])
+    # survivors only: rewritten rows land in a NEW commit, OUTSIDE the
+    # scope of outstanding tombstones (applies_before < new version) —
+    # carrying a tombstoned row into the rewrite would RESURRECT it.
+    # Optimize therefore folds deletes for the partitions it touches
+    # (the tombstones stay on the manifest for every other partition).
     packed = snapshot_read(
-        spark, base, parts=targets, apply_tombstones=False
+        spark, base, parts=targets, apply_tombstones=True
     ).repartition(part_col)
     if max_records_per_file is None:
         return snapshot_replace_partitions(packed, base, targets, op="optimize")

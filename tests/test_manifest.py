@@ -677,3 +677,36 @@ class TestPlans:
         dels = c23.filter(F.col("_change") == "delete").collect()
         assert sorted(r["id"] for r in dels) == list(range(0, 5))
         assert all(r["extra"] is None for r in dels)
+
+    def test_optimize_does_not_resurrect_tombstoned_rows(self, spark, tmp_path):
+        """Rewritten rows land in a NEW commit, outside old tombstones'
+        applies_before scope — optimize must fold the deletes for the
+        partitions it touches, or deleted rows come back."""
+        from ddf_flink_spark.functions.manifest import snapshot_optimize
+
+        base = _mkbase(tmp_path, "m41")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        snapshot_append(_frame(spark, 40, 80), base)
+        snapshot_delete(spark.range(0, 20), base)
+        assert snapshot_read(spark, base).count() == 60
+        snapshot_optimize(spark, base)
+        got = snapshot_read(spark, base)
+        assert got.count() == 60
+        assert got.filter(F.col("id") < 20).count() == 0
+        # pre-delete time travel still serves everything
+        assert snapshot_read(spark, base, version=2).count() == 80
+        # and compaction afterwards stays clean
+        snapshot_compact(spark, base)
+        assert snapshot_read(spark, base).count() == 60
+
+    def test_string_columns_get_no_zone_map(self, spark, tmp_path):
+        """String min/max can be writer-truncated — the manifest must
+        not record them (blooms are the string path)."""
+        base = _mkbase(tmp_path, "m42")
+        df = spark.range(0, 100).withColumn(
+            "s", F.concat(F.lit("k"), F.col("id"))
+        )
+        snapshot_create(df, base, stats_cols=["s", "id"])
+        m = _load_manifest(base)
+        assert all("s" not in e.get("stats", {}) for e in m["files"])
+        assert any("id" in e.get("stats", {}) for e in m["files"])
