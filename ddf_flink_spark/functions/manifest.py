@@ -273,7 +273,14 @@ def _scan_files(
 
 
 def _next_commit_dir(base: str, version: int) -> str:
-    return os.path.join(_data_dir(base), f"c{version:06d}")
+    """Unique per ATTEMPT, not just per version: two writers racing for
+    the same version must never share a data directory (the manifest
+    link decides the winner; the loser's orphaned files wait for
+    vacuum). The version prefix keeps the tombstone-scope parse
+    (:func:`_commit_version`) and human debuggability."""
+    return os.path.join(
+        _data_dir(base), f"c{version:06d}_{uuid.uuid4().hex[:8]}"
+    )
 
 
 # ------------------------------------------------------------ commits

@@ -138,7 +138,9 @@ class TestCompaction:
         assert pre_untouched == post_untouched
         # affected partitions: all-new files in the new commit dir
         assert all(
-            t[0] == f"c{v:06d}" for t in _paths(post) if _is_cell(t, (0, 1))
+            t[0].startswith(f"c{v:06d}")
+            for t in _paths(post)
+            if _is_cell(t, (0, 1))
         )
         assert snapshot_read(spark, base).count() == 300
 
@@ -256,12 +258,12 @@ class TestConcurrencyAndGC:
         base = _mkbase(tmp_path, "m17")
         snapshot_create(_frame(spark, 0, 50), base)
         # simulate: a writer wrote its commit dir then died pre-publish
-        _frame(spark, 50, 99).write.parquet(f"{base}/data/c000099")
+        _frame(spark, 50, 99).write.parquet(f"{base}/data/c000099_deadbeef")
         assert snapshot_read(spark, base).count() == 50
         assert snapshot_versions(base) == [1]
         res = snapshot_vacuum(base, retain_last=1)
         assert res["files_deleted"] > 0
-        assert not os.path.isdir(f"{base}/data/c000099")
+        assert not os.path.isdir(f"{base}/data/c000099_deadbeef")
         assert snapshot_read(spark, base).count() == 50
 
     def test_vacuum_retention(self, spark, tmp_path):
@@ -710,3 +712,12 @@ class TestPlans:
         m = _load_manifest(base)
         assert all("s" not in e.get("stats", {}) for e in m["files"])
         assert any("id" in e.get("stats", {}) for e in m["files"])
+
+    def test_racing_writers_never_share_a_data_dir(self, spark, tmp_path):
+        """Version-name data dirs let the publish-race LOSER clobber
+        the winner's files before the manifest link decides; attempt-
+        unique dirs make the loser's files harmless orphans."""
+        from ddf_flink_spark.functions.manifest import _next_commit_dir
+
+        base = _mkbase(tmp_path, "m43")
+        assert _next_commit_dir(base, 3) != _next_commit_dir(base, 3)
