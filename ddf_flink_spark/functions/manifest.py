@@ -776,7 +776,14 @@ def snapshot_replace_partitions(
     away from undone. ``meta`` updates the manifest's side-model
     metadata (e.g. the refreshed coarse centroids riding along with
     the cells they describe, so model and membership version
-    TOGETHER — the atomicity the sidecar-file layout cannot give)."""
+    TOGETHER — the atomicity the sidecar-file layout cannot give).
+
+    Contract: ``df`` is the listed partitions' new FULL contents. The
+    rewritten rows land in a NEW commit, outside the applies_before
+    scope of any OUTSTANDING tombstone — so if deletes are pending on
+    these partitions, the caller must provide post-delete contents
+    (read with tombstones applied, as :func:`snapshot_optimize` does)
+    or compact first; including a tombstoned row here resurrects it."""
     parent = _load_manifest(base)
     part_col = parent["part_col"]
     if part_col is None:
