@@ -16212,6 +16212,9 @@ def q283_stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _session_tmp("q283")
     shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(f"{base}_ckpt", ignore_errors=True)  # else a re-run in
+    # this process resumes the checkpoint, replays zero batches, and the
+    # store is never created
     ev_cols = ["event_id", "event_type", "value"]
     seen_tags: list[str] = []
 
@@ -16881,6 +16884,8 @@ def q293_stream_manifest_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFra
 
     base = _session_tmp("q293")
     shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(f"{base}_ckpt", ignore_errors=True)  # fresh replay per
+    # invocation (q283's lesson)
     enc = ivfadc_encode(embeddings_stream(spark, sf_dir), coarse, cents)
     seen: list[str] = []
 

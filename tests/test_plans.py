@@ -424,6 +424,12 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     "q126_tpch_q19_disjunctive": {"single-partition"},  # 1-row revenue agg
     "q128_tpch_q22_dormant_customers": {"single-partition"},  # global AVG subquery
     "q137_tpch_q6_revenue_filter": {"single-partition"},  # 1-row agg
+    # manifest-store box/point scans end in a 1-row global aggregate
+    # (count + sums over the pruned read) — O(1) output, map-side
+    # partials; the exchange carries one row per partition
+    "q281_snapshot_zonemap_skipping": {"single-partition"},
+    "q286_snapshot_pruned_serve": {"single-partition"},
+    "q289_snapshot_bloom_point_lookup": {"single-partition"},
     # Spark's InjectRuntimeFilter builds a bloom filter for the
     # codes⋈candidates join: bloom_filter_agg's single-partition
     # exchange carries ONE buffer row (O(1) output) — the engine's own
