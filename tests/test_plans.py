@@ -446,6 +446,9 @@ AUDIT_EXEMPT: dict[str, set[str]] = {
     "q255_index_delete_compact": {"cartesian-product"},
     "q256_filtered_ann_persisted": {"cartesian-product"},
     "q259_ivfadc_persisted_serve": {"cartesian-product"},
+    # the same broadcast LUT cross through ivfadc_index_search, served
+    # from the manifest store instead of the directory layout
+    "q282_manifest_ann_serve": {"cartesian-product"},
     # MaxSim: the broadcast side is the Q=5 query-vector frame (model-
     # sized); the non-equi (id != qid) cross over it is the pair scoring
     "q257_maxsim_chunk_retrieval": {"cartesian-product"},
