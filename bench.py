@@ -325,8 +325,11 @@ def main() -> None:
             ),
             "cold_sec": round(sum(cold.values()), 4),
             "load": [load_start[0], load_end[0]],
-            "queries": timings,
-            "cpu": {n.split("_", 1)[0]: round(v, 3) for n, v in cpu_s.items()},
+            # 3 decimals: millisecond resolution is already below run
+            # noise, and the line must stay inside the driver's capture
+            # window as headliners accumulate
+            "queries": {n: round(v, 3) for n, v in timings.items()},
+            "cpu": {n.split("_", 1)[0]: round(v, 2) for n, v in cpu_s.items()},
         },
         separators=(",", ":"),
     )
