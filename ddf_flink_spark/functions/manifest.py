@@ -8,48 +8,63 @@ partition mid-flight, there is no history, and object-store directory
 listings are the scalability anti-pattern every table format exists to
 kill. This module is the architecture-level answer, the same shape as
 Iceberg/Delta's metadata layer (Armbrust et al., VLDB 2020, "Delta
-Lake: High-Performance ACID Table Storage over Cloud Object Stores")
+Lake: High-Performance ACID Table Storage over Cloud Object Stores";
+the segment/manifest-list split follows Iceberg's manifest design)
 reduced to its load-bearing core:
 
 * **Immutable data files** — every commit writes a fresh
-  ``data/c{N}/`` directory; nothing under ``data/`` is ever modified
-  or renamed afterwards (vacuum deletes, never rewrites).
-* **Atomic manifest commit** — a snapshot is ONE JSON file
-  ``manifests/v{N}.json`` holding the COMPLETE file listing (plus
-  per-file row counts and min/max column stats read from the parquet
-  footers). Publication is ``os.link(tmp, final)``, which atomically
-  fails if the version already exists — optimistic concurrency: the
-  loser of a race gets :class:`SnapshotConflict`, never a corrupt
-  table. A crash at ANY point before the link leaves the store
-  exactly at its previous version (orphaned data files are reclaimed
-  by vacuum); there is no crash window in which a reader can observe
-  a partial commit.
+  ``data/c{N}_{attempt}/`` directory; nothing under ``data/`` is ever
+  modified or renamed afterwards (vacuum deletes, never rewrites).
+* **Segmented metadata, O(files-touched) commits** — a commit writes
+  ONE immutable manifest SEGMENT (``manifests/seg-{uuid}.json``
+  holding just the file entries this commit adds, with per-file row
+  counts, min/max column stats and optional Bloom words) plus one
+  small snapshot HEADER (``manifests/v{N}.json``) listing segment
+  REFS. A child snapshot carries the parent's segment refs by
+  reference — never by copying file entries — so commit metadata cost
+  is O(files-touched), not O(total-files): a streaming writer's
+  10⁶-file table appends with the same tiny header write as an empty
+  one (measured flat in ``tools/bench_manifest.py``). Each ref records
+  a per-partition ``{part: [n_files, rows]}`` summary, so partition
+  REMOVAL (compaction, rebalance) is header math — shrink the ref's
+  included-part map — with no segment rewrite and no entry copying.
+* **Atomic header commit** — publication is ``os.link(tmp, final)``,
+  which atomically fails if the version already exists — optimistic
+  concurrency: the loser of a race gets :class:`SnapshotConflict` (or
+  retries with ``retries=N``: data files and segment are written
+  once; only the header re-publishes against the new parent). A crash
+  at ANY point before the link leaves the store exactly at its
+  previous version (orphaned data files / segments are reclaimed by
+  vacuum); there is no crash window in which a reader can observe a
+  partial commit.
 * **Readers pin a snapshot** — :func:`snapshot_read` resolves one
-  manifest and reads exactly its files; a concurrent compaction or
-  append is invisible (old files are retained until vacuum), so
-  maintenance never races serving. Time travel is reading an older
-  version number.
+  header, streams its segments, and reads exactly their files; a
+  concurrent compaction or append is invisible (old files are
+  retained until vacuum), so maintenance never races serving. Time
+  travel is reading an older version number.
 * **Merge-on-read deletes** — :func:`snapshot_delete` commits
   tombstone files (O(|ids|), no data rewrite); reads anti-join them.
   :func:`snapshot_compact` folds tombstones by rewriting ONLY the
-  partitions that contain tombstoned rows (file entries of untouched
-  partitions are carried into the new manifest verbatim — same paths,
-  byte-identical by construction).
+  partitions that contain tombstoned rows (untouched partitions'
+  files are carried by segment ref — same paths, byte-identical by
+  construction).
 * **Manifest-level pruning** — the reader never lists a directory:
-  partition pruning (``parts=[...]``) and min/max stat pruning
-  (``between=("col", lo, hi)``) select file entries from the manifest
-  before Spark sees a path. Composed with a Morton-key layout
-  (functions/layout.py) this is Z-ORDER + zone-map data skipping:
-  cluster by the interleaved key at write time, prune files by the
-  key range at read time, on BOTH dimensions at once.
+  partition pruning (``parts=[...]``), min/max stat pruning
+  (``between=("col", lo, hi)``) and Bloom point lookups
+  (``point=("col", v)``) select file entries from the manifest before
+  Spark sees a path. Partition VALUES are canonicalized through the
+  same Hive escaping Spark uses for directory names (NULL and '' →
+  ``__HIVE_DEFAULT_PARTITION__``, specials %XX-escaped), so
+  NULL-partition rows compact/optimize/prune correctly.
 
-At 100 TB: commits are O(files-touched) metadata + one atomic rename;
+At 100 TB: commits are O(files-touched) metadata + one atomic link;
 reads are O(manifest) planning with zero listing round-trips; deletes
-are O(|ids|); compaction rewrites only affected partitions; GC is an
-explicit, versioned retention decision. The reference has no
-persistence lifecycle at all (its sink is a fire-and-forget TextOutput,
-``utils/package.scala:418-427``); this is a pure capability extension
-for the retained-corpus posture.
+are O(|ids|); compaction rewrites only affected partitions; GC derives
+its deletion set from manifest diffs (the directory walk survives only
+as an age-guarded orphan sweep for aborted commits). The reference has
+no persistence lifecycle at all (its sink is a fire-and-forget
+TextOutput, ``utils/package.scala:418-427``); this is a pure
+capability extension for the retained-corpus posture.
 """
 
 from __future__ import annotations
@@ -57,6 +72,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,6 +102,80 @@ class SnapshotConflict(RuntimeError):
     concurrency): retry against the new latest."""
 
 
+# ------------------------------------------- partition-value canon
+
+
+# Spark names partition directories with Hive's escaping
+# (ExternalCatalogUtils.escapePathName): ASCII control chars, DEL and
+# "#%'*/:=?\\{[]^ become %XX; NULL **and the empty string** both map to
+# __HIVE_DEFAULT_PARTITION__ (verified against Spark's own output in
+# tests/test_manifest.py). Manifest entries record the DIRECTORY token,
+# so every comparison against collected VALUES must go through this
+# canonicalization — comparing str(value) resurrected tombstoned rows
+# for NULL/escaped partition values before this existed.
+_HIVE_DEFAULT_PART = "__HIVE_DEFAULT_PARTITION__"
+_HIVE_ESCAPE = (
+    {chr(c) for c in range(1, 0x20)}
+    | set('"#%\'*/:=?\\{[]^')
+    | {chr(0x7F)}
+)
+
+
+def _part_token(value) -> str:
+    """Partition VALUE → the directory-name token Spark writes."""
+    if value is None:
+        return _HIVE_DEFAULT_PART
+    s = str(value)
+    if s == "":
+        return _HIVE_DEFAULT_PART
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in s
+    )
+
+
+def _part_untoken(token: str) -> "str | None":
+    """Directory token → string value (None for the default partition,
+    which covers both NULL and '')."""
+    if token == _HIVE_DEFAULT_PART:
+        return None
+    out, i = [], 0
+    while i < len(token):
+        ch = token[i]
+        if ch == "%" and i + 3 <= len(token):
+            try:
+                out.append(chr(int(token[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _part_filter(part_col: str, tokens: "set[str]"):
+    """A Column predicate keeping rows whose partition value maps to
+    one of ``tokens`` — the write-side twin of entry-token pruning."""
+    plain = [
+        _part_untoken(t) for t in tokens if t != _HIVE_DEFAULT_PART
+    ]
+    cond = None
+    if plain:
+        cond = F.col(part_col).cast("string").isin(plain)
+    if _HIVE_DEFAULT_PART in tokens:
+        null_cond = F.col(part_col).isNull() | (
+            F.col(part_col).cast("string") == ""
+        )
+        cond = null_cond if cond is None else (cond | null_cond)
+    return F.lit(False) if cond is None else cond
+
+
+# part_stats keys are JSON object keys (strings); entries of an
+# UNPARTITIONED commit carry part=None, keyed as "".
+def _part_key(part: "str | None") -> str:
+    return "" if part is None else part
+
+
 # ---------------------------------------------------------------- I/O
 
 
@@ -113,7 +203,9 @@ def snapshot_versions(base: str) -> "list[int]":
     return sorted(out)
 
 
-def _load_manifest(base: str, version: "int | None" = None) -> dict:
+def _load_header(base: str, version: "int | None" = None) -> dict:
+    """One snapshot HEADER (segment refs, no file entries) — the
+    O(segments) metadata unit every commit reads and writes."""
     versions = snapshot_versions(base)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {base}")
@@ -127,17 +219,105 @@ def _load_manifest(base: str, version: "int | None" = None) -> dict:
         return json.load(fh)
 
 
-def _publish(base: str, manifest: dict) -> int:
-    """Atomically publish ``manifest`` as its version. The manifest is
+def _seg_path(base: str, name: str) -> str:
+    return os.path.join(_manifest_dir(base), name)
+
+
+def _seg_write(base: str, entries: "list[dict]") -> "dict | None":
+    """Write one immutable manifest SEGMENT holding ``entries`` and
+    return its ref: ``{"seg", "n", "rows", "part_stats"}`` where
+    ``part_stats`` maps included partition token → [n_files, rows].
+    The ref summary is what keeps partition removal and
+    :func:`snapshot_log` header-only. Returns None for no entries."""
+    if not entries:
+        return None
+    os.makedirs(_manifest_dir(base), exist_ok=True)
+    name = f"seg-{uuid.uuid4().hex}.json"
+    tmp = _seg_path(base, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"entries": entries}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, _seg_path(base, name))  # immutable once named
+    part_stats: dict[str, list[int]] = {}
+    for e in entries:
+        k = _part_key(e.get("part"))
+        st = part_stats.setdefault(k, [0, 0])
+        st[0] += 1
+        st[1] += int(e["rows"])
+    return {
+        "seg": name,
+        "n": len(entries),
+        "rows": sum(int(e["rows"]) for e in entries),
+        "part_stats": part_stats,
+    }
+
+
+def _ref_exclude(ref: dict, tokens: "set[str]") -> "dict | None":
+    """Drop the listed partition tokens from a segment ref — pure
+    header math (the segment file is immutable and untouched): the
+    included-part map shrinks and n/rows recompute from the per-part
+    summary. Returns None when nothing remains."""
+    keys = {_part_key(t) for t in tokens}
+    if not any(k in ref["part_stats"] for k in keys):
+        return dict(ref, part_stats=dict(ref["part_stats"]))
+    kept = {
+        k: list(v) for k, v in ref["part_stats"].items() if k not in keys
+    }
+    if not kept:
+        return None
+    return {
+        "seg": ref["seg"],
+        "n": sum(v[0] for v in kept.values()),
+        "rows": sum(v[1] for v in kept.values()),
+        "part_stats": kept,
+    }
+
+
+def _seg_entries(base: str, ref: dict) -> "list[dict]":
+    """Materialize a ref's entries: read the immutable segment and keep
+    only partitions still in the ref's included-part map."""
+    with open(_seg_path(base, ref["seg"])) as fh:
+        entries = json.load(fh)["entries"]
+    included = ref["part_stats"]
+    out = [e for e in entries if _part_key(e.get("part")) in included]
+    ab = ref.get("applies_before")
+    if ab is not None:
+        out = [dict(e, applies_before=int(ab)) for e in out]
+    return out
+
+
+def _materialize(base: str, header: dict) -> dict:
+    """Header + resolved ``files`` / ``tombstones`` entry lists — the
+    read-path (and test-introspection) view of a snapshot."""
+    m = dict(header)
+    m["files"] = [
+        e for ref in header["file_segs"] for e in _seg_entries(base, ref)
+    ]
+    m["tombstones"] = [
+        e for ref in header["tomb_segs"] for e in _seg_entries(base, ref)
+    ]
+    return m
+
+
+def _load_manifest(base: str, version: "int | None" = None) -> dict:
+    return _materialize(base, _load_header(base, version))
+
+
+def _publish(base: str, header: dict) -> int:
+    """Atomically publish ``header`` as its version. The header is
     fully written and fsynced to a temp name first; ``os.link`` then
     either creates the final name or fails with EEXIST — the only two
     outcomes. No reader can ever see a partial manifest."""
     os.makedirs(_manifest_dir(base), exist_ok=True)
-    v = int(manifest["version"])
+    header = {
+        k: v for k, v in header.items() if k not in ("files", "tombstones")
+    }
+    v = int(header["version"])
     final = _manifest_path(base, v)
     tmp = os.path.join(_manifest_dir(base), f".v{v}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
+        json.dump(header, fh)
         fh.flush()
         os.fsync(fh.fileno())
     try:
@@ -151,6 +331,30 @@ def _publish(base: str, manifest: dict) -> int:
     return v
 
 
+def _apply_with_retry(base: str, apply_fn, retries: int = 0) -> int:
+    """Optimistic-concurrency loop: resolve the latest header, let
+    ``apply_fn(parent)`` build the child header (or return an int to
+    short-circuit, e.g. an already-seen batch tag), publish; on
+    :class:`SnapshotConflict` re-resolve and reapply up to ``retries``
+    times with bounded backoff. Data files and segments are written
+    ONCE by the caller before this loop — a retry re-publishes
+    metadata only, so conflict recovery is O(header) regardless of
+    commit size."""
+    attempt = 0
+    while True:
+        parent = _load_header(base)
+        built = apply_fn(parent)
+        if isinstance(built, int):
+            return built
+        try:
+            return _publish(base, built)
+        except SnapshotConflict:
+            attempt += 1
+            if attempt > retries:
+                raise
+            time.sleep(min(0.05 * (2 ** (attempt - 1)), 1.0))
+
+
 # Per-file Bloom parameters: m bits packed into 64-bit words, k probes
 # via double hashing over the md5 of the value's canonical string form.
 # False-positive rate at m=1024, k=5 is < 1% up to ~100 values/file and
@@ -159,12 +363,47 @@ _BLOOM_M = 1024
 _BLOOM_K = 5
 
 
-def _bloom_hashes(value) -> "list[int]":
-    """The k bit positions for ``value`` — canonical string encoding so
-    the write side and the read-side probe agree for int/str alike."""
+def _bloom_canon(value) -> "str | None":
+    """Canonical string form hashed on BOTH the write side and the
+    read-side probe, so a type-mismatched but equal probe (5.0 against
+    an int column, Decimal('5'), numpy int64) still hits: integral
+    floats/Decimals normalize to the int form, numpy scalars unwrap,
+    bools stay distinct from 0/1, NaN and None are unindexed (a NaN
+    probe finds nothing; parquet nulls surface as either through
+    pandas, so both must hash nowhere for the executor- and
+    driver-side builders to agree byte-for-byte)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return f"bool:{value}"
+    item = getattr(value, "item", None)
+    if item is not None and not isinstance(value, (str, bytes, int, float)):
+        try:
+            value = value.item()  # numpy scalar → Python
+        except Exception:
+            pass
+    if isinstance(value, float):
+        if value != value:  # NaN
+            return None
+        if value.is_integer():
+            return str(int(value))
+        return repr(value)
+    import decimal
+
+    if isinstance(value, decimal.Decimal):
+        if value.is_nan():
+            return None
+        if value == value.to_integral_value():
+            return str(int(value))
+        return str(value.normalize())
+    return str(value)
+
+
+def _bloom_hashes(canon: str) -> "list[int]":
+    """The k bit positions for a canonical value string."""
     import hashlib
 
-    h = hashlib.md5(str(value).encode()).digest()
+    h = hashlib.md5(canon.encode()).digest()
     h1 = int.from_bytes(h[:8], "big")
     h2 = int.from_bytes(h[8:], "big") | 1
     return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
@@ -173,17 +412,71 @@ def _bloom_hashes(value) -> "list[int]":
 def _bloom_words(values) -> "list[int]":
     words = [0] * (_BLOOM_M // 64)
     for v in values:
-        if v is None:
+        canon = _bloom_canon(v)
+        if canon is None:
             continue
-        for pos in _bloom_hashes(v):
+        for pos in _bloom_hashes(canon):
             words[pos // 64] |= 1 << (pos % 64)
     return words
 
 
 def _bloom_maybe_contains(words: "list[int]", value) -> bool:
+    canon = _bloom_canon(value)
+    if canon is None:
+        return True  # null/NaN probes are unindexed — keep the file
     return all(
-        words[pos // 64] >> (pos % 64) & 1 for pos in _bloom_hashes(value)
+        words[pos // 64] >> (pos % 64) & 1 for pos in _bloom_hashes(canon)
     )
+
+
+def _bloom_words_spark(
+    spark: SparkSession, files: "list[str]", col: str
+) -> "dict[str, list[int]]":
+    """EXECUTOR-SIDE Bloom construction: one Spark job reads the listed
+    parquet files' single column, hashes per Arrow batch (exact types —
+    no pandas int→float widening), and emits per-(batch, file) partial
+    word arrays that OR-merge on the driver (the OR of per-batch Blooms
+    IS the file's Bloom — bitwise OR is the only aggregation). The
+    driver handles O(partitions × files-in-commit) tiny rows, never
+    column data, so ``snapshot_create(bloom_cols=...)`` over a large
+    initial table scales with the cluster. Byte-equal with the
+    driver-side fallback by construction (unit-pinned)."""
+
+    def build(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            fnames = tbl.column("_f").to_pylist()
+            vals = tbl.column("_v").to_pylist()
+            per_file: dict[str, list] = {}
+            for f, v in zip(fnames, vals):
+                per_file.setdefault(f, []).append(v)
+            out_f, out_w = [], []
+            for f, vs in per_file.items():
+                out_f.append(f)
+                out_w.append(json.dumps(_bloom_words(vs)))
+            yield pa.RecordBatch.from_pydict({"_f": out_f, "words": out_w})
+
+    df = (
+        spark.read.parquet(*files)
+        .select(
+            F.input_file_name().alias("_f"), F.col(col).alias("_v")
+        )
+        .mapInArrow(build, "_f string, words string")
+    )
+    from urllib.parse import unquote, urlparse
+
+    merged: dict[str, list[int]] = {}
+    for r in df.collect():  # bounded: ≤ partitions × files-in-commit rows
+        path = unquote(urlparse(r["_f"]).path)
+        words = json.loads(r["words"])
+        cur = merged.get(path)
+        if cur is None:
+            merged[path] = words
+        else:
+            merged[path] = [a | b for a, b in zip(cur, words)]
+    return merged
 
 
 def _scan_files(
@@ -191,26 +484,23 @@ def _scan_files(
     part_col: "str | None",
     stats_cols: "list[str]",
     bloom_cols: "list[str] | None" = None,
+    spark: "SparkSession | None" = None,
 ) -> "tuple[list[dict], int]":
     """Enumerate the parquet files Spark just wrote under
     ``commit_dir`` and read row counts + min/max stats for
     ``stats_cols`` from the footers (pyarrow metadata only — no data
     pages touched). ``bloom_cols`` additionally builds a per-file
     Bloom filter over each listed column — the ONE write-side step
-    that reads data (that single column, via pyarrow), the trade every
-    bloom index makes: point lookups on an UNCLUSTERED high-cardinality
-    column can then prune files min/max stats cannot (on a column the
-    layout isn't sorted by, every file's [min,max] spans the domain).
-    Honesty note for scale: this driver-side pass is bounded by one
-    column of one commit's files (a commit is a micro-batch or a few
-    partitions, never the table) — a production writer would fold the
-    same hashing into the executor-side write path (a custom committer
-    emitting the words alongside each file) so nothing funnels through
-    the driver. Returns (entries, total_rows)."""
+    that reads data. With ``spark`` (every real commit path passes
+    it) the hashing runs EXECUTOR-SIDE via :func:`_bloom_words_spark`;
+    the driver-side pyarrow loop survives only as the sparkless
+    fallback and the byte-equality oracle for the unit test. Returns
+    (entries, total_rows)."""
     import pyarrow.parquet as pq
 
     commit = os.path.basename(commit_dir.rstrip("/"))
     entries: list[dict] = []
+    file_cols: dict[str, list[str]] = {}
     total = 0
     for root, _dirs, files in os.walk(commit_dir):
         part = None
@@ -227,6 +517,7 @@ def _scan_files(
             total += rows
             stats: dict[str, list] = {}
             names = [md.schema.column(i).name for i in range(md.num_columns)]
+            file_cols[full] = names
             for col in stats_cols:
                 if col not in names:
                     continue
@@ -253,22 +544,49 @@ def _scan_files(
                     and not isinstance(hi, bool)
                 ):
                     stats[col] = [lo, hi]
-            blooms: dict[str, list[int]] = {}
-            for col in bloom_cols or []:
-                if col not in names:
-                    continue
-                vals = pq.read_table(full, columns=[col])[col].to_pylist()
-                blooms[col] = _bloom_words(vals)
             entries.append(
                 {
                     "commit": commit,
                     "path": os.path.relpath(full, commit_dir),
                     "part": part,
                     "rows": rows,
+                    "_full": full,
                     **({"stats": stats} if stats else {}),
-                    **({"bloom": blooms} if blooms else {}),
                 }
             )
+    rows_by_file = {e["_full"]: e["rows"] for e in entries}
+    for col in bloom_cols or []:
+        with_col = [
+            e["_full"] for e in entries if col in file_cols[e["_full"]]
+        ]
+        if not with_col:
+            continue
+        if spark is not None:
+            words_by_file = _bloom_words_spark(spark, with_col, col)
+            for full in with_col:
+                if full in words_by_file:
+                    continue
+                # a zero-row file produces no Arrow batch: its Bloom is
+                # all-zeros (prunes every probe — correct for an empty
+                # file). A file with rows but no returned words means
+                # path normalization drifted — fall back to the local
+                # read for THAT file rather than mis-assign.
+                if rows_by_file[full] == 0:
+                    words_by_file[full] = [0] * (_BLOOM_M // 64)
+                else:
+                    vals = pq.read_table(full, columns=[col])[col].to_pylist()
+                    words_by_file[full] = _bloom_words(vals)
+        else:
+            words_by_file = {}
+            for full in with_col:
+                vals = pq.read_table(full, columns=[col])[col].to_pylist()
+                words_by_file[full] = _bloom_words(vals)
+        for e in entries:
+            words = words_by_file.get(e["_full"])
+            if words is not None:
+                e.setdefault("bloom", {})[col] = words
+    for e in entries:
+        del e["_full"]
     return entries, total
 
 
@@ -312,7 +630,10 @@ def snapshot_create(
     if part_col is not None:
         w = w.partitionBy(part_col)
     w.parquet(commit_dir)
-    entries, rows = _scan_files(commit_dir, part_col, stats_cols, bloom_cols)
+    entries, rows = _scan_files(
+        commit_dir, part_col, stats_cols, bloom_cols, spark=df.sparkSession
+    )
+    ref = _seg_write(base, entries)
     return _publish(
         base,
         {
@@ -324,8 +645,8 @@ def snapshot_create(
             "stats_cols": stats_cols,
             "bloom_cols": bloom_cols,
             "schema": df.schema.json(),
-            "files": entries,
-            "tombstones": [],
+            "file_segs": [ref] if ref else [],
+            "tomb_segs": [],
             "batch_tags": [],
             "rows_added": rows,
             "rows_removed": 0,
@@ -335,6 +656,10 @@ def snapshot_create(
 
 
 def _child(parent: dict, op: str) -> dict:
+    """Child header from a parent header (or a materialized manifest —
+    the segment-ref keys are authoritative either way): segment refs
+    carry over BY REFERENCE, so this is O(segments), never
+    O(files)."""
     return {
         "version": int(parent["version"]) + 1,
         "parent": int(parent["version"]),
@@ -344,8 +669,8 @@ def _child(parent: dict, op: str) -> dict:
         "stats_cols": parent["stats_cols"],
         "bloom_cols": parent.get("bloom_cols", []),
         "schema": parent["schema"],
-        "files": list(parent["files"]),
-        "tombstones": list(parent["tombstones"]),
+        "file_segs": [dict(r) for r in parent["file_segs"]],
+        "tomb_segs": [dict(r) for r in parent["tomb_segs"]],
         "tomb_schema": parent.get("tomb_schema"),
         "batch_tags": list(parent["batch_tags"]),
         "rows_added": 0,
@@ -360,6 +685,7 @@ def snapshot_append(
     batch_tag: "str | None" = None,
     meta: "dict | None" = None,
     merge_schema: bool = False,
+    retries: int = 0,
 ) -> int:
     """Append ``df`` as a new snapshot. ``batch_tag`` makes the append
     IDEMPOTENT: a tag already present in the lineage is a no-op
@@ -375,77 +701,102 @@ def snapshot_append(
     does this for free, so no old file is ever rewritten. Changing an
     existing column's type is rejected (that is a rewrite, not an
     append); without the flag a schema mismatch is an error rather
-    than a silent drift."""
-    parent = _load_manifest(base)
-    if batch_tag is not None and batch_tag in parent["batch_tags"]:
-        return int(parent["version"])
-    m = _child(parent, "append")
-    recorded = StructType.fromJson(json.loads(parent["schema"]))
-    by_name = {f.name: f for f in recorded.fields}
-    new_fields = []
-    for f in df.schema.fields:
-        old = by_name.get(f.name)
-        if old is None:
-            new_fields.append(f)
-        elif old.dataType != f.dataType:
-            raise ValueError(
-                f"snapshot_append: column '{f.name}' is {old.dataType} in the "
-                f"table but {f.dataType} in the append — type changes are a "
-                "rewrite, not an append"
-            )
-    if new_fields:
-        if not merge_schema:
-            raise ValueError(
-                "snapshot_append: new columns "
-                f"{[f.name for f in new_fields]} — pass merge_schema=True "
-                "to evolve the table schema"
-            )
-        evolved = StructType(list(recorded.fields) + new_fields)
-        m["schema"] = evolved.json()
-    commit_dir = _next_commit_dir(base, m["version"])
+    than a silent drift.
+
+    ``retries=N`` turns a publish race into bounded-backoff retry:
+    data files and the manifest segment are written exactly once; each
+    retry re-resolves the latest parent, re-validates the schema and
+    batch tag against it, and re-publishes the (tiny) header."""
+    parent0 = _load_header(base)
+    if batch_tag is not None and batch_tag in parent0["batch_tags"]:
+        return int(parent0["version"])
+    commit_dir = _next_commit_dir(base, int(parent0["version"]) + 1)
     shutil.rmtree(commit_dir, ignore_errors=True)
     w = df.write.mode("overwrite")
-    if m["part_col"] is not None:
-        w = w.partitionBy(m["part_col"])
+    if parent0["part_col"] is not None:
+        w = w.partitionBy(parent0["part_col"])
     w.parquet(commit_dir)
     entries, rows = _scan_files(
-        commit_dir, m["part_col"], m["stats_cols"], m["bloom_cols"]
+        commit_dir,
+        parent0["part_col"],
+        parent0["stats_cols"],
+        parent0.get("bloom_cols", []),
+        spark=df.sparkSession,
     )
-    m["files"] += entries
-    m["rows_added"] = rows
-    if batch_tag is not None:
-        m["batch_tags"].append(batch_tag)
-    if meta:
-        m["meta"].update(meta)
-    return _publish(base, m)
+    ref = _seg_write(base, entries)
+
+    def apply(parent: dict):
+        if batch_tag is not None and batch_tag in parent["batch_tags"]:
+            return int(parent["version"])
+        m = _child(parent, "append")
+        recorded = StructType.fromJson(json.loads(parent["schema"]))
+        by_name = {f.name: f for f in recorded.fields}
+        new_fields = []
+        for f in df.schema.fields:
+            old = by_name.get(f.name)
+            if old is None:
+                new_fields.append(f)
+            elif old.dataType != f.dataType:
+                raise ValueError(
+                    f"snapshot_append: column '{f.name}' is {old.dataType} "
+                    f"in the table but {f.dataType} in the append — type "
+                    "changes are a rewrite, not an append"
+                )
+        if new_fields:
+            if not merge_schema:
+                raise ValueError(
+                    "snapshot_append: new columns "
+                    f"{[f.name for f in new_fields]} — pass merge_schema="
+                    "True to evolve the table schema"
+                )
+            evolved = StructType(list(recorded.fields) + new_fields)
+            m["schema"] = evolved.json()
+        if ref:
+            m["file_segs"].append(dict(ref))
+        m["rows_added"] = rows
+        if batch_tag is not None:
+            m["batch_tags"].append(batch_tag)
+        if meta:
+            m["meta"].update(meta)
+        return m
+
+    return _apply_with_retry(base, apply, retries)
 
 
-def snapshot_delete(ids: DataFrame, base: str) -> int:
+def snapshot_delete(ids: DataFrame, base: str, retries: int = 0) -> int:
     """Merge-on-read delete: commit ``ids`` (any one-column frame) as
     tombstone files — O(|ids|), no data rewrite. Reads anti-join the
     tombstones until :func:`snapshot_compact` folds them in. Time
     travel to the pre-delete version still serves the rows (erasure of
     HISTORY is :func:`snapshot_vacuum` retention policy, the same
     split GDPR tooling makes)."""
-    parent = _load_manifest(base)
-    m = _child(parent, "delete")
-    commit_dir = _next_commit_dir(base, m["version"])
+    parent0 = _load_header(base)
+    commit_dir = _next_commit_dir(base, int(parent0["version"]) + 1)
     shutil.rmtree(commit_dir, ignore_errors=True)
-    keyed = ids.select(F.col(ids.columns[0]).alias(m["id_col"]))
+    keyed = ids.select(F.col(ids.columns[0]).alias(parent0["id_col"]))
     keyed.write.mode("overwrite").parquet(commit_dir)
     entries, rows = _scan_files(commit_dir, None, [])
-    for e in entries:
-        # applies only to data commits older than this delete: a
-        # same-id row appended LATER is a new row, not a deleted one
-        e["applies_before"] = m["version"]
-    m["tombstones"] += entries
-    m["tomb_schema"] = m.get("tomb_schema") or keyed.schema.json()
-    m["rows_removed"] = rows
-    return _publish(base, m)
+    ref = _seg_write(base, entries)
+    tomb_schema = keyed.schema.json()
+
+    def apply(parent: dict):
+        m = _child(parent, "delete")
+        if ref:
+            # applies only to data commits older than this delete: a
+            # same-id row appended LATER is a new row, not a deleted one
+            m["tomb_segs"].append(dict(ref, applies_before=m["version"]))
+        m["tomb_schema"] = m.get("tomb_schema") or tomb_schema
+        m["rows_removed"] = rows
+        return m
+
+    return _apply_with_retry(base, apply, retries)
 
 
 def snapshot_upsert(
-    df: DataFrame, base: str, batch_tag: "str | None" = None
+    df: DataFrame,
+    base: str,
+    batch_tag: "str | None" = None,
+    retries: int = 0,
 ) -> int:
     """MERGE-shaped UPSERT in ONE atomic commit: every row of ``df``
     REPLACES any existing row with the same id (tombstone on the
@@ -465,50 +816,89 @@ def snapshot_upsert(
     read path applies tombstones only to files from STRICTLY OLDER
     commits (each file entry knows its commit; the tombstone commit
     id rides the tombstone entries)."""
-    parent = _load_manifest(base)
-    if batch_tag is not None and batch_tag in parent["batch_tags"]:
-        return int(parent["version"])
-    m = _child(parent, "upsert")
-    commit_dir = _next_commit_dir(base, m["version"])
+    parent0 = _load_header(base)
+    if batch_tag is not None and batch_tag in parent0["batch_tags"]:
+        return int(parent0["version"])
+    commit_dir = _next_commit_dir(base, int(parent0["version"]) + 1)
     shutil.rmtree(commit_dir, ignore_errors=True)
-    id_col = m["id_col"]
+    id_col = parent0["id_col"]
     w = df.write.mode("overwrite")
-    if m["part_col"] is not None:
-        w = w.partitionBy(m["part_col"])
+    if parent0["part_col"] is not None:
+        w = w.partitionBy(parent0["part_col"])
     w.parquet(os.path.join(commit_dir, "rows"))
     df.select(id_col).distinct().write.mode("overwrite").parquet(
         os.path.join(commit_dir, "tomb")
     )
     row_entries, rows = _scan_files(
-        os.path.join(commit_dir, "rows"), m["part_col"], m["stats_cols"],
-        m["bloom_cols"],
+        os.path.join(commit_dir, "rows"),
+        parent0["part_col"],
+        parent0["stats_cols"],
+        parent0.get("bloom_cols", []),
+        spark=df.sparkSession,
     )
-    tomb_entries, removed = _scan_files(os.path.join(commit_dir, "tomb"), None, [])
-    commit_name = os.path.basename(commit_dir)
-    for e in row_entries:
-        e["commit"] = f"{commit_name}/rows"
-    for e in tomb_entries:
-        e["commit"] = f"{commit_name}/tomb"
-        e["applies_before"] = m["version"]
-    m["files"] += row_entries
-    m["tombstones"] += tomb_entries
-    m["tomb_schema"] = m.get("tomb_schema") or df.select(id_col).schema.json()
-    m["rows_added"] = rows
-    m["rows_removed"] = removed
-    if batch_tag is not None:
-        m["batch_tags"].append(batch_tag)
-    return _publish(base, m)
+    tomb_entries, removed = _scan_files(
+        os.path.join(commit_dir, "tomb"), None, []
+    )
+    tomb_schema = df.select(id_col).schema.json()
+
+    # The upsert invariant ties the batch's rows to its tombstones'
+    # scope through the commit-dir VERSION: rows tagged _cv=V with
+    # applies_before=V survive their own tombstones while every
+    # strictly-older commit's matching rows are replaced. A publish
+    # race moves V, so a retry must RENAME the (not-yet-referenced)
+    # commit dir to the new version and re-issue the segments — the
+    # data files themselves are written exactly once; metadata retry
+    # stays O(files-touched). A plain _apply_with_retry would leave
+    # the rows at the old _cv and the batch's own tombstones (rebased
+    # to the new version) would erase them.
+    attempt = 0
+    while True:
+        parent = _load_header(base)
+        if batch_tag is not None and batch_tag in parent["batch_tags"]:
+            return int(parent["version"])
+        target_v = int(parent["version"]) + 1
+        if _commit_version(os.path.basename(commit_dir)) != target_v:
+            new_dir = _next_commit_dir(base, target_v)
+            os.rename(commit_dir, new_dir)
+            commit_dir = new_dir
+        commit_name = os.path.basename(commit_dir)
+        for e in row_entries:
+            e["commit"] = f"{commit_name}/rows"
+        for e in tomb_entries:
+            e["commit"] = f"{commit_name}/tomb"
+        # segments are immutable: each attempt issues fresh ones (a
+        # loser's segment is an orphan vacuum reclaims)
+        row_ref = _seg_write(base, row_entries)
+        tomb_ref = _seg_write(base, tomb_entries)
+        m = _child(parent, "upsert")
+        if row_ref:
+            m["file_segs"].append(dict(row_ref))
+        if tomb_ref:
+            m["tomb_segs"].append(dict(tomb_ref, applies_before=target_v))
+        m["tomb_schema"] = m.get("tomb_schema") or tomb_schema
+        m["rows_added"] = rows
+        m["rows_removed"] = removed
+        if batch_tag is not None:
+            m["batch_tags"].append(batch_tag)
+        try:
+            return _publish(base, m)
+        except SnapshotConflict:
+            attempt += 1
+            if attempt > retries:
+                raise
+            time.sleep(min(0.05 * (2 ** (attempt - 1)), 1.0))
 
 
 def snapshot_restore(base: str, version: int) -> int:
     """Roll back by rolling FORWARD: publish a new snapshot whose
-    listing is a copy of ``version``'s. History stays linear and
+    listing is a copy of ``version``'s segment refs — O(segments),
+    nothing is read or rewritten. History stays linear and
     append-only; nothing is deleted."""
-    parent = _load_manifest(base)
-    old = _load_manifest(base, version)
+    parent = _load_header(base)
+    old = _load_header(base, version)
     m = _child(parent, "restore")
-    m["files"] = list(old["files"])
-    m["tombstones"] = list(old["tombstones"])
+    m["file_segs"] = [dict(r) for r in old["file_segs"]]
+    m["tomb_segs"] = [dict(r) for r in old["tomb_segs"]]
     m["meta"] = dict(old.get("meta", {}))
     m["restored_from"] = int(version)
     return _publish(base, m)
@@ -561,7 +951,7 @@ def _read_entries(
 
 
 def _commit_version(commit: str) -> int:
-    """'c000004' or 'c000004/rows' → 4."""
+    """'c000004_ab12cd34' or 'c000004_ab12cd34/rows' → 4."""
     import re
 
     return int(re.match(r"c(\d+)", commit).group(1))
@@ -621,11 +1011,15 @@ def snapshot_read(
     between: "tuple | None" = None,
     point: "tuple | None" = None,
     apply_tombstones: bool = True,
+    parts_escaped: bool = False,
 ) -> DataFrame:
     """Read one snapshot (latest by default; ``version=N`` is time
     travel). Planning is manifest-only — no directory listing:
 
-    * ``parts=[v, ...]`` keeps only entries of those partition values.
+    * ``parts=[v, ...]`` keeps only entries of those partition VALUES
+      (canonicalized through Hive dir-name escaping, so ``None``
+      selects the NULL partition; ``parts_escaped=True`` is the
+      internal path for callers already holding directory tokens).
     * ``between=(col, lo, hi)`` keeps files whose recorded [min, max]
       for ``col`` overlaps [lo, hi] — zone-map skipping; files without
       stats for ``col`` are conservatively kept. The predicate is ALSO
@@ -645,7 +1039,11 @@ def snapshot_read(
     m = _load_manifest(base, version)
     entries = m["files"]
     if parts is not None:
-        want = {str(p) for p in parts}
+        want = (
+            {str(p) for p in parts}
+            if parts_escaped
+            else {_part_token(p) for p in parts}
+        )
         entries = [e for e in entries if e["part"] in want]
     if between is not None:
         col, lo, hi = between
@@ -657,18 +1055,7 @@ def snapshot_read(
         ]
     if point is not None:
         col, value = point
-        entries = [
-            e
-            for e in entries
-            if (
-                col not in e.get("stats", {})
-                or (e["stats"][col][0] <= value <= e["stats"][col][1])
-            )
-            and (
-                col not in e.get("bloom", {})
-                or _bloom_maybe_contains(e["bloom"][col], value)
-            )
-        ]
+        entries = [e for e in entries if _entry_admits(e, col, value)]
     scoped = bool(apply_tombstones and m["tombstones"])
     df = _read_entries(
         spark, base, entries, m["schema"], m["part_col"],
@@ -685,31 +1072,51 @@ def snapshot_read(
     return df
 
 
+def _entry_admits(e: dict, col: str, value) -> bool:
+    """Manifest-level point admission: min/max stats AND Bloom, each
+    conservative when absent."""
+    st = e.get("stats", {}).get(col)
+    if st is not None:
+        try:
+            if not (st[0] <= value <= st[1]):
+                return False
+        except TypeError:
+            pass  # cross-type comparison: stay conservative
+    bl = e.get("bloom", {}).get(col)
+    if bl is not None and not _bloom_maybe_contains(bl, value):
+        return False
+    return True
+
+
 def snapshot_compact(spark: SparkSession, base: str) -> int:
     """Fold tombstones into the data by rewriting ONLY the partitions
     that contain tombstoned rows, as a NEW commit: survivors of the
     affected partitions are scanned partition-pruned (``parts=``
     manifest pruning, so the scan reads only those partitions' files)
     and written to a fresh commit dir; the new manifest carries every
-    unaffected partition's file entries VERBATIM (same immutable paths
-    — byte-identical by construction, no copy, no rename) and drops
-    the tombstones. The pre-compaction snapshot remains readable until
+    unaffected partition's file entries by SEGMENT REF (same immutable
+    paths — byte-identical by construction, no copy, no rename, no
+    entry rewrite) and drops the tombstones. Affected-partition
+    matching canonicalizes collected values through Hive dir-name
+    escaping, so NULL-partition rows fold correctly instead of
+    resurrecting. The pre-compaction snapshot remains readable until
     vacuum. No-op (returns current version) when there is nothing to
     fold."""
-    parent = _load_manifest(base)
-    if not parent["tombstones"]:
-        return int(parent["version"])
+    parent_h = _load_header(base)
+    if not parent_h["tomb_segs"]:
+        return int(parent_h["version"])
+    parent = _materialize(base, parent_h)
     part_col, id_col = parent["part_col"], parent["id_col"]
     tomb = _tomb_frame(spark, base, parent)
     t = tomb.select(F.col(id_col).alias("_tid"), "_ab")
 
-    def read_tagged(parts=None):
+    def read_tagged(tokens=None):
         return _read_entries(
             spark,
             base,
             parent["files"]
-            if parts is None
-            else [e for e in parent["files"] if e["part"] in set(parts)],
+            if tokens is None
+            else [e for e in parent["files"] if e["part"] in set(tokens)],
             parent["schema"],
             part_col,
             tag_commit_version=True,
@@ -717,9 +1124,9 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
 
     full = read_tagged()
     if part_col is None:
-        affected_parts: "list[str] | None" = None
+        affected_tokens: "list[str] | None" = None
         survivors = _anti_tombstones(full, tomb, id_col)
-        keep = []
+        keep_refs = []
     else:
         # column-pruned: the affected-partition probe only needs
         # (id, part, _cv) — Spark's scan reads just those columns
@@ -728,20 +1135,29 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
             t, (probe[id_col] == t["_tid"]) & (probe["_cv"] < t["_ab"]),
             "left_semi",
         )
-        affected_parts = sorted(
-            str(r[part_col])
-            for r in hit.select(part_col).distinct().collect()  # ≤ n_parts
+        affected_tokens = sorted(
+            {
+                _part_token(r[part_col])
+                for r in hit.select(part_col).distinct().collect()  # ≤ n_parts
+            }
         )
-        if not affected_parts:
+        if not affected_tokens:
             # every tombstoned id misses the table: just retire them
-            m = _child(parent, "compact")
-            m["tombstones"] = []
+            m = _child(parent_h, "compact")
+            m["tomb_segs"] = []
             return _publish(base, m)
         survivors = _anti_tombstones(
-            read_tagged(affected_parts), tomb, id_col
+            read_tagged(affected_tokens), tomb, id_col
         )
-        keep = [e for e in parent["files"] if e["part"] not in set(affected_parts)]
-    m = _child(parent, "compact")
+        keep_refs = [
+            r
+            for r in (
+                _ref_exclude(ref, set(affected_tokens))
+                for ref in parent_h["file_segs"]
+            )
+            if r is not None
+        ]
+    m = _child(parent_h, "compact")
     commit_dir = _next_commit_dir(base, m["version"])
     shutil.rmtree(commit_dir, ignore_errors=True)
     w = survivors.write.mode("overwrite")
@@ -749,11 +1165,14 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
         w = w.partitionBy(part_col)
     w.parquet(commit_dir)
     entries, rows = _scan_files(
-        commit_dir, part_col, m["stats_cols"], m["bloom_cols"]
+        commit_dir, part_col, m["stats_cols"], m["bloom_cols"], spark=spark
     )
-    m["files"] = keep + entries
-    m["tombstones"] = []
-    m["compacted_parts"] = affected_parts
+    new_ref = _seg_write(base, entries)
+    m["file_segs"] = (keep_refs if part_col is not None else []) + (
+        [new_ref] if new_ref else []
+    )
+    m["tomb_segs"] = []
+    m["compacted_parts"] = affected_tokens
     return _publish(base, m)
 
 
@@ -763,20 +1182,24 @@ def snapshot_replace_partitions(
     parts: "list",
     op: str = "replace",
     meta: "dict | None" = None,
+    parts_escaped: bool = False,
 ) -> int:
     """MAINTENANCE AS A COMMIT: publish a new snapshot in which the
     listed partitions' contents are exactly ``df`` (which must hold
     only rows of those partitions — enforced by filter) and every
-    other partition's file entries carry over verbatim. This is the
-    versioned replacement for the in-place two-rename directory swap
-    (functions/index_store._swap_partitions): a rebalance, hot-cell
-    split or small-file compaction becomes ordinary history — pinned
-    readers are isolated, the pre-maintenance snapshot stays
+    other partition's file entries carry over by segment ref. This is
+    the versioned replacement for the in-place two-rename directory
+    swap (functions/index_store._swap_partitions): a rebalance,
+    hot-cell split or small-file compaction becomes ordinary history —
+    pinned readers are isolated, the pre-maintenance snapshot stays
     readable, and a bad rebalance is one :func:`snapshot_restore`
     away from undone. ``meta`` updates the manifest's side-model
     metadata (e.g. the refreshed coarse centroids riding along with
     the cells they describe, so model and membership version
     TOGETHER — the atomicity the sidecar-file layout cannot give).
+    The metadata cost is O(segments + files-written): dropped
+    partitions are header math on the carried refs, never an entry
+    copy.
 
     Contract: ``df`` is the listed partitions' new FULL contents. The
     rewritten rows land in a NEW commit, outside the applies_before
@@ -784,26 +1207,42 @@ def snapshot_replace_partitions(
     these partitions, the caller must provide post-delete contents
     (read with tombstones applied, as :func:`snapshot_optimize` does)
     or compact first; including a tombstoned row here resurrects it."""
-    parent = _load_manifest(base)
+    parent = _load_header(base)
     part_col = parent["part_col"]
     if part_col is None:
         raise ValueError("snapshot_replace_partitions needs a partitioned table")
-    want = {str(p) for p in parts}
+    want = (
+        {str(p) for p in parts}
+        if parts_escaped
+        else {_part_token(p) for p in parts}
+    )
     m = _child(parent, op)
     commit_dir = _next_commit_dir(base, m["version"])
     shutil.rmtree(commit_dir, ignore_errors=True)
-    df.filter(
-        F.col(part_col).cast("string").isin(list(want))
-    ).write.mode("overwrite").partitionBy(part_col).parquet(commit_dir)
+    df.filter(_part_filter(part_col, want)).write.mode(
+        "overwrite"
+    ).partitionBy(part_col).parquet(commit_dir)
     entries, rows = _scan_files(
-        commit_dir, part_col, m["stats_cols"], m["bloom_cols"]
+        commit_dir, part_col, m["stats_cols"], m["bloom_cols"],
+        spark=df.sparkSession,
     )
-    m["files"] = [e for e in parent["files"] if e["part"] not in want] + entries
+    new_ref = _seg_write(base, entries)
+    m["file_segs"] = [
+        r
+        for r in (_ref_exclude(ref, want) for ref in parent["file_segs"])
+        if r is not None
+    ] + ([new_ref] if new_ref else [])
     m["rows_added"] = rows
     m["replaced_parts"] = sorted(want)
     if meta:
         m["meta"].update(meta)
     return _publish(base, m)
+
+
+# snapshot_changes prunes the common-file scan with per-file stats and
+# Blooms against the flipped-tombstone id set, but only when that set
+# is small enough for driver-side admission checks to stay cheap.
+_CHANGES_PRUNE_MAX_IDS = 1024
 
 
 def snapshot_changes(
@@ -816,18 +1255,25 @@ def snapshot_changes(
     immutable, rows can only change visibility through (a) the file
     diff — entries present in one manifest and not the other — and
     (b) the tombstone diff over files common to both. The scan is
-    therefore bounded by the files that actually differ (plus the
-    common files only when the tombstone set changed), never table
-    size: the manifest IS the change index. Returns the ``v_to``
-    schema plus a ``_change`` column ('insert' | 'delete'); a row
-    rewritten byte-identically into a new file (compaction survivor)
-    cancels out via EXCEPT ALL and does not appear. Across a SCHEMA
-    EVOLUTION boundary both sides are read in ``v_to``'s schema — old
-    files fill the added columns with NULL (the same rule the plain
-    read applies), so the diff is well-typed and an unchanged row
-    still cancels."""
-    mf = _load_manifest(base, v_from)
-    mt = _load_manifest(base, v_to)
+    therefore bounded by the files that actually differ, plus — only
+    when the tombstone SET changed (header-level segment-ref check) —
+    the common files whose per-file min/max stats or Bloom admit at
+    least one flipped tombstone id: a 1-id delete on a stats-covered
+    id column reads the one admitting file, never the table. A row
+    hidden in BOTH versions (doubly-tombstoned ids across a partial
+    restore) is no change: flip candidates are re-checked against the
+    other side's FULL tombstone set before being emitted. Returns the
+    ``v_to`` schema plus a ``_change`` column ('insert' | 'delete');
+    a row rewritten byte-identically into a new file (compaction
+    survivor) cancels out via EXCEPT ALL and does not appear. Across
+    a SCHEMA EVOLUTION boundary both sides are read in ``v_to``'s
+    schema — old files fill the added columns with NULL (the same
+    rule the plain read applies), so the diff is well-typed and an
+    unchanged row still cancels."""
+    mf_h = _load_header(base, v_from)
+    mt_h = _load_header(base, v_to)
+    mf = _materialize(base, mf_h)
+    mt = _materialize(base, mt_h)
     key = lambda e: (e["commit"], e["path"])  # noqa: E731
     from_keys = {key(e) for e in mf["files"]}
     to_keys = {key(e) for e in mt["files"]}
@@ -859,24 +1305,56 @@ def snapshot_changes(
     deleted = vis_from.exceptAll(vis_to)
     # visibility flips on UNCHANGED files: net-new tombstones delete,
     # net-dropped tombstones (a restore) resurrect — each within its
-    # applies_before scope (a tombstone never flips rows of commits it
-    # does not cover)
-    new_t = tt.exceptAll(tf).distinct()
-    dropped_t = tf.exceptAll(tt).distinct()
+    # applies_before scope, and each re-checked against the OTHER
+    # side's remaining tombstones (a row still hidden there is not a
+    # change). The whole block is gated on the tombstone SET differing
+    # at the header level — identical tomb_segs means zero flips and
+    # zero extra reads.
+    tombs_changed = mf_h["tomb_segs"] != mt_h["tomb_segs"]
+    if common and tombs_changed:
+        new_t = tt.exceptAll(tf).distinct()
+        dropped_t = tf.exceptAll(tt).distinct()
+        flipped = [
+            r[0]
+            for r in new_t.select(id_col)
+            .union(dropped_t.select(id_col))
+            .distinct()
+            .limit(_CHANGES_PRUNE_MAX_IDS + 1)
+            .collect()  # bounded: tombstone DELTAS are O(|ids|)
+        ]
+        scan = common
+        if len(flipped) <= _CHANGES_PRUNE_MAX_IDS:
+            scan = [
+                e
+                for e in common
+                if any(_entry_admits(e, id_col, v) for v in flipped)
+            ]
 
-    def scoped_semi(rows: DataFrame, bounds: DataFrame) -> DataFrame:
-        b = bounds.select(F.col(id_col).alias("_tid"), "_ab")
-        return rows.join(
-            b, (rows[id_col] == b["_tid"]) & (rows["_cv"] < b["_ab"]),
-            "left_semi",
-        ).drop("_cv")
+        def scoped_semi(rows: DataFrame, bounds: DataFrame) -> DataFrame:
+            b = bounds.select(F.col(id_col).alias("_tid"), "_ab")
+            return rows.join(
+                b, (rows[id_col] == b["_tid"]) & (rows["_cv"] < b["_ab"]),
+                "left_semi",
+            )
 
-    if common and (mf["tombstones"] or mt["tombstones"]):
-        common_rows = _read_entries(
-            spark, base, common, mt["schema"], part_col, tag_commit_version=True
-        )
-        deleted = deleted.unionByName(scoped_semi(common_rows, new_t))
-        inserted = inserted.unionByName(scoped_semi(common_rows, dropped_t))
+        def scoped_anti(rows: DataFrame, bounds: DataFrame) -> DataFrame:
+            b = bounds.select(F.col(id_col).alias("_tid"), "_ab")
+            return rows.join(
+                b, (rows[id_col] == b["_tid"]) & (rows["_cv"] < b["_ab"]),
+                "left_anti",
+            )
+
+        if scan:
+            common_rows = _read_entries(
+                spark, base, scan, mt["schema"], part_col,
+                tag_commit_version=True,
+            )
+            deleted = deleted.unionByName(
+                scoped_anti(scoped_semi(common_rows, new_t), tf).drop("_cv")
+            )
+            inserted = inserted.unionByName(
+                scoped_anti(scoped_semi(common_rows, dropped_t), tt).drop("_cv")
+            )
     return inserted.withColumn("_change", F.lit("insert")).unionByName(
         deleted.withColumn("_change", F.lit("delete"))
     )
@@ -893,32 +1371,36 @@ def snapshot_optimize(
     ordinary commit: every partition holding at least ``min_files``
     files (all of them, or just ``parts``) is rewritten as ONE file per
     partition via :func:`snapshot_replace_partitions`; partitions
-    already at one file carry over verbatim, and the change feed
+    already at one file carry over by segment ref, and the change feed
     between the two versions is EMPTY by construction — a physical
     rewrite with zero logical change (pinned in tests through
-    :func:`snapshot_changes`). The streaming-ingest counterpart of
-    compaction: a ``foreachBatch`` writer commits one small file per
-    partition per micro-batch, and read amplification grows with every
-    batch until this folds them. Returns the new version (or the
-    current one when nothing qualifies). At 100 TB, run per hot
-    partition on a schedule; the rewrite budget is the listed
-    partitions' bytes, never table size — and set
-    ``max_records_per_file`` so a hot partition bin-packs into several
-    right-sized files instead of serializing into one giant one (the
-    writer splits at that row count; "one file per partition" is the
-    small-table default, not the scale posture). Folding commits also
-    bounds the reader's union width: every optimized partition's files
-    land in ONE commit directory."""
-    parent = _load_manifest(base)
+    :func:`snapshot_changes`). Target selection is pure header math on
+    the refs' per-partition summaries — no segment file is opened. The
+    streaming-ingest counterpart of compaction: a ``foreachBatch``
+    writer commits one small file per partition per micro-batch, and
+    read amplification grows with every batch until this folds them.
+    Returns the new version (or the current one when nothing
+    qualifies). At 100 TB, run per hot partition on a schedule; the
+    rewrite budget is the listed partitions' bytes, never table size —
+    and set ``max_records_per_file`` so a hot partition bin-packs into
+    several right-sized files instead of serializing into one giant
+    one (the writer splits at that row count; "one file per partition"
+    is the small-table default, not the scale posture). Folding
+    commits also bounds the reader's union width: every optimized
+    partition's files land in ONE commit directory."""
+    parent = _load_header(base)
     part_col = parent["part_col"]
     if part_col is None:
         raise ValueError("snapshot_optimize needs a partitioned table")
     counts: dict[str, int] = {}
-    for e in parent["files"]:
-        counts[e["part"]] = counts.get(e["part"], 0) + 1
-    want = None if parts is None else {str(p) for p in parts}
+    for ref in parent["file_segs"]:
+        for k, (n, _rows) in ref["part_stats"].items():
+            counts[k] = counts.get(k, 0) + n
+    want = None if parts is None else {_part_token(p) for p in parts}
     targets = sorted(
-        p for p, n in counts.items() if n >= min_files and (want is None or p in want)
+        p
+        for p, n in counts.items()
+        if n >= min_files and (want is None or p in want)
     )
     if not targets:
         return int(parent["version"])
@@ -928,81 +1410,159 @@ def snapshot_optimize(
     # Optimize therefore folds deletes for the partitions it touches
     # (the tombstones stay on the manifest for every other partition).
     packed = snapshot_read(
-        spark, base, parts=targets, apply_tombstones=True
+        spark, base, parts=targets, apply_tombstones=True, parts_escaped=True
     ).repartition(part_col)
     if max_records_per_file is None:
-        return snapshot_replace_partitions(packed, base, targets, op="optimize")
+        return snapshot_replace_partitions(
+            packed, base, targets, op="optimize", parts_escaped=True
+        )
+    prior = spark.conf.get("spark.sql.files.maxRecordsPerFile", None)
     spark.conf.set(
         "spark.sql.files.maxRecordsPerFile", str(int(max_records_per_file))
     )
     try:
-        return snapshot_replace_partitions(packed, base, targets, op="optimize")
+        return snapshot_replace_partitions(
+            packed, base, targets, op="optimize", parts_escaped=True
+        )
     finally:
-        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        # restore, don't clobber: a pre-existing session value (or a
+        # concurrent job's) survives this writer
+        if prior is None:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        else:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", prior)
 
 
-def snapshot_vacuum(base: str, retain_last: int = 1) -> "dict[str, int]":
-    """Garbage-collect: delete every data/tombstone file not referenced
-    by the newest ``retain_last`` manifests, drop the older manifests,
-    and remove orphaned files from aborted commits. This is the ONLY
-    operation that deletes anything; until it runs, every retained
-    snapshot (and any pinned reader on one) is fully intact. Returns
-    ``{"files_deleted": n, "manifests_deleted": n}``."""
+def snapshot_vacuum(
+    base: str,
+    retain_last: int = 1,
+    orphan_grace_seconds: "float | None" = 3600.0,
+) -> "dict[str, int]":
+    """Garbage-collect: delete every data/tombstone file and manifest
+    segment referenced ONLY by manifests older than the newest
+    ``retain_last``, then drop those manifests. The deletion set is
+    derived from MANIFEST DIFFS (referenced-by-dropped minus
+    referenced-by-retained) — no data-directory listing on the happy
+    path, which on an object store is exactly the walk the manifest
+    exists to avoid. A directory walk survives only as the ORPHAN
+    sweep for aborted commits (files no manifest ever referenced),
+    and it is age-guarded: an orphan is reclaimed only once its
+    mtime is older than ``orphan_grace_seconds`` (Delta-style
+    retention), so an IN-FLIGHT commit — data written, header not yet
+    linked — can never lose its files to a concurrent vacuum. Pass
+    ``orphan_grace_seconds=None`` to skip the orphan walk entirely.
+    This is the ONLY operation that deletes anything; until it runs,
+    every retained snapshot (and any pinned reader on one) is fully
+    intact. Returns ``{"files_deleted": n, "manifests_deleted": n,
+    "segments_deleted": n}``."""
     versions = snapshot_versions(base)
     if not versions:
-        return {"files_deleted": 0, "manifests_deleted": 0}
+        return {"files_deleted": 0, "manifests_deleted": 0, "segments_deleted": 0}
     retained = versions[-max(1, int(retain_last)) :]
-    referenced: set[str] = set()
-    for v in retained:
-        m = _load_manifest(base, v)
-        for e in m["files"] + m["tombstones"]:
-            referenced.add(os.path.join(e["commit"], e["path"]))
+    dropped = [v for v in versions if v not in retained]
+
+    def _refs(vs):
+        files: set[str] = set()
+        segs: set[str] = set()
+        for v in vs:
+            h = _load_header(base, v)
+            for ref in h["file_segs"] + h["tomb_segs"]:
+                segs.add(ref["seg"])
+                for e in _seg_entries(base, ref):
+                    files.add(os.path.join(e["commit"], e["path"]))
+        return files, segs
+
+    keep_files, keep_segs = _refs(retained)
+    drop_files, drop_segs = _refs(dropped)
     ddir = _data_dir(base)
     files_deleted = 0
-    if os.path.isdir(ddir):
-        for root, _dirs, files in os.walk(ddir, topdown=False):
-            for fname in files:
-                full = os.path.join(root, fname)
-                rel = os.path.relpath(full, ddir)
-                if rel not in referenced:
-                    os.unlink(full)
-                    files_deleted += 1
-            if not os.listdir(root):
-                os.rmdir(root)
+    for rel in sorted(drop_files - keep_files):
+        full = os.path.join(ddir, rel)
+        try:
+            os.unlink(full)
+            files_deleted += 1
+        except FileNotFoundError:
+            pass  # excluded-partition entries may already be gone
+        d = os.path.dirname(full)
+        while len(d) > len(ddir) and os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+            d = os.path.dirname(d)
+    segments_deleted = 0
+    for seg in sorted(drop_segs - keep_segs):
+        try:
+            os.unlink(_seg_path(base, seg))
+            segments_deleted += 1
+        except FileNotFoundError:
+            pass
     manifests_deleted = 0
-    for v in versions:
-        if v not in retained:
-            os.unlink(_manifest_path(base, v))
-            manifests_deleted += 1
-    return {"files_deleted": files_deleted, "manifests_deleted": manifests_deleted}
+    for v in dropped:
+        os.unlink(_manifest_path(base, v))
+        manifests_deleted += 1
+    if orphan_grace_seconds is not None:
+        now = time.time()
+        if os.path.isdir(ddir):
+            for root, _dirs, files in os.walk(ddir, topdown=False):
+                for fname in files:
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, ddir)
+                    if rel in keep_files:
+                        continue
+                    try:
+                        if now - os.path.getmtime(full) < orphan_grace_seconds:
+                            continue
+                        os.unlink(full)
+                        files_deleted += 1
+                    except FileNotFoundError:
+                        continue
+                if not os.listdir(root):
+                    os.rmdir(root)
+        mdir = _manifest_dir(base)
+        for fname in os.listdir(mdir):
+            if not fname.startswith("seg-"):
+                continue
+            if fname in keep_segs:
+                continue
+            full = _seg_path(base, fname)
+            try:
+                if now - os.path.getmtime(full) < orphan_grace_seconds:
+                    continue
+                os.unlink(full)
+                segments_deleted += 1
+            except FileNotFoundError:
+                continue
+    return {
+        "files_deleted": files_deleted,
+        "manifests_deleted": manifests_deleted,
+        "segments_deleted": segments_deleted,
+    }
 
 
 def snapshot_log(spark: SparkSession, base: str) -> DataFrame:
     """The snapshot history as a DataFrame — one row per retained
     version: (version, op, parent, rows_added, rows_removed, n_files,
-    n_tombstone_files, visible_rows). ``visible_rows`` is summed from
-    the manifests' per-file footer counts — a metadata-only answer (no
-    data file is opened), which is exactly what makes the manifest the
-    100 TB bookkeeping layer. While tombstones are OUTSTANDING the
-    visible count is not knowable from metadata (a tombstoned id may
-    miss the table or match several rows), so it is NULL until the
-    next compaction folds them in — merge-on-read defers that work by
-    design."""
+    n_tombstone_files, visible_rows). Answered from snapshot HEADERS
+    alone: every count is summed from the segment refs' summaries —
+    no segment file, let alone a data file, is opened, which is
+    exactly what makes the manifest the 100 TB bookkeeping layer.
+    While tombstones are OUTSTANDING the visible count is not knowable
+    from metadata (a tombstoned id may miss the table or match several
+    rows), so it is NULL until the next compaction folds them in —
+    merge-on-read defers that work by design."""
     rows = []
     for v in snapshot_versions(base):
-        m = _load_manifest(base, v)
+        h = _load_header(base, v)
         rows.append(
             (
                 v,
-                m["op"],
-                m["parent"],
-                int(m.get("rows_added", 0)),
-                int(m.get("rows_removed", 0)),
-                len(m["files"]),
-                len(m["tombstones"]),
+                h["op"],
+                h["parent"],
+                int(h.get("rows_added", 0)),
+                int(h.get("rows_removed", 0)),
+                int(sum(ref["n"] for ref in h["file_segs"])),
+                int(sum(ref["n"] for ref in h["tomb_segs"])),
                 None
-                if m["tombstones"]
-                else int(sum(e["rows"] for e in m["files"])),
+                if h["tomb_segs"]
+                else int(sum(ref["rows"] for ref in h["file_segs"])),
             )
         )
     return spark.createDataFrame(

@@ -261,7 +261,13 @@ class TestConcurrencyAndGC:
         _frame(spark, 50, 99).write.parquet(f"{base}/data/c000099_deadbeef")
         assert snapshot_read(spark, base).count() == 50
         assert snapshot_versions(base) == [1]
+        # an orphan YOUNGER than the grace window is protected: it may
+        # be an in-flight commit that has not linked its header yet
         res = snapshot_vacuum(base, retain_last=1)
+        assert res["files_deleted"] == 0
+        assert os.path.isdir(f"{base}/data/c000099_deadbeef")
+        # past the grace window (grace=0) the orphan is reclaimed
+        res = snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=0)
         assert res["files_deleted"] > 0
         assert not os.path.isdir(f"{base}/data/c000099_deadbeef")
         assert snapshot_read(spark, base).count() == 50
