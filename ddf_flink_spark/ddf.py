@@ -1217,22 +1217,36 @@ class DDF:
             stats_cols=stats_cols, bloom_cols=bloom_cols,
         )
 
-    def snapshot_append(self, base: str, batch_tag: "str | None" = None) -> int:
+    def snapshot_append(
+        self,
+        base: str,
+        batch_tag: "str | None" = None,
+        retries: int = 0,
+    ) -> int:
         """Append THIS DDF to the snapshot table at ``base`` as a new
         version. ``batch_tag`` makes the append idempotent (a replayed
         tag is a no-op) — the exactly-once sink discipline for
-        ``foreachBatch`` writers (registry q283)."""
+        ``foreachBatch`` writers (registry q283). ``retries=N`` turns
+        a publish race against a concurrent writer into bounded-backoff
+        rebase: data is written once, only the manifest header
+        re-publishes."""
         from .functions.manifest import snapshot_append as _append
 
-        return _append(self._df, base, batch_tag=batch_tag)
+        return _append(self._df, base, batch_tag=batch_tag, retries=retries)
 
-    def snapshot_upsert(self, base: str, batch_tag: "str | None" = None) -> int:
+    def snapshot_upsert(
+        self,
+        base: str,
+        batch_tag: "str | None" = None,
+        retries: int = 0,
+    ) -> int:
         """MERGE this DDF into the snapshot table at ``base`` in one
         atomic commit: matched ids update, new ids insert (registry
-        q291); ``batch_tag`` gives exactly-once replay."""
+        q291); ``batch_tag`` gives exactly-once replay and ``retries``
+        optimistic-concurrency rebase."""
         from .functions.manifest import snapshot_upsert as _upsert
 
-        return _upsert(self._df, base, batch_tag=batch_tag)
+        return _upsert(self._df, base, batch_tag=batch_tag, retries=retries)
 
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":

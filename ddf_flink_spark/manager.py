@@ -166,12 +166,18 @@ class DDFManager:
 
         return self.new_ddf(snapshot_log(self.spark, base))
 
-    def snapshot_delete(self, base: str, ids: "DDF | DataFrame") -> int:
+    def snapshot_delete(
+        self, base: str, ids: "DDF | DataFrame", retries: int = 0
+    ) -> int:
         """Merge-on-read delete: tombstone ``ids`` (O(|ids|), no data
-        rewrite); reads anti-join until :meth:`snapshot_compact`."""
+        rewrite); reads anti-join until :meth:`snapshot_compact`.
+        ``retries`` rebase a lost publish race (tombstones written
+        once; header-only retry)."""
         from .functions.manifest import snapshot_delete as _delete
 
-        return _delete(ids.df if isinstance(ids, DDF) else ids, base)
+        return _delete(
+            ids.df if isinstance(ids, DDF) else ids, base, retries=retries
+        )
 
     def snapshot_compact(self, base: str) -> int:
         """Fold tombstones in, rewriting only affected partitions as a
@@ -195,12 +201,24 @@ class DDFManager:
 
         return self.new_ddf(_changes(self.spark, base, v_from, v_to))
 
-    def snapshot_vacuum(self, base: str, retain_last: int = 1) -> "dict[str, int]":
+    def snapshot_vacuum(
+        self,
+        base: str,
+        retain_last: int = 1,
+        orphan_grace_seconds: "float | None" = 3600.0,
+    ) -> "dict[str, int]":
         """Delete files unreferenced by the newest ``retain_last``
-        manifests (the only destructive operation in the store)."""
+        manifests (the only destructive operation in the store). The
+        deletion set derives from manifest diffs; orphans of aborted
+        commits are swept only past ``orphan_grace_seconds`` (pass
+        None to skip the orphan walk entirely)."""
         from .functions.manifest import snapshot_vacuum as _vacuum
 
-        return _vacuum(base, retain_last=retain_last)
+        return _vacuum(
+            base,
+            retain_last=retain_last,
+            orphan_grace_seconds=orphan_grace_seconds,
+        )
 
     def shutdown(self) -> None:
         self.spark.stop()

@@ -16920,3 +16920,117 @@ def q293_stream_manifest_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("id")
     )
+
+
+@query(
+    "q294_stream_optimize_trigger",
+    oracle="""
+    SELECT metric, value FROM (
+      SELECT CONCAT('rows_', event_type) AS metric, COUNT(*) AS value
+      FROM events GROUP BY event_type
+      UNION ALL SELECT 'change_rows_across_optimize', 0
+      UNION ALL SELECT 'max_files_per_part_at_optimize', 1
+      UNION ALL SELECT 'optimize_fired', 1
+    ) ORDER BY metric
+    """,
+)
+def q294_stream_optimize_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INGEST + FILE-COUNT-DRIVEN OPTIMIZE — the table-layer
+    twin of q271's health-triggered split, closing the round-9 verdict
+    directive #6: a ``foreachBatch`` manifest ingest accrues one small
+    file per partition per micro-batch (read amplification grows with
+    every batch), and the SAME foreachBatch runs a census over the
+    snapshot HEADER's segment-ref summaries — an O(segments) metadata
+    read, no file listing, no data touched — firing
+    ``snapshot_optimize`` exactly once (at-most-one guard: maintenance
+    must not storm) when any partition's file count crosses the
+    threshold. The optimize publishes as an ordinary commit, so the
+    pinned-reader isolation and the EMPTY change feed across it
+    (physical rewrite, zero logical change) hold by construction —
+    both pinned in the output alongside the per-type row counts, which
+    the oracle checks against the batch events table (exactly-once
+    under the batch-tag discipline, q283). The table history is
+    streaming-shaped by seeding three quarter-commits before the
+    stream delivers the fourth; single-file AvailableNow delivery
+    makes the one-batch trigger deterministic (q271's note)."""
+    import shutil
+
+    from .functions.manifest import (
+        _load_header,
+        snapshot_append,
+        snapshot_changes,
+        snapshot_create,
+        snapshot_optimize,
+        snapshot_read,
+    )
+    from .streaming.core import events_stream
+
+    TRIP = 4  # census threshold: any partition at >= 4 files
+    base = _session_tmp("q294")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(f"{base}_ckpt", ignore_errors=True)  # fresh replay per
+    # invocation (q283's lesson)
+    ev_cols = ["event_id", "event_type", "value"]
+    ev = t(spark, sf_dir, "events").select(*ev_cols)
+    # streaming-shaped seed: one small commit per quarter of history —
+    # exactly the read-amplification pattern a foreachBatch writer accrues
+    snapshot_create(
+        ev.filter(F.col("event_id") % 4 == 0), base,
+        part_col="event_type", id_col="event_id",
+    )
+    for r in (1, 2):
+        snapshot_append(ev.filter(F.col("event_id") % 4 == r), base)
+    fired: dict = {}
+
+    def header_file_census(version=None) -> "dict[str, int]":
+        counts: dict[str, int] = {}
+        for ref in _load_header(base, version)["file_segs"]:
+            for k, (n, _rows) in ref["part_stats"].items():
+                counts[k] = counts.get(k, 0) + n
+        return counts
+
+    def commit(bdf: DataFrame, batch_id: int) -> None:
+        snapshot_append(bdf.select(*ev_cols), base, batch_tag=f"b{batch_id}")
+        counts = header_file_census()
+        if counts and max(counts.values()) >= TRIP and not fired:
+            # fold EVERY multi-file partition (min_files=2): the
+            # trigger is the hot partition, the fold is the whole
+            # backlog — one commit either way
+            fired["v"] = snapshot_optimize(spark, base, min_files=2)
+
+    (
+        events_stream(spark, sf_dir)
+        .select(*ev_cols)
+        .filter(F.col("event_id") % 4 == 3)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", f"{base}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert fired, "header census did not trip the optimize trigger"
+    v_opt = fired["v"]
+    facts = spark.createDataFrame(
+        [
+            ("optimize_fired", 1),
+            (
+                "max_files_per_part_at_optimize",
+                max(header_file_census(v_opt).values()),
+            ),
+            (
+                "change_rows_across_optimize",
+                snapshot_changes(spark, base, v_opt - 1, v_opt).count(),
+            ),
+        ],
+        "metric string, value long",
+    )
+    rows = (
+        snapshot_read(spark, base)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.concat(F.lit("rows_"), F.col("event_type")).alias("metric"),
+            "value",
+        )
+    )
+    return rows.unionByName(facts).orderBy("metric")
