@@ -127,6 +127,16 @@ HEADLINE = [
     # measure the manifest-planned pruned box scan — the steady-state
     # data-skipping number).
     "q286_snapshot_pruned_serve",
+    # round-10: the COMPRESSED retrieval tier gets its own deployment
+    # numbers (round-9 verdict #4): the PQ chunk-index BUILD leg (q275
+    # rebuilds per run — train + encode + persist), the ADC SERVE leg
+    # (q276 builds once per process via _persisted_chunk_pq_base, so
+    # warm runs measure pure code-scan serving — the memory-economics
+    # number), and the two-stage rerank (q277: ADC shortlist + exact
+    # rerank semi-join, the production fidelity remedy).
+    "q275_chunk_pq_build_persist",
+    "q276_maxsim_adc_serve",
+    "q277_maxsim_adc_rerank",
 ]
 
 # The 19-query set benchmarked since round 1 — a stable subtotal so
@@ -309,8 +319,10 @@ def main() -> None:
     # of stdout, and round 6 lost every wall number because the big blob
     # printed the headline fields early (BENCH_r06.json parsed: null).
     # Everything the round-over-round comparison needs lives here:
-    # per-query wall min ("queries", full names per the driver contract)
-    # and per-query CPU min ("cpu", keyed by the unique qNN prefix),
+    # per-query wall min ("queries") and per-query CPU min ("cpu"),
+    # BOTH keyed by the unique qNN prefix (the driver's own contract
+    # example uses short keys; 40 full names blew the 1800-char budget
+    # in round 10 — full names remain in the archival blob's spread),
     # kept well under the capture window and asserted so.
     summary = json.dumps(
         {
@@ -328,7 +340,7 @@ def main() -> None:
             # 3 decimals: millisecond resolution is already below run
             # noise, and the line must stay inside the driver's capture
             # window as headliners accumulate
-            "queries": {n: round(v, 3) for n, v in timings.items()},
+            "queries": {n.split("_", 1)[0]: round(v, 3) for n, v in timings.items()},
             "cpu": {n.split("_", 1)[0]: round(v, 2) for n, v in cpu_s.items()},
         },
         separators=(",", ":"),

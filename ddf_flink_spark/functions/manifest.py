@@ -48,6 +48,11 @@ reduced to its load-bearing core:
   partitions that contain tombstoned rows (untouched partitions'
   files are carried by segment ref — same paths, byte-identical by
   construction).
+* **Manifest compaction** — :func:`snapshot_rewrite_manifests` folds
+  the accumulated segment refs into consolidated segments (metadata
+  only, empty change feed by construction), bounding header width
+  after long streaming-ingest histories the same way
+  :func:`snapshot_optimize` bounds the reader's file-union width.
 * **Manifest-level pruning** — the reader never lists a directory:
   partition pruning (``parts=[...]``), min/max stat pruning
   (``between=("col", lo, hi)``) and Bloom point lookups
@@ -94,6 +99,7 @@ __all__ = [
     "snapshot_changes",
     "snapshot_optimize",
     "snapshot_upsert",
+    "snapshot_rewrite_manifests",
 ]
 
 
@@ -1535,6 +1541,56 @@ def snapshot_vacuum(
         "manifests_deleted": manifests_deleted,
         "segments_deleted": segments_deleted,
     }
+
+
+def snapshot_rewrite_manifests(
+    base: str, max_entries_per_seg: int = 100_000
+) -> int:
+    """MANIFEST COMPACTION (Iceberg's ``rewrite_manifests``): every
+    commit appends one segment ref to the header, so after 10⁴
+    streaming micro-batches the header carries 10⁴ refs — still tiny
+    next to the old complete-listing layout, but linear in commit
+    count. This op folds the CURRENT listing into fresh segments of up
+    to ``max_entries_per_seg`` entries (tombstones group by their
+    applies_before bound, which is ref-level) and publishes the result
+    as an ordinary snapshot — METADATA ONLY: zero data files are read,
+    written, moved, or re-stated, the change feed across it is empty
+    by construction, and pinned readers of prior versions are
+    untouched. Old segments stay on disk for those readers until
+    vacuum retires them with their manifests. Run it on the same
+    schedule as :func:`snapshot_optimize`; together they bound BOTH
+    the reader's file-union width and the header's ref width. No-op
+    (returns the current version) when nothing would shrink."""
+    parent = _load_header(base)
+    n_file_refs = len(parent["file_segs"])
+    n_tomb_refs = len(parent["tomb_segs"])
+    tomb_abs = {r.get("applies_before") for r in parent["tomb_segs"]}
+    if n_file_refs <= 1 and n_tomb_refs <= len(tomb_abs):
+        return int(parent["version"])
+    m = _child(parent, "rewrite_manifests")
+    files = [
+        e for ref in parent["file_segs"] for e in _seg_entries(base, ref)
+    ]
+    m["file_segs"] = [
+        ref
+        for i in range(0, max(len(files), 1), max_entries_per_seg)
+        if (ref := _seg_write(base, files[i : i + max_entries_per_seg]))
+    ]
+    by_ab: dict = {}
+    for ref in parent["tomb_segs"]:
+        by_ab.setdefault(ref.get("applies_before"), []).extend(
+            _seg_entries(base, dict(ref, applies_before=None))
+        )
+    tomb_refs = []
+    for ab, entries in sorted(by_ab.items(), key=lambda kv: (kv[0] is None, kv[0])):
+        for i in range(0, len(entries), max_entries_per_seg):
+            ref = _seg_write(base, entries[i : i + max_entries_per_seg])
+            if ref:
+                tomb_refs.append(
+                    dict(ref, applies_before=ab) if ab is not None else ref
+                )
+    m["tomb_segs"] = tomb_refs
+    return _publish(base, m)
 
 
 def snapshot_log(spark: SparkSession, base: str) -> DataFrame:

@@ -201,6 +201,15 @@ class DDFManager:
 
         return self.new_ddf(_changes(self.spark, base, v_from, v_to))
 
+    def snapshot_rewrite_manifests(self, base: str) -> int:
+        """Fold the snapshot's accumulated segment refs into fresh
+        consolidated segments (metadata only — no data file touched;
+        empty change feed by construction). Bounds header width after
+        long streaming-ingest histories."""
+        from .functions.manifest import snapshot_rewrite_manifests as _rw
+
+        return _rw(base)
+
     def snapshot_vacuum(
         self,
         base: str,

@@ -17034,3 +17034,87 @@ def q294_stream_optimize_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rows.unionByName(facts).orderBy("metric")
+
+
+@query(
+    "q295_snapshot_rewrite_manifests",
+    oracle="""
+    SELECT metric, value FROM (
+      SELECT CONCAT('rows_', l_returnflag) AS metric, COUNT(*) AS value
+      FROM lineitem WHERE l_orderkey % 97 != 3
+      GROUP BY l_returnflag
+      UNION ALL SELECT 'file_refs_before', 5
+      UNION ALL SELECT 'file_refs_after', 1
+      UNION ALL SELECT 'tomb_refs_after', 1
+      UNION ALL SELECT 'change_rows_across_rewrite', 0
+    ) ORDER BY metric
+    """,
+)
+def q295_snapshot_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST COMPACTION (functions/manifest.snapshot_rewrite_
+    manifests — Iceberg's rewrite_manifests): every commit appends one
+    segment ref to the snapshot header, so a long foreachBatch ingest
+    history grows the header linearly in COMMIT count even though
+    commits stay O(files-touched). The fold rewrites the metadata —
+    five per-quarter commit refs collapse to one consolidated segment,
+    tombstone refs group by their applies_before bound — while
+    touching ZERO data files: the file listing is identical
+    (same immutable paths), reads are identical (per-flag counts
+    hash-checked against the batch table with the delete applied), and
+    the change feed across the rewrite version is EMPTY. Together with
+    q294's OPTIMIZE trigger this bounds both widths a streaming table
+    accumulates: data files per partition (optimize) and segment refs
+    per header (this)."""
+    import shutil
+
+    from .functions.manifest import (
+        _load_header,
+        snapshot_append,
+        snapshot_changes,
+        snapshot_create,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_rewrite_manifests,
+    )
+
+    base = _session_tmp("q295")
+    shutil.rmtree(base, ignore_errors=True)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    snapshot_create(
+        li.filter(F.col("l_orderkey") % 5 == 0), base,
+        part_col="l_returnflag", id_col="l_orderkey",
+    )
+    for r in (1, 2, 3, 4):
+        snapshot_append(li.filter(F.col("l_orderkey") % 5 == r), base)
+    snapshot_delete(
+        li.filter(F.col("l_orderkey") % 97 == 3)
+        .select("l_orderkey").distinct(),
+        base,
+    )
+    refs_before = len(_load_header(base)["file_segs"])
+    v = snapshot_rewrite_manifests(base)
+    h = _load_header(base, v)
+    facts = spark.createDataFrame(
+        [
+            ("file_refs_before", refs_before),
+            ("file_refs_after", len(h["file_segs"])),
+            ("tomb_refs_after", len(h["tomb_segs"])),
+            (
+                "change_rows_across_rewrite",
+                snapshot_changes(spark, base, v - 1, v).count(),
+            ),
+        ],
+        "metric string, value long",
+    )
+    rows = (
+        snapshot_read(spark, base)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.concat(F.lit("rows_"), F.col("l_returnflag")).alias("metric"),
+            "value",
+        )
+    )
+    return rows.unionByName(facts).orderBy("metric")

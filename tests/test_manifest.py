@@ -1133,3 +1133,72 @@ class TestVacuumManifestDiff:
         got = snapshot_read(spark, base)
         assert got.count() == 175
         assert got.filter(F.col("cell") == 0).count() == 0
+
+
+class TestRewriteManifests:
+    def test_folds_refs_metadata_only(self, spark, tmp_path):
+        """After many small commits the header carries one ref per
+        commit; rewrite_manifests folds them into one, touching ZERO
+        data files, with identical reads and an empty change feed."""
+        from ddf_flink_spark.functions.manifest import (
+            _load_header,
+            snapshot_changes,
+            snapshot_rewrite_manifests,
+        )
+
+        base = _mkbase(tmp_path, "m56")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        for lo in range(40, 200, 40):
+            snapshot_append(_frame(spark, lo, lo + 40), base)
+        snapshot_delete(spark.range(0, 5), base)   # one tomb ref
+        snapshot_delete(spark.range(5, 10), base)  # another (different ab)
+        pre = _load_header(base)
+        assert len(pre["file_segs"]) == 5 and len(pre["tomb_segs"]) == 2
+        pre_paths = _paths(_load_manifest(base))
+        v = snapshot_rewrite_manifests(base)
+        post = _load_header(base, v)
+        assert post["op"] == "rewrite_manifests"
+        assert len(post["file_segs"]) == 1
+        # tombstones keep one ref PER applies_before bound (scope is
+        # ref-level), so two deletes stay two refs
+        assert len(post["tomb_segs"]) == 2
+        assert {r["applies_before"] for r in post["tomb_segs"]} == {
+            r["applies_before"] for r in pre["tomb_segs"]
+        }
+        # identical file listing (same immutable data files), same reads
+        assert _paths(_load_manifest(base, v)) == pre_paths
+        got = snapshot_read(spark, base)
+        assert got.count() == 190
+        assert got.filter(F.col("id") < 10).count() == 0
+        # metadata-only: the change feed across the rewrite is empty
+        assert snapshot_changes(spark, base, v - 1, v).count() == 0
+        # idempotent: nothing left to fold
+        assert snapshot_rewrite_manifests(base) == v
+        # and tombstone SCOPE survived the rewrite: a reborn id 3 row
+        # appended after the rewrite is served
+        reborn = (
+            spark.range(3, 4)
+            .withColumn("cell", (F.col("id") % 4).cast("int"))
+            .withColumn("val", F.lit(333).cast("long"))
+        )
+        snapshot_append(reborn, base)
+        rows = snapshot_read(spark, base).filter(F.col("id") == 3).collect()
+        assert len(rows) == 1 and rows[0]["val"] == 333
+
+    def test_vacuum_retires_old_segments_after_rewrite(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import (
+            _load_header,
+            snapshot_rewrite_manifests,
+        )
+
+        base = _mkbase(tmp_path, "m57")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        for lo in (40, 80):
+            snapshot_append(_frame(spark, lo, lo + 40), base)
+        old_segs = {r["seg"] for r in _load_header(base)["file_segs"]}
+        v = snapshot_rewrite_manifests(base)
+        res = snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=None)
+        assert res["segments_deleted"] == len(old_segs)
+        for seg in old_segs:
+            assert not os.path.exists(f"{base}/manifests/{seg}")
+        assert snapshot_read(spark, base, version=v).count() == 120
