@@ -211,17 +211,25 @@ def snapshot_versions(base: str) -> "list[int]":
 
 def _load_header(base: str, version: "int | None" = None) -> dict:
     """One snapshot HEADER (segment refs, no file entries) — the
-    O(segments) metadata unit every commit reads and writes."""
+    O(segments) metadata unit every commit reads and writes. An
+    explicit ``version`` opens its file directly (no directory
+    listing — ``snapshot_log`` over a long history stays O(V), not
+    O(V²) listings); the listing happens only to resolve LATEST or to
+    build the not-found message."""
+    if version is not None:
+        try:
+            with open(_manifest_path(base, int(version))) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"snapshot v{int(version)} not found at {base} "
+                f"(have {snapshot_versions(base)}) — it may have been "
+                "vacuumed"
+            ) from None
     versions = snapshot_versions(base)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {base}")
-    v = max(versions) if version is None else int(version)
-    if v not in versions:
-        raise FileNotFoundError(
-            f"snapshot v{v} not found at {base} (have {versions}) — "
-            "it may have been vacuumed"
-        )
-    with open(_manifest_path(base, v)) as fh:
+    with open(_manifest_path(base, max(versions))) as fh:
         return json.load(fh)
 
 
