@@ -1202,3 +1202,102 @@ class TestRewriteManifests:
         for seg in old_segs:
             assert not os.path.exists(f"{base}/manifests/{seg}")
         assert snapshot_read(spark, base, version=v).count() == 120
+
+
+class TestModelBasedLifecycle:
+    """Stateful model check: a random op sequence applied to the store
+    AND to a pure-Python visibility model (multiset of (id, val) with
+    commit-scoped tombstone semantics); after every op the store's
+    visible rows must equal the model, and at the end every retained
+    version must still serve its recorded model state (time travel).
+    Catches interaction bugs no single-op test shapes — compaction
+    after restore after upsert, optimize over outstanding tombstones,
+    manifest rewrite mid-history."""
+
+    def _run(self, spark, tmp_path, seed, n_ops=12):
+        import random
+
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_optimize,
+            snapshot_restore,
+            snapshot_rewrite_manifests,
+            snapshot_upsert,
+        )
+
+        rng = random.Random(seed)
+        base = _mkbase(tmp_path, f"model{seed}")
+        next_id = 40
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        visible = {(i, i * 3 + 1) for i in range(40)}  # (id, val); vals unique per id here
+        history = {1: set(visible)}
+        v = 1
+
+        def mk(ids, val_off):
+            return (
+                spark.createDataFrame(
+                    [(i, i % 4, i * 3 + 1 + val_off) for i in ids],
+                    "id long, cell int, val long",
+                )
+            )
+
+        for _step in range(n_ops):
+            op = rng.choice(
+                ["append", "delete", "upsert", "compact", "optimize",
+                 "restore", "rewrite"]
+            )
+            if op == "append":
+                ids = list(range(next_id, next_id + rng.randint(1, 10)))
+                next_id += len(ids)
+                snapshot_append(mk(ids, 0), base)
+                visible |= {(i, i * 3 + 1) for i in ids}
+            elif op == "delete":
+                pool = sorted({i for i, _ in visible}) or [0]
+                ids = rng.sample(pool, min(len(pool), rng.randint(1, 6)))
+                ids.append(10_000 + rng.randint(0, 9))  # always-miss id
+                snapshot_delete(
+                    spark.createDataFrame([(i,) for i in ids], "id long"),
+                    base,
+                )
+                visible = {(i, x) for i, x in visible if i not in set(ids)}
+            elif op == "upsert":
+                pool = sorted({i for i, _ in visible})
+                old = rng.sample(pool, min(len(pool), 3)) if pool else []
+                new = list(range(next_id, next_id + 2))
+                next_id += 2
+                ids = old + new
+                snapshot_upsert(mk(ids, 1000), base)
+                visible = {(i, x) for i, x in visible if i not in set(ids)}
+                visible |= {(i, i * 3 + 1 + 1000) for i in ids}
+            elif op == "compact":
+                snapshot_compact(spark, base)
+            elif op == "optimize":
+                snapshot_optimize(spark, base)
+            elif op == "restore":
+                target = rng.choice(sorted(history))
+                snapshot_restore(base, target)
+                visible = set(history[target])
+            elif op == "rewrite":
+                snapshot_rewrite_manifests(base)
+            v = snapshot_versions(base)[-1]
+            history[v] = set(visible)
+            got = {
+                (r["id"], r["val"])
+                for r in snapshot_read(spark, base).collect()
+            }
+            assert got == visible, (seed, _step, op, got ^ visible)
+        # time travel: every retained version serves its recorded state
+        for ver, want in history.items():
+            got = {
+                (r["id"], r["val"])
+                for r in snapshot_read(spark, base, version=ver).collect()
+            }
+            assert got == want, (seed, "time-travel", ver, got ^ want)
+
+    def test_seed_1(self, spark, tmp_path):
+        self._run(spark, tmp_path, seed=1)
+
+    def test_seed_2(self, spark, tmp_path):
+        self._run(spark, tmp_path, seed=2)
+
+    def test_seed_3(self, spark, tmp_path):
+        self._run(spark, tmp_path, seed=3)
