@@ -493,6 +493,29 @@ def _bloom_words_spark(
     return merged
 
 
+def _stats_encode(v):
+    """Zone-map value encoding: temporal types map to sortable ints
+    (dates → proleptic ordinal, timestamps → epoch microseconds), so
+    date/timestamp columns get min/max pruning alongside numerics.
+    Strings stay excluded (parquet writers may truncate string
+    min/max — an understated max would make the superset prune wrongly
+    skip a file; Blooms are the string path). Applied identically at
+    scan time and probe time; a cross-kind probe (str against a date
+    column) raises on compare and the reader conservatively keeps the
+    file. Note Spark's default INT96 timestamps carry NO parquet
+    min/max — set spark.sql.parquet.outputTimestampType=
+    TIMESTAMP_MICROS (the non-deprecated type) for timestamp zone
+    maps; without it files are conservatively kept."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    return v
+
+
 def _scan_files(
     commit_dir: str,
     part_col: "str | None",
@@ -545,19 +568,17 @@ def _scan_files(
                         break
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-                # numeric only: parquet writers may TRUNCATE string
-                # min/max (an understated max would make the superset
-                # prune wrongly skip a file), and bools/timestamps
-                # would need an encoding scheme. Blooms, not zone maps,
-                # are the string path.
-                if (
-                    ok
-                    and isinstance(lo, (int, float))
-                    and isinstance(hi, (int, float))
-                    and not isinstance(lo, bool)
-                    and not isinstance(hi, bool)
-                ):
-                    stats[col] = [lo, hi]
+                # numerics + temporal (encoded to sortable ints by
+                # _stats_encode); strings excluded — see _stats_encode.
+                if ok:
+                    lo, hi = _stats_encode(lo), _stats_encode(hi)
+                    if (
+                        isinstance(lo, (int, float))
+                        and isinstance(hi, (int, float))
+                        and not isinstance(lo, bool)
+                        and not isinstance(hi, bool)
+                    ):
+                        stats[col] = [lo, hi]
             entries.append(
                 {
                     "commit": commit,
@@ -1061,12 +1082,18 @@ def snapshot_read(
         entries = [e for e in entries if e["part"] in want]
     if between is not None:
         col, lo, hi = between
-        entries = [
-            e
-            for e in entries
-            if col not in e.get("stats", {})
-            or (e["stats"][col][0] <= hi and lo <= e["stats"][col][1])
-        ]
+        lo_e, hi_e = _stats_encode(lo), _stats_encode(hi)
+
+        def _overlaps(e):
+            st = e.get("stats", {}).get(col)
+            if st is None:
+                return True
+            try:
+                return st[0] <= hi_e and lo_e <= st[1]
+            except TypeError:
+                return True  # cross-kind probe: stay conservative
+
+        entries = [e for e in entries if _overlaps(e)]
     if point is not None:
         col, value = point
         entries = [e for e in entries if _entry_admits(e, col, value)]
@@ -1092,7 +1119,8 @@ def _entry_admits(e: dict, col: str, value) -> bool:
     st = e.get("stats", {}).get(col)
     if st is not None:
         try:
-            if not (st[0] <= value <= st[1]):
+            enc = _stats_encode(value)
+            if not (st[0] <= enc <= st[1]):
                 return False
         except TypeError:
             pass  # cross-type comparison: stay conservative

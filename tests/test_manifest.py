@@ -1301,3 +1301,80 @@ class TestModelBasedLifecycle:
 
     def test_seed_3(self, spark, tmp_path):
         self._run(spark, tmp_path, seed=3)
+
+
+class TestTemporalZoneMaps:
+    def test_date_column_zone_map_prunes_and_exact(self, spark, tmp_path):
+        """Date columns get min/max pruning (the dominant real-world
+        range-scan case): a one-week window over a date-clustered year
+        reads a strict file subset and the result is row-exact."""
+        import datetime
+
+        base = _mkbase(tmp_path, "m58")
+        df = (
+            spark.range(0, 3650)
+            .withColumn("d", F.date_add(F.lit("2024-01-01"), (F.col("id") / 10).cast("int")))
+            .withColumn("val", F.col("id") * 2)
+            .repartitionByRange(16, "d")
+            .sortWithinPartitions("d")
+        )
+        snapshot_create(df, base, stats_cols=["d"])
+        m = _load_manifest(base)
+        assert any("d" in e.get("stats", {}) for e in m["files"])
+        lo = datetime.date(2024, 3, 1)
+        hi = datetime.date(2024, 3, 7)
+        got = snapshot_read(spark, base, between=("d", lo, hi))
+        rows = got.collect()
+        assert len(rows) == 70  # 7 days x 10 rows/day
+        assert all(lo <= r["d"] <= hi for r in rows)
+        full = snapshot_read(spark, base)
+        assert len(got.inputFiles()) < len(full.inputFiles())
+        # point lookup on the date column also prunes via stats
+        got1 = snapshot_read(spark, base, point=("d", datetime.date(2024, 6, 15)))
+        assert got1.count() == 10
+        assert len(got1.inputFiles()) < len(full.inputFiles())
+
+    def test_timestamp_column_zone_map(self, spark, tmp_path):
+        """Timestamp zone maps require the writer to emit
+        TIMESTAMP_MICROS (Spark's INT96 default carries NO parquet
+        min/max — the manifest then conservatively keeps every file,
+        correct but unpruned). Production posture: set
+        spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS, the
+        non-deprecated type, session-wide."""
+        import datetime
+
+        key = "spark.sql.parquet.outputTimestampType"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            base = _mkbase(tmp_path, "m59")
+            df = (
+                spark.range(0, 2400)
+                .withColumn(
+                    "ts",
+                    F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 3600),
+                )
+                .repartitionByRange(8, "ts")
+                .sortWithinPartitions("ts")
+            )
+            snapshot_create(df, base, stats_cols=["ts"])
+            m = _load_manifest(base)
+            assert any("ts" in e.get("stats", {}) for e in m["files"])
+            lo = datetime.datetime(2024, 1, 10, 0, 0, 0)
+            hi = datetime.datetime(2024, 1, 10, 23, 0, 0)
+            got = snapshot_read(spark, base, between=("ts", lo, hi))
+            assert got.count() == 24
+            full = snapshot_read(spark, base)
+            assert len(got.inputFiles()) < len(full.inputFiles())
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+
+    def test_string_columns_still_excluded(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m60")
+        df = spark.range(0, 100).withColumn("s", F.concat(F.lit("k"), F.col("id")))
+        snapshot_create(df, base, stats_cols=["s"])
+        m = _load_manifest(base)
+        assert all("s" not in e.get("stats", {}) for e in m["files"])
