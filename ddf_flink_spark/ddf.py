@@ -1198,7 +1198,7 @@ class DDF:
     def snapshot_create(
         self,
         base: str,
-        part_col: "str | None" = None,
+        part_col: "str | list[str] | None" = None,
         id_col: str = "id",
         stats_cols: "list[str] | None" = None,
         bloom_cols: "list[str] | None" = None,

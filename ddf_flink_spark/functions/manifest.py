@@ -159,20 +159,67 @@ def _part_untoken(token: str) -> "str | None":
     return "".join(out)
 
 
-def _part_filter(part_col: str, tokens: "set[str]"):
-    """A Column predicate keeping rows whose partition value maps to
-    one of ``tokens`` — the write-side twin of entry-token pruning."""
+def _part_cols(header_or_col) -> "list[str]":
+    """Normalize the table's partitioning to a column list. ``part_col``
+    is stored as given — a string for single-column tables (the common
+    case and the round-9 format), a list for multi-column (date/hour)
+    tables."""
+    pc = (
+        header_or_col.get("part_col")
+        if isinstance(header_or_col, dict)
+        else header_or_col
+    )
+    if pc is None:
+        return []
+    return [pc] if isinstance(pc, str) else list(pc)
+
+
+def _part_value_token(value, n_cols: int) -> str:
+    """Partition VALUE(S) → the entry token: a bare value token for a
+    single-column table, a '/'-joined token path (in partition-column
+    order) for multi-column."""
+    if n_cols <= 1:
+        return _part_token(value)
+    vals = list(value) if isinstance(value, (list, tuple)) else [value]
+    if len(vals) != n_cols:
+        raise ValueError(
+            f"expected {n_cols} partition values, got {vals!r}"
+        )
+    return "/".join(_part_token(v) for v in vals)
+
+
+def _one_col_filter(col: str, tokens: "set[str]"):
     plain = [
         _part_untoken(t) for t in tokens if t != _HIVE_DEFAULT_PART
     ]
     cond = None
     if plain:
-        cond = F.col(part_col).cast("string").isin(plain)
+        cond = F.col(col).cast("string").isin(plain)
     if _HIVE_DEFAULT_PART in tokens:
-        null_cond = F.col(part_col).isNull() | (
-            F.col(part_col).cast("string") == ""
+        null_cond = F.col(col).isNull() | (
+            F.col(col).cast("string") == ""
         )
         cond = null_cond if cond is None else (cond | null_cond)
+    return F.lit(False) if cond is None else cond
+
+
+def _part_filter(part_cols: "list[str]", tokens: "set[str]"):
+    """A Column predicate keeping rows whose partition value(s) map to
+    one of the entry ``tokens`` — the write-side twin of entry-token
+    pruning. Multi-column tokens are '/'-joined paths; the predicate
+    is the OR over wanted paths of the per-level AND."""
+    if len(part_cols) == 1:
+        return _one_col_filter(part_cols[0], tokens)
+    cond = None
+    for tok in sorted(tokens):
+        levels = tok.split("/")
+        if len(levels) != len(part_cols):
+            continue
+        c = None
+        for col, lv in zip(part_cols, levels):
+            lc = _one_col_filter(col, {lv})
+            c = lc if c is None else (c & lc)
+        cond = c if cond is None else (cond | c)
     return F.lit(False) if cond is None else cond
 
 
@@ -536,15 +583,19 @@ def _scan_files(
     import pyarrow.parquet as pq
 
     commit = os.path.basename(commit_dir.rstrip("/"))
+    pcs = _part_cols(part_col)
     entries: list[dict] = []
     file_cols: dict[str, list[str]] = {}
     total = 0
     for root, _dirs, files in os.walk(commit_dir):
         part = None
-        if part_col is not None:
+        if pcs:
             rel = os.path.relpath(root, commit_dir)
-            if rel != "." and rel.startswith(f"{part_col}="):
-                part = rel.split("=", 1)[1].split(os.sep)[0]
+            levels = rel.split(os.sep) if rel != "." else []
+            if len(levels) == len(pcs) and all(
+                lv.startswith(f"{c}=") for lv, c in zip(levels, pcs)
+            ):
+                part = "/".join(lv.split("=", 1)[1] for lv in levels)
         for fname in sorted(files):
             if not fname.endswith(".parquet"):
                 continue
@@ -642,7 +693,7 @@ def _next_commit_dir(base: str, version: int) -> str:
 def snapshot_create(
     df: DataFrame,
     base: str,
-    part_col: "str | None" = None,
+    part_col: "str | list[str] | None" = None,
     id_col: str = "id",
     stats_cols: "list[str] | None" = None,
     bloom_cols: "list[str] | None" = None,
@@ -650,7 +701,10 @@ def snapshot_create(
 ) -> int:
     """Commit v1 of a new snapshot store at ``base``. ``part_col``
     becomes the table's physical partitioning (compaction unit and
-    ``parts=`` pruning key); ``id_col`` is the key tombstones match on;
+    ``parts=`` pruning key) — a column name, or a LIST of columns for
+    hierarchical date/hour-style layouts, in which case ``parts=``
+    takes value TUPLES and every maintenance op addresses leaf
+    partitions; ``id_col`` is the key tombstones match on;
     ``stats_cols`` get per-file min/max recorded in every future
     manifest (the zone map); ``bloom_cols`` get a per-file Bloom
     filter for ``point=`` lookups on columns the layout is NOT sorted
@@ -663,7 +717,7 @@ def snapshot_create(
     shutil.rmtree(commit_dir, ignore_errors=True)
     w = df.write.mode("overwrite")
     if part_col is not None:
-        w = w.partitionBy(part_col)
+        w = w.partitionBy(*_part_cols(part_col))
     w.parquet(commit_dir)
     entries, rows = _scan_files(
         commit_dir, part_col, stats_cols, bloom_cols, spark=df.sparkSession
@@ -749,7 +803,7 @@ def snapshot_append(
     shutil.rmtree(commit_dir, ignore_errors=True)
     w = df.write.mode("overwrite")
     if parent0["part_col"] is not None:
-        w = w.partitionBy(parent0["part_col"])
+        w = w.partitionBy(*_part_cols(parent0))
     w.parquet(commit_dir)
     entries, rows = _scan_files(
         commit_dir,
@@ -859,7 +913,7 @@ def snapshot_upsert(
     id_col = parent0["id_col"]
     w = df.write.mode("overwrite")
     if parent0["part_col"] is not None:
-        w = w.partitionBy(parent0["part_col"])
+        w = w.partitionBy(*_part_cols(parent0))
     w.parquet(os.path.join(commit_dir, "rows"))
     df.select(id_col).distinct().write.mode("overwrite").parquet(
         os.path.join(commit_dir, "tomb")
@@ -1074,10 +1128,11 @@ def snapshot_read(
     m = _load_manifest(base, version)
     entries = m["files"]
     if parts is not None:
+        n_pc = len(_part_cols(m))
         want = (
             {str(p) for p in parts}
             if parts_escaped
-            else {_part_token(p) for p in parts}
+            else {_part_value_token(p, n_pc) for p in parts}
         )
         entries = [e for e in entries if e["part"] in want]
     if between is not None:
@@ -1172,15 +1227,16 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
     else:
         # column-pruned: the affected-partition probe only needs
         # (id, part, _cv) — Spark's scan reads just those columns
-        probe = full.select(id_col, part_col, "_cv")
+        pcs = _part_cols(parent_h)
+        probe = full.select(id_col, *pcs, "_cv")
         hit = probe.join(
             t, (probe[id_col] == t["_tid"]) & (probe["_cv"] < t["_ab"]),
             "left_semi",
         )
         affected_tokens = sorted(
             {
-                _part_token(r[part_col])
-                for r in hit.select(part_col).distinct().collect()  # ≤ n_parts
+                "/".join(_part_token(r[c]) for c in pcs)
+                for r in hit.select(*pcs).distinct().collect()  # ≤ n_parts
             }
         )
         if not affected_tokens:
@@ -1204,7 +1260,7 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
     shutil.rmtree(commit_dir, ignore_errors=True)
     w = survivors.write.mode("overwrite")
     if part_col is not None:
-        w = w.partitionBy(part_col)
+        w = w.partitionBy(*_part_cols(part_col))
     w.parquet(commit_dir)
     entries, rows = _scan_files(
         commit_dir, part_col, m["stats_cols"], m["bloom_cols"], spark=spark
@@ -1253,17 +1309,18 @@ def snapshot_replace_partitions(
     part_col = parent["part_col"]
     if part_col is None:
         raise ValueError("snapshot_replace_partitions needs a partitioned table")
+    pcs = _part_cols(parent)
     want = (
         {str(p) for p in parts}
         if parts_escaped
-        else {_part_token(p) for p in parts}
+        else {_part_value_token(p, len(pcs)) for p in parts}
     )
     m = _child(parent, op)
     commit_dir = _next_commit_dir(base, m["version"])
     shutil.rmtree(commit_dir, ignore_errors=True)
-    df.filter(_part_filter(part_col, want)).write.mode(
+    df.filter(_part_filter(pcs, want)).write.mode(
         "overwrite"
-    ).partitionBy(part_col).parquet(commit_dir)
+    ).partitionBy(*pcs).parquet(commit_dir)
     entries, rows = _scan_files(
         commit_dir, part_col, m["stats_cols"], m["bloom_cols"],
         spark=df.sparkSession,
@@ -1438,7 +1495,12 @@ def snapshot_optimize(
     for ref in parent["file_segs"]:
         for k, (n, _rows) in ref["part_stats"].items():
             counts[k] = counts.get(k, 0) + n
-    want = None if parts is None else {_part_token(p) for p in parts}
+    pcs = _part_cols(parent)
+    want = (
+        None
+        if parts is None
+        else {_part_value_token(p, len(pcs)) for p in parts}
+    )
     targets = sorted(
         p
         for p, n in counts.items()
@@ -1453,7 +1515,7 @@ def snapshot_optimize(
     # (the tombstones stay on the manifest for every other partition).
     packed = snapshot_read(
         spark, base, parts=targets, apply_tombstones=True, parts_escaped=True
-    ).repartition(part_col)
+    ).repartition(*pcs)
     if max_records_per_file is None:
         return snapshot_replace_partitions(
             packed, base, targets, op="optimize", parts_escaped=True

@@ -1378,3 +1378,100 @@ class TestTemporalZoneMaps:
         snapshot_create(df, base, stats_cols=["s"])
         m = _load_manifest(base)
         assert all("s" not in e.get("stats", {}) for e in m["files"])
+
+
+class TestMultiColumnPartitioning:
+    def _mk(self, spark, lo, hi):
+        return (
+            spark.range(lo, hi)
+            .withColumn("d", (F.col("id") % 3).cast("int"))
+            .withColumn(
+                "h",
+                F.when(F.col("id") % 4 == 0, F.lit(None)).otherwise(
+                    F.col("id") % 4
+                ).cast("int"),
+            )
+            .withColumn("val", (F.col("id") * 7).cast("long"))
+        )
+
+    def test_lifecycle_two_level_partitioning(self, spark, tmp_path):
+        """date/hour-style two-level partitioning: entries record the
+        joined token path, parts= prunes by VALUE TUPLE (including a
+        NULL level), delete+compact rewrites only the affected (d, h)
+        combinations, and optimize folds per leaf partition."""
+        from ddf_flink_spark.functions.manifest import (
+            _load_header,
+            snapshot_optimize,
+        )
+
+        base = _mkbase(tmp_path, "m61")
+        snapshot_create(self._mk(spark, 0, 120), base, part_col=["d", "h"])
+        h = _load_header(base)
+        assert h["part_col"] == ["d", "h"]
+        m = _load_manifest(base)
+        assert all(e["part"].count("/") == 1 for e in m["files"])
+        assert any(
+            e["part"].endswith("/__HIVE_DEFAULT_PARTITION__")
+            for e in m["files"]
+        )
+        # tuple-valued partition pruning, including the NULL level
+        got = snapshot_read(spark, base, parts=[(1, 2)])
+        assert got.count() == 120 // 12  # ids with id%3==1 and id%4==2
+        assert got.filter((F.col("d") != 1) | (F.col("h") != 2)).count() == 0
+        gnull = snapshot_read(spark, base, parts=[(0, None)])
+        assert gnull.count() == 120 // 12
+        assert gnull.filter(F.col("h").isNotNull()).count() == 0
+        # append + delete + compact confined to affected leaves
+        snapshot_append(self._mk(spark, 120, 180), base)
+        pre = _load_manifest(base)
+        victim_ids = [i for i in range(0, 180) if i % 3 == 2 and i % 4 == 1]
+        snapshot_delete(
+            spark.createDataFrame([(i,) for i in victim_ids], "id long"),
+            base,
+        )
+        v = snapshot_compact(spark, base)
+        post = _load_manifest(base, v)
+        assert post["compacted_parts"] == ["2/1"]
+        pre_other = {
+            t for t in _paths(pre) if not t[1].startswith("d=2/h=1/")
+        }
+        post_other = {
+            t for t in _paths(post) if not t[1].startswith("d=2/h=1/")
+        }
+        assert pre_other == post_other  # untouched leaves carried by ref
+        got = snapshot_read(spark, base)
+        assert got.count() == 180 - len(victim_ids)
+        assert got.filter((F.col("d") == 2) & (F.col("h") == 1)).count() == 0
+        # optimize folds each leaf to one file
+        v2 = snapshot_optimize(spark, base)
+        counts = {}
+        for e in _load_manifest(base, v2)["files"]:
+            counts[e["part"]] = counts.get(e["part"], 0) + 1
+        assert all(n == 1 for n in counts.values())
+        assert snapshot_read(spark, base).count() == 180 - len(victim_ids)
+
+    def test_replace_partitions_by_tuple(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_replace_partitions,
+        )
+
+        base = _mkbase(tmp_path, "m62")
+        snapshot_create(self._mk(spark, 0, 120), base, part_col=["d", "h"])
+        repl = self._mk(spark, 0, 120).filter(
+            (F.col("d") == 1) & (F.col("h") == 3)
+        ).withColumn("val", F.col("val") * -1)
+        v = snapshot_replace_partitions(repl, base, parts=[(1, 3)])
+        got = snapshot_read(spark, base)
+        assert got.count() == 120
+        leaf = got.filter((F.col("d") == 1) & (F.col("h") == 3))
+        assert leaf.count() == 10 and leaf.filter(F.col("val") >= 0).count() == 0
+        others = got.filter((F.col("d") != 1) | (F.col("h") != 3) | F.col("h").isNull())
+        assert others.filter(F.col("val") < 0).count() == 0
+        # the null-level replacement also routes correctly
+        repl0 = self._mk(spark, 0, 120).filter(
+            (F.col("d") == 0) & F.col("h").isNull()
+        ).withColumn("val", F.lit(-999).cast("long"))
+        snapshot_replace_partitions(repl0, base, parts=[(0, None)])
+        got = snapshot_read(spark, base)
+        assert got.filter(F.col("val") == -999).count() == 10
+        assert got.count() == 120
