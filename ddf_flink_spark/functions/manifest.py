@@ -54,8 +54,10 @@ reduced to its load-bearing core:
   after long streaming-ingest histories the same way
   :func:`snapshot_optimize` bounds the reader's file-union width.
 * **Manifest-level pruning** — the reader never lists a directory:
-  partition pruning (``parts=[...]``), min/max stat pruning
-  (``between=("col", lo, hi)``) and Bloom point lookups
+  partition pruning (``parts=[...]``; value TUPLES for multi-column
+  date/hour-style layouts), min/max stat pruning
+  (``between=("col", lo, hi)`` — numerics AND date/timestamp columns,
+  encoded to sortable ints) and Bloom point lookups
   (``point=("col", v)``) select file entries from the manifest before
   Spark sees a path. Partition VALUES are canonicalized through the
   same Hive escaping Spark uses for directory names (NULL and '' →

@@ -17118,3 +17118,69 @@ def q295_snapshot_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return rows.unionByName(facts).orderBy("metric")
+
+
+@query(
+    "q296_snapshot_hive_partitioned_table",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE event_type = 'click' AND event_id % 11 != 5
+    GROUP BY 1
+    ORDER BY d
+    """,
+)
+def q296_snapshot_hive_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL (event_type, day) PARTITIONING end-to-end
+    (functions/manifest, round-10 multi-column support): the events
+    table lands as a two-level Hive layout, a delete is folded by a
+    compaction that rewrites ONLY the affected leaf partitions (every
+    other leaf carried by segment ref), and the serve path reads ONE
+    event type's leaves via TUPLE-valued manifest pruning — the probe
+    collects the type's distinct days (bounded: ≤ #days rows), passes
+    ``parts=[(type, day), ...]``, and the scan opens exactly those
+    leaves' files, no directory listing, no partition filter needed in
+    the plan. Per-day counts/sums are hash-checked against the batch
+    table with the delete applied — resurrection or loss in ANY leaf
+    (the NULL-token and escaping pitfalls live exactly here) would
+    break the match."""
+    import shutil
+
+    from .functions.manifest import (
+        snapshot_compact,
+        snapshot_create,
+        snapshot_delete,
+        snapshot_read,
+    )
+
+    base = _session_tmp("q296")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        F.to_date("ts").alias("d"),
+    )
+    snapshot_create(
+        ev, base, part_col=["event_type", "d"], id_col="event_id",
+    )
+    snapshot_delete(
+        ev.filter(F.col("event_id") % 11 == 5).select("event_id"), base
+    )
+    snapshot_compact(spark, base)
+    days = [
+        r["d"]
+        for r in ev.filter(F.col("event_type") == "click")
+        .select("d").distinct().collect()  # bounded: ≤ #days
+    ]
+    leaves = snapshot_read(
+        spark, base, parts=[("click", d) for d in days]
+    )
+    return (
+        leaves.groupBy(F.col("d").cast("string").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("d")
+    )

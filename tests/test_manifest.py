@@ -1475,3 +1475,87 @@ class TestMultiColumnPartitioning:
         got = snapshot_read(spark, base)
         assert got.filter(F.col("val") == -999).count() == 10
         assert got.count() == 120
+
+
+class TestModelBasedMultiCol:
+    def test_two_level_random_lifecycle(self, spark, tmp_path):
+        """The model-based lifecycle check on a TWO-LEVEL partitioned
+        table (including a NULL second level) — compaction, optimize
+        and restore address leaf partitions."""
+        import random
+
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_optimize,
+            snapshot_restore,
+            snapshot_rewrite_manifests,
+            snapshot_upsert,
+        )
+
+        rng = random.Random(7)
+        base = _mkbase(tmp_path, "model_mc")
+
+        def mk(ids, val_off):
+            rows = [
+                (i, i % 3, None if i % 4 == 0 else i % 4, i * 7 + val_off)
+                for i in ids
+            ]
+            return spark.createDataFrame(
+                rows, "id long, d int, h int, val long"
+            )
+
+        from ddf_flink_spark.functions.manifest import snapshot_create as _c
+
+        _c(mk(range(30), 0), base, part_col=["d", "h"])
+        visible = {(i, i * 7) for i in range(30)}
+        history = {1: set(visible)}
+        next_id = 30
+        for step in range(10):
+            op = rng.choice(
+                ["append", "delete", "upsert", "compact", "optimize",
+                 "restore", "rewrite"]
+            )
+            if op == "append":
+                ids = list(range(next_id, next_id + rng.randint(1, 8)))
+                next_id += len(ids)
+                snapshot_append(mk(ids, 0), base)
+                visible |= {(i, i * 7) for i in ids}
+            elif op == "delete":
+                pool = sorted({i for i, _ in visible}) or [0]
+                ids = rng.sample(pool, min(len(pool), rng.randint(1, 5)))
+                snapshot_delete(
+                    spark.createDataFrame([(i,) for i in ids], "id long"),
+                    base,
+                )
+                visible = {(i, x) for i, x in visible if i not in set(ids)}
+            elif op == "upsert":
+                pool = sorted({i for i, _ in visible})
+                old = rng.sample(pool, min(len(pool), 2)) if pool else []
+                new = [next_id]
+                next_id += 1
+                ids = old + new
+                snapshot_upsert(mk(ids, 500), base)
+                visible = {(i, x) for i, x in visible if i not in set(ids)}
+                visible |= {(i, i * 7 + 500) for i in ids}
+            elif op == "compact":
+                snapshot_compact(spark, base)
+            elif op == "optimize":
+                snapshot_optimize(spark, base)
+            elif op == "restore":
+                target = rng.choice(sorted(history))
+                snapshot_restore(base, target)
+                visible = set(history[target])
+            elif op == "rewrite":
+                snapshot_rewrite_manifests(base)
+            v = snapshot_versions(base)[-1]
+            history[v] = set(visible)
+            got = {
+                (r["id"], r["val"])
+                for r in snapshot_read(spark, base).collect()
+            }
+            assert got == visible, (step, op, got ^ visible)
+        for ver, want in history.items():
+            got = {
+                (r["id"], r["val"])
+                for r in snapshot_read(spark, base, version=ver).collect()
+            }
+            assert got == want, ("time-travel", ver, got ^ want)
