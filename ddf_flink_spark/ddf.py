@@ -1222,31 +1222,39 @@ class DDF:
         base: str,
         batch_tag: "str | None" = None,
         retries: int = 0,
+        txn: "tuple | None" = None,
     ) -> int:
         """Append THIS DDF to the snapshot table at ``base`` as a new
         version. ``batch_tag`` makes the append idempotent (a replayed
         tag is a no-op) — the exactly-once sink discipline for
-        ``foreachBatch`` writers (registry q283). ``retries=N`` turns
-        a publish race against a concurrent writer into bounded-backoff
-        rebase: data is written once, only the manifest header
-        re-publishes."""
+        ``foreachBatch`` writers (registry q283); ``txn=(app,
+        version)`` is the scale form (one max version kept per app —
+        O(#writers) metadata vs batch_tag's O(#batches)). ``retries=N``
+        turns a publish race against a concurrent writer into
+        bounded-backoff rebase: data is written once, only the
+        manifest header re-publishes."""
         from .functions.manifest import snapshot_append as _append
 
-        return _append(self._df, base, batch_tag=batch_tag, retries=retries)
+        return _append(
+            self._df, base, batch_tag=batch_tag, retries=retries, txn=txn
+        )
 
     def snapshot_upsert(
         self,
         base: str,
         batch_tag: "str | None" = None,
         retries: int = 0,
+        txn: "tuple | None" = None,
     ) -> int:
         """MERGE this DDF into the snapshot table at ``base`` in one
         atomic commit: matched ids update, new ids insert (registry
-        q291); ``batch_tag`` gives exactly-once replay and ``retries``
-        optimistic-concurrency rebase."""
+        q291); ``batch_tag``/``txn`` give exactly-once replay and
+        ``retries`` optimistic-concurrency rebase."""
         from .functions.manifest import snapshot_upsert as _upsert
 
-        return _upsert(self._df, base, batch_tag=batch_tag, retries=retries)
+        return _upsert(
+            self._df, base, batch_tag=batch_tag, retries=retries, txn=txn
+        )
 
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":

@@ -739,6 +739,7 @@ def snapshot_create(
             "file_segs": [ref] if ref else [],
             "tomb_segs": [],
             "batch_tags": [],
+            "txns": {},
             "rows_added": rows,
             "rows_removed": 0,
             "meta": meta or {},
@@ -764,10 +765,25 @@ def _child(parent: dict, op: str) -> dict:
         "tomb_segs": [dict(r) for r in parent["tomb_segs"]],
         "tomb_schema": parent.get("tomb_schema"),
         "batch_tags": list(parent["batch_tags"]),
+        "txns": dict(parent.get("txns", {})),
         "rows_added": 0,
         "rows_removed": 0,
         "meta": dict(parent.get("meta", {})),
     }
+
+
+def _txn_seen(header: dict, txn) -> bool:
+    """Delta-style per-writer idempotency: ``txn=(app, version)`` with
+    a MONOTONIC version per app (Structured Streaming's batch-id
+    contract). The header stores one max version per app —
+    O(#writers) forever — where ``batch_tag`` stores every tag ever
+    used, O(#batches): a year-long foreachBatch ingest should use
+    ``txn``."""
+    if txn is None:
+        return False
+    app, ver = txn
+    cur = header.get("txns", {}).get(str(app))
+    return cur is not None and int(ver) <= int(cur)
 
 
 def snapshot_append(
@@ -777,6 +793,7 @@ def snapshot_append(
     meta: "dict | None" = None,
     merge_schema: bool = False,
     retries: int = 0,
+    txn: "tuple | None" = None,
 ) -> int:
     """Append ``df`` as a new snapshot. ``batch_tag`` makes the append
     IDEMPOTENT: a tag already present in the lineage is a no-op
@@ -797,9 +814,17 @@ def snapshot_append(
     ``retries=N`` turns a publish race into bounded-backoff retry:
     data files and the manifest segment are written exactly once; each
     retry re-resolves the latest parent, re-validates the schema and
-    batch tag against it, and re-publishes the (tiny) header."""
+    batch tag against it, and re-publishes the (tiny) header.
+
+    ``txn=(app, version)`` is the SCALE form of idempotency (Delta's
+    txnAppId/txnVersion): versions are monotonic per app, the header
+    keeps one max per app — O(#writers) metadata forever, where
+    ``batch_tag`` accumulates one string per batch. A replay (version
+    ≤ recorded max) is a no-op returning the current version."""
     parent0 = _load_header(base)
     if batch_tag is not None and batch_tag in parent0["batch_tags"]:
+        return int(parent0["version"])
+    if _txn_seen(parent0, txn):
         return int(parent0["version"])
     commit_dir = _next_commit_dir(base, int(parent0["version"]) + 1)
     shutil.rmtree(commit_dir, ignore_errors=True)
@@ -818,6 +843,8 @@ def snapshot_append(
 
     def apply(parent: dict):
         if batch_tag is not None and batch_tag in parent["batch_tags"]:
+            return int(parent["version"])
+        if _txn_seen(parent, txn):
             return int(parent["version"])
         m = _child(parent, "append")
         recorded = StructType.fromJson(json.loads(parent["schema"]))
@@ -847,6 +874,8 @@ def snapshot_append(
         m["rows_added"] = rows
         if batch_tag is not None:
             m["batch_tags"].append(batch_tag)
+        if txn is not None:
+            m["txns"][str(txn[0])] = int(txn[1])
         if meta:
             m["meta"].update(meta)
         return m
@@ -888,6 +917,7 @@ def snapshot_upsert(
     base: str,
     batch_tag: "str | None" = None,
     retries: int = 0,
+    txn: "tuple | None" = None,
 ) -> int:
     """MERGE-shaped UPSERT in ONE atomic commit: every row of ``df``
     REPLACES any existing row with the same id (tombstone on the
@@ -909,6 +939,8 @@ def snapshot_upsert(
     id rides the tombstone entries)."""
     parent0 = _load_header(base)
     if batch_tag is not None and batch_tag in parent0["batch_tags"]:
+        return int(parent0["version"])
+    if _txn_seen(parent0, txn):
         return int(parent0["version"])
     commit_dir = _next_commit_dir(base, int(parent0["version"]) + 1)
     shutil.rmtree(commit_dir, ignore_errors=True)
@@ -947,6 +979,8 @@ def snapshot_upsert(
         parent = _load_header(base)
         if batch_tag is not None and batch_tag in parent["batch_tags"]:
             return int(parent["version"])
+        if _txn_seen(parent, txn):
+            return int(parent["version"])
         target_v = int(parent["version"]) + 1
         if _commit_version(os.path.basename(commit_dir)) != target_v:
             new_dir = _next_commit_dir(base, target_v)
@@ -971,6 +1005,8 @@ def snapshot_upsert(
         m["rows_removed"] = removed
         if batch_tag is not None:
             m["batch_tags"].append(batch_tag)
+        if txn is not None:
+            m["txns"][str(txn[0])] = int(txn[1])
         try:
             return _publish(base, m)
         except SnapshotConflict:

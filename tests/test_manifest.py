@@ -1559,3 +1559,40 @@ class TestModelBasedMultiCol:
                 for r in snapshot_read(spark, base, version=ver).collect()
             }
             assert got == want, ("time-travel", ver, got ^ want)
+
+
+class TestTxnIdempotency:
+    def test_per_writer_monotonic_versions(self, spark, tmp_path):
+        """txn=(app, version): replays and stale versions are no-ops;
+        the header keeps ONE max version per app — O(#writers) forever,
+        where batch_tag grows O(#batches)."""
+        from ddf_flink_spark.functions.manifest import (
+            _load_header,
+            snapshot_upsert,
+        )
+
+        base = _mkbase(tmp_path, "m63")
+        snapshot_create(_frame(spark, 0, 20), base, part_col="cell")
+        assert snapshot_append(_frame(spark, 20, 30), base, txn=("w", 1)) == 2
+        # replay of the same (app, version): no-op
+        assert snapshot_append(_frame(spark, 20, 30), base, txn=("w", 1)) == 2
+        # a STALE version (recovery replaying an older batch): no-op
+        assert snapshot_append(_frame(spark, 0, 99), base, txn=("w", 0)) == 2
+        assert snapshot_read(spark, base).count() == 30
+        # the next version commits; an independent writer app commits too
+        assert snapshot_append(_frame(spark, 30, 35), base, txn=("w", 2)) == 3
+        assert snapshot_append(_frame(spark, 35, 40), base, txn=("x", 1)) == 4
+        assert snapshot_read(spark, base).count() == 40
+        h = _load_header(base)
+        assert h["txns"] == {"w": 2, "x": 1}  # O(#writers), not O(#batches)
+        # upsert honors the same discipline
+        batch = (
+            spark.range(0, 5)
+            .withColumn("cell", (F.col("id") % 4).cast("int"))
+            .withColumn("val", F.lit(-1).cast("long"))
+        )
+        v = snapshot_upsert(batch, base, txn=("w", 3))
+        assert snapshot_upsert(batch, base, txn=("w", 3)) == v
+        got = snapshot_read(spark, base)
+        assert got.count() == 40
+        assert got.filter(F.col("val") == -1).count() == 5
