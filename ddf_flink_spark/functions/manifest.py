@@ -1409,18 +1409,70 @@ def snapshot_changes(
     unchanged row still cancels."""
     mf_h = _load_header(base, v_from)
     mt_h = _load_header(base, v_to)
-    mf = _materialize(base, mf_h)
-    mt = _materialize(base, mt_h)
     key = lambda e: (e["commit"], e["path"])  # noqa: E731
-    from_keys = {key(e) for e in mf["files"]}
-    to_keys = {key(e) for e in mt["files"]}
-    added = [e for e in mt["files"] if key(e) not in from_keys]
-    removed = [e for e in mf["files"] if key(e) not in to_keys]
-    common = [e for e in mf["files"] if key(e) in to_keys]
-    part_col = mt["part_col"]
-    id_col = mt["id_col"]
-    if not mf.get("tomb_schema"):
-        mf = dict(mf, tomb_schema=mt.get("tomb_schema"))
+    # SEGMENT-LEVEL diff: a ref carried unchanged between the two
+    # headers contributes only common files, so its segment is never
+    # opened — the metadata cost of the diff is O(segments that
+    # differ), not O(table): changes(v, v+1) after one append on a
+    # 10⁴-segment table reads ONE segment file. Shared segments with
+    # differing included-part maps read only the differing parts.
+    # A manifest rewrite renames every segment; entries it re-states
+    # land in both added_raw and removed_raw and are reconciled back
+    # to common by (commit, path) below — still metadata-only.
+    from_refs = {r["seg"]: r for r in mf_h["file_segs"]}
+    to_refs = {r["seg"]: r for r in mt_h["file_segs"]}
+    added_raw: "list[dict]" = []
+    removed_raw: "list[dict]" = []
+    common_refs: "list[dict]" = []
+    for seg, rt in to_refs.items():
+        rf = from_refs.get(seg)
+        if rf is None:
+            added_raw += _seg_entries(base, rt)
+            continue
+        new_parts = {
+            k: v for k, v in rt["part_stats"].items()
+            if k not in rf["part_stats"]
+        }
+        if new_parts:
+            added_raw += _seg_entries(base, dict(rt, part_stats=new_parts))
+        shared = {
+            k: v for k, v in rt["part_stats"].items()
+            if k in rf["part_stats"]
+        }
+        if shared:
+            common_refs.append(dict(rt, part_stats=shared))
+    for seg, rf in from_refs.items():
+        rt = to_refs.get(seg)
+        gone = {
+            k: v for k, v in rf["part_stats"].items()
+            if rt is None or k not in rt["part_stats"]
+        }
+        if gone:
+            removed_raw += _seg_entries(base, dict(rf, part_stats=gone))
+    added_k = {key(e) for e in added_raw}
+    removed_k = {key(e) for e in removed_raw}
+    both = added_k & removed_k
+    added = [e for e in added_raw if key(e) not in both]
+    removed = [e for e in removed_raw if key(e) not in both]
+    common_extra = [e for e in added_raw if key(e) in both]
+    part_col = mt_h["part_col"]
+    id_col = mt_h["id_col"]
+    tomb_schema = mf_h.get("tomb_schema") or mt_h.get("tomb_schema")
+    mf = {
+        "id_col": id_col,
+        "tomb_schema": tomb_schema,
+        "tombstones": [
+            e for ref in mf_h["tomb_segs"] for e in _seg_entries(base, ref)
+        ],
+    }
+    mt = {
+        "id_col": id_col,
+        "tomb_schema": mt_h.get("tomb_schema") or tomb_schema,
+        "schema": mt_h["schema"],
+        "tombstones": [
+            e for ref in mt_h["tomb_segs"] for e in _seg_entries(base, ref)
+        ],
+    }
     tf = _tomb_frame(spark, base, mf)
     tt = _tomb_frame(spark, base, mt)
     vis_to = _anti_tombstones(
@@ -1448,6 +1500,12 @@ def snapshot_changes(
     # at the header level — identical tomb_segs means zero flips and
     # zero extra reads.
     tombs_changed = mf_h["tomb_segs"] != mt_h["tomb_segs"]
+    common = (
+        common_extra
+        + [e for ref in common_refs for e in _seg_entries(base, ref)]
+        if tombs_changed and (common_refs or common_extra)
+        else []
+    )  # common segments are opened ONLY when the tombstone set changed
     if common and tombs_changed:
         new_t = tt.exceptAll(tf).distinct()
         dropped_t = tf.exceptAll(tt).distinct()

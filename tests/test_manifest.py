@@ -1596,3 +1596,49 @@ class TestTxnIdempotency:
         got = snapshot_read(spark, base)
         assert got.count() == 40
         assert got.filter(F.col("val") == -1).count() == 5
+
+
+class TestChangesSegmentDiff:
+    def test_append_delta_opens_only_new_segment(self, spark, tmp_path, monkeypatch):
+        """The change feed's metadata cost is O(segments that differ):
+        changes(v, v+1) after one append on a many-segment table opens
+        ONLY the appended segment file (no common segment, no tombstone
+        segment)."""
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m64")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        for lo in range(40, 240, 40):
+            snapshot_append(_frame(spark, lo, lo + 40), base)
+        v = snapshot_versions(base)[-1]
+        new_seg = mf._load_header(base, v)["file_segs"][-1]["seg"]
+        opened: list[str] = []
+        real = mf._seg_entries
+
+        def spy(b, ref):
+            opened.append(ref["seg"])
+            return real(b, ref)
+
+        monkeypatch.setattr(mf, "_seg_entries", spy)
+        c = mf.snapshot_changes(spark, base, v - 1, v)
+        got = sorted(r["id"] for r in c.collect())
+        assert got == list(range(200, 240))
+        assert set(opened) == {new_seg}, opened
+
+    def test_rewrite_still_cancels_via_key_reconciliation(self, spark, tmp_path):
+        """A manifest rewrite renames every segment; the (commit, path)
+        reconciliation folds the re-stated entries back to common and
+        the feed stays empty — no data file is scanned (inputFiles of
+        the empty plan)."""
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_changes,
+            snapshot_rewrite_manifests,
+        )
+
+        base = _mkbase(tmp_path, "m65")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        snapshot_append(_frame(spark, 40, 80), base)
+        v = snapshot_rewrite_manifests(base)
+        c = snapshot_changes(spark, base, v - 1, v)
+        assert c.count() == 0
+        assert [f for f in c.inputFiles() if "/data/" in f] == []
