@@ -549,12 +549,14 @@ def _stats_encode(v):
     Strings stay excluded (parquet writers may truncate string
     min/max — an understated max would make the superset prune wrongly
     skip a file; Blooms are the string path). Applied identically at
-    scan time and probe time; a cross-kind probe (str against a date
-    column) raises on compare and the reader conservatively keeps the
-    file. Note Spark's default INT96 timestamps carry NO parquet
-    min/max — set spark.sql.parquet.outputTimestampType=
-    TIMESTAMP_MICROS (the non-deprecated type) for timestamp zone
-    maps; without it files are conservatively kept."""
+    scan time and probe time. The encodings are PER-KIND integer
+    scales (an ordinal is not an epoch-micro), so every comparison
+    goes through :func:`_stats_admits`, which keeps the file unless
+    the probe's kind matches the recorded kind. Note Spark's default
+    INT96 timestamps carry NO parquet min/max — set
+    spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS (the
+    non-deprecated type) for timestamp zone maps; without it files
+    are conservatively kept."""
     import datetime
 
     if isinstance(v, datetime.datetime):
@@ -563,6 +565,42 @@ def _stats_encode(v):
     if isinstance(v, datetime.date):
         return v.toordinal()
     return v
+
+
+def _stats_kind(v) -> str:
+    """Coarse kind of a zone-map bound. Temporal kinds encode on their
+    own integer scales (date → ordinal, timestamp → epoch-micros), so
+    a probe may only compare against stats of the SAME kind: a
+    datetime bound probed at a date column — or any temporal bound at
+    a plain numeric column — would otherwise compare unrelated ints
+    and could silently prune a file that holds matching rows. The kind
+    rides as the optional third element of each recorded stats range;
+    absent means numeric (the pre-round-11 manifest format, which only
+    ever compared like scales for numerics)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return "ts"
+    if isinstance(v, datetime.date):
+        return "date"
+    return "num"
+
+
+def _stats_admits(st: list, lo, hi) -> bool:
+    """Does a recorded ``[min, max(, kind)]`` range possibly overlap
+    the probe range [lo, hi] (raw, un-encoded values)? Conservative on
+    ANY kind mismatch — mixed-kind probe bounds, probe kind differing
+    from the recorded kind, or a non-numeric comparison — the file is
+    kept and the row-level filter stays the source of truth."""
+    kinds = {_stats_kind(lo), _stats_kind(hi)}
+    if len(kinds) != 1:
+        return True
+    if (st[2] if len(st) > 2 else "num") != kinds.pop():
+        return True
+    try:
+        return st[0] <= _stats_encode(hi) and _stats_encode(lo) <= st[1]
+    except TypeError:
+        return True  # non-orderable probe: stay conservative
 
 
 def _scan_files(
@@ -622,8 +660,10 @@ def _scan_files(
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
                 # numerics + temporal (encoded to sortable ints by
-                # _stats_encode); strings excluded — see _stats_encode.
+                # _stats_encode, kind-tagged so probes never compare
+                # across scales); strings excluded — see _stats_encode.
                 if ok:
+                    kind = _stats_kind(lo)
                     lo, hi = _stats_encode(lo), _stats_encode(hi)
                     if (
                         isinstance(lo, (int, float))
@@ -631,7 +671,9 @@ def _scan_files(
                         and not isinstance(lo, bool)
                         and not isinstance(hi, bool)
                     ):
-                        stats[col] = [lo, hi]
+                        stats[col] = (
+                            [lo, hi] if kind == "num" else [lo, hi, kind]
+                        )
             entries.append(
                 {
                     "commit": commit,
@@ -1175,16 +1217,10 @@ def snapshot_read(
         entries = [e for e in entries if e["part"] in want]
     if between is not None:
         col, lo, hi = between
-        lo_e, hi_e = _stats_encode(lo), _stats_encode(hi)
 
         def _overlaps(e):
             st = e.get("stats", {}).get(col)
-            if st is None:
-                return True
-            try:
-                return st[0] <= hi_e and lo_e <= st[1]
-            except TypeError:
-                return True  # cross-kind probe: stay conservative
+            return st is None or _stats_admits(st, lo, hi)
 
         entries = [e for e in entries if _overlaps(e)]
     if point is not None:
@@ -1208,15 +1244,11 @@ def snapshot_read(
 
 def _entry_admits(e: dict, col: str, value) -> bool:
     """Manifest-level point admission: min/max stats AND Bloom, each
-    conservative when absent."""
+    conservative when absent or when the probe's kind differs from
+    the recorded stats kind (see :func:`_stats_admits`)."""
     st = e.get("stats", {}).get(col)
-    if st is not None:
-        try:
-            enc = _stats_encode(value)
-            if not (st[0] <= enc <= st[1]):
-                return False
-        except TypeError:
-            pass  # cross-type comparison: stay conservative
+    if st is not None and not _stats_admits(st, value, value):
+        return False
     bl = e.get("bloom", {}).get(col)
     if bl is not None and not _bloom_maybe_contains(bl, value):
         return False
@@ -1231,10 +1263,12 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
     and written to a fresh commit dir; the new manifest carries every
     unaffected partition's file entries by SEGMENT REF (same immutable
     paths — byte-identical by construction, no copy, no rename, no
-    entry rewrite) and drops the tombstones. Affected-partition
-    matching canonicalizes collected values through Hive dir-name
-    escaping, so NULL-partition rows fold correctly instead of
-    resurrecting. The pre-compaction snapshot remains readable until
+    entry rewrite) and drops the tombstones. The affected-partition
+    probe is file-pruned by per-file stats/Bloom admission against the
+    tombstoned ids when that set is small, so the probe's I/O is
+    O(admitting files), not O(table). Affected-partition matching
+    canonicalizes collected values through Hive dir-name escaping, so
+    NULL-partition rows fold correctly instead of resurrecting. The pre-compaction snapshot remains readable until
     vacuum. No-op (returns current version) when there is nothing to
     fold."""
     parent_h = _load_header(base)
@@ -1257,25 +1291,48 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
             tag_commit_version=True,
         )
 
-    full = read_tagged()
     if part_col is None:
         affected_tokens: "list[str] | None" = None
-        survivors = _anti_tombstones(full, tomb, id_col)
+        survivors = _anti_tombstones(read_tagged(), tomb, id_col)
         keep_refs = []
     else:
         # column-pruned: the affected-partition probe only needs
-        # (id, part, _cv) — Spark's scan reads just those columns
+        # (id, part, _cv) — Spark's scan reads just those columns.
+        # The probe is also FILE-pruned with the same stats/Bloom
+        # admission machinery the change feed uses: when the
+        # outstanding tombstone id set is small (the ref summaries
+        # bound it — tombstone deltas are O(|ids|)), only files whose
+        # zone map / Bloom admits at least one tombstoned id can hold
+        # a tombstoned row (admission is conservative, never a false
+        # negative), so folding a 1-id delete on a stats-covered id
+        # column reads ~1 admitting file, not the table. Above the
+        # threshold the full probe remains the fallback.
         pcs = _part_cols(parent_h)
-        probe = full.select(id_col, *pcs, "_cv")
-        hit = probe.join(
-            t, (probe[id_col] == t["_tid"]) & (probe["_cv"] < t["_ab"]),
-            "left_semi",
-        )
+        probe_entries = parent["files"]
+        n_tomb_rows = sum(int(r["rows"]) for r in parent_h["tomb_segs"])
+        if n_tomb_rows <= _CHANGES_PRUNE_MAX_IDS:
+            tomb_ids = [
+                r[0] for r in tomb.select(id_col).distinct().collect()
+            ]  # bounded: ≤ n_tomb_rows ≤ _CHANGES_PRUNE_MAX_IDS
+            probe_entries = [
+                e
+                for e in probe_entries
+                if any(_entry_admits(e, id_col, v) for v in tomb_ids)
+            ]
+        if probe_entries:
+            probe = _read_entries(
+                spark, base, probe_entries, parent["schema"], part_col,
+                tag_commit_version=True,
+            ).select(id_col, *pcs, "_cv")
+            hit = probe.join(
+                t, (probe[id_col] == t["_tid"]) & (probe["_cv"] < t["_ab"]),
+                "left_semi",
+            )
+            part_rows = hit.select(*pcs).distinct().collect()  # ≤ n_parts
+        else:
+            part_rows = []
         affected_tokens = sorted(
-            {
-                "/".join(_part_token(r[c]) for c in pcs)
-                for r in hit.select(*pcs).distinct().collect()  # ≤ n_parts
-            }
+            {"/".join(_part_token(r[c]) for c in pcs) for r in part_rows}
         )
         if not affected_tokens:
             # every tombstoned id misses the table: just retire them
@@ -1633,10 +1690,16 @@ def snapshot_optimize(
             spark.conf.set("spark.sql.files.maxRecordsPerFile", prior)
 
 
+# Delta-parity default for the orphan sweep: a week, not an hour — a
+# long-running write whose files age past the grace while its header is
+# still unlinked would otherwise lose data to a scheduled vacuum.
+_ORPHAN_GRACE_DEFAULT = 7 * 24 * 3600.0
+
+
 def snapshot_vacuum(
     base: str,
     retain_last: int = 1,
-    orphan_grace_seconds: "float | None" = 3600.0,
+    orphan_grace_seconds: "float | None" = _ORPHAN_GRACE_DEFAULT,
 ) -> "dict[str, int]":
     """Garbage-collect: delete every data/tombstone file and manifest
     segment referenced ONLY by manifests older than the newest
@@ -1646,34 +1709,71 @@ def snapshot_vacuum(
     path, which on an object store is exactly the walk the manifest
     exists to avoid. A directory walk survives only as the ORPHAN
     sweep for aborted commits (files no manifest ever referenced),
-    and it is age-guarded: an orphan is reclaimed only once its
-    mtime is older than ``orphan_grace_seconds`` (Delta-style
-    retention), so an IN-FLIGHT commit — data written, header not yet
-    linked — can never lose its files to a concurrent vacuum. Pass
-    ``orphan_grace_seconds=None`` to skip the orphan walk entirely.
+    and it is age-guarded at COMMIT granularity: a commit directory's
+    orphans are reclaimed only once its NEWEST file is older than
+    ``orphan_grace_seconds`` (default 7 days, Delta parity), so an
+    IN-FLIGHT commit — data being written, header not yet linked —
+    keeps ALL its files as long as the writer keeps writing, however
+    long the write phase runs. Pass ``orphan_grace_seconds=None`` to
+    skip the orphan walk entirely. Deletion ORDER is crash-safe:
+    dropped manifests first, then their segments, then data files — a
+    crash at any point leaves only unreferenced orphans for the next
+    sweep, never a retained manifest pointing at a deleted segment.
     This is the ONLY operation that deletes anything; until it runs,
     every retained snapshot (and any pinned reader on one) is fully
     intact. Returns ``{"files_deleted": n, "manifests_deleted": n,
-    "segments_deleted": n}``."""
+    "segments_deleted": n, "tmp_deleted": n}``."""
     versions = snapshot_versions(base)
     if not versions:
-        return {"files_deleted": 0, "manifests_deleted": 0, "segments_deleted": 0}
+        return {
+            "files_deleted": 0,
+            "manifests_deleted": 0,
+            "segments_deleted": 0,
+            "tmp_deleted": 0,
+        }
     retained = versions[-max(1, int(retain_last)) :]
     dropped = [v for v in versions if v not in retained]
 
-    def _refs(vs):
+    def _refs(vs, missing_ok=False):
         files: set[str] = set()
         segs: set[str] = set()
         for v in vs:
             h = _load_header(base, v)
             for ref in h["file_segs"] + h["tomb_segs"]:
                 segs.add(ref["seg"])
-                for e in _seg_entries(base, ref):
+                try:
+                    entries = _seg_entries(base, ref)
+                except FileNotFoundError:
+                    if not missing_ok:
+                        raise
+                    # a prior vacuum crashed between deleting this
+                    # segment and its manifest: the files it listed are
+                    # unreferenced orphans the age-guarded sweep owns
+                    continue
+                for e in entries:
                     files.add(os.path.join(e["commit"], e["path"]))
         return files, segs
 
+    # the keep-set must be COMPLETE (a missing retained segment would
+    # silently drop live files from it — raise); the drop-set tolerates
+    # segments a crashed earlier vacuum already removed
     keep_files, keep_segs = _refs(retained)
-    drop_files, drop_segs = _refs(dropped)
+    drop_files, drop_segs = _refs(dropped, missing_ok=True)
+    # crash-safe order: manifests, then segments, then data files — the
+    # reverse (segments before manifests) leaves a crash window where a
+    # surviving dropped manifest references deleted segments and every
+    # later vacuum's drop-set pass hits FileNotFoundError
+    manifests_deleted = 0
+    for v in dropped:
+        os.unlink(_manifest_path(base, v))
+        manifests_deleted += 1
+    segments_deleted = 0
+    for seg in sorted(drop_segs - keep_segs):
+        try:
+            os.unlink(_seg_path(base, seg))
+            segments_deleted += 1
+        except FileNotFoundError:
+            pass
     ddir = _data_dir(base)
     files_deleted = 0
     for rel in sorted(drop_files - keep_files):
@@ -1687,38 +1787,48 @@ def snapshot_vacuum(
         while len(d) > len(ddir) and os.path.isdir(d) and not os.listdir(d):
             os.rmdir(d)
             d = os.path.dirname(d)
-    segments_deleted = 0
-    for seg in sorted(drop_segs - keep_segs):
-        try:
-            os.unlink(_seg_path(base, seg))
-            segments_deleted += 1
-        except FileNotFoundError:
-            pass
-    manifests_deleted = 0
-    for v in dropped:
-        os.unlink(_manifest_path(base, v))
-        manifests_deleted += 1
+    tmp_deleted = 0
     if orphan_grace_seconds is not None:
         now = time.time()
         if os.path.isdir(ddir):
-            for root, _dirs, files in os.walk(ddir, topdown=False):
+            # group candidates by commit dir and gate on the commit's
+            # NEWEST mtime: an in-flight writer's earliest files stay
+            # protected while its latest file is still fresh
+            by_commit: dict[str, list[str]] = {}
+            newest: dict[str, float] = {}
+            for root, _dirs, files in os.walk(ddir):
                 for fname in files:
                     full = os.path.join(root, fname)
                     rel = os.path.relpath(full, ddir)
                     if rel in keep_files:
                         continue
                     try:
-                        if now - os.path.getmtime(full) < orphan_grace_seconds:
-                            continue
+                        mt = os.path.getmtime(full)
+                    except FileNotFoundError:
+                        continue
+                    commit = rel.split(os.sep, 1)[0]
+                    by_commit.setdefault(commit, []).append(full)
+                    newest[commit] = max(newest.get(commit, 0.0), mt)
+            for commit, cand in by_commit.items():
+                if now - newest[commit] < orphan_grace_seconds:
+                    continue
+                for full in cand:
+                    try:
                         os.unlink(full)
                         files_deleted += 1
                     except FileNotFoundError:
                         continue
-                if not os.listdir(root):
+            for root, _dirs, _files in os.walk(ddir, topdown=False):
+                if root != ddir and not os.listdir(root):
                     os.rmdir(root)
         mdir = _manifest_dir(base)
         for fname in os.listdir(mdir):
-            if not fname.startswith("seg-"):
+            is_seg = fname.startswith("seg-")
+            # crashed writers leave dot-prefixed temp files behind
+            # (_seg_write's '.seg-*.json.tmp', _publish's '.v*.tmp') —
+            # reclaim them under the same age guard
+            is_tmp = fname.startswith(".") and fname.endswith(".tmp")
+            if not (is_seg or is_tmp):
                 continue
             if fname in keep_segs:
                 continue
@@ -1727,13 +1837,17 @@ def snapshot_vacuum(
                 if now - os.path.getmtime(full) < orphan_grace_seconds:
                     continue
                 os.unlink(full)
-                segments_deleted += 1
+                if is_seg:
+                    segments_deleted += 1
+                else:
+                    tmp_deleted += 1
             except FileNotFoundError:
                 continue
     return {
         "files_deleted": files_deleted,
         "manifests_deleted": manifests_deleted,
         "segments_deleted": segments_deleted,
+        "tmp_deleted": tmp_deleted,
     }
 
 

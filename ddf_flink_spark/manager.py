@@ -214,13 +214,14 @@ class DDFManager:
         self,
         base: str,
         retain_last: int = 1,
-        orphan_grace_seconds: "float | None" = 3600.0,
+        orphan_grace_seconds: "float | None" = 7 * 24 * 3600.0,
     ) -> "dict[str, int]":
         """Delete files unreferenced by the newest ``retain_last``
         manifests (the only destructive operation in the store). The
         deletion set derives from manifest diffs; orphans of aborted
-        commits are swept only past ``orphan_grace_seconds`` (pass
-        None to skip the orphan walk entirely)."""
+        commits are swept only once their commit directory has been
+        quiet for ``orphan_grace_seconds`` (default 7 days, Delta
+        parity; pass None to skip the orphan walk entirely)."""
         from .functions.manifest import snapshot_vacuum as _vacuum
 
         return _vacuum(

@@ -1642,3 +1642,255 @@ class TestChangesSegmentDiff:
         c = snapshot_changes(spark, base, v - 1, v)
         assert c.count() == 0
         assert [f for f in c.inputFiles() if "/data/" in f] == []
+
+
+class TestStatsKindSafety:
+    """Round-11 ADVICE: _stats_encode maps dates to ordinals and
+    timestamps to epoch-micros — two unrelated integer scales. A probe
+    whose bound KIND differs from the column's recorded kind must keep
+    the file (conservative), never compare across scales and silently
+    prune files that hold matching rows."""
+
+    def _date_table(self, spark, tmp_path, name):
+        base = _mkbase(tmp_path, name)
+        df = (
+            spark.range(0, 3650)
+            .withColumn(
+                "d",
+                F.date_add(F.lit("2024-01-01"), (F.col("id") / 10).cast("int")),
+            )
+            .withColumn("val", F.col("id") * 2)
+            .repartitionByRange(16, "d")
+            .sortWithinPartitions("d")
+        )
+        snapshot_create(df, base, stats_cols=["d"])
+        return base
+
+    def test_stats_record_their_kind(self, spark, tmp_path):
+        base = self._date_table(spark, tmp_path, "m66")
+        m = _load_manifest(base)
+        tagged = [e["stats"]["d"] for e in m["files"] if "d" in e.get("stats", {})]
+        assert tagged and all(len(st) == 3 and st[2] == "date" for st in tagged)
+
+    def test_datetime_probe_on_date_column_is_exact(self, spark, tmp_path):
+        """The ADVICE failure case: a datetime bound on a date column
+        encodes to epoch-micros while the stats are ordinals — every
+        ordinal range "misses" the huge micros bound and the old code
+        pruned ALL files, returning zero rows. Kind-tagged stats keep
+        every file and the row-level filter makes the result exact."""
+        import datetime
+
+        base = self._date_table(spark, tmp_path, "m67")
+        lo = datetime.datetime(2024, 3, 1, 0, 0, 0)
+        hi = datetime.datetime(2024, 3, 7, 23, 59, 59)
+        got = snapshot_read(spark, base, between=("d", lo, hi))
+        assert got.count() == 70  # 7 days x 10 rows/day — NOT zero
+
+    def test_temporal_point_probe_on_int_column_keeps_files(self, spark, tmp_path):
+        """A date probe against a plain numeric column (kind 'num')
+        must not prune via the ordinal's accidental int value."""
+        import datetime
+
+        from ddf_flink_spark.functions.manifest import _entry_admits
+
+        probe_date = datetime.date(2024, 6, 15)
+        # a numeric stats range that does NOT contain the date's ordinal
+        entry = {"stats": {"id": [0, 100]}}
+        assert _entry_admits(entry, "id", probe_date) is True
+        # same-kind numeric probe still prunes as before
+        assert _entry_admits(entry, "id", 500) is False
+        assert _entry_admits(entry, "id", 50) is True
+
+    def test_date_probe_on_date_column_still_prunes(self, spark, tmp_path):
+        """Like-kind probes keep their pruning power after the tag."""
+        import datetime
+
+        base = self._date_table(spark, tmp_path, "m68")
+        got = snapshot_read(
+            spark,
+            base,
+            between=("d", datetime.date(2024, 3, 1), datetime.date(2024, 3, 7)),
+        )
+        full = snapshot_read(spark, base)
+        assert got.count() == 70
+        assert len(got.inputFiles()) < len(full.inputFiles())
+
+
+class TestVacuumRound11:
+    def test_default_grace_is_delta_parity(self):
+        from ddf_flink_spark.functions.manifest import _ORPHAN_GRACE_DEFAULT
+
+        assert _ORPHAN_GRACE_DEFAULT == 7 * 24 * 3600.0
+
+    def test_in_flight_commit_gated_on_newest_file_mtime(self, spark, tmp_path):
+        """ADVICE medium: a write phase longer than the grace window
+        must not lose its EARLIEST files while the writer is still
+        writing — the orphan gate is the commit dir's NEWEST mtime,
+        not each file's own."""
+        import time as _time
+
+        base = _mkbase(tmp_path, "m69")
+        snapshot_create(_frame(spark, 0, 50), base)
+        cdir = f"{base}/data/c000099_inflight"
+        _frame(spark, 50, 99).write.parquet(cdir)
+        files = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(cdir)
+            for f in fs
+        )
+        assert len(files) >= 2
+        # first file aged far past the grace; last file freshly written
+        old = _time.time() - 10_000
+        os.utime(files[0], (old, old))
+        res = snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=3600)
+        assert res["files_deleted"] == 0
+        assert os.path.exists(files[0])
+        # once the whole commit is quiet past the grace, it is reclaimed
+        for f in files:
+            os.utime(f, (old, old))
+        res = snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=3600)
+        assert res["files_deleted"] >= len(files)
+        assert not os.path.isdir(cdir)
+
+    def test_tmp_files_reclaimed_with_age_guard(self, spark, tmp_path):
+        """ADVICE low: crashed writers' dot-prefixed temp files
+        ('.seg-*.json.tmp' from _seg_write, '.v*.tmp' from _publish)
+        are swept once aged, counted separately, and protected while
+        fresh."""
+        import time as _time
+
+        base = _mkbase(tmp_path, "m70")
+        snapshot_create(_frame(spark, 0, 20), base)
+        tmp1 = f"{base}/manifests/.seg-deadbeef.json.tmp"
+        tmp2 = f"{base}/manifests/.v9.deadbeef.tmp"
+        for p in (tmp1, tmp2):
+            with open(p, "w") as fh:
+                fh.write("{}")
+        res = snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=3600)
+        assert res["tmp_deleted"] == 0  # fresh: protected
+        old = _time.time() - 10_000
+        for p in (tmp1, tmp2):
+            os.utime(p, (old, old))
+        res = snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=3600)
+        assert res["tmp_deleted"] == 2
+        assert not os.path.exists(tmp1) and not os.path.exists(tmp2)
+
+    def test_vacuum_recovers_from_segment_manifest_crash_window(
+        self, spark, tmp_path
+    ):
+        """ADVICE low: simulate the OLD crash state — a dropped
+        version's segment deleted while its manifest survived. Vacuum
+        must tolerate the missing segment on the DROP side (its files
+        become age-guarded orphans) instead of raising on every
+        subsequent run."""
+        base = _mkbase(tmp_path, "m71")
+        snapshot_create(_frame(spark, 0, 100), base, part_col="cell")
+        snapshot_delete(spark.range(0, 50), base)
+        snapshot_compact(spark, base)
+        # the v2 tombstone segment is referenced ONLY by dropped v2
+        import ddf_flink_spark.functions.manifest as mf
+
+        tomb_seg = mf._load_header(base, 2)["tomb_segs"][0]["seg"]
+        os.unlink(f"{base}/manifests/{tomb_seg}")
+        res = snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=None)
+        assert res["manifests_deleted"] == 2
+        assert snapshot_versions(base) == [3]
+        assert snapshot_read(spark, base).count() == 50
+
+    def test_deletion_order_manifests_before_segments(self, spark, tmp_path, monkeypatch):
+        """The crash-safe ordering itself: by the time the first
+        segment is unlinked, every dropped manifest is already gone —
+        a crash mid-vacuum can only leave orphans, never a manifest
+        referencing missing segments."""
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m72")
+        snapshot_create(_frame(spark, 0, 100), base, part_col="cell")
+        snapshot_delete(spark.range(0, 50), base)
+        snapshot_compact(spark, base)
+        real_unlink = os.unlink
+        seen: list[str] = []
+
+        def spy(path, *a, **kw):
+            seen.append(os.path.basename(str(path)))
+            return real_unlink(path, *a, **kw)
+
+        monkeypatch.setattr(mf.os, "unlink", spy)
+        snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=None)
+        seg_i = [i for i, n in enumerate(seen) if n.startswith("seg-")]
+        man_i = [i for i, n in enumerate(seen) if n.startswith("v") and n.endswith(".json")]
+        assert man_i and seg_i and max(man_i) < min(seg_i)
+
+
+class TestCompactProbePruning:
+    def test_probe_reads_only_admitting_files(self, spark, tmp_path, monkeypatch):
+        """Round-10 verdict 'What's wrong #1': folding a 1-id delete on
+        a stats-covered id column must probe ~1 admitting file, never
+        the table. Spy on _read_entries: the FIRST commit-tagged read
+        (the affected-partition probe) sees only the admitting entry."""
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m73")
+        df = (
+            spark.range(0, 400)
+            .withColumn("cell", (F.col("id") / 100).cast("int"))
+            .withColumn("val", (F.col("id") * 3).cast("long"))
+            .repartition(1)
+        )
+        snapshot_create(df, base, part_col="cell", stats_cols=["id"])
+        n_files = len(_load_manifest(base)["files"])
+        assert n_files == 4  # one id-contiguous file per cell
+        snapshot_delete(spark.range(250, 251), base)
+        tagged_sizes: list[int] = []
+        real = mf._read_entries
+
+        def spy(spark_, base_, entries, *a, **kw):
+            if kw.get("tag_commit_version"):
+                tagged_sizes.append(len(entries))
+            return real(spark_, base_, entries, *a, **kw)
+
+        monkeypatch.setattr(mf, "_read_entries", spy)
+        v = mf.snapshot_compact(spark, base)
+        # first tagged read = the probe (1 admitting file of 4);
+        # second = the survivors scan of the one affected partition
+        assert tagged_sizes[0] == 1, tagged_sizes
+        h = mf._load_header(base, v)
+        assert h["compacted_parts"] == ["2"]
+        got = snapshot_read(spark, base)
+        assert got.count() == 399
+        assert got.filter(F.col("id") == 250).count() == 0
+
+    def test_missing_id_probe_prunes_to_zero_and_retires(self, spark, tmp_path):
+        """A tombstoned id absent from every file admits nothing: the
+        probe scan is empty (no job over the table) and the tombstones
+        are retired header-only."""
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m74")
+        df = (
+            spark.range(0, 400)
+            .withColumn("cell", (F.col("id") / 100).cast("int"))
+            .withColumn("val", (F.col("id") * 3).cast("long"))
+            .repartition(1)
+        )
+        snapshot_create(df, base, part_col="cell", stats_cols=["id"])
+        snapshot_delete(spark.range(99_999, 100_000), base)
+        v = snapshot_compact(spark, base)
+        h = mf._load_header(base, v)
+        assert h["op"] == "compact" and h["tomb_segs"] == []
+        assert snapshot_read(spark, base).count() == 400
+
+    def test_large_tombstone_set_falls_back_to_full_probe(self, spark, tmp_path):
+        """Above the prune threshold the full probe is the fallback —
+        correctness unchanged."""
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m75")
+        snapshot_create(_frame(spark, 0, 3000), base, part_col="cell")
+        monkey_ids = spark.range(0, 1500)  # > _CHANGES_PRUNE_MAX_IDS
+        assert 1500 > mf._CHANGES_PRUNE_MAX_IDS
+        snapshot_delete(monkey_ids, base)
+        snapshot_compact(spark, base)
+        got = snapshot_read(spark, base)
+        assert got.count() == 1500
+        assert got.filter(F.col("id") < 1500).count() == 0
