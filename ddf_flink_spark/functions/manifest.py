@@ -102,6 +102,7 @@ __all__ = [
     "snapshot_optimize",
     "snapshot_upsert",
     "snapshot_rewrite_manifests",
+    "snapshot_version_as_of",
 ]
 
 
@@ -258,6 +259,58 @@ def snapshot_versions(base: str) -> "list[int]":
     return sorted(out)
 
 
+def _now_us() -> int:
+    return int(time.time() * 1_000_000)
+
+
+def _ts_arg_us(value) -> int:
+    """Normalize a timestamp ARGUMENT (``as_of_ts=``, retention
+    cutoffs) to epoch microseconds: a datetime (naive = UTC, matching
+    the recorded wall-clock) or a numeric epoch-seconds value."""
+    import datetime
+
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=datetime.timezone.utc)
+        # exact integer micros (float .timestamp() loses sub-µs
+        # precision at current epoch magnitudes, which would make an
+        # exact boundary probe resolve one version early)
+        delta = value - datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc
+        )
+        return (
+            delta.days * 86_400_000_000
+            + delta.seconds * 1_000_000
+            + delta.microseconds
+        )
+    return round(float(value) * 1_000_000)
+
+
+def snapshot_version_as_of(base: str, ts) -> int:
+    """Resolve a wall-clock timestamp to the NEWEST retained version
+    whose commit timestamp is ≤ ``ts`` (datetime — naive is UTC — or
+    epoch seconds): the ``AS OF TIMESTAMP`` resolution rule of the
+    table formats. Commit timestamps are recorded monotonically
+    (``max(parent_ts + 1µs, now)``), so clock skew between writers can
+    never reorder history and the resolution is well-defined. Raises
+    ``FileNotFoundError`` when every retained commit is newer than
+    ``ts`` (the history before it was vacuumed, or the table did not
+    exist yet). O(V) header reads, no segment or data file opened."""
+    target = _ts_arg_us(ts)
+    best = None
+    for v in snapshot_versions(base):
+        h = _load_header(base, v)
+        t = h.get("ts_us")
+        if t is not None and int(t) <= target:
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise FileNotFoundError(
+            f"no snapshot at or before {ts!r} at {base} — the table may "
+            "not have existed yet, or that history was vacuumed"
+        )
+    return best
+
+
 def _load_header(base: str, version: "int | None" = None) -> dict:
     """One snapshot HEADER (segment refs, no file entries) — the
     O(segments) metadata unit every commit reads and writes. An
@@ -376,6 +429,11 @@ def _publish(base: str, header: dict) -> int:
     header = {
         k: v for k, v in header.items() if k not in ("files", "tombstones")
     }
+    # every header records its commit wall-clock (AS OF <timestamp>
+    # resolution and age-based vacuum retention); _child stamps it
+    # monotonically against the parent — this is only the fallback for
+    # direct _publish callers
+    header.setdefault("ts_us", _now_us())
     v = int(header["version"])
     final = _manifest_path(base, v)
     tmp = os.path.join(_manifest_dir(base), f".v{v}.{uuid.uuid4().hex}.tmp")
@@ -773,6 +831,7 @@ def snapshot_create(
             "version": 1,
             "parent": None,
             "op": "create",
+            "ts_us": _now_us(),
             "part_col": part_col,
             "id_col": id_col,
             "stats_cols": stats_cols,
@@ -798,6 +857,10 @@ def _child(parent: dict, op: str) -> dict:
         "version": int(parent["version"]) + 1,
         "parent": int(parent["version"]),
         "op": op,
+        # monotonic commit timestamp: never behind the parent even
+        # under wall-clock skew between writers, so AS-OF-timestamp
+        # resolution can never see history out of order
+        "ts_us": max(int(parent.get("ts_us", 0)) + 1, _now_us()),
         "part_col": parent["part_col"],
         "id_col": parent["id_col"],
         "stats_cols": parent["stats_cols"],
@@ -1181,9 +1244,13 @@ def snapshot_read(
     point: "tuple | None" = None,
     apply_tombstones: bool = True,
     parts_escaped: bool = False,
+    as_of_ts=None,
 ) -> DataFrame:
     """Read one snapshot (latest by default; ``version=N`` is time
-    travel). Planning is manifest-only — no directory listing:
+    travel, ``as_of_ts=<datetime | epoch-seconds>`` resolves to the
+    newest commit at or before that wall-clock via
+    :func:`snapshot_version_as_of`). Planning is manifest-only — no
+    directory listing:
 
     * ``parts=[v, ...]`` keeps only entries of those partition VALUES
       (canonicalized through Hive dir-name escaping, so ``None``
@@ -1205,6 +1272,12 @@ def snapshot_read(
     * tombstones (if any, and ``apply_tombstones``) are anti-joined on
       the table's id column — merge-on-read.
     """
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError(
+                "snapshot_read: pass version= OR as_of_ts=, not both"
+            )
+        version = snapshot_version_as_of(base, as_of_ts)
     m = _load_manifest(base, version)
     entries = m["files"]
     if parts is not None:
@@ -1700,10 +1773,14 @@ def snapshot_vacuum(
     base: str,
     retain_last: int = 1,
     orphan_grace_seconds: "float | None" = _ORPHAN_GRACE_DEFAULT,
+    retain_hours: "float | None" = None,
 ) -> "dict[str, int]":
     """Garbage-collect: delete every data/tombstone file and manifest
-    segment referenced ONLY by manifests older than the newest
-    ``retain_last``, then drop those manifests. The deletion set is
+    segment referenced ONLY by manifests outside the retention set —
+    the newest ``retain_last`` versions, plus (with ``retain_hours=``,
+    the production policy every table format ships: "keep 7 days")
+    every version whose commit timestamp is within that window — then
+    drop those manifests. The deletion set is
     derived from MANIFEST DIFFS (referenced-by-dropped minus
     referenced-by-retained) — no data-directory listing on the happy
     path, which on an object store is exactly the walk the manifest
@@ -1732,6 +1809,20 @@ def snapshot_vacuum(
             "tmp_deleted": 0,
         }
     retained = versions[-max(1, int(retain_last)) :]
+    if retain_hours is not None:
+        # age-based retention joins count-based: any version committed
+        # within the window survives (headers without a recorded ts
+        # predate timestamp recording and get no age protection — the
+        # count floor still keeps the newest)
+        cutoff = _now_us() - int(float(retain_hours) * 3600 * 1_000_000)
+        kept = set(retained)
+        for v in versions:
+            if v in kept:
+                continue
+            ts = _load_header(base, v).get("ts_us")
+            if ts is not None and int(ts) >= cutoff:
+                kept.add(v)
+        retained = sorted(kept)
     dropped = [v for v in versions if v not in retained]
 
     def _refs(vs, missing_ok=False):
@@ -1911,15 +2002,26 @@ def snapshot_log(spark: SparkSession, base: str) -> DataFrame:
     While tombstones are OUTSTANDING the visible count is not knowable
     from metadata (a tombstoned id may miss the table or match several
     rows), so it is NULL until the next compaction folds them in —
-    merge-on-read defers that work by design."""
+    merge-on-read defers that work by design. ``ts`` is the commit
+    wall-clock (UTC; NULL only for headers that predate timestamp
+    recording) — the column AS-OF-timestamp reads and age-based vacuum
+    retention resolve against."""
+    import datetime
+
     rows = []
     for v in snapshot_versions(base):
         h = _load_header(base, v)
+        ts_us = h.get("ts_us")
         rows.append(
             (
                 v,
                 h["op"],
                 h["parent"],
+                None
+                if ts_us is None
+                else datetime.datetime.fromtimestamp(
+                    int(ts_us) / 1_000_000, tz=datetime.timezone.utc
+                ),
                 int(h.get("rows_added", 0)),
                 int(h.get("rows_removed", 0)),
                 int(sum(ref["n"] for ref in h["file_segs"])),
@@ -1931,7 +2033,7 @@ def snapshot_log(spark: SparkSession, base: str) -> DataFrame:
         )
     return spark.createDataFrame(
         rows,
-        "version int, op string, parent int, rows_added long, "
-        "rows_removed long, n_files int, n_tombstone_files int, "
-        "visible_rows long",
+        "version int, op string, parent int, ts timestamp, "
+        "rows_added long, rows_removed long, n_files int, "
+        "n_tombstone_files int, visible_rows long",
     )

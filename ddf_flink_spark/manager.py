@@ -144,10 +144,13 @@ class DDFManager:
         between: "tuple | None" = None,
         point: "tuple | None" = None,
         name: "str | None" = None,
+        as_of_ts=None,
     ) -> DDF:
         """Read one version of a snapshot-versioned table
         (functions/manifest.py) as a DDF — latest by default,
-        ``version=N`` for time travel; ``parts``/``between``/``point``
+        ``version=N`` for time travel, ``as_of_ts=<datetime | epoch
+        seconds>`` for AS-OF-timestamp time travel (newest commit at
+        or before that wall-clock); ``parts``/``between``/``point``
         prune files at the manifest (partition values / zone-map stats
         / per-file Bloom filters) before Spark sees a path. Commit with
         :meth:`DDF.snapshot_create` / :meth:`DDF.snapshot_append`."""
@@ -155,7 +158,7 @@ class DDFManager:
 
         return self.new_ddf(
             snapshot_read(self.spark, base, version=version, parts=parts,
-                          between=between, point=point),
+                          between=between, point=point, as_of_ts=as_of_ts),
             name,
         )
 
@@ -215,12 +218,15 @@ class DDFManager:
         base: str,
         retain_last: int = 1,
         orphan_grace_seconds: "float | None" = 7 * 24 * 3600.0,
+        retain_hours: "float | None" = None,
     ) -> "dict[str, int]":
-        """Delete files unreferenced by the newest ``retain_last``
-        manifests (the only destructive operation in the store). The
-        deletion set derives from manifest diffs; orphans of aborted
-        commits are swept only once their commit directory has been
-        quiet for ``orphan_grace_seconds`` (default 7 days, Delta
+        """Delete files unreferenced by the retention set — the newest
+        ``retain_last`` manifests plus, with ``retain_hours=``, every
+        version committed within that window (the age-based "keep 7
+        days" policy). The only destructive operation in the store.
+        The deletion set derives from manifest diffs; orphans of
+        aborted commits are swept only once their commit directory has
+        been quiet for ``orphan_grace_seconds`` (default 7 days, Delta
         parity; pass None to skip the orphan walk entirely)."""
         from .functions.manifest import snapshot_vacuum as _vacuum
 
@@ -228,6 +234,7 @@ class DDFManager:
             base,
             retain_last=retain_last,
             orphan_grace_seconds=orphan_grace_seconds,
+            retain_hours=retain_hours,
         )
 
     def shutdown(self) -> None:

@@ -17184,3 +17184,96 @@ def q296_snapshot_hive_partitioned_table(spark: SparkSession, sf_dir: str) -> Da
         )
         .orderBy("d")
     )
+
+
+@query(
+    "q297_snapshot_as_of_timestamp",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_price
+      FROM orders WHERE o_orderkey % 3 != 2 GROUP BY o_orderpriority
+    ),
+    v3 AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT 'as_of_v2' AS snap, * FROM v2
+    UNION ALL
+    SELECT 'latest' AS snap, * FROM v3
+    ORDER BY snap, o_orderpriority
+    """,
+)
+def q297_snapshot_as_of_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF-TIMESTAMP TIME TRAVEL (round-11 verdict directive #3):
+    every commit header records a MONOTONIC wall-clock timestamp
+    (``max(parent_ts + 1µs, now)`` — writer clock skew can never
+    reorder history), so a reader can resolve "the table as of
+    <wall-clock>" without knowing version numbers — the ``AS OF
+    TIMESTAMP`` the table formats expose, and the resolution rule
+    age-based vacuum retention (``retain_hours=``) shares. Three
+    commits build the orders table in thirds; the query reads back
+    (a) the state AS OF v2's exact recorded commit time — inclusive
+    boundary, the newest commit ≤ ts — and (b) the state as of a
+    wall-clock after the last commit, aggregating each. The oracle
+    recomputes both states directly; DECIMAL accumulation keeps the
+    sums order-independent. Resolution is O(versions) header reads —
+    no segment or data file is opened to answer "which version was
+    live at 14:03". Reference: no persistence lifecycle at all
+    (utils/package.scala:418-427); parity target is Delta/Iceberg
+    timestamp travel."""
+    import datetime
+    import shutil
+
+    from .functions.manifest import (
+        _load_header,
+        snapshot_append,
+        snapshot_create,
+        snapshot_read,
+        snapshot_version_as_of,
+    )
+
+    base = _session_tmp("q297")
+    shutil.rmtree(base, ignore_errors=True)
+    od = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    snapshot_create(
+        od.filter(F.col("o_orderkey") % 3 == 0), base, id_col="o_orderkey"
+    )
+    snapshot_append(od.filter(F.col("o_orderkey") % 3 == 1), base)
+    snapshot_append(od.filter(F.col("o_orderkey") % 3 == 2), base)
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    t2 = epoch + datetime.timedelta(
+        microseconds=_load_header(base, 2)["ts_us"]
+    )
+    t_after = epoch + datetime.timedelta(
+        microseconds=_load_header(base, 3)["ts_us"] + 1
+    )
+    assert snapshot_version_as_of(base, t2) == 2  # inclusive boundary
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("sum_price"),
+            )
+            .select(
+                F.lit(tag).alias("snap"), "o_orderpriority", "n", "sum_price"
+            )
+        )
+
+    return (
+        agg(snapshot_read(spark, base, as_of_ts=t2), "as_of_v2")
+        .unionByName(agg(snapshot_read(spark, base, as_of_ts=t_after), "latest"))
+        .orderBy("snap", "o_orderpriority")
+    )

@@ -1894,3 +1894,117 @@ class TestCompactProbePruning:
         got = snapshot_read(spark, base)
         assert got.count() == 1500
         assert got.filter(F.col("id") < 1500).count() == 0
+
+
+class TestCommitTimestamps:
+    def test_every_header_records_ts(self, spark, tmp_path):
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m76")
+        snapshot_create(_frame(spark, 0, 20), base)
+        snapshot_append(_frame(spark, 20, 40), base)
+        ts = [mf._load_header(base, v)["ts_us"] for v in snapshot_versions(base)]
+        assert all(isinstance(t, int) and t > 0 for t in ts)
+        assert ts[0] < ts[1]
+
+    def test_ts_monotonic_under_clock_skew(self, spark, tmp_path, monkeypatch):
+        """A writer with a BACKWARD wall clock still commits a ts
+        strictly after its parent's — AS-OF resolution can never see
+        history out of order."""
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m77")
+        snapshot_create(_frame(spark, 0, 20), base)
+        t1 = mf._load_header(base, 1)["ts_us"]
+        monkeypatch.setattr(mf, "_now_us", lambda: t1 - 10_000_000)
+        snapshot_append(_frame(spark, 20, 40), base)
+        t2 = mf._load_header(base, 2)["ts_us"]
+        assert t2 == t1 + 1  # clamped to parent + 1µs, not the skewed clock
+
+    def test_as_of_ts_resolution_and_boundaries(self, spark, tmp_path):
+        import datetime
+
+        import ddf_flink_spark.functions.manifest as mf
+        from ddf_flink_spark.functions.manifest import snapshot_version_as_of
+
+        base = _mkbase(tmp_path, "m78")
+        snapshot_create(_frame(spark, 0, 10), base)
+        snapshot_append(_frame(spark, 10, 20), base)
+        snapshot_append(_frame(spark, 20, 30), base)
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        t = {
+            v: epoch + datetime.timedelta(
+                microseconds=mf._load_header(base, v)["ts_us"]
+            )
+            for v in (1, 2, 3)
+        }
+        # exact boundary: AS OF t2 is v2 (inclusive), 1µs earlier is v1
+        assert snapshot_version_as_of(base, t[2]) == 2
+        assert (
+            snapshot_version_as_of(
+                base, t[2] - datetime.timedelta(microseconds=1)
+            )
+            == 1
+        )
+        assert snapshot_version_as_of(base, t[3]) == 3
+        # the read itself: state as of v2's commit time
+        got = snapshot_read(spark, base, as_of_ts=t[2])
+        assert got.count() == 20
+        # before the table existed
+        with pytest.raises(FileNotFoundError):
+            snapshot_version_as_of(
+                base, t[1] - datetime.timedelta(seconds=1)
+            )
+        # version= and as_of_ts= are mutually exclusive
+        with pytest.raises(ValueError):
+            snapshot_read(spark, base, version=2, as_of_ts=t[2])
+        # naive datetime = UTC; epoch-seconds float also accepted
+        naive = (t[3]).replace(tzinfo=None)
+        assert snapshot_version_as_of(base, naive) == 3
+        assert (
+            snapshot_version_as_of(
+                base, mf._load_header(base, 3)["ts_us"] / 1e6 + 1.0
+            )
+            == 3
+        )
+
+    def test_snapshot_log_has_ts_column(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m79")
+        snapshot_create(_frame(spark, 0, 10), base)
+        snapshot_append(_frame(spark, 10, 20), base)
+        log = snapshot_log(spark, base)
+        assert "ts" in log.columns
+        rows = sorted(log.collect(), key=lambda r: r["version"])
+        assert all(r["ts"] is not None for r in rows)
+        assert rows[0]["ts"] <= rows[1]["ts"]
+
+    def test_vacuum_retain_hours(self, spark, tmp_path, monkeypatch):
+        """Age-based retention: old versions beyond the window drop,
+        versions inside it survive even past retain_last, and the
+        count floor always keeps the newest."""
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m80")
+        old_clock = mf._now_us() - 10 * 3600 * 1_000_000  # 10h ago
+        monkeypatch.setattr(mf, "_now_us", lambda: old_clock)
+        snapshot_create(_frame(spark, 0, 10), base)
+        snapshot_append(_frame(spark, 10, 20), base)
+        monkeypatch.undo()
+        snapshot_append(_frame(spark, 20, 30), base)  # fresh commit
+        snapshot_append(_frame(spark, 30, 40), base)  # fresh commit
+        # window covers the two fresh commits; the two 10h-old ones drop
+        res = snapshot_vacuum(
+            base, retain_last=1, retain_hours=1.0, orphan_grace_seconds=None
+        )
+        assert res["manifests_deleted"] == 2
+        assert snapshot_versions(base) == [3, 4]
+        assert snapshot_read(spark, base, version=3).count() == 30
+        # a wide window retains everything regardless of retain_last
+        base2 = _mkbase(tmp_path, "m81")
+        snapshot_create(_frame(spark, 0, 10), base2)
+        snapshot_append(_frame(spark, 10, 20), base2)
+        res = snapshot_vacuum(
+            base2, retain_last=1, retain_hours=24.0, orphan_grace_seconds=None
+        )
+        assert res["manifests_deleted"] == 0
+        assert snapshot_versions(base2) == [1, 2]
