@@ -1949,39 +1949,58 @@ def snapshot_rewrite_manifests(
     commit appends one segment ref to the header, so after 10⁴
     streaming micro-batches the header carries 10⁴ refs — still tiny
     next to the old complete-listing layout, but linear in commit
-    count. This op folds the CURRENT listing into fresh segments of up
-    to ``max_entries_per_seg`` entries (tombstones group by their
-    applies_before bound, which is ref-level) and publishes the result
-    as an ordinary snapshot — METADATA ONLY: zero data files are read,
-    written, moved, or re-stated, the change feed across it is empty
-    by construction, and pinned readers of prior versions are
-    untouched. Old segments stay on disk for those readers until
-    vacuum retires them with their manifests. Run it on the same
-    schedule as :func:`snapshot_optimize`; together they bound BOTH
-    the reader's file-union width and the header's ref width. No-op
-    (returns the current version) when nothing would shrink."""
+    count. This op bin-packs SMALL refs (fewer than
+    ``max_entries_per_seg`` entries) into fresh consolidated segments;
+    already-consolidated segments carry over BY REF, untouched —
+    Iceberg's small-manifest compaction — so the driver materializes
+    only the entries of the refs it folds: memory and I/O are
+    O(folded subset), never O(total-files), and repeated maintenance
+    on a 10⁸-file table re-bins only the new small refs since last
+    time. Tombstone refs group by their applies_before bound (scope is
+    ref-level); a bound with a single small ref carries as-is. The
+    result publishes as an ordinary snapshot — METADATA ONLY: zero
+    data files are read, written, moved, or re-stated, the change feed
+    across it is empty by construction, and pinned readers of prior
+    versions are untouched. Old segments stay on disk for those
+    readers until vacuum retires them with their manifests. Run it on
+    the same schedule as :func:`snapshot_optimize`; together they
+    bound BOTH the reader's file-union width and the header's ref
+    width. No-op (returns the current version) when nothing would
+    fold."""
     parent = _load_header(base)
-    n_file_refs = len(parent["file_segs"])
-    n_tomb_refs = len(parent["tomb_segs"])
-    tomb_abs = {r.get("applies_before") for r in parent["tomb_segs"]}
-    if n_file_refs <= 1 and n_tomb_refs <= len(tomb_abs):
+    small_f = [r for r in parent["file_segs"] if r["n"] < max_entries_per_seg]
+    big_f = [r for r in parent["file_segs"] if r["n"] >= max_entries_per_seg]
+    by_ab: "dict[object, list[dict]]" = {}
+    big_t: "list[dict]" = []
+    for ref in parent["tomb_segs"]:
+        if ref["n"] < max_entries_per_seg:
+            by_ab.setdefault(ref.get("applies_before"), []).append(ref)
+        else:
+            big_t.append(ref)
+    fold_files = len(small_f) > 1
+    fold_abs = {ab for ab, refs in by_ab.items() if len(refs) > 1}
+    if not fold_files and not fold_abs:
         return int(parent["version"])
     m = _child(parent, "rewrite_manifests")
-    files = [
-        e for ref in parent["file_segs"] for e in _seg_entries(base, ref)
-    ]
-    m["file_segs"] = [
-        ref
-        for i in range(0, max(len(files), 1), max_entries_per_seg)
-        if (ref := _seg_write(base, files[i : i + max_entries_per_seg]))
-    ]
-    by_ab: dict = {}
-    for ref in parent["tomb_segs"]:
-        by_ab.setdefault(ref.get("applies_before"), []).extend(
-            _seg_entries(base, dict(ref, applies_before=None))
-        )
-    tomb_refs = []
-    for ab, entries in sorted(by_ab.items(), key=lambda kv: (kv[0] is None, kv[0])):
+    if fold_files:
+        files = [e for ref in small_f for e in _seg_entries(base, ref)]
+        m["file_segs"] = [dict(r) for r in big_f] + [
+            ref
+            for i in range(0, max(len(files), 1), max_entries_per_seg)
+            if (ref := _seg_write(base, files[i : i + max_entries_per_seg]))
+        ]
+    tomb_refs = [dict(r) for r in big_t]
+    for ab, refs in sorted(
+        by_ab.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)
+    ):
+        if ab not in fold_abs:
+            tomb_refs += [dict(r) for r in refs]
+            continue
+        entries = [
+            e
+            for r in refs
+            for e in _seg_entries(base, dict(r, applies_before=None))
+        ]
         for i in range(0, len(entries), max_entries_per_seg):
             ref = _seg_write(base, entries[i : i + max_entries_per_seg])
             if ref:

@@ -2008,3 +2008,85 @@ class TestCommitTimestamps:
         )
         assert res["manifests_deleted"] == 0
         assert snapshot_versions(base2) == [1, 2]
+
+
+class TestRewriteManifestsIncremental:
+    def test_big_segments_carry_by_ref_unopened(self, spark, tmp_path, monkeypatch):
+        """Round-11 directive #4: the fold materializes ONLY small
+        refs. A table with one already-consolidated segment and
+        several small ones folds the small ones; the big segment file
+        is never opened and its ref carries verbatim."""
+        import ddf_flink_spark.functions.manifest as mf
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_rewrite_manifests,
+        )
+
+        base = _mkbase(tmp_path, "m82")
+        # create with 4 partitions -> one ref with n=4 files (the "big"
+        # segment at max_entries_per_seg=3)
+        snapshot_create(_frame(spark, 0, 80, n_parts=4), base, part_col="cell")
+        big_seg = mf._load_header(base)["file_segs"][0]["seg"]
+        # five 1-file appends (single partition each) -> five small refs
+        for lo in range(80, 130, 10):
+            snapshot_append(
+                _frame(spark, lo, lo + 10, n_parts=1).coalesce(1), base
+            )
+        pre = mf._load_header(base)
+        assert pre["file_segs"][0]["n"] >= 3
+        assert all(r["n"] == 1 for r in pre["file_segs"][1:])
+        opened: list[str] = []
+        real = mf._seg_entries
+
+        def spy(b, ref):
+            opened.append(ref["seg"])
+            return real(b, ref)
+
+        monkeypatch.setattr(mf, "_seg_entries", spy)
+        v = snapshot_rewrite_manifests(base, max_entries_per_seg=3)
+        monkeypatch.undo()
+        post = mf._load_header(base, v)
+        assert big_seg not in opened, opened
+        # big ref carried verbatim; the five small refs folded
+        assert post["file_segs"][0]["seg"] == big_seg
+        assert len(post["file_segs"]) < len(pre["file_segs"])
+        # reads identical
+        got = snapshot_read(spark, base)
+        assert got.count() == 130
+        # idempotent at the same threshold: folded output is one ref of
+        # n=5 >= 3 (big now) plus the original big -> nothing to fold
+        assert snapshot_rewrite_manifests(base, max_entries_per_seg=3) == v
+
+    def test_single_small_ref_is_not_churned(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_rewrite_manifests,
+        )
+
+        base = _mkbase(tmp_path, "m83")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        v = snapshot_versions(base)[-1]
+        assert snapshot_rewrite_manifests(base) == v  # one ref: no-op
+
+    def test_tomb_single_ref_per_bound_carries(self, spark, tmp_path):
+        """One small tombstone ref per applies_before bound: nothing
+        to fold on the tomb side; two same-bound refs DO fold."""
+        import ddf_flink_spark.functions.manifest as mf
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_rewrite_manifests,
+        )
+
+        base = _mkbase(tmp_path, "m84")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        for lo in (40, 80):
+            snapshot_append(_frame(spark, lo, lo + 40), base)
+        snapshot_delete(spark.range(0, 3), base)
+        snapshot_delete(spark.range(3, 6), base)
+        pre_tombs = [dict(r) for r in mf._load_header(base)["tomb_segs"]]
+        v = snapshot_rewrite_manifests(base)
+        post = mf._load_header(base, v)
+        # different bounds -> carried verbatim (same seg names)
+        assert [r["seg"] for r in post["tomb_segs"]] == [
+            r["seg"] for r in pre_tombs
+        ]
+        got = snapshot_read(spark, base)
+        assert got.count() == 114
+        assert got.filter(F.col("id") < 6).count() == 0

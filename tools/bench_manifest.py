@@ -20,6 +20,12 @@ entries:
                      ``_publish`` body). Linear in N.
 * ``log_s``        — ``snapshot_log`` over the whole store (header-only
                      on the new layout).
+* ``rewrite_s``    — ``snapshot_rewrite_manifests`` at a threshold that
+                     classifies the fabricated 5000-entry segments as
+                     already-consolidated: the fold materializes only
+                     the handful of small appended refs, so the time is
+                     flat in UNFOLDED mass (the round-11 incremental
+                     fold claim).
 
 The N-file table is fabricated from synthetic file ENTRIES (segments
 written through the real ``_seg_write``); the appended data is real.
@@ -155,6 +161,13 @@ def main() -> None:
         t0 = time.perf_counter()
         snapshot_log(spark, base).collect()
         log_s = time.perf_counter() - t0
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_rewrite_manifests,
+        )
+
+        t0 = time.perf_counter()
+        snapshot_rewrite_manifests(base, max_entries_per_seg=5000)
+        rewrite_s = time.perf_counter() - t0
         row = {
             "n_files": n,
             "append_s": round(append_s, 4),
@@ -163,6 +176,7 @@ def main() -> None:
             "legacy_commit_s": round(legacy_s, 4),
             "legacy_bytes": legacy_bytes,
             "log_s": round(log_s, 4),
+            "rewrite_s": round(rewrite_s, 4),
         }
         results.append(row)
         print(row, flush=True)
