@@ -366,6 +366,13 @@ def _seg_write(base: str, entries: "list[dict]") -> "dict | None":
         "n": len(entries),
         "rows": sum(int(e["rows"]) for e in entries),
         "part_stats": part_stats,
+        # the commit dirs this segment's entries live in — one for a
+        # commit-born segment, the folded set for a rewrite-
+        # consolidated one. Vacuum's segment-level diff uses it to
+        # open ONLY retained segments that could share files with the
+        # deletion candidates, and to keep the orphan sweep away from
+        # live commit dirs without enumerating their files.
+        "commits": sorted({e["commit"] for e in entries}),
     }
 
 
@@ -382,12 +389,11 @@ def _ref_exclude(ref: dict, tokens: "set[str]") -> "dict | None":
     }
     if not kept:
         return None
-    return {
-        "seg": ref["seg"],
-        "n": sum(v[0] for v in kept.values()),
-        "rows": sum(v[1] for v in kept.values()),
-        "part_stats": kept,
-    }
+    out = dict(ref)  # preserve commits/src-style metadata keys
+    out["n"] = sum(v[0] for v in kept.values())
+    out["rows"] = sum(v[1] for v in kept.values())
+    out["part_stats"] = kept
+    return out
 
 
 def _seg_entries(base: str, ref: dict) -> "list[dict]":
@@ -1782,9 +1788,15 @@ def snapshot_vacuum(
     every version whose commit timestamp is within that window — then
     drop those manifests. The deletion set is
     derived from MANIFEST DIFFS (referenced-by-dropped minus
-    referenced-by-retained) — no data-directory listing on the happy
-    path, which on an object store is exactly the walk the manifest
-    exists to avoid. A directory walk survives only as the ORPHAN
+    referenced-by-retained) computed at SEGMENT-REF level: a segment
+    is opened only when it can contribute — dropped segments whose
+    partitions are gone from every same-named retained ref, and
+    retained segments whose recorded commit set intersects the
+    candidates' commits (rewrite re-statements, restores) — so the
+    happy path (appends, carried refs) opens ZERO segments and a
+    maintenance drop opens O(dropped), not O(table). No
+    data-directory listing either way, which on an object store is
+    exactly the walk the manifest exists to avoid. A directory walk survives only as the ORPHAN
     sweep for aborted commits (files no manifest ever referenced),
     and it is age-guarded at COMMIT granularity: a commit directory's
     orphans are reclaimed only once its NEWEST file is older than
@@ -1825,31 +1837,71 @@ def snapshot_vacuum(
         retained = sorted(kept)
     dropped = [v for v in versions if v not in retained]
 
-    def _refs(vs, missing_ok=False):
-        files: set[str] = set()
-        segs: set[str] = set()
+    # SEGMENT-LEVEL diff (round-11 directive #5): the deletion set is
+    # computed at ref granularity first, and a segment is opened only
+    # when it can actually contribute — the happy path (appends,
+    # carried refs, rewrites whose segments survive) opens ZERO
+    # retained segments and only the dropped-side segments whose
+    # partitions are gone.
+    def _ref_maps(vs):
+        out: "dict[str, dict]" = {}
         for v in vs:
             h = _load_header(base, v)
             for ref in h["file_segs"] + h["tomb_segs"]:
-                segs.add(ref["seg"])
-                try:
-                    entries = _seg_entries(base, ref)
-                except FileNotFoundError:
-                    if not missing_ok:
-                        raise
-                    # a prior vacuum crashed between deleting this
-                    # segment and its manifest: the files it listed are
-                    # unreferenced orphans the age-guarded sweep owns
-                    continue
-                for e in entries:
-                    files.add(os.path.join(e["commit"], e["path"]))
-        return files, segs
+                d = out.setdefault(
+                    ref["seg"], {"parts": set(), "commits": set(), "legacy": False}
+                )
+                d["parts"] |= set(ref["part_stats"])
+                if "commits" in ref:
+                    d["commits"] |= set(ref["commits"])
+                else:
+                    d["legacy"] = True  # pre-round-11 ref: commits unknown
+        return out
 
-    # the keep-set must be COMPLETE (a missing retained segment would
-    # silently drop live files from it — raise); the drop-set tolerates
-    # segments a crashed earlier vacuum already removed
-    keep_files, keep_segs = _refs(retained)
-    drop_files, drop_segs = _refs(dropped, missing_ok=True)
+    kept_map = _ref_maps(retained)
+    drop_map = _ref_maps(dropped)
+    keep_segs = set(kept_map)
+    drop_segs = set(drop_map)
+
+    def _open(seg: str, parts: "set[str]") -> "list[dict]":
+        return _seg_entries(
+            base, {"seg": seg, "part_stats": {k: None for k in parts}}
+        )
+
+    # deletion CANDIDATES: per dropped segment, the partitions gone
+    # from every same-named retained ref (a segment whose retained
+    # part maps cover its dropped ones contributes nothing and is
+    # never opened)
+    drop_files: set[str] = set()
+    cand_commits: set[str] = set()
+    for seg, d in drop_map.items():
+        gone = d["parts"] - kept_map.get(seg, {"parts": set()})["parts"]
+        if not gone:
+            continue
+        try:
+            entries = _open(seg, gone)
+        except FileNotFoundError:
+            # a prior vacuum crashed between deleting this segment and
+            # its manifest: the files it listed are unreferenced
+            # orphans the age-guarded sweep owns
+            continue
+        for e in entries:
+            drop_files.add(os.path.join(e["commit"], e["path"]))
+            cand_commits.add(e["commit"])
+    # KEEP check: a candidate can only be referenced by a retained ref
+    # whose commit set intersects the candidates' commits (a rewrite
+    # re-stated it, or a restore resurrected its commit-born segment) —
+    # open exactly those, plus legacy refs whose commits are unknown.
+    # The keep-set must be complete, so a missing segment HERE raises.
+    keep_files: set[str] = set()
+    live_commits: set[str] = set()
+    for seg, d in kept_map.items():
+        live_commits |= d["commits"]
+        if not d["legacy"] and not (d["commits"] & cand_commits):
+            continue
+        for e in _open(seg, d["parts"]):
+            keep_files.add(os.path.join(e["commit"], e["path"]))
+            live_commits.add(e["commit"])
     # crash-safe order: manifests, then segments, then data files — the
     # reverse (segments before manifests) leaves a crash window where a
     # surviving dropped manifest references deleted segments and every
@@ -1884,20 +1936,30 @@ def snapshot_vacuum(
         if os.path.isdir(ddir):
             # group candidates by commit dir and gate on the commit's
             # NEWEST mtime: an in-flight writer's earliest files stay
-            # protected while its latest file is still fresh
+            # protected while its latest file is still fresh. LIVE
+            # commit dirs (referenced by any retained ref — known from
+            # the refs' commit lists without opening segments) are
+            # skipped wholesale: their files are governed by manifest
+            # diffs, never by the orphan walk.
             by_commit: dict[str, list[str]] = {}
             newest: dict[str, float] = {}
             for root, _dirs, files in os.walk(ddir):
                 for fname in files:
                     full = os.path.join(root, fname)
                     rel = os.path.relpath(full, ddir)
-                    if rel in keep_files:
+                    levels = rel.split(os.sep)
+                    commit = levels[0]
+                    # upsert commits record "cN_x/rows" and "cN_x/tomb"
+                    if (
+                        commit in live_commits
+                        or "/".join(levels[:2]) in live_commits
+                        or rel in keep_files
+                    ):
                         continue
                     try:
                         mt = os.path.getmtime(full)
                     except FileNotFoundError:
                         continue
-                    commit = rel.split(os.sep, 1)[0]
                     by_commit.setdefault(commit, []).append(full)
                     newest[commit] = max(newest.get(commit, 0.0), mt)
             for commit, cand in by_commit.items():

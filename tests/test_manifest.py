@@ -2090,3 +2090,140 @@ class TestRewriteManifestsIncremental:
         got = snapshot_read(spark, base)
         assert got.count() == 114
         assert got.filter(F.col("id") < 6).count() == 0
+
+
+class TestVacuumSegmentDiff:
+    def test_append_only_vacuum_opens_no_segments(self, spark, tmp_path, monkeypatch):
+        """Happy path (round-11 directive #5): every dropped version's
+        segments are carried into the retained header, so the diff is
+        pure ref math — ZERO segment files opened."""
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m85")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        for lo in (40, 80, 120):
+            snapshot_append(_frame(spark, lo, lo + 40), base)
+        opened: list[str] = []
+        real = mf._seg_entries
+
+        def spy(b, ref):
+            opened.append(ref["seg"])
+            return real(b, ref)
+
+        monkeypatch.setattr(mf, "_seg_entries", spy)
+        res = snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=None)
+        monkeypatch.undo()
+        assert opened == [], opened
+        assert res["manifests_deleted"] == 3 and res["files_deleted"] == 0
+        assert snapshot_read(spark, base).count() == 160
+
+    def test_optimize_drop_opens_only_dropped_segments(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A maintenance drop opens the dropped-side segments whose
+        partitions are gone; retained segments with disjoint commit
+        sets are never opened."""
+        import ddf_flink_spark.functions.manifest as mf
+        from ddf_flink_spark.functions.manifest import snapshot_optimize
+
+        base = _mkbase(tmp_path, "m86")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        for lo in (40, 80):
+            snapshot_append(_frame(spark, lo, lo + 40), base)
+        snapshot_optimize(spark, base, min_files=2)
+        retained_segs = {
+            r["seg"] for r in mf._load_header(base)["file_segs"]
+        }
+        opened: list[str] = []
+        real = mf._seg_entries
+
+        def spy(b, ref):
+            opened.append(ref["seg"])
+            return real(b, ref)
+
+        monkeypatch.setattr(mf, "_seg_entries", spy)
+        res = snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=None)
+        monkeypatch.undo()
+        assert opened and not (set(opened) & retained_segs), (
+            opened,
+            retained_segs,
+        )
+        assert res["files_deleted"] > 0
+        assert snapshot_read(spark, base).count() == 120
+
+    def test_restore_after_rewrite_keeps_resurrected_commit_files(
+        self, spark, tmp_path
+    ):
+        """The adversarial overlap case: a dropped rewrite segment
+        re-states files whose commit-born segment a restore brought
+        back into the retained head — the commit-set intersection must
+        keep those files on disk."""
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_rewrite_manifests,
+        )
+
+        base = _mkbase(tmp_path, "m87")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        for lo in (40, 80):
+            snapshot_append(_frame(spark, lo, lo + 40), base)
+        snapshot_rewrite_manifests(base)  # v4: seg R re-states c1..c3
+        snapshot_restore(base, 1)  # v5: back to v1's commit-born seg
+        res = snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=None)
+        assert res["manifests_deleted"] == 4
+        # v1's files survived the drop of R (which also listed them)
+        got = snapshot_read(spark, base)
+        assert got.count() == 40
+        assert sorted(r["id"] for r in got.collect()) == list(range(40))
+
+    def test_orphan_sweep_skips_live_commit_dirs(self, spark, tmp_path):
+        """The sweep must never walk into a commit dir any retained
+        ref references — even for unreferenced stragglers inside it
+        (they are the manifest diff's business, not the walk's)."""
+        import time as _time
+
+        base = _mkbase(tmp_path, "m88")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        m = _load_manifest(base)
+        live_dir = f"{base}/data/{m['files'][0]['commit']}"
+        straggler = f"{live_dir}/straggler.parquet.tmp"
+        with open(straggler, "w") as fh:
+            fh.write("x")
+        old = _time.time() - 10_000
+        os.utime(straggler, (old, old))
+        res = snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=3600)
+        assert os.path.exists(straggler)
+        assert res["files_deleted"] == 0
+        # a DEAD commit dir with the same age is reclaimed
+        dead = f"{base}/data/c000099_dead"
+        os.makedirs(dead)
+        deadfile = f"{dead}/part-0.parquet"
+        with open(deadfile, "w") as fh:
+            fh.write("x")
+        os.utime(deadfile, (old, old))
+        res = snapshot_vacuum(base, retain_last=1, orphan_grace_seconds=3600)
+        assert res["files_deleted"] == 1
+        assert not os.path.isdir(dead)
+
+    def test_upsert_live_commit_protected_from_sweep(self, spark, tmp_path):
+        """Upsert commits record 'cN/rows' + 'cN/tomb' — the two-level
+        commit match must protect both from the aged sweep."""
+        import time as _time
+
+        from ddf_flink_spark.functions.manifest import snapshot_upsert
+
+        base = _mkbase(tmp_path, "m89")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        snapshot_upsert(
+            _frame(spark, 20, 50).withColumn("val", F.lit(-1).cast("long")),
+            base,
+        )
+        # age EVERYTHING under data/, then sweep: live commits survive
+        old = _time.time() - 10_000
+        for root, _d, files in os.walk(f"{base}/data"):
+            for f in files:
+                os.utime(os.path.join(root, f), (old, old))
+        res = snapshot_vacuum(base, retain_last=10, orphan_grace_seconds=3600)
+        assert res["files_deleted"] == 0
+        got = snapshot_read(spark, base)
+        assert got.count() == 50
+        assert got.filter(F.col("val") == -1).count() == 30
