@@ -213,6 +213,26 @@ class DDFManager:
 
         return _rw(base)
 
+    def snapshot_change_stream(
+        self,
+        base: str,
+        consumer_dir: str,
+        start_version: "int | None" = None,
+    ):
+        """The snapshot table's change feed as a STREAMING source
+        (streaming/cdf.py; registry q298): a durable-cursor consumer
+        delivering one micro-batch per new version via
+        ``process_available(fn)`` — at-least-once per version, with
+        the version number as the replay key for idempotent sinks
+        (``txn=(app, version)``). ``start_version=N`` means the
+        consumer's state already incorporates version N (seed with
+        :meth:`snapshot_table`); default is the latest at attach."""
+        from .streaming.cdf import SnapshotChangeStream
+
+        return SnapshotChangeStream(
+            self.spark, base, consumer_dir, start_version=start_version
+        )
+
     def snapshot_vacuum(
         self,
         base: str,

@@ -17277,3 +17277,130 @@ def q297_snapshot_as_of_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(agg(snapshot_read(spark, base, as_of_ts=t_after), "latest"))
         .orderBy("snap", "o_orderpriority")
     )
+
+
+@query(
+    "q298_snapshot_cdf_stream",
+    oracle="""
+    WITH final AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 17 = 3 THEN -1.0 ELSE value END AS value
+      FROM events
+      WHERE event_id % 17 = 3 OR event_id % 13 != 5
+    )
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM final GROUP BY event_type
+    UNION ALL
+    SELECT '_optimize_delta_rows', 0, 0.0
+    ORDER BY event_type
+    """,
+)
+def q298_snapshot_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CHANGE FEED AS A STREAMING SOURCE (round-11 verdict
+    directive #1) — streaming/cdf.SnapshotChangeStream turns
+    ``snapshot_changes`` from a batch diff into a consumable stream:
+    one micro-batch per snapshot version behind a DURABLE cursor, so
+    the store's incremental consumers (q292's IVM, derived-index
+    refresh, shard re-packing) become a real produce→consume pipeline
+    instead of hand-rolled version polling — Delta CDF's readStream
+    composition. The upstream events table is built through the FULL
+    lifecycle: create + batch append, a Structured Streaming
+    ``foreachBatch`` ingest leg (batch-tagged, exactly-once under
+    replay — q283's discipline), a merge-on-read DELETE, an atomic
+    UPSERT (value := -1 for matched keys, including keys the delete
+    had removed), and a file-count OPTIMIZE. A downstream per-type
+    aggregate is maintained ONLY from the v1 seed plus the five CDF
+    deliveries folded as signed rows (+insert/−delete, q292's IVM
+    algebra); the oracle recomputes the final state directly from the
+    events table — incremental ≡ recompute, hash-enforced. The
+    OPTIMIZE delivery is pinned EMPTY in the output (physical rewrite,
+    zero logical change — '_optimize_delta_rows'): a CDF consumer
+    never re-shards because maintenance ran. At 100 TB: finding new
+    versions is a header listing; each delivery is bounded by the one
+    commit's differing files (segment-level diff), so a caught-up
+    consumer does O(commit) work per trigger regardless of table
+    size."""
+    import shutil
+
+    from .functions.manifest import (
+        snapshot_append,
+        snapshot_create,
+        snapshot_delete,
+        snapshot_optimize,
+        snapshot_read,
+        snapshot_upsert,
+    )
+    from .streaming.cdf import SnapshotChangeStream
+    from .streaming.core import events_stream
+
+    base = _session_tmp("q298")
+    cons = _session_tmp("q298_cursor")
+    for d in (base, cons, f"{base}_ckpt"):
+        shutil.rmtree(d, ignore_errors=True)  # fresh replay per invocation
+    cols = ["event_id", "event_type", "value"]
+    ev = t(spark, sf_dir, "events").select(*cols)
+    snapshot_create(
+        ev.filter(F.col("event_id") % 4 == 0), base,
+        part_col="event_type", id_col="event_id",
+    )
+    snapshot_append(ev.filter(F.col("event_id") % 4 == 1), base)
+    # the consumer's state incorporates v1 (its seed below) — deltas
+    # begin at 1→2 and include the pre-attach batch append
+    cs = SnapshotChangeStream(spark, base, cons, start_version=1)
+    (
+        events_stream(spark, sf_dir)
+        .select(*cols)
+        .filter(F.col("event_id") % 4 >= 2)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: snapshot_append(
+                bdf.select(*cols), base, batch_tag=f"b{bid}"
+            )
+        )
+        .option("checkpointLocation", f"{base}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    snapshot_delete(
+        ev.filter(F.col("event_id") % 13 == 5).select("event_id"), base
+    )
+    snapshot_upsert(
+        ev.filter(F.col("event_id") % 17 == 3).withColumn(
+            "value", F.lit(-1.0)
+        ),
+        base,
+    )
+    snapshot_optimize(spark, base, min_files=2)
+
+    seed = snapshot_read(spark, base, version=1).select(
+        "event_type", "value", F.lit(1).alias("sign")
+    )
+    deltas: "list[DataFrame]" = []
+
+    def fold(delta: DataFrame, v: int) -> None:
+        deltas.append(
+            delta.select(
+                "event_type",
+                "value",
+                F.when(F.col("_change") == "insert", 1)
+                .otherwise(-1)
+                .alias("sign"),
+            )
+        )
+
+    delivered = cs.process_available(fold)
+    assert delivered == 5, delivered  # v2..v6, one delivery each
+    opt_delta_rows = deltas[-1].count()  # v6 = optimize: empty feed
+    signed = seed
+    for d in deltas:
+        signed = signed.unionByName(d)
+    agg = signed.groupBy("event_type").agg(
+        F.sum("sign").alias("n"),
+        F.round(F.sum(F.col("value") * F.col("sign")), 2).alias("sum_value"),
+    )
+    sentinel = spark.createDataFrame(
+        [("_optimize_delta_rows", opt_delta_rows, 0.0)],
+        "event_type string, n long, sum_value double",
+    )
+    return agg.unionByName(sentinel).orderBy("event_type")
