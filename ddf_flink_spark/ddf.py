@@ -1232,7 +1232,9 @@ class DDF:
         O(#writers) metadata vs batch_tag's O(#batches)). ``retries=N``
         turns a publish race against a concurrent writer into
         bounded-backoff rebase: data is written once, only the
-        manifest header re-publishes."""
+        manifest header re-publishes. An append never conflicts
+        logically with concurrent commits (its rows are new), so
+        rebase is always safe here."""
         from .functions.manifest import snapshot_append as _append
 
         return _append(
@@ -1249,7 +1251,11 @@ class DDF:
         """MERGE this DDF into the snapshot table at ``base`` in one
         atomic commit: matched ids update, new ids insert (registry
         q291); ``batch_tag``/``txn`` give exactly-once replay and
-        ``retries`` optimistic-concurrency rebase."""
+        ``retries`` optimistic-concurrency rebase. Rebase contract:
+        a retried upsert is LAST-WRITER-WINS over concurrently
+        committed rows with matching ids (its tombstones' scope moves
+        past the concurrent commit — the intended CDC-apply
+        semantics); use ``retries=0`` to abort on conflict instead."""
         from .functions.manifest import snapshot_upsert as _upsert
 
         return _upsert(

@@ -175,7 +175,11 @@ class DDFManager:
         """Merge-on-read delete: tombstone ``ids`` (O(|ids|), no data
         rewrite); reads anti-join until :meth:`snapshot_compact`.
         ``retries`` rebase a lost publish race (tombstones written
-        once; header-only retry)."""
+        once; header-only retry). Rebase contract: a retried delete is
+        LAST-WRITER-WINS — its tombstones' scope moves past commits
+        published during the race, so matching ids a concurrent writer
+        just appended are deleted too (CDC-apply semantics); use
+        ``retries=0`` to abort on conflict instead."""
         from .functions.manifest import snapshot_delete as _delete
 
         return _delete(
