@@ -1697,6 +1697,7 @@ def snapshot_optimize(
     min_files: int = 2,
     parts: "list | None" = None,
     max_records_per_file: "int | None" = None,
+    cluster_by: "list[str] | None" = None,
 ) -> int:
     """SMALL-FILE COMPACTION (the OPTIMIZE of the table formats) as an
     ordinary commit: every partition holding at least ``min_files``
@@ -1718,7 +1719,17 @@ def snapshot_optimize(
     one (the writer splits at that row count; "one file per partition"
     is the small-table default, not the scale posture). Folding
     commits also bounds the reader's union width: every optimized
-    partition's files land in ONE commit directory."""
+    partition's files land in ONE commit directory.
+
+    ``cluster_by=[cols]`` additionally SORTS the rewritten rows within
+    each partition by those columns before the writer splits files —
+    stats-clustered OPTIMIZE (the sort-order rewrite of the table
+    formats; linear order, since the zone map records per-column
+    min/max). Combined with ``max_records_per_file``, a hot
+    partition's files get near-disjoint ranges on the cluster columns,
+    so ``between=``/``point=`` probes admit ~1 file instead of all of
+    them — streaming ingest interleaves arrival order; this is the op
+    that restores scan-time locality on a schedule."""
     parent = _load_header(base)
     part_col = parent["part_col"]
     if part_col is None:
@@ -1748,6 +1759,11 @@ def snapshot_optimize(
     packed = snapshot_read(
         spark, base, parts=targets, apply_tombstones=True, parts_escaped=True
     ).repartition(*pcs)
+    if cluster_by:
+        # partition cols lead the sort so each partition's rows form
+        # one contiguous sorted run within its task — the writer then
+        # splits that run into range-disjoint files
+        packed = packed.sortWithinPartitions(*pcs, *cluster_by)
     if max_records_per_file is None:
         return snapshot_replace_partitions(
             packed, base, targets, op="optimize", parts_escaped=True

@@ -17404,3 +17404,85 @@ def q298_snapshot_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n long, sum_value double",
     )
     return agg.unionByName(sentinel).orderBy("event_type")
+
+
+@query(
+    "q299_snapshot_clustered_optimize",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events WHERE user_id BETWEEN 40 AND 49
+    GROUP BY event_type
+    UNION ALL
+    SELECT '_zone_map_pruned', 1, 0.0
+    ORDER BY event_type
+    """,
+)
+def q299_snapshot_clustered_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-CLUSTERED OPTIMIZE (round-11 stretch directive #7) — the
+    sort-order rewrite of the table formats: streaming ingest
+    interleaves arrival order, so every file's min/max on a query
+    column spans the whole domain and the zone map admits EVERYTHING;
+    ``snapshot_optimize(cluster_by=["user_id"],
+    max_records_per_file=...)`` rewrites each partition as
+    range-disjoint files, after which a ``between=`` probe admits a
+    strict subset of the manifest — pinned here as a deterministic
+    metric row ('_zone_map_pruned' = 1 iff admitted < total), with the
+    probed aggregate hash-checked against the oracle's direct
+    recompute. The rewrite is an ordinary commit (empty change feed,
+    pinned in unit tests); at 100 TB this is the scheduled op that
+    restores scan-time locality a foreachBatch writer cannot provide
+    at ingest."""
+    import shutil
+
+    from .functions.manifest import (
+        _load_manifest,
+        _stats_admits,
+        snapshot_append,
+        snapshot_create,
+        snapshot_optimize,
+        snapshot_read,
+    )
+
+    base = _session_tmp("q299")
+    shutil.rmtree(base, ignore_errors=True)
+    cols = ["event_id", "event_type", "user_id", "value"]
+    ev = t(spark, sf_dir, "events").select(*cols)
+    # four arrival-interleaved commits, one file per partition each —
+    # every file covers the full user_id domain
+    snapshot_create(
+        ev.filter(F.col("event_id") % 4 == 0).repartition(1), base,
+        part_col="event_type", id_col="event_id", stats_cols=["user_id"],
+    )
+    for r in (1, 2, 3):
+        snapshot_append(ev.filter(F.col("event_id") % 4 == r).repartition(1), base)
+
+    def admitted(lo: int, hi: int) -> "tuple[int, int]":
+        m = _load_manifest(base)
+        n = sum(
+            1
+            for e in m["files"]
+            if e.get("stats", {}).get("user_id") is None
+            or _stats_admits(e["stats"]["user_id"], lo, hi)
+        )
+        return n, len(m["files"])
+
+    pre_adm, pre_total = admitted(40, 49)
+    snapshot_optimize(
+        spark, base, min_files=2, max_records_per_file=500,
+        cluster_by=["user_id"],
+    )
+    post_adm, post_total = admitted(40, 49)
+    pruned = int(post_adm < post_total and pre_adm == pre_total)
+    agg = (
+        snapshot_read(spark, base, between=("user_id", 40, 49))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    sentinel = spark.createDataFrame(
+        [("_zone_map_pruned", pruned, 0.0)],
+        "event_type string, n long, sum_value double",
+    )
+    return agg.unionByName(sentinel).orderBy("event_type")

@@ -2345,3 +2345,61 @@ class TestSnapshotChangeStream:
         snapshot_append(_frame(spark, 20, 30), base)
         cs = self._consumer(spark, tmp_path, base, "c95")
         assert cs.cursor() == 2 and cs.pending() == []
+
+
+class TestClusteredOptimize:
+    def test_cluster_by_tightens_zone_maps(self, spark, tmp_path):
+        """Round-11 stretch: streaming-interleaved arrival order makes
+        every file's val range span the domain (zone map admits all);
+        OPTIMIZE(cluster_by=['val'], max_records_per_file=...) rewrites
+        each partition as range-disjoint files, so a between probe
+        admits a strict subset — and the result stays row-exact."""
+        import ddf_flink_spark.functions.manifest as mf
+        from ddf_flink_spark.functions.manifest import snapshot_optimize
+
+        base = _mkbase(tmp_path, "m96")
+        # four interleaved commits: each covers the FULL val domain
+        df0 = (
+            spark.range(0, 400)
+            .withColumn("cell", (F.col("id") % 2).cast("int"))
+            .withColumn("val", (F.col("id") * 7919 % 1000).cast("long"))
+        )
+        snapshot_create(
+            df0.filter(F.col("id") % 4 == 0).repartition(2), base,
+            part_col="cell", stats_cols=["val"],
+        )
+        for r in (1, 2, 3):
+            snapshot_append(
+                df0.filter(F.col("id") % 4 == r).repartition(2), base
+            )
+
+        def admitted(lo, hi):
+            m = mf._load_manifest(base)
+            return sum(
+                1
+                for e in m["files"]
+                if e.get("stats", {}).get("val") is None
+                or mf._stats_admits(e["stats"]["val"], lo, hi)
+            ), len(m["files"])
+
+        adm_pre, total_pre = admitted(100, 150)
+        assert adm_pre == total_pre  # interleaved: every file admits
+        v = snapshot_optimize(
+            spark, base, min_files=2,
+            max_records_per_file=50, cluster_by=["val"],
+        )
+        adm_post, total_post = admitted(100, 150)
+        assert total_post >= 4  # split into several files per partition
+        assert adm_post < total_post, (adm_post, total_post)
+        assert adm_post <= 2 * 2  # ~1 range-file per partition (+ties)
+        # row-exactness unchanged
+        got = snapshot_read(spark, base, between=("val", 100, 150))
+        exact = df0.filter((F.col("val") >= 100) & (F.col("val") <= 150))
+        assert got.count() == exact.count()
+        assert {r["id"] for r in got.collect()} == {
+            r["id"] for r in exact.collect()
+        }
+        # still an ordinary commit: empty change feed across it
+        from ddf_flink_spark.functions.manifest import snapshot_changes
+
+        assert snapshot_changes(spark, base, v - 1, v).count() == 0
