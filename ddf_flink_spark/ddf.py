@@ -1247,19 +1247,24 @@ class DDF:
         batch_tag: "str | None" = None,
         retries: int = 0,
         txn: "tuple | None" = None,
+        isolation: str = "lww",
     ) -> int:
         """MERGE this DDF into the snapshot table at ``base`` in one
         atomic commit: matched ids update, new ids insert (registry
         q291); ``batch_tag``/``txn`` give exactly-once replay and
         ``retries`` optimistic-concurrency rebase. Rebase contract:
-        a retried upsert is LAST-WRITER-WINS over concurrently
-        committed rows with matching ids (its tombstones' scope moves
-        past the concurrent commit — the intended CDC-apply
-        semantics); use ``retries=0`` to abort on conflict instead."""
+        with the default ``isolation='lww'`` a retried upsert is
+        LAST-WRITER-WINS over concurrently committed rows with
+        matching ids (its tombstones' scope moves past the concurrent
+        commit — the intended CDC-apply semantics);
+        ``isolation='strict'`` aborts the rebase when a raced commit
+        could touch this batch's ids (metadata-bounded stats/Bloom
+        check); ``retries=0`` aborts on ANY race."""
         from .functions.manifest import snapshot_upsert as _upsert
 
         return _upsert(
-            self._df, base, batch_tag=batch_tag, retries=retries, txn=txn
+            self._df, base, batch_tag=batch_tag, retries=retries, txn=txn,
+            isolation=isolation,
         )
 
     # --------------------------------------------------------------- factors

@@ -994,13 +994,94 @@ def snapshot_append(
     return _apply_with_retry(base, apply, retries)
 
 
-def snapshot_delete(ids: DataFrame, base: str, retries: int = 0) -> int:
+def _check_isolation(isolation: str) -> None:
+    if isolation not in ("lww", "strict"):
+        raise ValueError(
+            f"isolation must be 'lww' or 'strict', got {isolation!r}"
+        )
+
+
+def _probe_vals_from_commit(
+    commit_dir: str, entries: "list[dict]", rows: int, id_col: str
+):
+    """The id values a delete/upsert just wrote, read back from its own
+    tombstone parquet (driver-side, bounded) for the strict-isolation
+    admission check — None when the set is too large to collect, which
+    strict mode treats as 'cannot clear any concurrent data commit'."""
+    if rows > _CHANGES_PRUNE_MAX_IDS:
+        return None
+    import pyarrow.parquet as pq
+
+    vals: list = []
+    for e in entries:
+        vals += pq.read_table(
+            os.path.join(commit_dir, e["path"]), columns=[id_col]
+        )[id_col].to_pylist()
+    return vals
+
+
+def _strict_rebase_check(
+    base: str, from_v: int, to_v: int, id_col: str, probe_vals
+) -> None:
+    """Strict-isolation gate for delete/upsert rebase — Delta's
+    WriteSerializable conflict detection, metadata-bounded: walk the
+    versions committed between the snapshot this write was PREPARED
+    against and the rebase parent and raise :class:`SnapshotConflict`
+    if any could change the visibility of rows this write's ids
+    address. Physical/metadata-only ops (optimize, compact,
+    rewrite_manifests — they fold or re-bin what already existed)
+    never conflict; a concurrent delete/upsert/restore/replace (or any
+    unknown op) always does, since its id scope is not provable from
+    headers; a concurrent APPEND conflicts only if one of its new file
+    entries ADMITS one of our ids by per-file stats/Bloom —
+    conservative in the safe direction: a false positive aborts a
+    rebase that would have been harmless, never the reverse. O(versions
+    raced × their own segments) metadata, zero data reads."""
+    for v in range(int(from_v) + 1, int(to_v) + 1):
+        h = _load_header(base, v)
+        op = h["op"]
+        if op in ("optimize", "compact", "rewrite_manifests"):
+            continue
+        if op != "append" or probe_vals is None:
+            raise SnapshotConflict(
+                f"strict isolation: concurrent v{v} ({op}) may change "
+                "the visibility of rows this write addresses — "
+                "re-prepare against the current snapshot, or use "
+                "isolation='lww' for last-writer-wins rebase"
+            )
+        prev_segs = {r["seg"] for r in _load_header(base, v - 1)["file_segs"]}
+        for ref in h["file_segs"]:
+            if ref["seg"] in prev_segs:
+                continue
+            for e in _seg_entries(base, ref):
+                if any(_entry_admits(e, id_col, p) for p in probe_vals):
+                    raise SnapshotConflict(
+                        f"strict isolation: concurrent v{v} (append) may "
+                        "contain ids this write addresses (per-file "
+                        "stats/Bloom admit one) — re-prepare against the "
+                        "current snapshot, or use isolation='lww'"
+                    )
+
+
+def snapshot_delete(
+    ids: DataFrame, base: str, retries: int = 0, isolation: str = "lww"
+) -> int:
     """Merge-on-read delete: commit ``ids`` (any one-column frame) as
     tombstone files — O(|ids|), no data rewrite. Reads anti-join the
     tombstones until :func:`snapshot_compact` folds them in. Time
     travel to the pre-delete version still serves the rows (erasure of
     HISTORY is :func:`snapshot_vacuum` retention policy, the same
-    split GDPR tooling makes)."""
+    split GDPR tooling makes).
+
+    Rebase contract (``retries=N``): the default ``isolation='lww'``
+    is LAST-WRITER-WINS — a rebased delete's tombstone scope moves
+    past commits published during the race, so matching ids a
+    concurrent writer just appended are deleted too (the intended
+    CDC-apply semantics). ``isolation='strict'`` instead aborts the
+    rebase (:class:`SnapshotConflict`) when any raced commit could
+    touch this delete's ids (:func:`_strict_rebase_check`);
+    ``retries=0`` aborts on ANY race."""
+    _check_isolation(isolation)
     parent0 = _load_header(base)
     commit_dir = _next_commit_dir(base, int(parent0["version"]) + 1)
     shutil.rmtree(commit_dir, ignore_errors=True)
@@ -1009,8 +1090,23 @@ def snapshot_delete(ids: DataFrame, base: str, retries: int = 0) -> int:
     entries, rows = _scan_files(commit_dir, None, [])
     ref = _seg_write(base, entries)
     tomb_schema = keyed.schema.json()
+    probe_vals = (
+        _probe_vals_from_commit(commit_dir, entries, rows, parent0["id_col"])
+        if isolation == "strict"
+        else None
+    )
 
     def apply(parent: dict):
+        if isolation == "strict" and int(parent["version"]) != int(
+            parent0["version"]
+        ):
+            _strict_rebase_check(
+                base,
+                parent0["version"],
+                parent["version"],
+                parent0["id_col"],
+                probe_vals,
+            )
         m = _child(parent, "delete")
         if ref:
             # applies only to data commits older than this delete: a
@@ -1029,6 +1125,7 @@ def snapshot_upsert(
     batch_tag: "str | None" = None,
     retries: int = 0,
     txn: "tuple | None" = None,
+    isolation: str = "lww",
 ) -> int:
     """MERGE-shaped UPSERT in ONE atomic commit: every row of ``df``
     REPLACES any existing row with the same id (tombstone on the
@@ -1047,7 +1144,14 @@ def snapshot_upsert(
     be anti-joined away by the tombstones they shipped with — the
     read path applies tombstones only to files from STRICTLY OLDER
     commits (each file entry knows its commit; the tombstone commit
-    id rides the tombstone entries)."""
+    id rides the tombstone entries).
+
+    Rebase contract (``retries=N``): the default ``isolation='lww'``
+    is LAST-WRITER-WINS — a rebased upsert's tombstone scope covers
+    matching ids from the commits it raced (CDC-apply semantics);
+    ``isolation='strict'`` aborts the rebase when any raced commit
+    could touch this batch's ids (:func:`_strict_rebase_check`)."""
+    _check_isolation(isolation)
     parent0 = _load_header(base)
     if batch_tag is not None and batch_tag in parent0["batch_tags"]:
         return int(parent0["version"])
@@ -1074,6 +1178,13 @@ def snapshot_upsert(
         os.path.join(commit_dir, "tomb"), None, []
     )
     tomb_schema = df.select(id_col).schema.json()
+    probe_vals = (
+        _probe_vals_from_commit(
+            os.path.join(commit_dir, "tomb"), tomb_entries, removed, id_col
+        )
+        if isolation == "strict"
+        else None
+    )
 
     # The upsert invariant ties the batch's rows to its tombstones'
     # scope through the commit-dir VERSION: rows tagged _cv=V with
@@ -1092,6 +1203,13 @@ def snapshot_upsert(
             return int(parent["version"])
         if _txn_seen(parent, txn):
             return int(parent["version"])
+        if isolation == "strict" and int(parent["version"]) != int(
+            parent0["version"]
+        ):
+            _strict_rebase_check(
+                base, parent0["version"], parent["version"], id_col,
+                probe_vals,
+            )
         target_v = int(parent["version"]) + 1
         if _commit_version(os.path.basename(commit_dir)) != target_v:
             new_dir = _next_commit_dir(base, target_v)

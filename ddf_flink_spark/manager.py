@@ -170,20 +170,28 @@ class DDFManager:
         return self.new_ddf(snapshot_log(self.spark, base))
 
     def snapshot_delete(
-        self, base: str, ids: "DDF | DataFrame", retries: int = 0
+        self,
+        base: str,
+        ids: "DDF | DataFrame",
+        retries: int = 0,
+        isolation: str = "lww",
     ) -> int:
         """Merge-on-read delete: tombstone ``ids`` (O(|ids|), no data
         rewrite); reads anti-join until :meth:`snapshot_compact`.
         ``retries`` rebase a lost publish race (tombstones written
-        once; header-only retry). Rebase contract: a retried delete is
-        LAST-WRITER-WINS — its tombstones' scope moves past commits
-        published during the race, so matching ids a concurrent writer
-        just appended are deleted too (CDC-apply semantics); use
-        ``retries=0`` to abort on conflict instead."""
+        once; header-only retry). Rebase contract: with the default
+        ``isolation='lww'`` a retried delete is LAST-WRITER-WINS — its
+        tombstones' scope moves past commits published during the
+        race, so matching ids a concurrent writer just appended are
+        deleted too (CDC-apply semantics); ``isolation='strict'``
+        aborts the rebase when a raced commit could touch this
+        delete's ids (metadata-bounded stats/Bloom check);
+        ``retries=0`` aborts on ANY race."""
         from .functions.manifest import snapshot_delete as _delete
 
         return _delete(
-            ids.df if isinstance(ids, DDF) else ids, base, retries=retries
+            ids.df if isinstance(ids, DDF) else ids, base, retries=retries,
+            isolation=isolation,
         )
 
     def snapshot_compact(self, base: str) -> int:

@@ -2403,3 +2403,149 @@ class TestClusteredOptimize:
         from ddf_flink_spark.functions.manifest import snapshot_changes
 
         assert snapshot_changes(spark, base, v - 1, v).count() == 0
+
+
+class TestStrictIsolation:
+    """isolation='strict': Delta-WriteSerializable-shaped conflict
+    detection on delete/upsert rebase, metadata-bounded (per-file
+    stats/Bloom admission against the write's own id set)."""
+
+    def _steal(self, mf, base, df_steal, op="append"):
+        parent = mf._load_header(base)
+        commit_dir = mf._next_commit_dir(base, parent["version"] + 1)
+        w = df_steal.write.mode("overwrite")
+        if parent["part_col"]:
+            w = w.partitionBy(parent["part_col"])
+        w.parquet(commit_dir)
+        entries, rows = mf._scan_files(
+            commit_dir, parent["part_col"], parent["stats_cols"]
+        )
+        ref = mf._seg_write(base, entries)
+        m = mf._child(parent, op)
+        m["file_segs"].append(ref)
+        m["rows_added"] = rows
+        mf._publish(base, m)
+
+    def _racing_delete(self, spark, tmp_path, name, steal_lo, steal_hi, **kw):
+        """snapshot_delete(ids 0..5) racing a concurrent append of
+        [steal_lo, steal_hi) injected at first publish."""
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, name)
+        snapshot_create(
+            _frame(spark, 0, 40), base, part_col="cell", stats_cols=["id"]
+        )
+        real_publish = mf._publish
+        state = {"fired": False}
+
+        def racing_publish(b, header):
+            if not state["fired"] and header["op"] == "delete":
+                state["fired"] = True
+                self._steal(mf, b, _frame(spark, steal_lo, steal_hi))
+            return real_publish(b, header)
+
+        import unittest.mock as mock
+
+        with mock.patch.object(mf, "_publish", racing_publish):
+            v = mf.snapshot_delete(spark.range(0, 5), base, **kw)
+        assert state["fired"]
+        return base, v
+
+    def test_strict_rebase_clears_disjoint_concurrent_append(
+        self, spark, tmp_path
+    ):
+        """Concurrent append whose id range is DISJOINT from the
+        delete's ids: stats admission clears it — the rebase proceeds
+        and both commits land."""
+        base, v = self._racing_delete(
+            spark, tmp_path, "m97", 100, 120, retries=3, isolation="strict"
+        )
+        assert v == 3
+        got = snapshot_read(spark, base)
+        assert got.count() == 40 - 5 + 20
+        assert got.filter(F.col("id") < 5).count() == 0
+
+    def test_strict_rebase_aborts_on_overlapping_concurrent_append(
+        self, spark, tmp_path
+    ):
+        """Concurrent append WITH an overlapping id: strict mode aborts
+        instead of silently deleting the row it never saw (which is
+        exactly what lww does, by contract)."""
+        with pytest.raises(SnapshotConflict, match="strict isolation"):
+            self._racing_delete(
+                spark, tmp_path, "m98", 3, 10, retries=3, isolation="strict"
+            )
+
+    def test_lww_rebase_covers_overlap_by_contract(self, spark, tmp_path):
+        base, v = self._racing_delete(
+            spark, tmp_path, "m99", 3, 10, retries=3, isolation="lww"
+        )
+        got = snapshot_read(spark, base)
+        # lww: the concurrent 3..9 rows with ids < 5 are deleted too
+        assert got.filter(F.col("id") < 5).count() == 0
+
+    def test_strict_aborts_on_concurrent_delete(self, spark, tmp_path):
+        import unittest.mock as mock
+
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m100")
+        snapshot_create(
+            _frame(spark, 0, 40), base, part_col="cell", stats_cols=["id"]
+        )
+        real_publish = mf._publish
+        real_delete = mf.snapshot_delete
+        state = {"fired": False}
+
+        def racing_publish(b, header):
+            if not state["fired"] and header["op"] == "upsert":
+                state["fired"] = True
+                real_delete(spark.range(30, 35), b)
+            return real_publish(b, header)
+
+        batch = (
+            spark.range(10, 15)
+            .withColumn("cell", (F.col("id") % 4).cast("int"))
+            .withColumn("val", F.lit(-9).cast("long"))
+        )
+        with mock.patch.object(mf, "_publish", racing_publish):
+            with pytest.raises(SnapshotConflict, match="strict isolation"):
+                mf.snapshot_upsert(batch, base, retries=3, isolation="strict")
+        assert state["fired"]
+
+    def test_strict_clears_concurrent_optimize(self, spark, tmp_path):
+        """Physical/metadata-only maintenance never conflicts: a
+        concurrent OPTIMIZE is cleared by op type alone."""
+        import unittest.mock as mock
+
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m101")
+        snapshot_create(
+            _frame(spark, 0, 40), base, part_col="cell", stats_cols=["id"]
+        )
+        snapshot_append(_frame(spark, 40, 80), base)
+        real_publish = mf._publish
+        state = {"fired": False}
+
+        def racing_publish(b, header):
+            if not state["fired"] and header["op"] == "delete":
+                state["fired"] = True
+                mf.snapshot_optimize(spark, b, min_files=2)
+            return real_publish(b, header)
+
+        with mock.patch.object(mf, "_publish", racing_publish):
+            v = mf.snapshot_delete(
+                spark.range(0, 5), base, retries=3, isolation="strict"
+            )
+        assert state["fired"] and v == 4
+        got = snapshot_read(spark, base)
+        assert got.count() == 75
+
+    def test_bad_isolation_value_rejected(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "m102")
+        snapshot_create(_frame(spark, 0, 10), base)
+        with pytest.raises(ValueError, match="isolation"):
+            from ddf_flink_spark.functions.manifest import snapshot_delete
+
+            snapshot_delete(spark.range(0, 2), base, isolation="serializable")
