@@ -1248,11 +1248,14 @@ class DDF:
         retries: int = 0,
         txn: "tuple | None" = None,
         isolation: str = "lww",
+        merge_schema: bool = False,
     ) -> int:
         """MERGE this DDF into the snapshot table at ``base`` in one
         atomic commit: matched ids update, new ids insert (registry
         q291); ``batch_tag``/``txn`` give exactly-once replay and
-        ``retries`` optimistic-concurrency rebase. Rebase contract:
+        ``retries`` optimistic-concurrency rebase. New columns need
+        ``merge_schema=True`` (ADD-COLUMN evolution, same rule as
+        :meth:`snapshot_append`); type changes are rejected. Rebase contract:
         with the default ``isolation='lww'`` a retried upsert is
         LAST-WRITER-WINS over concurrently committed rows with
         matching ids (its tombstones' scope moves past the concurrent
@@ -1264,7 +1267,7 @@ class DDF:
 
         return _upsert(
             self._df, base, batch_tag=batch_tag, retries=retries, txn=txn,
-            isolation=isolation,
+            isolation=isolation, merge_schema=merge_schema,
         )
 
     # --------------------------------------------------------------- factors

@@ -356,16 +356,23 @@ def _seg_write(base: str, entries: "list[dict]") -> "dict | None":
         os.fsync(fh.fileno())
     os.rename(tmp, _seg_path(base, name))  # immutable once named
     part_stats: dict[str, list[int]] = {}
+    part_bytes: dict[str, int] = {}
     for e in entries:
         k = _part_key(e.get("part"))
         st = part_stats.setdefault(k, [0, 0])
         st[0] += 1
         st[1] += int(e["rows"])
+        part_bytes[k] = part_bytes.get(k, 0) + int(e.get("bytes", 0))
     return {
         "seg": name,
         "n": len(entries),
         "rows": sum(int(e["rows"]) for e in entries),
         "part_stats": part_stats,
+        # per-partition byte totals: the header-level signal size-aware
+        # OPTIMIZE targeting (small_file_bytes=) reads without opening
+        # a segment — kept separate from part_stats so the [n, rows]
+        # summary format (and every consumer unpacking it) is stable
+        "part_bytes": part_bytes,
         # the commit dirs this segment's entries live in — one for a
         # commit-born segment, the folded set for a rewrite-
         # consolidated one. Vacuum's segment-level diff uses it to
@@ -393,6 +400,10 @@ def _ref_exclude(ref: dict, tokens: "set[str]") -> "dict | None":
     out["n"] = sum(v[0] for v in kept.values())
     out["rows"] = sum(v[1] for v in kept.values())
     out["part_stats"] = kept
+    if "part_bytes" in ref:
+        out["part_bytes"] = {
+            k: v for k, v in ref["part_bytes"].items() if k in kept
+        }
     return out
 
 
@@ -744,6 +755,7 @@ def _scan_files(
                     "path": os.path.relpath(full, commit_dir),
                     "part": part,
                     "rows": rows,
+                    "bytes": os.path.getsize(full),
                     "_full": full,
                     **({"stats": stats} if stats else {}),
                 }
@@ -897,6 +909,39 @@ def _txn_seen(header: dict, txn) -> bool:
     return cur is not None and int(ver) <= int(cur)
 
 
+def _schema_evolve(
+    parent: dict, df_schema: StructType, merge_schema: bool, op: str
+) -> "str | None":
+    """Validate a write's schema against the table's recorded schema
+    and return the evolved schema JSON (or None when unchanged).
+    ADD-COLUMN evolution only, gated on ``merge_schema``; a type
+    change is always rejected — accepting one would not fail here but
+    at some future READ, deep inside a Spark task (the recorded-schema
+    scan meets an incompatible page), which is the worst place to
+    learn about it."""
+    recorded = StructType.fromJson(json.loads(parent["schema"]))
+    by_name = {f.name: f for f in recorded.fields}
+    new_fields = []
+    for f in df_schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            new_fields.append(f)
+        elif old.dataType != f.dataType:
+            raise ValueError(
+                f"{op}: column '{f.name}' is {old.dataType} in the table "
+                f"but {f.dataType} in the write — type changes are a "
+                "rewrite, not an incremental commit"
+            )
+    if not new_fields:
+        return None
+    if not merge_schema:
+        raise ValueError(
+            f"{op}: new columns {[f.name for f in new_fields]} — pass "
+            "merge_schema=True to evolve the table schema"
+        )
+    return StructType(list(recorded.fields) + new_fields).json()
+
+
 def snapshot_append(
     df: DataFrame,
     base: str,
@@ -958,28 +1003,11 @@ def snapshot_append(
         if _txn_seen(parent, txn):
             return int(parent["version"])
         m = _child(parent, "append")
-        recorded = StructType.fromJson(json.loads(parent["schema"]))
-        by_name = {f.name: f for f in recorded.fields}
-        new_fields = []
-        for f in df.schema.fields:
-            old = by_name.get(f.name)
-            if old is None:
-                new_fields.append(f)
-            elif old.dataType != f.dataType:
-                raise ValueError(
-                    f"snapshot_append: column '{f.name}' is {old.dataType} "
-                    f"in the table but {f.dataType} in the append — type "
-                    "changes are a rewrite, not an append"
-                )
-        if new_fields:
-            if not merge_schema:
-                raise ValueError(
-                    "snapshot_append: new columns "
-                    f"{[f.name for f in new_fields]} — pass merge_schema="
-                    "True to evolve the table schema"
-                )
-            evolved = StructType(list(recorded.fields) + new_fields)
-            m["schema"] = evolved.json()
+        evolved = _schema_evolve(
+            parent, df.schema, merge_schema, "snapshot_append"
+        )
+        if evolved is not None:
+            m["schema"] = evolved
         if ref:
             m["file_segs"].append(dict(ref))
         m["rows_added"] = rows
@@ -1126,6 +1154,7 @@ def snapshot_upsert(
     retries: int = 0,
     txn: "tuple | None" = None,
     isolation: str = "lww",
+    merge_schema: bool = False,
 ) -> int:
     """MERGE-shaped UPSERT in ONE atomic commit: every row of ``df``
     REPLACES any existing row with the same id (tombstone on the
@@ -1150,7 +1179,13 @@ def snapshot_upsert(
     is LAST-WRITER-WINS — a rebased upsert's tombstone scope covers
     matching ids from the commits it raced (CDC-apply semantics);
     ``isolation='strict'`` aborts the rebase when any raced commit
-    could touch this batch's ids (:func:`_strict_rebase_check`)."""
+    could touch this batch's ids (:func:`_strict_rebase_check`).
+
+    Schema discipline matches :func:`snapshot_append`: new columns
+    require ``merge_schema=True`` (ADD-COLUMN evolution; old files
+    read back with NULL), and a type change is rejected up front —
+    without the check the store would accept the files and then fail
+    at some future read, inside a Spark task."""
     _check_isolation(isolation)
     parent0 = _load_header(base)
     if batch_tag is not None and batch_tag in parent0["batch_tags"]:
@@ -1210,6 +1245,9 @@ def snapshot_upsert(
                 base, parent0["version"], parent["version"], id_col,
                 probe_vals,
             )
+        evolved = _schema_evolve(
+            parent, df.schema, merge_schema, "snapshot_upsert"
+        )
         target_v = int(parent["version"]) + 1
         if _commit_version(os.path.basename(commit_dir)) != target_v:
             new_dir = _next_commit_dir(base, target_v)
@@ -1225,6 +1263,8 @@ def snapshot_upsert(
         row_ref = _seg_write(base, row_entries)
         tomb_ref = _seg_write(base, tomb_entries)
         m = _child(parent, "upsert")
+        if evolved is not None:
+            m["schema"] = evolved
         if row_ref:
             m["file_segs"].append(dict(row_ref))
         if tomb_ref:
@@ -1816,6 +1856,7 @@ def snapshot_optimize(
     parts: "list | None" = None,
     max_records_per_file: "int | None" = None,
     cluster_by: "list[str] | None" = None,
+    small_file_bytes: "int | None" = None,
 ) -> int:
     """SMALL-FILE COMPACTION (the OPTIMIZE of the table formats) as an
     ordinary commit: every partition holding at least ``min_files``
@@ -1847,25 +1888,51 @@ def snapshot_optimize(
     partition's files get near-disjoint ranges on the cluster columns,
     so ``between=``/``point=`` probes admit ~1 file instead of all of
     them — streaming ingest interleaves arrival order; this is the op
-    that restores scan-time locality on a schedule."""
+    that restores scan-time locality on a schedule.
+
+    ``small_file_bytes=N`` makes targeting SIZE-aware from the refs'
+    per-partition byte census (header math, no segment opened): a
+    partition qualifies only when its average file size is under N, so
+    a scheduled OPTIMIZE never churns partitions that are already
+    right-sized — the header-level analog of Iceberg's binpack
+    file-size filter."""
     parent = _load_header(base)
     part_col = parent["part_col"]
     if part_col is None:
         raise ValueError("snapshot_optimize needs a partitioned table")
     counts: dict[str, int] = {}
+    part_bytes: dict[str, int] = {}
+    bytes_known: dict[str, bool] = {}
     for ref in parent["file_segs"]:
+        pb = ref.get("part_bytes")
         for k, (n, _rows) in ref["part_stats"].items():
             counts[k] = counts.get(k, 0) + n
+            if pb is None or k not in pb:
+                bytes_known[k] = False  # legacy ref: no byte census
+            else:
+                bytes_known.setdefault(k, True)
+                part_bytes[k] = part_bytes.get(k, 0) + int(pb[k])
     pcs = _part_cols(parent)
     want = (
         None
         if parts is None
         else {_part_value_token(p, len(pcs)) for p in parts}
     )
+    # size-aware targeting (Iceberg binpack's header-level analog):
+    # with small_file_bytes set, a partition qualifies only when its
+    # AVERAGE file size is below the threshold — right-sized
+    # partitions are never churned by the schedule. Partitions whose
+    # refs predate the byte census stay count-targeted (conservative).
     targets = sorted(
         p
         for p, n in counts.items()
-        if n >= min_files and (want is None or p in want)
+        if n >= min_files
+        and (want is None or p in want)
+        and (
+            small_file_bytes is None
+            or not bytes_known.get(p, False)
+            or part_bytes[p] / n < small_file_bytes
+        )
     )
     if not targets:
         return int(parent["version"])

@@ -2549,3 +2549,89 @@ class TestStrictIsolation:
             from ddf_flink_spark.functions.manifest import snapshot_delete
 
             snapshot_delete(spark.range(0, 2), base, isolation="serializable")
+
+
+class TestUpsertSchemaDiscipline:
+    """Round-11 hardening: upsert used to accept schema drift — a new
+    column silently vanished on read (recorded-schema scan), and a
+    type change broke the store at some FUTURE read inside a Spark
+    task. Upsert now validates like append."""
+
+    def test_new_column_requires_merge_schema(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_upsert
+
+        base = _mkbase(tmp_path, "m103")
+        snapshot_create(_frame(spark, 0, 20), base, part_col="cell")
+        up = _frame(spark, 5, 10).withColumn("extra", F.lit("x"))
+        with pytest.raises(ValueError, match="merge_schema"):
+            snapshot_upsert(up, base)
+        v = snapshot_upsert(up, base, merge_schema=True)
+        got = snapshot_read(spark, base, version=v)
+        assert "extra" in got.columns
+        rows = {r["id"]: r["extra"] for r in got.collect()}
+        assert rows[5] == "x" and rows[0] is None  # old rows NULL-fill
+        assert len(rows) == 20
+
+    def test_type_change_rejected_up_front(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_upsert
+
+        base = _mkbase(tmp_path, "m104")
+        snapshot_create(_frame(spark, 0, 20), base, part_col="cell")
+        bad = (
+            spark.range(0, 3)
+            .withColumn("cell", (F.col("id") % 4).cast("int"))
+            .withColumn("val", F.lit("not-a-long"))
+        )
+        with pytest.raises(ValueError, match="type changes are a rewrite"):
+            snapshot_upsert(bad, base)
+        # store unharmed: still fully readable
+        assert snapshot_read(spark, base).count() == 20
+
+
+class TestSizeAwareOptimize:
+    def test_refs_carry_part_bytes(self, spark, tmp_path):
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m105")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        h = mf._load_header(base)
+        ref = h["file_segs"][0]
+        assert "part_bytes" in ref
+        m = mf._load_manifest(base)
+        by_part: dict = {}
+        for e in m["files"]:
+            assert e["bytes"] > 0
+            k = mf._part_key(e["part"])
+            by_part[k] = by_part.get(k, 0) + e["bytes"]
+        assert ref["part_bytes"] == by_part
+
+    def test_small_file_bytes_skips_right_sized_partitions(
+        self, spark, tmp_path
+    ):
+        from ddf_flink_spark.functions.manifest import snapshot_optimize
+
+        base = _mkbase(tmp_path, "m106")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        snapshot_append(_frame(spark, 40, 80), base)
+        v = snapshot_versions(base)[-1]
+        # threshold below every real file size: nothing qualifies
+        assert (
+            snapshot_optimize(spark, base, min_files=2, small_file_bytes=1)
+            == v
+        )
+        # generous threshold: the small files fold as usual
+        v2 = snapshot_optimize(
+            spark, base, min_files=2, small_file_bytes=10**9
+        )
+        assert v2 == v + 1
+        assert snapshot_read(spark, base).count() == 80
+
+    def test_ref_exclude_shrinks_part_bytes(self, spark, tmp_path):
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "m107")
+        snapshot_create(_frame(spark, 0, 40), base, part_col="cell")
+        ref = mf._load_header(base)["file_segs"][0]
+        out = mf._ref_exclude(ref, {"0", "1"})
+        assert set(out["part_stats"]) == {"2", "3"}
+        assert set(out["part_bytes"]) == {"2", "3"}
