@@ -17486,3 +17486,93 @@ def q299_snapshot_clustered_optimize(spark: SparkSession, sf_dir: str) -> DataFr
         "event_type string, n long, sum_value double",
     )
     return agg.unionByName(sentinel).orderBy("event_type")
+
+
+@query(
+    "q300_cdf_derived_index_refresh",
+    oracle=(
+        "SELECT * FROM ("
+        + _q248_oracle()
+        + ") WHERE id % 9 != 4 ORDER BY id"
+    ),
+)
+def q300_cdf_derived_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVED-INDEX REFRESH FROM THE CHANGE FEED — the consumer the
+    CDF stream (q298) was built for, closing the round-10 verdict's
+    'top_next' loop end-to-end: a SOURCE-OF-TRUTH embeddings table
+    lives in one snapshot store; its IVFADC codes table (the derived
+    artifact ANN serving reads) lives in ANOTHER, and after seeding it
+    is maintained ONLY by a SnapshotChangeStream consumer — never a
+    rebuild, never a full rescan. Each delivery encodes the delta's
+    inserts against the FROZEN model (ivfadc_encode: a pure map,
+    q248's rule) and upserts them with ``txn=("idx", version)``
+    (redelivery-safe), and cascades the delta's deletes as
+    merge-on-read tombstones on the codes store. The final derived
+    table equals the full-chain DuckDB training oracle (q248's family)
+    restricted to the surviving ids — incremental maintenance ≡ batch
+    recompute, bit-for-bit on every code. At 100 TB: per delivery the
+    consumer touches O(one commit's differing files) upstream and
+    O(|delta|) downstream; the source table is never rescanned after
+    the seed, which is the entire economics of CDC-driven index
+    maintenance (the Delta CDF + MERGE pattern)."""
+    import shutil
+
+    from .functions.manifest import (
+        snapshot_append,
+        snapshot_create,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_upsert,
+    )
+    from .functions.similarity import ivfadc_encode, ivfadc_index_build
+    from .storage import release_checkpoint
+    from .streaming.cdf import SnapshotChangeStream
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # frozen model, trained once on the full corpus (q245's sidecars)
+    index, coarse, cents = ivfadc_index_build(
+        t(spark, sf_dir, "embeddings"), n_lists=8, m=4, k=4, iters=2
+    )
+    release_checkpoint(index)  # the derived table is rebuilt from CDF only
+
+    up = _session_tmp("q300_up")
+    down = _session_tmp("q300_codes")
+    cons = _session_tmp("q300_cursor")
+    for d in (up, down, cons):
+        shutil.rmtree(d, ignore_errors=True)  # fresh replay per invocation
+    snapshot_create(e.filter(F.col("vec_id") % 3 == 0), up, id_col="vec_id")
+    # seed the derived store from the v1 snapshot, then attach at v1
+    snapshot_create(
+        ivfadc_encode(snapshot_read(spark, up, version=1), coarse, cents),
+        down,
+        part_col="list_id",
+        id_col="id",
+    )
+    cs = SnapshotChangeStream(spark, up, cons, start_version=1)
+    snapshot_append(e.filter(F.col("vec_id") % 3 == 1), up)  # v2
+    snapshot_append(e.filter(F.col("vec_id") % 3 == 2), up)  # v3
+    snapshot_delete(
+        e.filter(F.col("vec_id") % 9 == 4).select("vec_id"), up
+    )  # v4
+
+    def refresh(delta: DataFrame, v: int) -> None:
+        dels = delta.filter(F.col("_change") == "delete").select("vec_id")
+        if not dels.isEmpty():
+            snapshot_delete(dels, down)
+        ins = delta.filter(F.col("_change") == "insert").drop("_change")
+        if not ins.isEmpty():
+            snapshot_upsert(
+                ivfadc_encode(ins, coarse, cents), down, txn=("idx", v)
+            )
+
+    delivered = cs.process_available(refresh)
+    assert delivered == 3, delivered
+    return (
+        snapshot_read(spark, down)
+        .select(
+            "id",
+            F.col("list_id").cast("int").alias("list_id"),
+            *[F.col(f"code{j}").cast("int").alias(f"code{j}") for j in range(4)],
+        )
+        .orderBy("id")
+    )
