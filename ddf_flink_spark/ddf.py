@@ -1270,6 +1270,46 @@ class DDF:
             isolation=isolation, merge_schema=merge_schema,
         )
 
+    def snapshot_merge(
+        self,
+        base: str,
+        when_matched_update: "list[str] | str | None" = "all",
+        when_matched_delete=None,
+        when_not_matched_insert: bool = True,
+        batch_tag: "str | None" = None,
+        retries: int = 0,
+        txn: "tuple | None" = None,
+        isolation: str = "lww",
+        merge_schema: bool = False,
+    ) -> int:
+        """Conditional MERGE of this DDF into the snapshot table at
+        ``base`` — ONE atomic commit (registry q301): rows matching
+        ``when_matched_delete`` (a SQL string / Column over the source
+        row, e.g. ``"op = 'd'"``) delete their target row;
+        other matched rows update — the whole row
+        (``when_matched_update="all"``), only the listed columns
+        (``["colA"]``, keeping the rest from the current target row),
+        or nothing (``None``); unmatched rows insert when
+        ``when_not_matched_insert`` (missing columns fill NULL). The
+        CDC-apply surface: an op-coded I/U/D batch lands in one
+        commit, no torn read between the delete and the insert.
+        Source columns the table lacks (the op code) are dropped
+        unless ``merge_schema=True`` evolves them in. ``batch_tag`` /
+        ``txn`` / ``retries`` / ``isolation`` as in
+        :meth:`snapshot_upsert`; matched rows resolve against the
+        snapshot current at call time, scan-bounded by stats/Bloom
+        admission of the batch's ids when small."""
+        from .functions.manifest import snapshot_merge as _merge
+
+        return _merge(
+            self._df, base,
+            when_matched_update=when_matched_update,
+            when_matched_delete=when_matched_delete,
+            when_not_matched_insert=when_not_matched_insert,
+            batch_tag=batch_tag, retries=retries, txn=txn,
+            isolation=isolation, merge_schema=merge_schema,
+        )
+
     # --------------------------------------------------------------- factors
     def set_as_factor(self, column: str) -> "DDF":
         """Mark categorical (core setAsFactor; ``BinningHandlerSpec.scala:19-22``)."""

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["morton_key", "morton_key_sql"]
+__all__ = ["morton_key", "morton_key_sql", "zorder_key_n"]
 
 
 def morton_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
@@ -42,6 +42,39 @@ def morton_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
         # y's bit i shifts to 2i+1.
         key = key.bitwiseOR(F.shiftleft(xc.bitwiseAND(F.lit(1 << i)), i))
         key = key.bitwiseOR(F.shiftleft(yc.bitwiseAND(F.lit(1 << i)), i + 1))
+    return key
+
+
+def zorder_key_n(cols: "list[Column]", bits: int = 8) -> Column:
+    """Generalized Z-order key: round-robin interleave the low ``bits``
+    bits of ``k ≥ 2`` non-negative integer columns — column ``j``'s bit
+    ``i`` lands at position ``i·k + j``, so every column contributes to
+    the key's high bits equally and a sort by the key gives EVERY
+    column locality (the k-dimensional curve behind multi-column
+    Z-ORDER clustering; :func:`morton_key` is the k=2, x-first special
+    case with the two operands swapped). Inputs are mask-truncated to
+    ``bits`` bits like every Z-order implementation; ``k·bits ≤ 62``
+    keeps the key in a signed long. Same whole-stage-codegen
+    ``&``/``<<``/``|`` composition as :func:`morton_key` — no UDF."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError(f"zorder_key_n needs ≥ 2 columns, got {k}")
+    if not 1 <= bits or k * bits > 62:
+        raise ValueError(
+            f"k·bits must be in [k, 62] for a signed-long key: "
+            f"k={k}, bits={bits}"
+        )
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            # the column's bit i (still at position i after the mask)
+            # shifts left to its interleaved slot i·k + j
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    c.cast("long").bitwiseAND(F.lit(1 << i)),
+                    i * (k - 1) + j,
+                )
+            )
     return key
 
 

@@ -666,7 +666,15 @@ def _stats_admits(st: list, lo, hi) -> bool:
     the probe range [lo, hi] (raw, un-encoded values)? Conservative on
     ANY kind mismatch — mixed-kind probe bounds, probe kind differing
     from the recorded kind, or a non-numeric comparison — the file is
-    kept and the row-level filter stays the source of truth."""
+    kept and the row-level filter stays the source of truth.
+
+    Legacy note: stats recorded by PRE-kind manifests (2-element, no
+    kind tag) read as numeric, so a temporal probe against a
+    temporal column recorded by an old writer degrades to
+    keep-everything — pruning on those columns silently pauses (never
+    wrong results, just no skipping) until the files are rewritten
+    with current stats (``snapshot_optimize`` on the affected
+    partitions restores it)."""
     kinds = {_stats_kind(lo), _stats_kind(hi)}
     if len(kinds) != 1:
         return True
@@ -1092,7 +1100,12 @@ def _strict_rebase_check(
 
 
 def snapshot_delete(
-    ids: DataFrame, base: str, retries: int = 0, isolation: str = "lww"
+    ids: DataFrame,
+    base: str,
+    retries: int = 0,
+    isolation: str = "lww",
+    batch_tag: "str | None" = None,
+    txn: "tuple | None" = None,
 ) -> int:
     """Merge-on-read delete: commit ``ids`` (any one-column frame) as
     tombstone files — O(|ids|), no data rewrite. Reads anti-join the
@@ -1100,6 +1113,12 @@ def snapshot_delete(
     travel to the pre-delete version still serves the rows (erasure of
     HISTORY is :func:`snapshot_vacuum` retention policy, the same
     split GDPR tooling makes).
+
+    ``batch_tag`` / ``txn=(app, version)`` give the same replay
+    idempotency as :func:`snapshot_append` — a CDF consumer cascading
+    deletes downstream (q300's shape) tags the leg with the delivered
+    version so a crash-redelivery is a no-op instead of a duplicate
+    tombstone commit.
 
     Rebase contract (``retries=N``): the default ``isolation='lww'``
     is LAST-WRITER-WINS — a rebased delete's tombstone scope moves
@@ -1111,6 +1130,10 @@ def snapshot_delete(
     ``retries=0`` aborts on ANY race."""
     _check_isolation(isolation)
     parent0 = _load_header(base)
+    if batch_tag is not None and batch_tag in parent0["batch_tags"]:
+        return int(parent0["version"])
+    if _txn_seen(parent0, txn):
+        return int(parent0["version"])
     commit_dir = _next_commit_dir(base, int(parent0["version"]) + 1)
     shutil.rmtree(commit_dir, ignore_errors=True)
     keyed = ids.select(F.col(ids.columns[0]).alias(parent0["id_col"]))
@@ -1125,6 +1148,10 @@ def snapshot_delete(
     )
 
     def apply(parent: dict):
+        if batch_tag is not None and batch_tag in parent["batch_tags"]:
+            return int(parent["version"])
+        if _txn_seen(parent, txn):
+            return int(parent["version"])
         if isolation == "strict" and int(parent["version"]) != int(
             parent0["version"]
         ):
@@ -1142,9 +1169,68 @@ def snapshot_delete(
             m["tomb_segs"].append(dict(ref, applies_before=m["version"]))
         m["tomb_schema"] = m.get("tomb_schema") or tomb_schema
         m["rows_removed"] = rows
+        if batch_tag is not None:
+            m["batch_tags"].append(batch_tag)
+        if txn is not None:
+            m["txns"][str(txn[0])] = int(txn[1])
         return m
 
     return _apply_with_retry(base, apply, retries)
+
+
+def snapshot_delete_where(
+    spark: SparkSession,
+    base: str,
+    where: "str | None" = None,
+    between: "tuple | None" = None,
+    point: "tuple | None" = None,
+    retries: int = 0,
+    isolation: str = "lww",
+    batch_tag: "str | None" = None,
+    txn: "tuple | None" = None,
+) -> int:
+    """DELETE WHERE — the retention job's surface: resolve the ids
+    matching a predicate via a MANIFEST-PRUNED scan, then tombstone
+    them through the ordinary :func:`snapshot_delete` path (no data
+    rewrite; fold later with compact/optimize).
+
+    The predicate comes in two forms that compose (AND):
+    ``between=(col, lo, hi)`` / ``point=(col, value)`` ride
+    :func:`snapshot_read`'s zone-map / Bloom file admission, so the
+    resolving scan reads only the files whose recorded stats admit the
+    range — O(matching-partition scan), not O(table), whenever the
+    stats can prune (the age-based ``delete_where(between=("ts", 0,
+    cutoff))`` a retention schedule runs against a ts-clustered
+    table); ``where="<sql>"`` is an arbitrary row predicate applied on
+    top (alone it scans the table once — exactly what the equivalent
+    DELETE in any table format costs). The scan projects ONLY the id
+    column, so Spark's parquet reader never touches the other columns'
+    pages. Returns the new version — or the CURRENT version without
+    committing anything when no row matches (a no-op retention tick
+    must not burn a version per schedule fire).
+
+    ``batch_tag`` / ``txn`` / ``retries`` / ``isolation`` carry the
+    same contracts as :func:`snapshot_delete`. Note the ids are
+    resolved against the snapshot CURRENT AT CALL TIME; under
+    ``isolation='lww'`` a rebased publish keeps exactly that id set
+    (rows appended during the race are NOT re-matched — predicate
+    re-evaluation would need ``isolation='strict'`` + retry at the
+    caller, the same contract Delta's DELETE rebase has)."""
+    parent0 = _load_header(base)
+    if batch_tag is not None and batch_tag in parent0["batch_tags"]:
+        return int(parent0["version"])
+    if _txn_seen(parent0, txn):
+        return int(parent0["version"])
+    scan = snapshot_read(spark, base, between=between, point=point)
+    if where is not None:
+        scan = scan.filter(where)
+    ids = scan.select(parent0["id_col"])
+    if ids.isEmpty():
+        return int(parent0["version"])
+    return snapshot_delete(
+        ids, base, retries=retries, isolation=isolation,
+        batch_tag=batch_tag, txn=txn,
+    )
 
 
 def snapshot_upsert(
@@ -1186,6 +1272,42 @@ def snapshot_upsert(
     read back with NULL), and a type change is rejected up front —
     without the check the store would accept the files and then fail
     at some future read, inside a Spark task."""
+    return _merge_shaped_commit(
+        df,
+        None,
+        base,
+        "upsert",
+        batch_tag=batch_tag,
+        retries=retries,
+        txn=txn,
+        isolation=isolation,
+        merge_schema=merge_schema,
+    )
+
+
+def _merge_shaped_commit(
+    df: DataFrame,
+    tomb_ids: "DataFrame | None",
+    base: str,
+    op: str,
+    batch_tag: "str | None" = None,
+    retries: int = 0,
+    txn: "tuple | None" = None,
+    isolation: str = "lww",
+    merge_schema: bool = False,
+    prepared_version: "int | None" = None,
+) -> int:
+    """The upsert/merge commit engine: append ``df``'s rows AND
+    tombstone ``tomb_ids`` (default: ``df``'s own ids) in ONE atomic
+    manifest publication, with the rows scoped to survive the
+    tombstones they shipped with (``applies_before`` = this commit's
+    version). :func:`snapshot_upsert` passes ``tomb_ids=None``
+    (replace-by-id); :func:`snapshot_merge` passes the union of its
+    matched-update and matched-delete ids, which may exceed or
+    undercut the row batch's own ids — and pins ``prepared_version``
+    to the snapshot its matched-row reads were planned against, so the
+    strict-isolation rebase check covers the whole prepare→publish
+    window, not just the publish race."""
     _check_isolation(isolation)
     parent0 = _load_header(base)
     if batch_tag is not None and batch_tag in parent0["batch_tags"]:
@@ -1195,11 +1317,19 @@ def snapshot_upsert(
     commit_dir = _next_commit_dir(base, int(parent0["version"]) + 1)
     shutil.rmtree(commit_dir, ignore_errors=True)
     id_col = parent0["id_col"]
+    recorded = StructType.fromJson(json.loads(parent0["schema"]))
+    id_field = next(f for f in recorded.fields if f.name == id_col)
     w = df.write.mode("overwrite")
     if parent0["part_col"] is not None:
         w = w.partitionBy(*_part_cols(parent0))
     w.parquet(os.path.join(commit_dir, "rows"))
-    df.select(id_col).distinct().write.mode("overwrite").parquet(
+    if tomb_ids is None:
+        tomb_ids = df.select(id_col)
+    # cast to the RECORDED id type so the tombstone parquet always
+    # reads back under the one tomb_schema the manifest records
+    tomb_ids.select(
+        F.col(tomb_ids.columns[0]).cast(id_field.dataType).alias(id_col)
+    ).distinct().write.mode("overwrite").parquet(
         os.path.join(commit_dir, "tomb")
     )
     row_entries, rows = _scan_files(
@@ -1212,7 +1342,11 @@ def snapshot_upsert(
     tomb_entries, removed = _scan_files(
         os.path.join(commit_dir, "tomb"), None, []
     )
-    tomb_schema = df.select(id_col).schema.json()
+    if rows == 0:
+        row_entries = []  # delete-only merge: no empty data segment
+    if removed == 0:
+        tomb_entries = []  # insert-only merge: no empty tombstone seg
+    tomb_schema = StructType([id_field]).json()
     probe_vals = (
         _probe_vals_from_commit(
             os.path.join(commit_dir, "tomb"), tomb_entries, removed, id_col
@@ -1231,6 +1365,9 @@ def snapshot_upsert(
     # stays O(files-touched). A plain _apply_with_retry would leave
     # the rows at the old _cv and the batch's own tombstones (rebased
     # to the new version) would erase them.
+    prep_v = int(
+        parent0["version"] if prepared_version is None else prepared_version
+    )
     attempt = 0
     while True:
         parent = _load_header(base)
@@ -1238,15 +1375,12 @@ def snapshot_upsert(
             return int(parent["version"])
         if _txn_seen(parent, txn):
             return int(parent["version"])
-        if isolation == "strict" and int(parent["version"]) != int(
-            parent0["version"]
-        ):
+        if isolation == "strict" and int(parent["version"]) != prep_v:
             _strict_rebase_check(
-                base, parent0["version"], parent["version"], id_col,
-                probe_vals,
+                base, prep_v, parent["version"], id_col, probe_vals,
             )
         evolved = _schema_evolve(
-            parent, df.schema, merge_schema, "snapshot_upsert"
+            parent, df.schema, merge_schema, f"snapshot_{op}"
         )
         target_v = int(parent["version"]) + 1
         if _commit_version(os.path.basename(commit_dir)) != target_v:
@@ -1262,7 +1396,7 @@ def snapshot_upsert(
         # loser's segment is an orphan vacuum reclaims)
         row_ref = _seg_write(base, row_entries)
         tomb_ref = _seg_write(base, tomb_entries)
-        m = _child(parent, "upsert")
+        m = _child(parent, op)
         if evolved is not None:
             m["schema"] = evolved
         if row_ref:
@@ -1283,6 +1417,240 @@ def snapshot_upsert(
             if attempt > retries:
                 raise
             time.sleep(min(0.05 * (2 ** (attempt - 1)), 1.0))
+
+
+def snapshot_merge(
+    source: DataFrame,
+    base: str,
+    when_matched_update: "list[str] | str | None" = "all",
+    when_matched_delete=None,
+    when_not_matched_insert: bool = True,
+    batch_tag: "str | None" = None,
+    retries: int = 0,
+    txn: "tuple | None" = None,
+    isolation: str = "lww",
+    merge_schema: bool = False,
+) -> int:
+    """Conditional MERGE — the CDC-apply surface (Delta ``MERGE``,
+    Iceberg ``MERGE INTO``), in ONE atomic commit. ``source`` rows
+    match target rows on the table's id column; per row:
+
+    * ``when_matched_delete=<condition>`` (a Column or SQL string
+      evaluated on the SOURCE row — e.g. ``"op = 'd'"``): matching
+      source rows DELETE their target row (merge-on-read tombstone)
+      and contribute nothing else.
+    * ``when_matched_update``: what a matched (non-delete) source row
+      does — ``"all"`` (default) replaces the whole target row with
+      the source row (upsert semantics, no target read needed);
+      ``["colA", "colB"]`` updates ONLY those columns, keeping every
+      other column from the CURRENT target row (``UPDATE SET
+      <subset>``); ``None`` leaves matched rows untouched
+      (insert-only merge).
+    * ``when_not_matched_insert=True`` inserts unmatched source rows
+      (columns the source lacks fill with NULL); ``False`` drops them.
+
+    All three effects ride ONE manifest publication (tombstones for
+    matched-update/delete ids + the projected insert/update rows
+    scoped to survive them) — no reader can observe the delete without
+    the insert. An op-coded CDC batch (mixed I/U/D with op codes, the
+    q300 feed shape) therefore applies in a single commit::
+
+        snapshot_merge(batch, base, when_matched_update=["val"],
+                       when_matched_delete="op = 'd'",
+                       txn=("apply", batch_id))
+
+    Matched rows are resolved against the snapshot CURRENT AT CALL
+    TIME, with the scan bounded by per-file stats/Bloom admission of
+    the source ids when the id set is small (≤ ``_CHANGES_PRUNE_MAX_IDS``)
+    — the same metadata pruning the change feed uses, so a trickle
+    merge against a huge table reads O(admitting files), not O(table);
+    conservative admission (never a false negative) keeps matched-ness
+    exact. Source columns the table lacks (e.g. the op code) are
+    DROPPED unless ``merge_schema=True``, which ADD-COLUMN-evolves
+    them into the table like :func:`snapshot_append` — drop the op
+    column first if evolution is on. For partial-column updates the
+    source must be unique per id (multiple matches per target row make
+    the update ambiguous — the same precondition Delta's MERGE
+    enforces).
+
+    ``batch_tag`` / ``txn`` give exactly-once replay;
+    ``isolation='strict'`` + ``retries`` aborts the rebase when any
+    commit raced between prepare and publish could touch this batch's
+    ids, covering the matched-row read window too."""
+    spark = source.sparkSession
+    parent0 = _load_header(base)
+    if batch_tag is not None and batch_tag in parent0["batch_tags"]:
+        return int(parent0["version"])
+    if _txn_seen(parent0, txn):
+        return int(parent0["version"])
+    id_col = parent0["id_col"]
+    recorded = StructType.fromJson(json.loads(parent0["schema"]))
+    table_cols = [f.name for f in recorded.fields]
+    upd = when_matched_update
+    if isinstance(upd, str):
+        if upd != "all":
+            raise ValueError(
+                "when_matched_update must be 'all', a column list, or "
+                f"None — got {upd!r}"
+            )
+    elif upd is not None:
+        upd = list(upd)
+        if id_col in upd:
+            raise ValueError(
+                f"when_matched_update cannot include the merge key "
+                f"'{id_col}'"
+            )
+        missing = [c for c in upd if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"when_matched_update columns {missing} absent from the "
+                "source"
+            )
+    if id_col not in source.columns:
+        raise ValueError(f"source lacks the merge key column '{id_col}'")
+
+    if when_matched_delete is not None:
+        cond = (
+            F.expr(when_matched_delete)
+            if isinstance(when_matched_delete, str)
+            else when_matched_delete
+        )
+        del_ids = source.filter(cond).select(id_col)
+        rest = source.filter(~F.coalesce(cond, F.lit(False)))
+    else:
+        del_ids = None
+        rest = source
+
+    def _target():
+        """The current snapshot, its scan bounded (when the source id
+        set is small) to files whose stats/Bloom admit a source id —
+        matched-ness stays exact because admission has no false
+        negatives."""
+        m = _load_manifest(base, int(parent0["version"]))
+        entries = m["files"]
+        probe = (
+            rest.select(id_col)
+            .distinct()
+            .limit(_CHANGES_PRUNE_MAX_IDS + 1)
+            .collect()
+        )  # bounded: ≤ _CHANGES_PRUNE_MAX_IDS + 1 rows
+        if (
+            len(probe) <= _CHANGES_PRUNE_MAX_IDS
+            and len(entries) * max(1, len(probe))
+            <= _PROBE_ADMISSION_MAX_CHECKS
+        ):
+            vals = [r[0] for r in probe]
+            entries = [
+                e
+                for e in entries
+                if any(_entry_admits(e, id_col, v) for v in vals)
+            ]
+        scoped = bool(m["tombstones"])
+        tgt = _read_entries(
+            spark, base, entries, m["schema"], m["part_col"],
+            tag_commit_version=scoped,
+        )
+        if scoped:
+            tgt = _anti_tombstones(tgt, _tomb_frame(spark, base, m), id_col)
+        return tgt
+
+    out_fields = list(recorded.fields)
+    if merge_schema:
+        out_fields += [
+            f for f in source.schema.fields if f.name not in table_cols
+        ]
+
+    def _project(df: DataFrame) -> DataFrame:
+        # every leg projects to the SAME output fields (NULL-filled
+        # when a leg lacks one) so the legs union cleanly; columns the
+        # table lacks are dropped here unless merge_schema evolves them
+        return df.select(
+            *[
+                F.col(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in out_fields
+            ]
+        )
+
+    legs: "list[DataFrame]" = []
+    tomb_frames: "list[DataFrame]" = (
+        [del_ids] if del_ids is not None else []
+    )
+    if upd == "all":
+        if when_not_matched_insert:
+            legs.append(_project(rest))
+            tomb_frames.append(rest.select(id_col))
+        else:
+            matched = rest.join(
+                _target().select(id_col).distinct(), on=id_col,
+                how="left_semi",
+            )
+            legs.append(_project(matched))
+            tomb_frames.append(matched.select(id_col))
+    elif upd is not None:
+        tgt = _target()
+        srcu = rest.select(id_col, *upd)
+        upd_rows = (
+            tgt.alias("t")
+            .join(srcu.alias("s"), F.col(f"t.{id_col}") == F.col(f"s.{id_col}"))
+            .select(
+                *[
+                    F.col(f"s.{c}").alias(c)
+                    if c in upd
+                    else F.col(f"t.{c}").alias(c)
+                    for c in tgt.columns
+                ]
+            )
+        )
+        legs.append(_project(upd_rows))
+        tomb_frames.append(upd_rows.select(id_col))
+        if when_not_matched_insert:
+            legs.append(
+                _project(
+                    rest.join(
+                        tgt.select(id_col).distinct(), on=id_col,
+                        how="left_anti",
+                    )
+                )
+            )
+    else:  # matched rows untouched: insert-only merge
+        if when_not_matched_insert:
+            legs.append(
+                _project(
+                    rest.join(
+                        _target().select(id_col).distinct(), on=id_col,
+                        how="left_anti",
+                    )
+                )
+            )
+
+    if legs:
+        body = legs[0]
+        for other in legs[1:]:
+            body = body.unionByName(other)
+    else:
+        body = spark.createDataFrame([], recorded)
+    if tomb_frames:
+        tomb = tomb_frames[0]
+        for other in tomb_frames[1:]:
+            tomb = tomb.unionByName(
+                other.toDF(*tomb.columns), allowMissingColumns=False
+            )
+    else:
+        tomb = spark.createDataFrame([], StructType([recorded[id_col]]))
+    return _merge_shaped_commit(
+        body,
+        tomb,
+        base,
+        "merge",
+        batch_tag=batch_tag,
+        retries=retries,
+        txn=txn,
+        isolation=isolation,
+        merge_schema=merge_schema,
+        prepared_version=int(parent0["version"]),
+    )
 
 
 def snapshot_restore(base: str, version: int) -> int:
@@ -1547,7 +1915,11 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
         pcs = _part_cols(parent_h)
         probe_entries = parent["files"]
         n_tomb_rows = sum(int(r["rows"]) for r in parent_h["tomb_segs"])
-        if n_tomb_rows <= _CHANGES_PRUNE_MAX_IDS:
+        if (
+            n_tomb_rows <= _CHANGES_PRUNE_MAX_IDS
+            and len(probe_entries) * max(1, n_tomb_rows)
+            <= _PROBE_ADMISSION_MAX_CHECKS
+        ):
             tomb_ids = [
                 r[0] for r in tomb.select(id_col).distinct().collect()
             ]  # bounded: ≤ n_tomb_rows ≤ _CHANGES_PRUNE_MAX_IDS
@@ -1674,6 +2046,13 @@ def snapshot_replace_partitions(
 # Blooms against the flipped-tombstone id set, but only when that set
 # is small enough for driver-side admission checks to stay cheap.
 _CHANGES_PRUNE_MAX_IDS = 1024
+
+# Driver-side stats/Bloom admission is ~µs per (entry, id) check; the
+# prunes that loop entries × ids (compact's affected-file probe,
+# merge's matched-read bound) cap the PRODUCT so a huge manifest can
+# never spend longer deciding whether to prune than the pruned scan
+# would save — above the cap they skip straight to the full scan.
+_PROBE_ADMISSION_MAX_CHECKS = 4_000_000
 
 
 def snapshot_changes(
@@ -1849,6 +2228,64 @@ def snapshot_changes(
     )
 
 
+_ZORDER_BITS = 8  # 256 buckets/column; k·bits ≤ 62 caps k at 7 columns
+
+
+def _zorder_sort_key(df: DataFrame, cols: "list[str]"):
+    """The Z-order sort key for a multi-column ``cluster_by`` rewrite:
+    equal-width bucket ids (``width_bucket`` against a min/max census
+    of ``df`` — ONE agg job over the partitions being rewritten, the
+    same shape Delta's Z-ORDER pays for its range ids) interleaved via
+    :func:`layout.zorder_key_n`. Returns None when any column's type
+    has no numeric order (strings — caller falls back to lexical) or
+    when more than 7 columns are asked for (62-bit key budget).
+    Dates/timestamps/booleans bucket through their numeric casts, so
+    temporal retention keys cluster fine."""
+    from .layout import zorder_key_n
+
+    if len(cols) * _ZORDER_BITS > 62:
+        return None
+    numeric = []
+    for c in cols:
+        dt = df.schema[c].dataType.typeName()
+        if dt in ("date", "timestamp", "timestamp_ntz"):
+            numeric.append(F.col(c).cast("timestamp").cast("double"))
+        elif dt in (
+            "byte", "short", "integer", "long", "float", "double",
+            "decimal", "boolean",
+        ) or dt.startswith("decimal"):
+            numeric.append(F.col(c).cast("double"))
+        else:
+            return None
+    row = df.agg(
+        *[F.min(nc).alias(f"mn{i}") for i, nc in enumerate(numeric)],
+        *[F.max(nc).alias(f"mx{i}") for i, nc in enumerate(numeric)],
+    ).first()
+    n_bk = 1 << _ZORDER_BITS
+    buckets = []
+    for i, nc in enumerate(numeric):
+        mn, mx = row[f"mn{i}"], row[f"mx{i}"]
+        if mn is None or mx is None or mn == mx:
+            buckets.append(F.lit(0).cast("long"))
+        else:
+            # width_bucket: 0 below, n_bk+1 above, NULL in → clamp to
+            # [0, n_bk-1]; NULLs sort first (bucket 0), like NULLS FIRST
+            buckets.append(
+                F.coalesce(
+                    F.least(
+                        F.greatest(
+                            F.width_bucket(nc, F.lit(mn), F.lit(mx), F.lit(n_bk))
+                            - F.lit(1),
+                            F.lit(0),
+                        ),
+                        F.lit(n_bk - 1),
+                    ),
+                    F.lit(0),
+                ).cast("long")
+            )
+    return zorder_key_n(buckets, bits=_ZORDER_BITS)
+
+
 def snapshot_optimize(
     spark: SparkSession,
     base: str,
@@ -1947,8 +2384,28 @@ def snapshot_optimize(
     if cluster_by:
         # partition cols lead the sort so each partition's rows form
         # one contiguous sorted run within its task — the writer then
-        # splits that run into range-disjoint files
-        packed = packed.sortWithinPartitions(*pcs, *cluster_by)
+        # splits that run into range-disjoint files. With ONE cluster
+        # column the run is a linear sort; with 2+ it is a Z-ORDER
+        # sort (bucketize each column equal-width from a min/max
+        # census of the targeted partitions — one cheap agg job —
+        # then bit-interleave the bucket ids), so the zone maps
+        # tighten on EVERY cluster column instead of only the first:
+        # a lexical 2-col sort leaves the second column's per-file
+        # range as wide as the domain. Falls back to lexical when a
+        # column's type has no numeric order (strings).
+        zkey = (
+            _zorder_sort_key(packed, cluster_by)
+            if len(cluster_by) >= 2
+            else None
+        )
+        if zkey is not None:
+            packed = (
+                packed.withColumn("_zkey", zkey)
+                .sortWithinPartitions(*pcs, "_zkey")
+                .drop("_zkey")
+            )
+        else:
+            packed = packed.sortWithinPartitions(*pcs, *cluster_by)
     if max_records_per_file is None:
         return snapshot_replace_partitions(
             packed, base, targets, op="optimize", parts_escaped=True

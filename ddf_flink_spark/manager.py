@@ -150,7 +150,11 @@ class DDFManager:
         (functions/manifest.py) as a DDF — latest by default,
         ``version=N`` for time travel, ``as_of_ts=<datetime | epoch
         seconds>`` for AS-OF-timestamp time travel (newest commit at
-        or before that wall-clock); ``parts``/``between``/``point``
+        or before that wall-clock; a NAIVE datetime is interpreted as
+        UTC — commit timestamps are recorded in UTC, so pass a
+        tz-aware datetime or epoch seconds to be explicit, NOT a bare
+        ``datetime.now()`` local wall-clock on a non-UTC machine);
+        ``parts``/``between``/``point``
         prune files at the manifest (partition values / zone-map stats
         / per-file Bloom filters) before Spark sees a path. Commit with
         :meth:`DDF.snapshot_create` / :meth:`DDF.snapshot_append`."""
@@ -192,6 +196,35 @@ class DDFManager:
         return _delete(
             ids.df if isinstance(ids, DDF) else ids, base, retries=retries,
             isolation=isolation,
+        )
+
+    def snapshot_delete_where(
+        self,
+        base: str,
+        where: "str | None" = None,
+        between: "tuple | None" = None,
+        point: "tuple | None" = None,
+        retries: int = 0,
+        isolation: str = "lww",
+        batch_tag: "str | None" = None,
+        txn: "tuple | None" = None,
+    ) -> int:
+        """DELETE WHERE (registry q302) — the retention job's call:
+        resolve the matching ids via a MANIFEST-PRUNED scan
+        (``between=(col, lo, hi)`` / ``point=(col, v)`` ride the
+        zone-map/Bloom file admission, so an age-based delete on a
+        ts-clustered table scans O(matching files), not O(table);
+        ``where="<sql>"`` adds an arbitrary row predicate on top),
+        then tombstone them through the ordinary merge-on-read delete.
+        A no-match call returns the current version WITHOUT burning a
+        commit. ``batch_tag``/``txn`` make a scheduled fire
+        replay-idempotent."""
+        from .functions.manifest import snapshot_delete_where as _dw
+
+        return _dw(
+            self.spark, base, where=where, between=between, point=point,
+            retries=retries, isolation=isolation, batch_tag=batch_tag,
+            txn=txn,
         )
 
     def snapshot_compact(self, base: str) -> int:

@@ -17558,7 +17558,9 @@ def q300_cdf_derived_index_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     def refresh(delta: DataFrame, v: int) -> None:
         dels = delta.filter(F.col("_change") == "delete").select("vec_id")
         if not dels.isEmpty():
-            snapshot_delete(dels, down)
+            # txn-guarded like the insert leg: a crash-redelivery of v
+            # must not burn a version on a duplicate tombstone set
+            snapshot_delete(dels, down, txn=("idx_del", v))
         ins = delta.filter(F.col("_change") == "insert").drop("_change")
         if not ins.isEmpty():
             snapshot_upsert(

@@ -154,10 +154,21 @@ class SnapshotChangeStream:
     def commit(self, version: int) -> None:
         """Advance the cursor to ``version`` (for the
         :meth:`read_pending` two-step; ``process_available`` advances
-        itself)."""
+        itself). Rejects a version beyond the table's latest commit —
+        a caller typo (``commit(latest + 10)``) would otherwise
+        silently skip every delivery up to the phantom version."""
+        from ..functions.manifest import snapshot_versions
+
         if int(version) < self.cursor():
             raise ValueError(
                 f"cursor moves forward only (at {self.cursor()}, "
                 f"got {version})"
+            )
+        versions = snapshot_versions(self.base)
+        if versions and int(version) > versions[-1]:
+            raise ValueError(
+                f"cannot commit v{version}: the table's latest commit "
+                f"is v{versions[-1]} — committing past it would "
+                "silently skip future deliveries"
             )
         self._write_cursor(int(version))
