@@ -2635,3 +2635,493 @@ class TestSizeAwareOptimize:
         out = mf._ref_exclude(ref, {"0", "1"})
         assert set(out["part_stats"]) == {"2", "3"}
         assert set(out["part_bytes"]) == {"2", "3"}
+
+
+class TestConditionalMerge:
+    """snapshot_merge — conditional MERGE (round-11 verdict #2):
+    WHEN MATCHED UPDATE (all | subset) / WHEN MATCHED DELETE /
+    WHEN NOT MATCHED INSERT, one atomic commit."""
+
+    def _seed(self, spark, tmp_path, name, **kw):
+        from ddf_flink_spark.functions.manifest import snapshot_create
+
+        base = _mkbase(tmp_path, name)
+        df = (
+            spark.range(0, 100)
+            .withColumn("val", (F.col("id") * 3).cast("long"))
+            .withColumn("tag", F.concat(F.lit("t"), F.col("id")))
+        )
+        snapshot_create(
+            df, base, id_col="id",
+            stats_cols=["id"], bloom_cols=["id"], **kw,
+        )
+        return base, df
+
+    def _src(self, spark):
+        """Op-coded batch: delete 0-9, update val of 10-19, insert 200-204."""
+        return (
+            spark.range(0, 10)
+            .withColumn("op", F.lit("d"))
+            .withColumn("val", F.lit(None).cast("long"))
+            .unionByName(
+                spark.range(10, 20)
+                .withColumn("op", F.lit("u"))
+                .withColumn("val", F.lit(-1).cast("long"))
+            )
+            .unionByName(
+                spark.range(200, 205)
+                .withColumn("op", F.lit("i"))
+                .withColumn("val", F.lit(7).cast("long"))
+            )
+        )
+
+    def test_mixed_iud_is_one_atomic_commit(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_merge
+
+        base, _ = self._seed(spark, tmp_path, "mg1")
+        v = snapshot_merge(
+            self._src(spark), base,
+            when_matched_update=["val"],
+            when_matched_delete="op = 'd'",
+        )
+        # atomicity: ONE commit carries all three effects — a reader
+        # can never see the deletes without the inserts
+        assert snapshot_versions(base) == [1, 2] and v == 2
+        got = snapshot_read(spark, base)
+        assert got.count() == 100 - 10 + 5
+        assert got.filter(F.col("id") < 10).count() == 0
+        upd = got.filter(F.col("id") == 15).collect()[0]
+        assert upd["val"] == -1 and upd["tag"] == "t15"  # untouched col kept
+        ins = got.filter(F.col("id") == 203).collect()[0]
+        assert ins["val"] == 7 and ins["tag"] is None  # NULL-filled
+        # the pre-merge version still serves the old rows (no torn state)
+        old = snapshot_read(spark, base, version=1)
+        assert old.count() == 100
+        assert old.filter(F.col("id") == 15).collect()[0]["val"] == 45
+
+    def test_txn_replay_is_noop(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_merge
+
+        base, _ = self._seed(spark, tmp_path, "mg2")
+        kw = dict(
+            when_matched_update=["val"], when_matched_delete="op = 'd'",
+            txn=("apply", 7),
+        )
+        v1 = snapshot_merge(self._src(spark), base, **kw)
+        v2 = snapshot_merge(self._src(spark), base, **kw)
+        assert v1 == v2 and snapshot_versions(base) == [1, 2]
+
+    def test_update_all_replaces_whole_row(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_merge
+
+        base, _ = self._seed(spark, tmp_path, "mg3")
+        src = (
+            spark.range(10, 12)
+            .withColumn("val", F.lit(-5).cast("long"))
+            .withColumn("tag", F.lit("new"))
+        )
+        snapshot_merge(src, base)  # defaults: update all, insert
+        got = snapshot_read(spark, base)
+        assert got.count() == 100
+        row = got.filter(F.col("id") == 10).collect()[0]
+        assert row["val"] == -5 and row["tag"] == "new"
+
+    def test_no_insert_drops_unmatched(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_merge
+
+        base, _ = self._seed(spark, tmp_path, "mg4")
+        src = (
+            spark.range(98, 103)
+            .withColumn("val", F.lit(-5).cast("long"))
+            .withColumn("tag", F.lit("new"))
+        )
+        snapshot_merge(src, base, when_not_matched_insert=False)
+        got = snapshot_read(spark, base)
+        assert got.count() == 100  # 98, 99 updated; 100-102 dropped
+        assert got.filter(F.col("id") >= 100).count() == 0
+        assert got.filter(F.col("id") == 99).collect()[0]["val"] == -5
+
+    def test_insert_only_merge_leaves_matched_untouched(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_merge
+
+        base, _ = self._seed(spark, tmp_path, "mg5")
+        src = (
+            spark.range(95, 105)
+            .withColumn("val", F.lit(-5).cast("long"))
+            .withColumn("tag", F.lit("new"))
+        )
+        snapshot_merge(src, base, when_matched_update=None)
+        got = snapshot_read(spark, base)
+        assert got.count() == 105
+        assert got.filter(F.col("id") == 99).collect()[0]["val"] == 99 * 3
+        assert got.filter(F.col("id") == 101).collect()[0]["val"] == -5
+
+    def test_source_only_columns_dropped_without_merge_schema(
+        self, spark, tmp_path
+    ):
+        from ddf_flink_spark.functions.manifest import snapshot_merge
+
+        base, _ = self._seed(spark, tmp_path, "mg6")
+        v = snapshot_merge(
+            self._src(spark), base,
+            when_matched_update="all", when_matched_delete="op = 'd'",
+        )
+        got = snapshot_read(spark, base)
+        assert "op" not in got.columns
+        # and WITH merge_schema the op column evolves in (documented)
+        snapshot_merge(
+            self._src(spark).withColumnRenamed("op", "opcode"), base,
+            when_matched_update="all", when_matched_delete="opcode = 'd'",
+            merge_schema=True,
+        )
+        got2 = snapshot_read(spark, base)
+        assert "opcode" in got2.columns
+
+    def test_update_cols_validated(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_merge
+
+        base, _ = self._seed(spark, tmp_path, "mg7")
+        src = spark.range(0, 5).withColumn("val", F.lit(1).cast("long"))
+        with pytest.raises(ValueError, match="merge key"):
+            snapshot_merge(src, base, when_matched_update=["id"])
+        with pytest.raises(ValueError, match="absent from the source"):
+            snapshot_merge(src, base, when_matched_update=["nope"])
+        with pytest.raises(ValueError, match="'all'"):
+            snapshot_merge(src, base, when_matched_update="some")
+
+    def test_matched_read_bounded_by_admission(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The partial-update target read is file-pruned by stats/Bloom
+        admission of the source ids — a 2-id trickle merge against a
+        multi-file table reads ~1 admitting file, not the table."""
+        import ddf_flink_spark.functions.manifest as mf
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_create, snapshot_merge,
+        )
+
+        base = _mkbase(tmp_path, "mg8")
+        df = (
+            spark.range(0, 400)
+            .withColumn("val", (F.col("id") * 3).cast("long"))
+            .repartitionByRange(4, "id")
+            .sortWithinPartitions("id")
+        )
+        snapshot_create(df, base, id_col="id", stats_cols=["id"])
+        assert len(_load_manifest(base)["files"]) == 4
+        seen: list[int] = []
+        real = mf._read_entries
+
+        def spy(spark_, base_, entries, *a, **kw):
+            seen.append(len(entries))
+            return real(spark_, base_, entries, *a, **kw)
+
+        monkeypatch.setattr(mf, "_read_entries", spy)
+        src = spark.range(250, 252).withColumn("val", F.lit(-1).cast("long"))
+        snapshot_merge(src, base, when_matched_update=["val"])
+        assert seen and seen[0] == 1, seen  # only the admitting file
+        got = snapshot_read(spark, base)
+        assert got.filter(F.col("id") == 250).collect()[0]["val"] == -1
+        assert got.count() == 400
+
+    def test_strict_merge_aborts_on_raced_overlap(self, spark, tmp_path):
+        """strict isolation covers the prepare→publish window: a
+        commit racing between the header load and the publish that
+        touches the batch's ids aborts the merge."""
+        import ddf_flink_spark.functions.manifest as mf
+        from ddf_flink_spark.functions.manifest import (
+            SnapshotConflict, snapshot_merge,
+        )
+
+        base, _ = self._seed(spark, tmp_path, "mg9")
+        src = spark.range(10, 12).withColumn("val", F.lit(-1).cast("long"))
+        real_load = mf._load_header
+        raced = {"done": False}
+        orig_publish = mf._publish
+
+        def racing_publish(base_, m):
+            if not raced["done"]:
+                raced["done"] = True
+                # a concurrent delete of id 10 lands first
+                snapshot_delete(spark.range(10, 11), base_)
+            return orig_publish(base_, m)
+
+        monkeypatch = pytest.MonkeyPatch()
+        try:
+            monkeypatch.setattr(mf, "_publish", racing_publish)
+            with pytest.raises(SnapshotConflict):
+                snapshot_merge(
+                    src, base, isolation="strict", retries=3,
+                )
+        finally:
+            monkeypatch.undo()
+
+
+class TestDeleteWhere:
+    def test_predicate_delete_and_noop_tick(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_delete_where
+
+        base = _mkbase(tmp_path, "dw1")
+        snapshot_create(_frame(spark, 0, 300), base, part_col="cell")
+        v = snapshot_delete_where(
+            spark, base, where="val > 600"
+        )  # val = id*3+1 > 600 → id >= 200
+        assert v == 2
+        got = snapshot_read(spark, base)
+        assert got.count() == 200
+        assert got.filter(F.col("id") >= 200).count() == 0
+        # re-fire: nothing matches → current version, NO new commit
+        assert snapshot_delete_where(spark, base, where="val > 600") == 2
+        assert snapshot_versions(base) == [1, 2]
+
+    def test_delete_where_scans_only_admitting_files(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The resolving scan rides snapshot_read's zone-map admission:
+        an id-range predicate on an id-clustered table opens only the
+        files overlapping the range (q302's retention shape)."""
+        import ddf_flink_spark.functions.manifest as mf
+        from ddf_flink_spark.functions.manifest import snapshot_delete_where
+
+        base = _mkbase(tmp_path, "dw2")
+        df = (
+            spark.range(0, 400)
+            .withColumn("val", (F.col("id") * 3).cast("long"))
+            .repartitionByRange(4, "id")
+            .sortWithinPartitions("id")
+        )
+        snapshot_create(df, base, id_col="id", stats_cols=["id"])
+        assert len(_load_manifest(base)["files"]) == 4
+        seen: list[int] = []
+        real = mf._read_entries
+
+        def spy(spark_, base_, entries, *a, **kw):
+            seen.append(len(entries))
+            return real(spark_, base_, entries, *a, **kw)
+
+        monkeypatch.setattr(mf, "_read_entries", spy)
+        v = snapshot_delete_where(spark, base, between=("id", 350, 399))
+        assert seen and seen[0] == 1, seen  # one admitting file of 4
+        assert v == 2
+        assert snapshot_read(spark, base).count() == 350
+
+    def test_batch_tag_makes_retention_tick_idempotent(self, spark, tmp_path):
+        from ddf_flink_spark.functions.manifest import snapshot_delete_where
+
+        base = _mkbase(tmp_path, "dw3")
+        snapshot_create(_frame(spark, 0, 100), base)
+        v1 = snapshot_delete_where(
+            spark, base, between=("id", 0, 9), batch_tag="tick-1"
+        )
+        v2 = snapshot_delete_where(
+            spark, base, between=("id", 0, 9), batch_tag="tick-1"
+        )
+        assert v1 == v2 == 2 and snapshot_versions(base) == [1, 2]
+
+
+class TestDeleteTxnReplay:
+    def test_delete_txn_replay_is_noop(self, spark, tmp_path):
+        base = _mkbase(tmp_path, "dt1")
+        snapshot_create(_frame(spark, 0, 100), base)
+        v1 = snapshot_delete(spark.range(0, 5), base, txn=("gc", 3))
+        v2 = snapshot_delete(spark.range(0, 5), base, txn=("gc", 3))
+        assert v1 == v2 and snapshot_versions(base) == [1, 2]
+        # a LATER txn version commits
+        v3 = snapshot_delete(spark.range(5, 8), base, txn=("gc", 4))
+        assert v3 == 3
+        assert snapshot_read(spark, base).count() == 92
+
+    def test_cdf_delete_cascade_crash_replay(self, spark, tmp_path):
+        """q300's shape, crash-replayed: the consumer delivers version
+        v, the handler cascades txn-guarded delete+upsert downstream,
+        the cursor write is 'lost' (simulated crash), and v is
+        REDELIVERED — the downstream version count must not change."""
+        from ddf_flink_spark.functions.manifest import (
+            snapshot_delete as sdel,
+            snapshot_upsert as sups,
+        )
+        from ddf_flink_spark.streaming.cdf import SnapshotChangeStream
+
+        up = _mkbase(tmp_path, "dt2_up")
+        down = _mkbase(tmp_path, "dt2_down")
+        cons = str(tmp_path / "dt2_cursor")
+        snapshot_create(_frame(spark, 0, 50), up)
+        snapshot_create(_frame(spark, 0, 50).select("id", "val"), down)
+        cs = SnapshotChangeStream(spark, up, cons, start_version=1)
+        snapshot_append(_frame(spark, 50, 60), up)     # v2: inserts
+        snapshot_delete(spark.range(0, 5), up)          # v3: deletes
+
+        def apply(delta, v):
+            dels = delta.filter(F.col("_change") == "delete").select("id")
+            if not dels.isEmpty():
+                sdel(dels, down, txn=("idx_del", v))
+            ins = delta.filter(F.col("_change") == "insert").select("id", "val")
+            if not ins.isEmpty():
+                sups(ins, down, txn=("idx", v))
+
+        assert cs.process_available(apply) == 2
+        versions_after = snapshot_versions(down)
+        # simulated crash: rewind the cursor and redeliver both versions
+        cs._write_cursor(1)
+        assert cs.process_available(apply) == 2
+        assert snapshot_versions(down) == versions_after  # no burn
+        assert snapshot_read(spark, down).count() == 55
+
+    def test_cdf_commit_rejects_beyond_latest(self, spark, tmp_path):
+        from ddf_flink_spark.streaming.cdf import SnapshotChangeStream
+
+        up = _mkbase(tmp_path, "dt3_up")
+        snapshot_create(_frame(spark, 0, 10), up)
+        cs = SnapshotChangeStream(
+            spark, up, str(tmp_path / "dt3_cursor"), start_version=1
+        )
+        snapshot_append(_frame(spark, 10, 20), up)
+        with pytest.raises(ValueError, match="latest commit"):
+            cs.commit(12)  # typo'd version: latest is 2
+        cs.commit(2)
+        assert cs.cursor() == 2
+
+
+class TestZOrderCluster:
+    def test_two_col_cluster_prunes_both_columns(self, spark, tmp_path):
+        """cluster_by=['a','b'] Z-orders: after OPTIMIZE a box probe on
+        EITHER column admits a strict subset of files (lexical order
+        would leave b's per-file range domain-wide), and the rewrite
+        stays row-exact."""
+        import ddf_flink_spark.functions.manifest as mf
+        from ddf_flink_spark.functions.manifest import snapshot_optimize
+
+        base = _mkbase(tmp_path, "zo1")
+        df0 = (
+            spark.range(0, 2000)
+            .withColumn("cell", (F.col("id") % 2).cast("int"))
+            .withColumn("a", (F.col("id") * 7919 % 1000).cast("long"))
+            .withColumn("b", (F.col("id") * 104729 % 1000).cast("long"))
+        )
+        snapshot_create(
+            df0.filter(F.col("id") % 4 == 0).repartition(2), base,
+            part_col="cell", stats_cols=["a", "b"],
+        )
+        for r in (1, 2, 3):
+            snapshot_append(
+                df0.filter(F.col("id") % 4 == r).repartition(2), base
+            )
+
+        def admitted(col, lo, hi):
+            m = mf._load_manifest(base)
+            return sum(
+                1
+                for e in m["files"]
+                if e.get("stats", {}).get(col) is None
+                or mf._stats_admits(e["stats"][col], lo, hi)
+            ), len(m["files"])
+
+        for c in ("a", "b"):
+            adm, total = admitted(c, 100, 150)
+            assert adm == total  # interleaved arrival: no pruning yet
+        snapshot_optimize(
+            spark, base, min_files=2, max_records_per_file=100,
+            cluster_by=["a", "b"],
+        )
+        for c in ("a", "b"):
+            adm, total = admitted(c, 100, 150)
+            assert adm < total, (c, adm, total)
+        for c in ("a", "b"):
+            got = snapshot_read(spark, base, between=(c, 100, 150))
+            exact = df0.filter((F.col(c) >= 100) & (F.col(c) <= 150))
+            assert got.count() == exact.count()
+            assert {r["id"] for r in got.collect()} == {
+                r["id"] for r in exact.collect()
+            }
+        assert snapshot_read(spark, base).count() == 2000
+
+    def test_string_cluster_col_falls_back_to_lexical(self, spark, tmp_path):
+        """A string cluster column has no numeric bucket order: the
+        rewrite falls back to the lexical sort (still row-exact)."""
+        from ddf_flink_spark.functions.manifest import snapshot_optimize
+
+        base = _mkbase(tmp_path, "zo2")
+        df0 = (
+            spark.range(0, 400)
+            .withColumn("cell", (F.col("id") % 2).cast("int"))
+            .withColumn("a", (F.col("id") * 7 % 100).cast("long"))
+            .withColumn("s", F.concat(F.lit("k"), F.col("id") % 10))
+        )
+        snapshot_create(df0.repartition(4), base, part_col="cell",
+                        stats_cols=["a"])
+        snapshot_append(df0.repartition(4), base)
+        snapshot_optimize(
+            spark, base, min_files=2, max_records_per_file=100,
+            cluster_by=["a", "s"],
+        )
+        assert snapshot_read(spark, base).count() == 800
+
+    def test_zorder_key_n_validation(self):
+        from ddf_flink_spark.functions.layout import zorder_key_n
+
+        with pytest.raises(ValueError, match="2 columns"):
+            zorder_key_n([F.lit(1)])
+        with pytest.raises(ValueError, match="signed-long"):
+            zorder_key_n([F.lit(1)] * 8, bits=9)
+
+    def test_zorder_key_n_interleave_matches_python(self, spark):
+        """Bit-exact contract: column j's bit i lands at position
+        i·k + j — checked against a pure-python interleave over a
+        3-column probe grid."""
+        from ddf_flink_spark.functions.layout import zorder_key_n
+
+        rows = [(x, y, z) for x in (0, 1, 5) for y in (0, 3, 7)
+                for z in (0, 2, 6)]
+        df = spark.createDataFrame(rows, "x long, y long, z long")
+        got = {
+            (r["x"], r["y"], r["z"]): r["k"]
+            for r in df.withColumn(
+                "k", zorder_key_n([F.col("x"), F.col("y"), F.col("z")],
+                                  bits=4)
+            ).collect()
+        }
+
+        def py_key(vals, bits=4, k=3):
+            out = 0
+            for i in range(bits):
+                for j, v in enumerate(vals):
+                    out |= ((v >> i) & 1) << (i * k + j)
+            return out
+
+        for key, kv in got.items():
+            assert kv == py_key(list(key)), key
+
+
+class TestCompactProbeBound:
+    def test_probe_prune_skipped_above_check_budget(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE round-11: the entries×ids admission prune is capped —
+        above the budget compact skips straight to the full probe and
+        stays correct."""
+        import ddf_flink_spark.functions.manifest as mf
+
+        base = _mkbase(tmp_path, "cb1")
+        df = (
+            spark.range(0, 400)
+            .withColumn("cell", (F.col("id") / 100).cast("int"))
+            .withColumn("val", (F.col("id") * 3).cast("long"))
+            .repartition(1)
+        )
+        snapshot_create(df, base, part_col="cell", stats_cols=["id"])
+        snapshot_delete(spark.range(250, 251), base)
+        monkeypatch.setattr(mf, "_PROBE_ADMISSION_MAX_CHECKS", 0)
+        tagged_sizes: list[int] = []
+        real = mf._read_entries
+
+        def spy(spark_, base_, entries, *a, **kw):
+            if kw.get("tag_commit_version"):
+                tagged_sizes.append(len(entries))
+            return real(spark_, base_, entries, *a, **kw)
+
+        monkeypatch.setattr(mf, "_read_entries", spy)
+        mf.snapshot_compact(spark, base)
+        assert tagged_sizes[0] == 4, tagged_sizes  # full probe, no prune
+        got = snapshot_read(spark, base)
+        assert got.count() == 399
+        assert got.filter(F.col("id") == 250).count() == 0
