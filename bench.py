@@ -228,6 +228,21 @@ def main() -> None:
     spark.range(1000).count()
     jvm_pid = _jvm_pid(spark)
     load_start = _loadavg()
+    # Load gate (round-11 verdict #1): a bench captured on a busy box
+    # is not evidence — round 11 committed an artifact taken at 15-min
+    # load 8.09 that was uniformly ~1.25× slow and tripped its own CPU
+    # gate while the code was flat. The 15-min figure is the signal
+    # that matters (a high 1-min at start can be this process's own
+    # JVM spin-up; a high 15-min means the box was busy through the
+    # measurement window that preceded us). Above the threshold the
+    # run still completes and prints (the driver always gets an
+    # artifact) but stamps "contended": true — which
+    # tools/bench_check.py treats as an automatic FAIL — and exits
+    # nonzero, so a contended artifact can never be committed as a
+    # passing claim.
+    contended = load_start[2] > float(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD15", "2.0")
+    )
 
     sf = None
     try:
@@ -312,6 +327,7 @@ def main() -> None:
                 "total_cpu_s": round(sum(v for v in cpu_s.values() if v >= 0), 4),
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,
+                "contended": contended,
             }
         )
     )
@@ -337,6 +353,8 @@ def main() -> None:
             ),
             "cold_sec": round(sum(cold.values()), 4),
             "load": [load_start[0], load_end[0]],
+            "load15": load_start[2],
+            "contended": contended,
             # 3 decimals: millisecond resolution is already below run
             # noise, and the line must stay inside the driver's capture
             # window as headliners accumulate
@@ -347,6 +365,14 @@ def main() -> None:
     )
     assert len(summary) <= 1800, f"summary line {len(summary)} chars > capture budget"
     print(summary)
+    if contended:
+        print(
+            f"CONTENDED: 15-min loadavg at start was {load_start[2]} "
+            "(> gate) — wall numbers are not comparable round-over-round; "
+            "re-run on a quiet box before committing",
+            file=sys.stderr,
+        )
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,18 @@ def main() -> int:
     by_prefix = {name.split("_", 1)[0]: name for name in anchors}
     measured: dict[str, float] = {}
     start_load = 0.0
+    # Round-12 rule: an artifact stamped contended by bench.py's own
+    # load gate (15-min loadavg above threshold at start) can never
+    # pass — the committed file IS the claim, and round 11 proved a
+    # busy-box capture misstates the round even when the code is flat.
+    for summary in summaries:
+        if summary.get("contended"):
+            print(
+                "bench_check: FAIL — artifact is stamped contended "
+                f"(15-min load {summary.get('load15', '?')} at start); "
+                "re-run on a quiet box"
+            )
+            return 1
     for summary in summaries:
         cpu = summary.get("cpu_s") or summary.get("cpu") or {}
         for key, val in cpu.items():
