@@ -84,7 +84,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 __all__ = [
     "SnapshotConflict",
@@ -897,6 +897,13 @@ def _child(parent: dict, op: str) -> dict:
         "tomb_schema": parent.get("tomb_schema"),
         "batch_tags": list(parent["batch_tags"]),
         "txns": dict(parent.get("txns", {})),
+        # column-mapping metadata (rename/drop are header-only ops):
+        # each rename records the version it happened at, so readers
+        # reverse-map a file's physical column names from its commit
+        # version; dropped_names bans resurrection (old files still
+        # carry the physical column)
+        "renames": [dict(r) for r in parent.get("renames", [])],
+        "dropped_names": list(parent.get("dropped_names", [])),
         "rows_added": 0,
         "rows_removed": 0,
         "meta": dict(parent.get("meta", {})),
@@ -929,10 +936,25 @@ def _schema_evolve(
     learn about it."""
     recorded = StructType.fromJson(json.loads(parent["schema"]))
     by_name = {f.name: f for f in recorded.fields}
+    # resurrection guard: a dropped column's physical data still sits
+    # in old files, and a rename's old name is still the PHYSICAL name
+    # inside pre-rename files — re-adding either name would make those
+    # files' stale values reappear under the new logical column
+    banned = set(parent.get("dropped_names", [])) | {
+        r["from"] for r in parent.get("renames", [])
+    }
     new_fields = []
     for f in df_schema.fields:
         old = by_name.get(f.name)
         if old is None:
+            if f.name in banned:
+                raise ValueError(
+                    f"{op}: column '{f.name}' was previously dropped or "
+                    "renamed away — old data files still carry a physical "
+                    "column by that name, so re-adding it would resurrect "
+                    "their stale values; pick a different name or rewrite "
+                    "the table"
+                )
             new_fields.append(f)
         elif old.dataType != f.dataType:
             raise ValueError(
@@ -1548,7 +1570,7 @@ def snapshot_merge(
         scoped = bool(m["tombstones"])
         tgt = _read_entries(
             spark, base, entries, m["schema"], m["part_col"],
-            tag_commit_version=scoped,
+            tag_commit_version=scoped, renames=m.get("renames"),
         )
         if scoped:
             tgt = _anti_tombstones(tgt, _tomb_frame(spark, base, m), id_col)
@@ -1668,6 +1690,125 @@ def snapshot_restore(base: str, version: int) -> int:
     return _publish(base, m)
 
 
+def _mapping_guard(parent: dict, col: str, op: str) -> None:
+    """Shared validation for the header-only column ops: the id column
+    and partition columns are load-bearing in file paths, tombstone
+    schemas and entry keys — renaming or dropping them would need a
+    data rewrite, so both are rejected with that story (the same
+    restriction the table formats place on partition columns)."""
+    if col == parent["id_col"]:
+        raise ValueError(
+            f"snapshot_{op}: '{col}' is the table's id column — "
+            "tombstone files and merge keys are bound to its name; "
+            "this is a table rewrite, not a metadata operation"
+        )
+    if parent["part_col"] is not None and col in _part_cols(parent):
+        raise ValueError(
+            f"snapshot_{op}: '{col}' is a partition column — its name "
+            "is baked into every data file path; this is a table "
+            "rewrite, not a metadata operation"
+        )
+
+
+def snapshot_rename_column(
+    base: str, old: str, new: str, retries: int = 0
+) -> int:
+    """RENAME a column as a HEADER-ONLY commit — no data file is
+    touched (Iceberg renames via field-id indirection; here the header
+    records ``{from, to, at: version}`` and readers reverse-map each
+    file's physical column names from its commit version, which the
+    per-commit read grouping makes free). Old snapshots time-travel
+    with their old names; files written after the rename use the new
+    physical name; zone-map stats and Blooms keep pruning across the
+    boundary (probes resolve each entry's physical key the same way).
+    Rejected with a clear story: renaming the id column or a partition
+    column (their names are load-bearing in paths/tombstones — that is
+    a rewrite), renaming onto an existing column, and renaming onto
+    any DROPPED or previously-renamed-away name (old files still carry
+    that physical column — its stale values would resurrect)."""
+
+    def apply(parent: dict):
+        schema = StructType.fromJson(json.loads(parent["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise KeyError(f"snapshot_rename_column: no column '{old}'")
+        if new in names:
+            raise ValueError(
+                f"snapshot_rename_column: column '{new}' already exists"
+            )
+        banned = set(parent.get("dropped_names", [])) | {
+            r["from"] for r in parent.get("renames", [])
+        }
+        if new in banned:
+            raise ValueError(
+                f"snapshot_rename_column: '{new}' was previously dropped "
+                "or renamed away — old data files still carry a physical "
+                "column by that name; reusing it would resurrect their "
+                "stale values"
+            )
+        _mapping_guard(parent, old, "rename_column")
+        m = _child(parent, "rename_column")
+        m["schema"] = StructType(
+            [
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        ).json()
+        m["renames"].append({"from": old, "to": new, "at": m["version"]})
+        m["stats_cols"] = [new if c == old else c for c in m["stats_cols"]]
+        m["bloom_cols"] = [new if c == old else c for c in m["bloom_cols"]]
+        return m
+
+    return _apply_with_retry(base, apply, retries)
+
+
+def snapshot_drop_column(base: str, col: str, retries: int = 0) -> int:
+    """DROP a column as a HEADER-ONLY commit — the recorded schema
+    shrinks and every reader simply stops selecting the column (the
+    explicit-schema parquet read never touches the dropped pages:
+    column pruning makes the drop free at read time too). The physical
+    data stays in the files — time travel to pre-drop versions still
+    serves it, and vacuum retention governs its erasure, the same
+    DATA-vs-HISTORY split as deletes. Re-adding the name is REJECTED
+    (the resurrection guard in schema evolution): without field-id
+    indirection the old files' stale values would reappear under the
+    new column. Dropping the id or a partition column is rejected —
+    that is a rewrite."""
+
+    def apply(parent: dict):
+        schema = StructType.fromJson(json.loads(parent["schema"]))
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise KeyError(f"snapshot_drop_column: no column '{col}'")
+        _mapping_guard(parent, col, "drop_column")
+        m = _child(parent, "drop_column")
+        m["schema"] = StructType(
+            [f for f in schema.fields if f.name != col]
+        ).json()
+        m["dropped_names"].append(col)
+        m["stats_cols"] = [c for c in m["stats_cols"] if c != col]
+        m["bloom_cols"] = [c for c in m["bloom_cols"] if c != col]
+        return m
+
+    return _apply_with_retry(base, apply, retries)
+
+
+def _physical_name(renames, logical: str, cv: int) -> str:
+    """The PHYSICAL column name inside files of commit version ``cv``
+    for the current logical name: walk the rename history newest-first
+    and un-apply every rename that happened AFTER the file was written
+    (rename is a header-only op — no file is ever rewritten). Chained
+    renames (A→B at v5, B→C at v9) resolve transitively: a v3 file
+    stores C's data under A."""
+    name = logical
+    for r in sorted(renames or (), key=lambda r: -int(r["at"])):
+        if int(r["at"]) > cv and name == r["to"]:
+            name = r["from"]
+    return name
+
+
 def _read_entries(
     spark: SparkSession,
     base: str,
@@ -1675,6 +1816,7 @@ def _read_entries(
     schema_json: str,
     part_col: "str | None",
     tag_commit_version: bool = False,
+    renames: "list[dict] | None" = None,
 ) -> DataFrame:
     """Materialize a manifest file listing as one DataFrame. Files are
     grouped per commit so Spark's partition-value resolution sees each
@@ -1699,10 +1841,32 @@ def _read_entries(
     parts_frames = []
     for commit, paths in sorted(by_commit.items()):
         cdir = os.path.join(_data_dir(base), commit)
-        reader = spark.read.schema(schema)
+        read_schema, aliases = schema, None
+        if renames:
+            cv = _commit_version(commit)
+            phys = {
+                f.name: _physical_name(renames, f.name, cv)
+                for f in schema.fields
+            }
+            if any(phys[n] != n for n in phys):
+                # read this commit's files under their PHYSICAL names,
+                # then alias back to the current logical names — the
+                # per-commit grouping makes rename a pure metadata op
+                read_schema = StructType(
+                    [
+                        StructField(phys[f.name], f.dataType, f.nullable)
+                        for f in schema.fields
+                    ]
+                )
+                aliases = [
+                    F.col(phys[f.name]).alias(f.name) for f in schema.fields
+                ]
+        reader = spark.read.schema(read_schema)
         if part_col is not None:
             reader = reader.option("basePath", cdir)
         grp = reader.parquet(*[os.path.join(cdir, p) for p in paths])
+        if aliases is not None:
+            grp = grp.select(*aliases)
         if tag_commit_version:
             grp = grp.withColumn(
                 "_cv", F.lit(_commit_version(commit)).cast("long")
@@ -1811,6 +1975,7 @@ def snapshot_read(
             )
         version = snapshot_version_as_of(base, as_of_ts)
     m = _load_manifest(base, version)
+    renames = m.get("renames")
     entries = m["files"]
     if parts is not None:
         n_pc = len(_part_cols(m))
@@ -1824,17 +1989,34 @@ def snapshot_read(
         col, lo, hi = between
 
         def _overlaps(e):
-            st = e.get("stats", {}).get(col)
+            # per-entry PHYSICAL key: a renamed column's old files
+            # recorded their stats under the old name — pruning keeps
+            # working across the rename boundary
+            pc = (
+                _physical_name(renames, col, _commit_version(e["commit"]))
+                if renames
+                else col
+            )
+            st = e.get("stats", {}).get(pc)
             return st is None or _stats_admits(st, lo, hi)
 
         entries = [e for e in entries if _overlaps(e)]
     if point is not None:
         col, value = point
-        entries = [e for e in entries if _entry_admits(e, col, value)]
+
+        def _admits(e):
+            pc = (
+                _physical_name(renames, col, _commit_version(e["commit"]))
+                if renames
+                else col
+            )
+            return _entry_admits(e, pc, value)
+
+        entries = [e for e in entries if _admits(e)]
     scoped = bool(apply_tombstones and m["tombstones"])
     df = _read_entries(
         spark, base, entries, m["schema"], m["part_col"],
-        tag_commit_version=scoped,
+        tag_commit_version=scoped, renames=renames,
     )
     if between is not None:
         col, lo, hi = between
@@ -1894,6 +2076,7 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
             parent["schema"],
             part_col,
             tag_commit_version=True,
+            renames=parent.get("renames"),
         )
 
     if part_col is None:
@@ -1931,7 +2114,7 @@ def snapshot_compact(spark: SparkSession, base: str) -> int:
         if probe_entries:
             probe = _read_entries(
                 spark, base, probe_entries, parent["schema"], part_col,
-                tag_commit_version=True,
+                tag_commit_version=True, renames=parent.get("renames"),
             ).select(id_col, *pcs, "_cv")
             hit = probe.join(
                 t, (probe[id_col] == t["_tid"]) & (probe["_cv"] < t["_ab"]),
@@ -2148,9 +2331,11 @@ def snapshot_changes(
     }
     tf = _tomb_frame(spark, base, mf)
     tt = _tomb_frame(spark, base, mt)
+    renames = mt_h.get("renames")
     vis_to = _anti_tombstones(
         _read_entries(
-            spark, base, added, mt["schema"], part_col, tag_commit_version=True
+            spark, base, added, mt["schema"], part_col,
+            tag_commit_version=True, renames=renames,
         ),
         tt,
         id_col,
@@ -2158,7 +2343,7 @@ def snapshot_changes(
     vis_from = _anti_tombstones(
         _read_entries(
             spark, base, removed, mt["schema"], part_col,
-            tag_commit_version=True,
+            tag_commit_version=True, renames=renames,
         ),
         tf,
         id_col,
@@ -2215,7 +2400,7 @@ def snapshot_changes(
         if scan:
             common_rows = _read_entries(
                 spark, base, scan, mt["schema"], part_col,
-                tag_commit_version=True,
+                tag_commit_version=True, renames=renames,
             )
             deleted = deleted.unionByName(
                 scoped_anti(scoped_semi(common_rows, new_t), tf).drop("_cv")

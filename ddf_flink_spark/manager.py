@@ -227,6 +227,30 @@ class DDFManager:
             txn=txn,
         )
 
+    def snapshot_rename_column(self, base: str, old: str, new: str) -> int:
+        """RENAME a column header-only (registry q304): no data file is
+        touched — readers reverse-map each file's physical column name
+        from its commit version, old snapshots time-travel with their
+        old names, and zone-map/Bloom pruning keeps working across the
+        boundary. Renaming the id or a partition column is rejected
+        (that is a rewrite), as is renaming onto a dropped or
+        previously-renamed-away name (old files still carry that
+        physical column — stale values would resurrect)."""
+        from .functions.manifest import snapshot_rename_column as _rn
+
+        return _rn(base, old, new)
+
+    def snapshot_drop_column(self, base: str, col: str) -> int:
+        """DROP a column header-only (registry q304): the schema
+        shrinks, readers stop selecting it (column pruning — the
+        dropped pages are never read), time travel still serves it,
+        and re-adding the name is rejected so old files' stale values
+        can never resurrect. Dropping the id or a partition column is
+        rejected."""
+        from .functions.manifest import snapshot_drop_column as _dc
+
+        return _dc(base, col)
+
     def snapshot_compact(self, base: str) -> int:
         """Fold tombstones in, rewriting only affected partitions as a
         new version; prior snapshots stay readable until vacuum."""

@@ -3222,3 +3222,154 @@ class TestNWriterConvergence:
         assert snapshot_versions(base) == list(range(1, n_commits + 2))
         # and the replayed tag appears once in the lineage
         assert mf._load_header(base)["batch_tags"].count("replayed") == 1
+
+
+class TestColumnMapping:
+    """Header-only RENAME / DROP COLUMN (round-11 verdict missing #2):
+    no data file touched; readers reverse-map physical names per
+    commit; resurrection rejected with a clear story."""
+
+    def _seed(self, spark, tmp_path, name):
+        from ddf_flink_spark.functions.manifest import snapshot_create
+
+        base = _mkbase(tmp_path, name)
+        df = (
+            spark.range(0, 100)
+            .withColumn("cell", (F.col("id") % 2).cast("int"))
+            .withColumn("val", (F.col("id") * 3).cast("long"))
+            .withColumn("junk", F.concat(F.lit("j"), F.col("id")))
+        )
+        snapshot_create(
+            df.repartitionByRange(2, "id").sortWithinPartitions("id"),
+            base, part_col="cell", id_col="id", stats_cols=["val"],
+        )
+        return base, df
+
+    def test_rename_is_header_only_and_reads_map(self, spark, tmp_path):
+        import ddf_flink_spark.functions.manifest as mf
+
+        base, df = self._seed(spark, tmp_path, "cm1")
+        files_before = _paths(_load_manifest(base))
+        v = mf.snapshot_rename_column(base, "val", "value")
+        assert v == 2
+        assert _paths(_load_manifest(base)) == files_before  # no rewrite
+        got = snapshot_read(spark, base)
+        assert got.columns == ["id", "cell", "value"][:2] + ["value", "junk"][
+            :2
+        ] or got.columns == ["id", "cell", "value", "junk"]
+        assert got.filter(F.col("id") == 10).collect()[0]["value"] == 30
+        # post-rename appends write the NEW physical name; both eras
+        # union under the logical name
+        snapshot_append(
+            spark.range(100, 150)
+            .withColumn("cell", (F.col("id") % 2).cast("int"))
+            .withColumn("value", (F.col("id") * 3).cast("long"))
+            .withColumn("junk", F.lit("x")),
+            base,
+        )
+        got = snapshot_read(spark, base)
+        assert got.count() == 150
+        assert got.filter(F.col("id") == 120).collect()[0]["value"] == 360
+        # time travel: the pre-rename snapshot serves its OLD name
+        assert "val" in snapshot_read(spark, base, version=1).columns
+
+    def test_zone_map_prunes_across_rename(self, spark, tmp_path):
+        """Old files recorded stats under the old physical name; a
+        between probe on the NEW logical name still prunes them."""
+        import ddf_flink_spark.functions.manifest as mf
+
+        base, df = self._seed(spark, tmp_path, "cm2")
+        mf.snapshot_rename_column(base, "val", "value")
+        got = snapshot_read(spark, base, between=("value", 30, 60))
+        assert got.count() == 11
+        full = snapshot_read(spark, base)
+        assert len(got.inputFiles()) < len(full.inputFiles())
+
+    def test_drop_and_resurrection_guard(self, spark, tmp_path):
+        import ddf_flink_spark.functions.manifest as mf
+
+        base, df = self._seed(spark, tmp_path, "cm3")
+        files_before = _paths(_load_manifest(base))
+        mf.snapshot_drop_column(base, "junk")
+        assert _paths(_load_manifest(base)) == files_before  # header-only
+        got = snapshot_read(spark, base)
+        assert "junk" not in got.columns and got.count() == 100
+        # time travel still serves the dropped column
+        assert "junk" in snapshot_read(spark, base, version=1).columns
+        # re-adding the dropped name is rejected (stale resurrection)
+        with pytest.raises(ValueError, match="resurrect"):
+            snapshot_append(
+                spark.range(200, 210)
+                .withColumn("cell", F.lit(0).cast("int"))
+                .withColumn("val", F.lit(0).cast("long"))
+                .withColumn("junk", F.lit("z")),
+                base, merge_schema=True,
+            )
+        # ... and so is re-adding a renamed-away name
+        mf.snapshot_rename_column(base, "val", "value")
+        with pytest.raises(ValueError, match="resurrect"):
+            snapshot_append(
+                spark.range(200, 210)
+                .withColumn("cell", F.lit(0).cast("int"))
+                .withColumn("value", F.lit(0).cast("long"))
+                .withColumn("val", F.lit(1).cast("long")),
+                base, merge_schema=True,
+            )
+        # renaming ONTO a banned name is rejected too
+        with pytest.raises(ValueError, match="resurrect|renamed away"):
+            mf.snapshot_rename_column(base, "value", "junk")
+
+    def test_id_and_partition_columns_rejected(self, spark, tmp_path):
+        import ddf_flink_spark.functions.manifest as mf
+
+        base, _ = self._seed(spark, tmp_path, "cm4")
+        for fn in (
+            lambda: mf.snapshot_rename_column(base, "id", "key"),
+            lambda: mf.snapshot_drop_column(base, "id"),
+        ):
+            with pytest.raises(ValueError, match="id column"):
+                fn()
+        for fn in (
+            lambda: mf.snapshot_rename_column(base, "cell", "bucket"),
+            lambda: mf.snapshot_drop_column(base, "cell"),
+        ):
+            with pytest.raises(ValueError, match="partition column"):
+                fn()
+
+    def test_chained_renames_resolve_transitively(self, spark, tmp_path):
+        import ddf_flink_spark.functions.manifest as mf
+
+        base, df = self._seed(spark, tmp_path, "cm5")
+        mf.snapshot_rename_column(base, "val", "v2")
+        snapshot_append(
+            spark.range(100, 120)
+            .withColumn("cell", (F.col("id") % 2).cast("int"))
+            .withColumn("v2", (F.col("id") * 3).cast("long"))
+            .withColumn("junk", F.lit("x")),
+            base,
+        )
+        mf.snapshot_rename_column(base, "v2", "v3")
+        got = snapshot_read(spark, base)
+        # era 1 files (physical 'val'), era 2 ('v2'), all read as v3
+        assert got.filter(F.col("id") == 10).collect()[0]["v3"] == 30
+        assert got.filter(F.col("id") == 110).collect()[0]["v3"] == 330
+        assert got.count() == 120
+
+    def test_maintenance_works_across_rename(self, spark, tmp_path):
+        """delete → compact and the change feed keep working after a
+        rename (the survivor rewrite reads era-mapped, writes the new
+        physical name)."""
+        import ddf_flink_spark.functions.manifest as mf
+
+        base, df = self._seed(spark, tmp_path, "cm6")
+        mf.snapshot_rename_column(base, "val", "value")
+        snapshot_delete(spark.range(0, 5), base)
+        mf.snapshot_compact(spark, base)
+        got = snapshot_read(spark, base)
+        assert got.count() == 95
+        assert got.filter(F.col("id") == 10).collect()[0]["value"] == 30
+        ch = mf.snapshot_changes(
+            spark, base, 1, snapshot_versions(base)[-1]
+        )
+        assert "value" in ch.columns
+        assert ch.filter(F.col("_change") == "delete").count() == 5
