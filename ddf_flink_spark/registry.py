@@ -17976,3 +17976,129 @@ def q304_snapshot_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFr
         "k long, c_name string, c_nationkey int, balance double",
     )
     return out.unionByName(sentinel).orderBy("k")
+
+
+@query(
+    "q305_stream_cdc_merge_apply",
+    oracle="""
+    SELECT * FROM (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(v AS DECIMAL(18, 6))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM (
+            SELECT event_type, value + 1000 AS v
+            FROM events WHERE event_id % 3 = 0 AND event_id % 9 <> 0
+            UNION ALL
+            SELECT event_type, value
+            FROM events WHERE event_id % 3 = 1
+        ) GROUP BY event_type
+        UNION ALL
+        SELECT '_txn_replay_noop', 1, 0.0
+    ) ORDER BY event_type
+    """,
+)
+def q305_stream_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC-APPLY VIA MERGE — the composition q301's operator
+    exists for: an op-coded change feed arrives as a STREAM
+    (streaming.core.events_stream), and every micro-batch applies to
+    the snapshot table in ONE atomic ``snapshot_merge`` commit inside
+    ``foreachBatch`` — deletes (op='d'), partial-column updates
+    (op='u', ``when_matched_update=["value"]`` keeps every other
+    column from the target), and inserts (op='i'), all riding a single
+    manifest publication per batch with ``txn=("cdc", batch_id)``.
+    Structured Streaming's recovery contract replays a failed batch
+    with the SAME id, and the txn check turns that replay into a no-op
+    — proven by the sentinel: after the stream drains, re-applying
+    under the last delivered batch id leaves the version count
+    unchanged. This is the Delta ``foreachBatch`` + ``MERGE`` pattern
+    (their documented CDC-upsert recipe), run against this store's own
+    MERGE. At 100 TB each trigger's cost is O(|batch|) + the
+    stats/Bloom-admitted matched files — the table is never rescanned."""
+    import shutil
+
+    from .functions.manifest import (
+        snapshot_create,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_versions,
+    )
+    from .streaming.core import events_stream
+
+    base = _session_tmp("q305")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(f"{base}_ckpt", ignore_errors=True)
+    cols = ["event_id", "event_type", "value"]
+    ev = t(spark, sf_dir, "events").select(*cols)
+    # target: the %3==0 slice is the pre-existing table state
+    snapshot_create(
+        ev.filter(F.col("event_id") % 3 == 0), base, id_col="event_id",
+        stats_cols=["event_id"],
+    )
+    last_batch = {"id": -1}
+
+    def cdc_batch(df: DataFrame) -> DataFrame:
+        """Derive the op-coded feed from a raw batch: delete %9==0,
+        update value (+1000) on the rest of the seeded keys, insert
+        the %3==1 keys; %3==2 rows are not in the feed."""
+        k = F.col("event_id")
+        return (
+            df.select(*cols)
+            .filter((k % 3 == 0) | (k % 3 == 1))
+            .withColumn(
+                "op",
+                F.when(k % 9 == 0, F.lit("d"))
+                .when(k % 3 == 0, F.lit("u"))
+                .otherwise(F.lit("i")),
+            )
+            .withColumn(
+                "value",
+                F.when(F.col("op") == "u", F.col("value") + 1000).otherwise(
+                    F.col("value")
+                ),
+            )
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_merge(
+            cdc_batch(batch_df), base,
+            when_matched_update=["value"],
+            when_matched_delete="op = 'd'",
+            when_not_matched_insert=True,
+            txn=("cdc", batch_id),
+        )
+        last_batch["id"] = max(last_batch["id"], batch_id)
+
+    (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}_ckpt")
+        .start()
+        .awaitTermination()
+    )
+    # recovery replay: re-applying under an already-recorded batch id
+    # must short-circuit before any computation — version unchanged
+    v_before = snapshot_versions(base)[-1]
+    snapshot_merge(
+        cdc_batch(ev), base,
+        when_matched_update=["value"],
+        when_matched_delete="op = 'd'",
+        when_not_matched_insert=True,
+        txn=("cdc", last_batch["id"]),
+    )
+    replay_noop = int(snapshot_versions(base)[-1] == v_before)
+    agg = (
+        snapshot_read(spark, base)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18, 6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    sentinel = spark.createDataFrame(
+        [("_txn_replay_noop", replay_noop, 0.0)],
+        "event_type string, n long, sum_value double",
+    )
+    return agg.unionByName(sentinel).orderBy("event_type")
