@@ -709,3 +709,54 @@ def test_snapshot_facades(mgr, spark, tmp_path):
     res = mgr.snapshot_vacuum(base, retain_last=1)
     assert res["manifests_deleted"] == 4
     assert mgr.snapshot_table(base).num_rows() == 130
+
+
+def test_snapshot_merge_and_ddl_facades(mgr, spark, tmp_path):
+    """Round-12 surface: DDF.snapshot_merge, DDFManager.
+    snapshot_delete_where / snapshot_rename_column /
+    snapshot_drop_column through the library API."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "snapstore12")
+    d1 = mgr.new_ddf(
+        spark.range(0, 100)
+        .withColumn("val", (F.col("id") * 2).cast("long"))
+        .withColumn("note", F.lit("x"))
+    )
+    assert d1.snapshot_create(base, id_col="id", stats_cols=["id"]) == 1
+
+    # conditional merge: delete 0-4, update val of 5-9, insert 200-204
+    src = mgr.new_ddf(
+        spark.range(0, 5).withColumn("op", F.lit("d"))
+        .withColumn("val", F.lit(None).cast("long"))
+        .unionByName(
+            spark.range(5, 10).withColumn("op", F.lit("u"))
+            .withColumn("val", F.lit(-1).cast("long"))
+        )
+        .unionByName(
+            spark.range(200, 205).withColumn("op", F.lit("i"))
+            .withColumn("val", F.lit(7).cast("long"))
+        )
+    )
+    assert src.snapshot_merge(
+        base, when_matched_update=["val"], when_matched_delete="op = 'd'",
+        txn=("t", 1),
+    ) == 2
+    cur = mgr.snapshot_table(base)
+    assert cur.num_rows() == 100
+    row = cur.df.filter(F.col("id") == 7).collect()[0]
+    assert row["val"] == -1 and row["note"] == "x"
+
+    # delete_where: manifest-pruned predicate delete, no-op tick safe
+    assert mgr.snapshot_delete_where(base, between=("id", 200, 204)) == 3
+    assert mgr.snapshot_delete_where(base, between=("id", 200, 204)) == 3
+    assert mgr.snapshot_table(base).num_rows() == 95
+
+    # header-only rename + drop
+    assert mgr.snapshot_rename_column(base, "val", "value") == 4
+    assert mgr.snapshot_drop_column(base, "note") == 5
+    cur = mgr.snapshot_table(base)
+    assert cur.df.columns == ["id", "value"]
+    assert cur.df.filter(F.col("id") == 7).collect()[0]["value"] == -1
+    # time travel serves the old shape
+    assert "note" in mgr.snapshot_table(base, version=1).df.columns
