@@ -506,19 +506,23 @@ def minhash_signatures(
     slower at sf0.1 on the full q152 pipeline). Use md5 for interchange
     and verification, xx for production scale."""
     sh = exploded_shingles(df, text_col, id_col, shingle_n)
+    # SQL-text aggregate construction (round-12, functions/exprs.py):
+    # the same integer expressions as the Column-API loops they
+    # replace, parsed in one py4j round-trip per aggregate instead of
+    # ~8 — identical exact-BIGINT values.
     if hash_family == "md5":
         p = MINHASH_MERSENNE_P
-        base = md5_long(F.col("g")) % F.lit(p)
+        base = f"(cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % {p})"
         mins = [
-            F.min(
-                (F.lit(_minhash_a(i)) * base + F.lit(_minhash_b(i))) % F.lit(p)
+            F.expr(
+                f"min(({_minhash_a(i)} * {base} + {_minhash_b(i)}) % {p})"
             ).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     else:
         sh = sh.select("id", F.xxhash64("g").alias("hg"))
         mins = [
-            F.min(F.xxhash64(F.lit(i), F.col("hg"))).alias(f"h{i}")
+            F.expr(f"min(xxhash64({i}, hg))").alias(f"h{i}")
             for i in range(num_hashes)
         ]
     return sh.groupBy("id").agg(*mins)
@@ -605,18 +609,22 @@ def minhash_lsh_candidates(
 
 
 # ----------------------------------------------------------------- SimHash
-def _sig_from_bit_counts(n: Column, bits: int = 64) -> Column:
+def _sig_from_bit_counts(n_sql: str, bits: int = 64) -> Column:
     """OR together the per-bit majority masks given columns b0..b{bits-1}
-    and shingle count ``n`` (ties → bit set, matching the ≥ vote)."""
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        mask = (1 << i) if i < 63 else -(1 << 63)  # i=63 is the sign bit
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"b{i}") * 2 >= n, F.lit(mask).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
+    and shingle count ``n_sql`` (ties → bit set, matching the ≥ vote).
+
+    One ``F.expr`` text (round-12, functions/exprs.py) instead of ~8
+    py4j calls per bit: the same left-associated bitwise-OR chain over
+    the same CASE masks — exact integer arithmetic, identical values.
+    ``shiftleft(1L, i)`` replaces the python-side mask literal (for
+    i = 63 both are the sign bit, −2⁶³)."""
+    terms = [
+        f"(case when b{i} * 2 >= {n_sql} "
+        f"then shiftleft(cast(1 as bigint), {i}) "
+        "else cast(0 as bigint) end)"
+        for i in range(bits)
+    ]
+    return F.expr("cast(0 as bigint) | " + " | ".join(terms))
 
 
 def simhash_signatures(
@@ -649,13 +657,13 @@ def simhash_signatures(
     else:
         sh = sh.select("id", F.xxhash64("g").alias("h"))
     bit_sums = [
-        F.sum(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)).cast("long")).alias(
-            f"b{i}"
-        )
+        F.expr(
+            f"sum(cast(shiftrightunsigned(h, {i}) & 1 as bigint))"
+        ).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
-    sigs = agg.select("id", _sig_from_bit_counts(F.col("n"), bits).alias("sig"))
+    sigs = agg.select("id", _sig_from_bit_counts("n", bits).alias("sig"))
     empty_sig = -1 if bits == 64 else (1 << bits) - 1
     # re-attach shingle-less docs (explode dropped them): empty vote → all ones
     all_ids = df.select(F.col(id_col).alias("id"))

@@ -437,7 +437,7 @@ def chunk_split_on_disk(
     data_cols = [c for c in chunks.columns if c != "list_id"]
     mem = tracked_local_checkpoint(
         chunks.filter(F.col("list_id") == cell).withColumn(
-            "v", F.array(*[F.col(f"e{d}").cast("double") for d in range(dim)])
+            "v", F.expr("array(" + ", ".join(f"cast(e{d} as double)" for d in range(dim)) + ")")
         )
     )
     seed_rows = (
@@ -451,7 +451,7 @@ def chunk_split_on_disk(
         raise ValueError(f"chunk_split_on_disk: cell {cell} has < 2 members")
     cents: list[list[float]] = [list(r["c"]) for r in seed_rows]
     for _ in range(iters):
-        assigned = mem.withColumn("pos", _argmin_pos(F.col("v"), cents))
+        assigned = mem.withColumn("pos", _argmin_pos("v", cents))
         mean_rows = (
             assigned.select("pos", F.posexplode("v").alias("dim", "x"))
             .groupBy("pos", "dim")
@@ -466,7 +466,7 @@ def chunk_split_on_disk(
             for p in range(2)
         ]
     staged = mem.withColumn(
-        "pos", _argmin_pos(F.col("v"), cents).cast("int")
+        "pos", _argmin_pos("v", cents).cast("int")
     ).select(
         *data_cols,
         F.when(F.col("pos") == 0, F.lit(cell))

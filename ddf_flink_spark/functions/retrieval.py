@@ -121,54 +121,54 @@ def hash_chunk_embeddings(
     Structured Streaming frame (q264's chunk-ingest). Returns
     (id, chunk_id, e0..e{dim-1}, n2) where n2 is the exact squared
     norm."""
-    toks = F.split(F.col(text_col), " ")
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.size(toks) - size + stride, F.lit(1)),
-        F.lit(stride),
-    )
-    hv = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
-
     # Two Generate stages so each token hashes EXACTLY ONCE and the
     # component sums materialize EXACTLY ONCE. Both matter:
     # * posexplode materializes the per-chunk hash array (hvs) as a
     #   physical column — folding over an inline subexpression instead
     #   would re-run the interpreted md5 transform once PER COMPONENT
     #   (no CSE across higher-order lambdas; measured 16× the CPU);
-    # * inline(array(struct(e0..e15))) materializes the 16 folds behind
+    # * inline(array(struct(e0..e15))) materializes the dim folds behind
     #   a second Generate. Left as Project expressions, Catalyst's
     #   CollapseProject substitutes each fold into EVERY downstream
     #   reference (n2, dots, cosines…), growing the expression tree
     #   multiplicatively per projection level — observed as a
     #   plan-time driver OOM at sf0.1. Generate is a collapse barrier,
     #   shuffle-free, and legal on streaming frames (q264).
+    #
+    # Round-12: the expressions are emitted as SQL text (one F.expr
+    # parse apiece) instead of per-node Column-API calls — the Column
+    # form cost one synchronous py4j round-trip per node and dominated
+    # the chunk-path constructions (functions/exprs.py rationale). The
+    # parsed trees are the same operators in the same order, so every
+    # hash, fold and sum is bit-identical (integer arithmetic
+    # throughout; pinned by the unchanged q257/q263/q275-q277 oracles).
+    toks = f"split(`{text_col}`, ' ')"
+    starts = f"sequence(1, greatest(size({toks}) - {size} + {stride}, 1), {stride})"
+    hv_t = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
-            F.transform(
-                starts, lambda s: F.transform(F.slice(toks, s, size), hv)
+            F.expr(
+                f"transform({starts}, s -> transform(slice({toks}, s, {size}), "
+                f"t -> {hv_t}))"
             )
         ).alias("chunk_id", "hvs"),
     )
 
     def comp(d):
-        return F.aggregate(
-            F.col("hvs"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftright(h, d).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+        return (
+            f"aggregate(hvs, cast(0 as bigint), (acc, h) -> "
+            f"acc + cast((((shiftright(h, {d}) & 1) * 2) - 1) as bigint))"
         )
 
+    fields = ", ".join(f"'e{d}', {comp(d)}" for d in range(dim))
     emb = hashed.select(
         "id",
         "chunk_id",
-        F.inline(F.array(F.struct(*[comp(d).alias(f"e{d}") for d in range(dim)]))),
+        F.inline(F.expr(f"array(named_struct({fields}))")),
     )
-    n2 = None
-    for d in range(dim):
-        term = F.col(f"e{d}") * F.col(f"e{d}")
-        n2 = term if n2 is None else n2 + term
-    return emb.withColumn("n2", n2.cast("long"))
+    n2 = " + ".join(f"e{d} * e{d}" for d in range(dim))
+    return emb.withColumn("n2", F.expr(f"cast({n2} as bigint)"))
 
 
 def maxsim_topk(
@@ -221,23 +221,19 @@ def maxsim_topk(
     qtok = queries.select(
         F.col(id_col).alias("qid"), F.explode(F.split(text_col, " ")).alias("t")
     ).withColumn("hv", md5_long("t"))
+    # SQL-text construction (round-12, see functions/exprs.py): same
+    # integer expressions as the Column-API loops they replace.
     qsums = [
-        F.sum(
-            (F.shiftright("hv", d).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        F.expr(
+            f"sum(cast((((shiftright(hv, {d}) & 1) * 2) - 1) as bigint))"
         ).alias(f"q{d}")
         for d in range(dim)
     ]
     q_emb = qtok.groupBy("qid").agg(*qsums)
-    qn2 = None
-    for d in range(dim):
-        term = F.col(f"q{d}") * F.col(f"q{d}")
-        qn2 = term if qn2 is None else qn2 + term
-    q_emb = q_emb.withColumn("qn2", qn2.cast("long"))
+    qn2_sql = " + ".join(f"q{d} * q{d}" for d in range(dim))
+    q_emb = q_emb.withColumn("qn2", F.expr(f"cast({qn2_sql} as bigint)"))
 
-    dot = None
-    for d in range(dim):
-        term = F.col(f"e{d}") * F.col(f"q{d}")
-        dot = term if dot is None else dot + term
+    dot = F.expr(" + ".join(f"e{d} * q{d}" for d in range(dim)))
     pairs = (
         c_emb.join(F.broadcast(q_emb), F.col("id") != F.col("qid"))
         .filter((F.col("n2") > 0) & (F.col("qn2") > 0))
@@ -275,18 +271,17 @@ def _query_embeddings(
     qtok = queries.select(
         F.col(id_col).alias("qid"), F.explode(F.split(text_col, " ")).alias("t")
     ).withColumn("hv", md5_long("t"))
+    # SQL-text construction (round-12, see functions/exprs.py): same
+    # integer expressions as the Column-API loops they replace.
     qsums = [
-        F.sum(
-            (F.shiftright("hv", d).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        F.expr(
+            f"sum(cast((((shiftright(hv, {d}) & 1) * 2) - 1) as bigint))"
         ).alias(f"q{d}")
         for d in range(dim)
     ]
     q_emb = qtok.groupBy("qid").agg(*qsums)
-    qn2 = None
-    for d in range(dim):
-        term = F.col(f"q{d}") * F.col(f"q{d}")
-        qn2 = term if qn2 is None else qn2 + term
-    return q_emb.withColumn("qn2", qn2.cast("long"))
+    qn2_sql = " + ".join(f"q{d} * q{d}" for d in range(dim))
+    return q_emb.withColumn("qn2", F.expr(f"cast({qn2_sql} as bigint)"))
 
 
 def build_chunk_index(
@@ -333,7 +328,7 @@ def build_chunk_index(
             F.col("id").alias("doc"),
             *[F.col(f"e{d}") for d in range(dim)],
             "n2",
-            F.array(*[F.col(f"e{d}").cast("double") for d in range(dim)]).alias(
+            F.expr("array(" + ", ".join(f"cast(e{d} as double)" for d in range(dim)) + ")").alias(
                 "v"
             ),
         )
@@ -343,7 +338,7 @@ def build_chunk_index(
     )
     release_checkpoint(trained)  # membership re-derives from the centroids
     idx = chv.withColumn(
-        "list_id", _argmin_pos(F.col("v"), cents).cast("int")
+        "list_id", _argmin_pos("v", cents).cast("int")
     ).drop("v")
     persist_chunk_index(idx, cents, base)
     release_checkpoint(chv)
@@ -356,24 +351,14 @@ def _probe_frame(q_emb: DataFrame, coarse: list, nprobe: int) -> DataFrame:
     top ``nprobe`` cell ids. Shared by the persisted serve path and
     :func:`chunk_probe_cells`, so any consumer computes the exact same
     frontier (round-6 negated dot, cell-id tiebreak)."""
-    from .similarity import dot as _dot
+    from .exprs import probe_sql
 
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
-    scored_lists = F.transform(
-        F.sequence(F.lit(0), F.lit(len(coarse) - 1)),
-        lambda i: F.struct(
-            F.round(-_dot(F.col("qv"), F.element_at(cent_arr, i + 1)), 6).alias(
-                "neg"
-            ),
-            i.alias("list_id"),
-        ),
-    )
     return q_emb.select(
         "qid",
         "qv",
         "qn2",
         F.explode(
-            F.slice(F.array_sort(scored_lists), 1, nprobe).getField("list_id")
+            F.expr(f"{probe_sql(coarse, 'qv', nprobe)}.list_id")
         ).alias("list_id"),
     )
 
@@ -395,7 +380,7 @@ def chunk_probe_cells(
     :func:`maxsim_persisted_topk`'s ``static_probe``."""
     q_emb = _query_embeddings(queries, text_col, id_col, dim).select(
         "qid",
-        F.array(*[F.col(f"q{d}").cast("double") for d in range(dim)]).alias("qv"),
+        F.expr("array(" + ", ".join(f"cast(q{d} as double)" for d in range(dim)) + ")").alias("qv"),
         "qn2",
     )
     probe = _probe_frame(q_emb, coarse, nprobe)
@@ -438,7 +423,7 @@ def maxsim_persisted_topk(
     q_emb = _query_embeddings(queries, text_col, id_col, dim)
     q_emb = q_emb.select(
         "qid",
-        F.array(*[F.col(f"q{d}").cast("double") for d in range(dim)]).alias("qv"),
+        F.expr("array(" + ", ".join(f"cast(q{d} as double)" for d in range(dim)) + ")").alias("qv"),
         "qn2",
     )
     probe = _probe_frame(q_emb, coarse, nprobe)
@@ -526,7 +511,7 @@ def maxsim_ivf_topk(
     chv = c_emb.select(
         (F.col("id") * 1000000 + F.col("chunk_id")).alias("ck"),
         F.col("id").alias("doc"),
-        F.array(*[F.col(f"e{d}").cast("double") for d in range(dim)]).alias("v"),
+        F.expr("array(" + ", ".join(f"cast(e{d} as double)" for d in range(dim)) + ")").alias("v"),
         "n2",
     )
     assigned, cents = kmeans_lloyd(
@@ -537,44 +522,12 @@ def maxsim_ivf_topk(
         "ck",
     )
 
-    qtok = queries.select(
-        F.col(id_col).alias("qid"), F.explode(F.split(text_col, " ")).alias("t")
-    ).withColumn("hv", md5_long("t"))
-    qsums = [
-        F.sum(
-            (F.shiftright("hv", d).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-        ).alias(f"q{d}")
-        for d in range(dim)
-    ]
-    q_emb = qtok.groupBy("qid").agg(*qsums)
-    qn2 = None
-    for d in range(dim):
-        term = F.col(f"q{d}") * F.col(f"q{d}")
-        qn2 = term if qn2 is None else qn2 + term
-    q_emb = q_emb.select(
+    q_emb = _query_embeddings(queries, text_col, id_col, dim).select(
         "qid",
-        F.array(*[F.col(f"q{d}").cast("double") for d in range(dim)]).alias("qv"),
-        qn2.cast("long").alias("qn2"),
-    )
-
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-    scored_lists = F.transform(
-        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-        lambda i: F.struct(
-            F.round(-_dot(F.col("qv"), F.element_at(cent_arr, i + 1)), 6).alias(
-                "neg"
-            ),
-            i.alias("list_id"),
-        ),
-    )
-    probe = q_emb.select(
-        "qid",
-        "qv",
+        F.expr("array(" + ", ".join(f"cast(q{d} as double)" for d in range(dim)) + ")").alias("qv"),
         "qn2",
-        F.explode(
-            F.slice(F.array_sort(scored_lists), 1, nprobe).getField("list_id")
-        ).alias("list_id"),
     )
+    probe = _probe_frame(q_emb, cents, nprobe)
     cand = probe.join(idx, "list_id").filter(F.col("doc") != F.col("qid"))
     pairs = cand.filter((F.col("n2") > 0) & (F.col("qn2") > 0)).select(
         "qid",
@@ -638,7 +591,7 @@ def build_chunk_pq_index(
             (F.col("id") * 1000000 + F.col("chunk_id")).alias("ck"),
             F.col("id").alias("doc"),
             "n2",
-            F.array(*[F.col(f"e{d}").cast("double") for d in range(dim)]).alias(
+            F.expr("array(" + ", ".join(f"cast(e{d} as double)" for d in range(dim)) + ")").alias(
                 "v"
             ),
         )
@@ -697,30 +650,18 @@ def maxsim_adc_topk(
     q_emb = _query_embeddings(queries, text_col, id_col, dim)
     q_emb = q_emb.select(
         "qid",
-        F.array(*[F.col(f"q{d}").cast("double") for d in range(dim)]).alias("qv"),
+        F.expr("array(" + ", ".join(f"cast(q{d} as double)" for d in range(dim)) + ")").alias("qv"),
         "qn2",
     )
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
-    scored_lists = F.transform(
-        F.sequence(F.lit(0), F.lit(len(coarse) - 1)),
-        lambda i: F.struct(
-            F.round(-_dot(F.col("qv"), F.element_at(cent_arr, i + 1)), 6).alias(
-                "neg"
-            ),
-            i.alias("list_id"),
-        ),
-    )
-    probe = q_emb.select(
-        "qid",
-        "qv",
-        "qn2",
-        F.explode(
-            F.slice(F.array_sort(scored_lists), 1, nprobe).getField("list_id")
-        ).alias("list_id"),
-    ).withColumn(
+    from .exprs import darray2, dot_sql
+
+    cents_sql = darray2(coarse)
+    probe = _probe_frame(q_emb, coarse, nprobe).withColumn(
         "qcdot",
-        F.round(_dot(F.col("qv"), F.element_at(cent_arr, F.col("list_id") + 1)), 6)
-        .cast("decimal(18,6)"),
+        F.expr(
+            f"cast(round({dot_sql('qv', f'element_at({cents_sql}, list_id + 1)')}, 6) "
+            "as decimal(18,6))"
+        ),
     )
     n_codes = len(codebooks[0])
     cb = spark.createDataFrame(
@@ -764,7 +705,7 @@ def maxsim_adc_topk(
         "n2",
         "qn2",
         "qcdot",
-        F.posexplode(F.array(*[F.col(f"code{j}") for j in range(m)])).alias(
+        F.posexplode(F.expr("array(" + ", ".join(f"code{j}" for j in range(m)) + ")")).alias(
             "j", "code"
         ),
     )
@@ -839,10 +780,7 @@ def maxsim_adc_rerank_topk(
         sub, text_col, id_col, size=size, stride=stride, dim=dim
     )
     q_emb = _query_embeddings(queries, text_col, id_col, dim)
-    dot = None
-    for d in range(dim):
-        term = F.col(f"e{d}") * F.col(f"q{d}")
-        dot = term if dot is None else dot + term
+    dot = F.expr(" + ".join(f"e{d} * q{d}" for d in range(dim)))
     pairs = (
         short.join(c_emb, short["doc_id"] == c_emb["id"])
         .join(F.broadcast(q_emb), short["query_id"] == q_emb["qid"])

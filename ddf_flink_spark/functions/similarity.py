@@ -320,9 +320,7 @@ def ivf_topk(
     The centroid distance computation is a literal-array expression
     (centroid count is small by construction); the candidate join hits
     ~nprobe/n_lists of the corpus."""
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cent_arr = F.lit([[float(x) for x in c] for c in centroids])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -774,7 +772,7 @@ def pq_search(
     )
     codes_long = codes.select(
         "id",
-        F.posexplode(F.array(*[F.col(f"code{j}") for j in range(m)])).alias(
+        F.posexplode(F.expr("array(" + ", ".join(f"code{j}" for j in range(m)) + ")")).alias(
             "j", "code"
         ),
     )
@@ -859,7 +857,7 @@ def ivfpq_search(
     )
     qid, qv6 = qrow["id"], list(qrow["q"])
 
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    cent_arr = F.lit([[float(x) for x in c] for c in coarse])
     scored_lists = F.transform(
         F.sequence(F.lit(0), F.lit(n_lists - 1)),
         lambda i: F.struct(
@@ -901,7 +899,7 @@ def ivfpq_search(
     ).select("id")
     codes_long = codes.join(cand, "id", "left_semi").select(
         "id",
-        F.posexplode(F.array(*[F.col(f"code{j}") for j in range(m)])).alias(
+        F.posexplode(F.expr("array(" + ", ".join(f"code{j}" for j in range(m)) + ")")).alias(
             "j", "code"
         ),
     )
@@ -974,7 +972,7 @@ def ivfadc_search(
     cells = assign.select("id", F.col("cluster").alias("list_id"))
 
     # residuals: v − coarse[cell], a single IEEE subtract per component
-    coarse_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    coarse_arr = F.lit([[float(x) for x in c] for c in coarse])
     remb = tracked_local_checkpoint(
         emb.join(cells, "id").select(
             "id",
@@ -1052,7 +1050,7 @@ def ivfadc_search(
     codes_long = codes.join(cand, "id").select(
         "id",
         "cell",
-        F.posexplode(F.array(*[F.col(f"code{j}") for j in range(m)])).alias(
+        F.posexplode(F.expr("array(" + ", ".join(f"code{j}" for j in range(m)) + ")")).alias(
             "j", "code"
         ),
     )
@@ -1111,7 +1109,7 @@ def ivfadc_index_build(
         return_centroids=True,
     )
     cells = assign.select("id", F.col("cluster").alias("list_id"))
-    coarse_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    coarse_arr = F.lit([[float(x) for x in c] for c in coarse])
     remb = tracked_local_checkpoint(
         emb.join(cells, "id").select(
             "id",
@@ -1178,33 +1176,27 @@ def ivfadc_index_search(
     k = len(codebooks[0])
     w = len(codebooks[0][0])
     n_lists = len(coarse)
-    coarse_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    # SQL-text construction (round-12, functions/exprs.py): same probe
+    # ranking, residual and LUT folds as the Column forms they replace,
+    # parsed in a handful of py4j round-trips instead of hundreds.
+    from .exprs import darray2, probe_sql
 
+    cents_sql = darray2(coarse)
     q = queries.select(
         F.col(q_id_col).alias("query_id"),
         F.col(q_vec_col).cast("array<double>").alias("qv"),
     )
-    scored_lists = F.transform(
-        F.sequence(F.lit(0), F.lit(n_lists - 1)),
-        lambda i: F.struct(
-            F.round(-dot(F.col("qv"), F.element_at(coarse_arr, i + 1)), 6).alias(
-                "neg"
-            ),
-            i.alias("list_id"),
-        ),
-    )
     probed = q.select(
         "query_id",
         "qv",
-        F.explode(F.slice(F.array_sort(scored_lists), 1, nprobe)).alias("s"),
+        F.explode(F.expr(probe_sql(coarse, "qv", nprobe))).alias("s"),
     ).select("query_id", "qv", F.col("s.list_id").alias("cell"))
     qres = probed.select(
         "query_id",
         "cell",
-        F.zip_with(
-            "qv",
-            F.element_at(coarse_arr, F.col("cell") + 1),
-            lambda a, b: F.round(a - b, 6),
+        F.expr(
+            f"zip_with(qv, element_at({cents_sql}, cell + 1), "
+            "(a, b) -> round(a - b, 6))"
         ).alias("q"),
     )
     cb = spark.createDataFrame(
@@ -1220,14 +1212,11 @@ def ivfadc_index_search(
         "cell",
         "j",
         "code",
-        F.aggregate(
-            F.zip_with(
-                F.slice("q", F.col("j") * w + 1, F.lit(w)),
-                F.col("cd"),
-                lambda x, y: F.round((x - y) * (x - y), 9).cast("decimal(30,9)"),
-            ),
-            F.lit(0).cast("decimal(30,9)"),
-            lambda acc, x: (acc + x).cast("decimal(30,9)"),
+        F.expr(
+            f"aggregate(zip_with(slice(q, j * {w} + 1, {w}), cd, "
+            "(x, y) -> cast(round((x - y) * (x - y), 9) as decimal(30,9))), "
+            "cast(0 as decimal(30,9)), "
+            "(acc, x) -> cast(acc + x as decimal(30,9)))"
         ).alias("sq"),
     )
 
@@ -1246,7 +1235,7 @@ def ivfadc_index_search(
         "query_id",
         "cell",
         "id",
-        F.posexplode(F.array(*[F.col(f"code{j}") for j in range(m)])).alias(
+        F.posexplode(F.expr("array(" + ", ".join(f"code{j}" for j in range(m)) + ")")).alias(
             "j", "code"
         ),
     )
@@ -1355,44 +1344,24 @@ def _train_pq_codebooks(
 
     def assign_all(cur: list[list[list[float]]]) -> DataFrame:
         """(id, j, cluster, vs=slice_j) — every subspace's argmin in one
-        map pass (mirrors ml/kmeans._assign per subspace)."""
+        map pass (mirrors ml/kmeans._assign per subspace). Emitted as
+        ONE ``F.expr`` SQL text: the Column form built m·k
+        zip_with/aggregate trees through py4j (hundreds of synchronous
+        round-trips per training pass — the measured q275 bottleneck);
+        the parsed text is the same fold, same round-6 + cluster-id
+        tie-break, bit-identical (tests/test_operators.py::TestExprSql)."""
+        from .exprs import argmin_struct_sql, sqdist_sql
+
         per_j = []
         for j in range(m):
-            sub = F.slice("v", j * w + 1, w)
-            dist_arr = F.array(
-                *[
-                    F.sqrt(
-                        F.aggregate(
-                            F.zip_with(
-                                sub,
-                                F.array(*[F.lit(float(x)) for x in c]),
-                                lambda x, y: (x - y) * (x - y),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        )
-                    )
-                    for c in cur[j]
-                ]
-            )
-            best = F.array_min(
-                F.zip_with(
-                    dist_arr,
-                    F.array(*[F.lit(ci) for ci in range(k)]),
-                    lambda d, ci: F.struct(
-                        F.round(d, 6).alias("rd"), ci.alias("cluster")
-                    ),
-                )
-            )
+            sub = f"slice(v, {j * w + 1}, {w})"
+            dists = [f"sqrt({sqdist_sql(sub, c)})" for c in cur[j]]
+            best = argmin_struct_sql(dists)
             per_j.append(
-                F.struct(
-                    F.lit(j).alias("j"),
-                    best["cluster"].alias("cluster"),
-                    sub.alias("vs"),
-                )
+                f"named_struct('j', {j}, 'cluster', {best}.cluster, 'vs', {sub})"
             )
         return remb.select(
-            "id", F.explode(F.array(*per_j)).alias("a")
+            "id", F.explode(F.expr(f"array({', '.join(per_j)})")).alias("a")
         ).select("id", "a.j", "a.cluster", "a.vs")
 
     # ``exact_means``: per-dimension mean as a round-6 DECIMAL(18,6)
@@ -1446,35 +1415,21 @@ def _train_pq_codebooks(
     return codes, cents
 
 
-def _argmin_pos(vec: Column, cents_py: list) -> Column:
+def _argmin_pos(vec_sql: str, cents_py: list) -> Column:
     """Position of the nearest centroid in ``cents_py``: round-6
     euclidean rank, position tiebreak — ``ml/kmeans._assign``'s exact
     rule as one JVM expression (shared by :func:`ivfadc_encode`,
-    :func:`ivfadc_rebalance`, :func:`ivfadc_split_cell`)."""
-    dist_arr = F.array(
-        *[
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-            for c in cents_py
-        ]
-    )
-    best = F.array_min(
-        F.zip_with(
-            dist_arr,
-            F.array(*[F.lit(p) for p in range(len(cents_py))]),
-            lambda d, p: F.struct(F.round(d, 6).alias("rd"), p.alias("pos")),
-        )
-    )
-    return best["pos"]
+    :func:`ivfadc_rebalance`, :func:`ivfadc_split_cell`).
+
+    ``vec_sql`` is SQL text (a column name or e.g. ``slice(r, 1, 4)``):
+    the whole argmin parses as ONE ``F.expr`` instead of one py4j
+    round-trip per centroid×element Column node — same fold, same
+    round-6 + position tie-break, bit-identical values (pinned by
+    tests/test_operators.py::TestExprSql)."""
+    from .exprs import argmin_struct_sql, sqdist_sql
+
+    dists = [f"sqrt({sqdist_sql(vec_sql, c)})" for c in cents_py]
+    return F.expr(f"{argmin_struct_sql(dists)}.cluster")
 
 
 def ivfadc_encode(
@@ -1503,12 +1458,12 @@ def ivfadc_encode(
     m = len(codebooks)
     k = len(codebooks[0])
     w = len(codebooks[0][0])
-    coarse_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    coarse_arr = F.lit([[float(x) for x in c] for c in coarse])
 
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("list_id", _argmin_pos(F.col("v"), coarse).cast("int"))
+    ).withColumn("list_id", _argmin_pos("v", coarse).cast("int"))
     res = base.withColumn(
         "r",
         F.zip_with(
@@ -1516,7 +1471,7 @@ def ivfadc_encode(
         ),
     )
     code_cols = [
-        _argmin_pos(F.slice("r", j * w + 1, w), codebooks[j])
+        _argmin_pos(f"slice(r, {j * w + 1}, {w})", codebooks[j])
         .cast("int")
         .alias(f"code{j}")
         for j in range(m)
@@ -1612,8 +1567,8 @@ def ivfadc_encode_two_level(
     probe_groups = min(probe_groups, n_groups)
     reps, members = _group_centroids(coarse, n_groups)
 
-    coarse_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
-    reps_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in reps])
+    coarse_arr = F.lit([[float(x) for x in c] for c in coarse])
+    reps_arr = F.lit([[float(x) for x in c] for c in reps])
     members_arr = F.array(
         *[F.array(*[F.lit(int(i)) for i in ms]) for ms in members]
     )
@@ -1665,7 +1620,7 @@ def ivfadc_encode_two_level(
         ),
     )
     code_cols = [
-        _argmin_pos(F.slice("r", j * w + 1, w), codebooks[j])
+        _argmin_pos(f"slice(r, {j * w + 1}, {w})", codebooks[j])
         .cast("int")
         .alias(f"code{j}")
         for j in range(m)
@@ -1769,10 +1724,10 @@ def ivfadc_rebalance(
             for p in range(len(targets))
         ]
         assigned = members.withColumn(
-            "pos", _argmin_pos(F.col("v"), cents_t).cast("int")
+            "pos", _argmin_pos("v", cents_t).cast("int")
         )
 
-    newc_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents_t])
+    newc_arr = F.lit([[float(x) for x in c] for c in cents_t])
     res = assigned.select(
         "id",
         "old_cell",
@@ -1782,7 +1737,7 @@ def ivfadc_rebalance(
         ).alias("r"),
     )
     code_cols = [
-        _argmin_pos(F.slice("r", j * w + 1, w), codebooks[j])
+        _argmin_pos(f"slice(r, {j * w + 1}, {w})", codebooks[j])
         .cast("int")
         .alias(f"code{j}")
         for j in range(m)
@@ -1867,7 +1822,7 @@ def ivfadc_split_cell(
         raise ValueError(f"ivfadc_split_cell: cell {cell} has < 2 members")
     cents_s: list[list[float]] = [list(r["c"]) for r in seed_rows]
     for _ in range(iters):
-        assigned = members.withColumn("pos", _argmin_pos(F.col("v"), cents_s))
+        assigned = members.withColumn("pos", _argmin_pos("v", cents_s))
         mean_rows = (
             assigned.select("pos", F.posexplode("v").alias("dim", "x"))
             .groupBy("pos", "dim")
@@ -1884,8 +1839,8 @@ def ivfadc_split_cell(
             for p in range(2)
         ]
     new_id = len(coarse)
-    cents_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents_s])
-    fin = members.withColumn("pos", _argmin_pos(F.col("v"), cents_s).cast("int"))
+    cents_arr = F.lit([[float(x) for x in c] for c in cents_s])
+    fin = members.withColumn("pos", _argmin_pos("v", cents_s).cast("int"))
     res = fin.select(
         "id",
         F.lit(cell).cast("int").alias("old_cell"),
@@ -1898,7 +1853,7 @@ def ivfadc_split_cell(
         ).alias("r"),
     )
     code_cols = [
-        _argmin_pos(F.slice("r", j * w + 1, w), codebooks[j])
+        _argmin_pos(f"slice(r, {j * w + 1}, {w})", codebooks[j])
         .cast("int")
         .alias(f"code{j}")
         for j in range(m)

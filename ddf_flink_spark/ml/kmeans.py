@@ -43,32 +43,19 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     over (rounded dist, cluster id) structs picks the argmin with the
     tie-break in the ordering — no explode, no groupBy, so assignment
     never shuffles the vectors (the earlier explode+min_by form
-    re-shuffled the corpus by id every iteration)."""
-    dist_arr = F.array(
-        *[
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        "v",
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-            for c in cents
-        ]
-    )
-    best = F.array_min(
-        F.zip_with(
-            dist_arr,
-            F.array(*[F.lit(ci) for ci in range(len(cents))]),
-            lambda d, ci: F.struct(
-                F.round(d, 6).alias("rd"), ci.alias("cluster"), d.alias("dist")
-            ),
-        )
-    )
+    re-shuffled the corpus by id every iteration).
+
+    Built as ONE ``F.expr`` SQL text instead of k·dim Column-API calls:
+    the Column form cost one synchronous py4j round-trip per
+    ``F.lit``/HOF node (~1.4 ms each on a loaded driver box — the JVM
+    sat idle while the driver chatted), which dominated every Lloyd
+    pass. The parsed text is the same zip_with/aggregate fold, same
+    0.0 seed, same round-6 + cluster-id tie-break — bit-identical
+    values (pinned by tests/test_operators.py::TestExprSql)."""
+    from ..functions.exprs import argmin_struct_sql, sqdist_sql
+
+    dists = [f"sqrt({sqdist_sql('v', c)})" for c in cents]
+    best = F.expr(argmin_struct_sql(dists, extras=[[("dist", d)] for d in dists]))
     return emb.select(
         "id", "v", best["cluster"].alias("cluster"), best["dist"].alias("dist")
     )

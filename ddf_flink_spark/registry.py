@@ -14517,7 +14517,7 @@ def q264_stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.col(f"e{j}").cast("double") for j in range(DIM)]).alias("v"),
     )
     assigned = s.select(
-        "ck", _argmin_pos(F.col("v"), coarse).cast("int").alias("list_id")
+        "ck", _argmin_pos("v", coarse).cast("int").alias("list_id")
     )
     base = _session_tmp("q264")
     shutil.rmtree(base, ignore_errors=True)

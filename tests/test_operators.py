@@ -926,3 +926,151 @@ def test_merge_upsert_semantics(spark):
     bad = changes.drop("x")
     with _pytest.raises(ValueError):
         merge_upsert(base, bad, ["k"])
+
+
+class TestExprSql:
+    """Round-12 optimization pin: the SQL-text expression builders
+    (functions/exprs.py) replaced per-node Column-API construction in
+    the Lloyd/PQ/encode hot paths (~60k py4j round-trips per PQ build,
+    measured 36 s of a 41 s q275 run with the JVM idle). These tests
+    re-build the ORIGINAL Column expressions verbatim and assert the
+    collected values are bit-identical to the new parsed-text forms —
+    the refactor is a construction-cost change, never a value change."""
+
+    def _frame(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [round(rng.uniform(-3, 3), 3) for _ in range(8)])
+            for i in range(50)
+        ]
+        # include exact ties and zeros to exercise the tie-break path
+        rows.append((50, [0.0] * 8))
+        rows.append((51, [0.0] * 8))
+        return spark.createDataFrame(rows, "id long, v array<double>")
+
+    def _cents(self, k, w):
+        import random
+
+        rng = random.Random(13)
+        return [[round(rng.uniform(-3, 3), 4) for _ in range(w)] for _ in range(k)]
+
+    def test_kmeans_assign_matches_column_form(self, spark):
+        import struct
+
+        from pyspark.sql import functions as F
+
+        from ddf_flink_spark.ml.kmeans import _assign
+
+        emb = self._frame(spark)
+        cents = self._cents(5, 8)
+        # original Column-API construction (pre-round-12), verbatim
+        dist_arr = F.array(
+            *[
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            "v",
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                for c in cents
+            ]
+        )
+        best = F.array_min(
+            F.zip_with(
+                dist_arr,
+                F.array(*[F.lit(ci) for ci in range(len(cents))]),
+                lambda d, ci: F.struct(
+                    F.round(d, 6).alias("rd"), ci.alias("cluster"), d.alias("dist")
+                ),
+            )
+        )
+        old = {
+            r["id"]: (r["cluster"], struct.pack("d", r["dist"]))
+            for r in emb.select(
+                "id", best["cluster"].alias("cluster"), best["dist"].alias("dist")
+            ).collect()
+        }
+        new = {
+            r["id"]: (r["cluster"], struct.pack("d", r["dist"]))
+            for r in _assign(emb, cents).collect()
+        }
+        assert old == new
+
+    def test_argmin_pos_matches_column_form(self, spark):
+        from pyspark.sql import functions as F
+
+        from ddf_flink_spark.functions.similarity import _argmin_pos
+
+        emb = self._frame(spark)
+        cents = self._cents(7, 4)
+        vec = F.slice("v", 3, 4)
+        dist_arr = F.array(
+            *[
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                for c in cents
+            ]
+        )
+        best = F.array_min(
+            F.zip_with(
+                dist_arr,
+                F.array(*[F.lit(p) for p in range(len(cents))]),
+                lambda d, p: F.struct(F.round(d, 6).alias("rd"), p.alias("pos")),
+            )
+        )
+        old = {r["id"]: r["pos"] for r in emb.select("id", best["pos"].alias("pos")).collect()}
+        new = {
+            r["id"]: r["pos"]
+            for r in emb.select(
+                "id", _argmin_pos("slice(v, 3, 4)", cents).alias("pos")
+            ).collect()
+        }
+        assert old == new
+
+    def test_nested_literal_matches_created_array(self, spark):
+        """F.lit(nested_list) (one py4j call) equals the old
+        CreateArray-of-CreateArray construction element-for-element."""
+        from pyspark.sql import functions as F
+
+        coarse = self._cents(4, 6)
+        df = spark.range(1)
+        old_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+        new_arr = F.lit([[float(x) for x in c] for c in coarse])
+        old = df.select(old_arr.alias("a")).collect()[0]["a"]
+        new = df.select(new_arr.alias("a")).collect()[0]["a"]
+        assert old == new
+        assert (
+            df.select(new_arr.alias("a")).schema["a"].dataType.simpleString()
+            == df.select(old_arr.alias("a")).schema["a"].dataType.simpleString()
+        )
+
+    def test_dlit_roundtrips_extremes(self, spark):
+        from pyspark.sql import functions as F
+
+        from ddf_flink_spark.functions.exprs import dlit
+
+        vals = [0.1, -0.0, 3.0, 1e-300, 5e-324, 1.7976931348623157e308,
+                123456789.12345679, -2.5e-7]
+        got = spark.range(1).select(
+            *[F.expr(dlit(v)).alias(f"c{i}") for i, v in enumerate(vals)]
+        ).collect()[0]
+        import struct
+
+        for i, v in enumerate(vals):
+            assert struct.pack("d", got[f"c{i}"]) == struct.pack("d", v)
