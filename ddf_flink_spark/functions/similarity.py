@@ -1349,14 +1349,17 @@ def _train_pq_codebooks(
         zip_with/aggregate trees through py4j (hundreds of synchronous
         round-trips per training pass — the measured q275 bottleneck);
         the parsed text is the same fold, same round-6 + cluster-id
-        tie-break, bit-identical (tests/test_operators.py::TestExprSql)."""
-        from .exprs import argmin_struct_sql, sqdist_sql
+        tie-break, bit-identical (tests/test_operators.py::TestExprSql).
+        Each subspace's argmin is a LAMBDA over its codebook literal
+        (exprs.argmin_lambda_sql) — m O(1)-node trees instead of m·k
+        inlined distance trees, so the per-iteration analysis/codegen
+        cost no longer scales with the codebook size."""
+        from .exprs import argmin_lambda_sql
 
         per_j = []
         for j in range(m):
             sub = f"slice(v, {j * w + 1}, {w})"
-            dists = [f"sqrt({sqdist_sql(sub, c)})" for c in cur[j]]
-            best = argmin_struct_sql(dists)
+            best = argmin_lambda_sql(cur[j], sub)
             per_j.append(
                 f"named_struct('j', {j}, 'cluster', {best}.cluster, 'vs', {sub})"
             )
@@ -1423,13 +1426,15 @@ def _argmin_pos(vec_sql: str, cents_py: list) -> Column:
 
     ``vec_sql`` is SQL text (a column name or e.g. ``slice(r, 1, 4)``):
     the whole argmin parses as ONE ``F.expr`` instead of one py4j
-    round-trip per centroid×element Column node — same fold, same
-    round-6 + position tie-break, bit-identical values (pinned by
-    tests/test_operators.py::TestExprSql)."""
-    from .exprs import argmin_struct_sql, sqdist_sql
+    round-trip per centroid×element Column node, and iterates ONE
+    distance lambda over a single centroid-table literal instead of
+    k inlined trees (O(1) analysis/codegen instead of O(k·dim) per
+    job — exprs.argmin_lambda_sql has the measured numbers). Same
+    fold, same round-6 + position tie-break, bit-identical values
+    (pinned by tests/test_operators.py::TestExprSql)."""
+    from .exprs import argmin_lambda_sql
 
-    dists = [f"sqrt({sqdist_sql(vec_sql, c)})" for c in cents_py]
-    return F.expr(f"{argmin_struct_sql(dists)}.cluster")
+    return F.expr(f"{argmin_lambda_sql(cents_py, vec_sql)}.cluster")
 
 
 def ivfadc_encode(

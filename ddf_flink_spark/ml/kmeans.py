@@ -45,17 +45,20 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     never shuffles the vectors (the earlier explode+min_by form
     re-shuffled the corpus by id every iteration).
 
-    Built as ONE ``F.expr`` SQL text instead of k·dim Column-API calls:
-    the Column form cost one synchronous py4j round-trip per
-    ``F.lit``/HOF node (~1.4 ms each on a loaded driver box — the JVM
-    sat idle while the driver chatted), which dominated every Lloyd
-    pass. The parsed text is the same zip_with/aggregate fold, same
-    0.0 seed, same round-6 + cluster-id tie-break — bit-identical
-    values (pinned by tests/test_operators.py::TestExprSql)."""
-    from ..functions.exprs import argmin_struct_sql, sqdist_sql
+    Built as ONE ``F.expr`` SQL text instead of k·dim Column-API calls
+    (the Column form cost one synchronous py4j round-trip per
+    ``F.lit``/HOF node, which dominated every Lloyd pass), and as a
+    LAMBDA over a single centroid-table literal instead of k inlined
+    distance trees (the expanded form re-paid O(k·dim) analysis +
+    codegen on every iteration, and its 'dist' extra re-evaluated each
+    fold a second time; the lambda binds each distance once — see
+    exprs.argmin_lambda_sql for the measured numbers). Same
+    zip_with/aggregate fold, same 0.0 seed, same round-6 + cluster-id
+    tie-break — bit-identical values (pinned by
+    tests/test_operators.py::TestExprSql)."""
+    from ..functions.exprs import argmin_lambda_sql
 
-    dists = [f"sqrt({sqdist_sql('v', c)})" for c in cents]
-    best = F.expr(argmin_struct_sql(dists, extras=[[("dist", d)] for d in dists]))
+    best = F.expr(argmin_lambda_sql(cents, "v", with_dist=True))
     return emb.select(
         "id", "v", best["cluster"].alias("cluster"), best["dist"].alias("dist")
     )
