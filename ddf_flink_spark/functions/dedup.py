@@ -311,12 +311,20 @@ def prefix_filter_jaccard(
             ).alias("tok"),
         )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # sz = the doc's distinct-element count, computed as COUNT(*) OVER
+    # (PARTITION BY id) in the SAME window pass that ranks the prefix —
+    # the earlier groupBy-then-join form re-evaluated the full shingle
+    # explode a second time for the sizes aggregate and paid a third
+    # shuffle to join it back (guide §2.4 remove-shuffles: same
+    # partitioning ⇒ one exchange). Equal by construction: the freq
+    # join is inner on tok and every tok has tf ≥ 1, so the window
+    # counts exactly the doc's distinct elements.
     wdoc = Window.partitionBy("id").orderBy(F.col("tf").asc(), F.col("tok").asc())
+    wsz = Window.partitionBy("id")
     ranked = (
         toks.join(freq, "tok")
         .withColumn("pos", F.row_number().over(wdoc))
-        .join(sizes, "id")
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
     )
     # Prefix-length bound with two safety margins, both erring LONGER
     # (longer prefixes only add candidates — never lose one):
@@ -382,13 +390,30 @@ def prefix_filter_jaccard(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    # per-candidate-doc distinct-token arrays (toks is already distinct
-    # per doc); the semi-join bounds the gather to candidate docs only
-    tarr = (
-        toks.join(cdocs, "id", "left_semi")
-        .groupBy("id")
-        .agg(F.collect_list("tok").alias("tset"))
+    # per-candidate-doc distinct-token arrays: semi-join the DOCUMENT
+    # rows first, then explode only the survivors' elements. The
+    # earlier form semi-joined the exploded corpus (toks ⋉ cdocs) —
+    # re-running the full-corpus shingle explode just to keep the
+    # candidate docs' rows; this way the explode + collect_list shuffle
+    # are both ∝ candidate docs, never corpus (guide §2.3 shuffle
+    # fewer bytes / §1.2 don't compute what you throw away). Same
+    # tokens per doc (identical explode expression over the same
+    # rows), so array_intersect sees identical sets.
+    cand_docs = df.join(
+        cdocs.select(F.col("id").alias(id_col)), id_col, "left_semi"
     )
+    if shingle_n > 1:
+        ctoks = exploded_shingles(cand_docs, text_col, id_col, shingle_n).select(
+            "id", F.col("g").alias("tok")
+        )
+    else:
+        ctoks = cand_docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+            ).alias("tok"),
+        )
+    tarr = ctoks.groupBy("id").agg(F.collect_list("tok").alias("tset"))
     out = (
         cand.join(
             tarr.select(F.col("id").alias("id_a"), F.col("tset").alias("ta")), "id_a"

@@ -31,6 +31,7 @@ __all__ = [
     "argmin_lambda_sql",
     "dot_sql",
     "probe_sql",
+    "values_df",
 ]
 
 
@@ -90,6 +91,106 @@ def probe_sql(coarse: list, vec_sql: str, nprobe: int) -> str:
         f"i -> named_struct('neg', round(-({dot}), 6), 'list_id', i))), "
         f"1, {nprobe})"
     )
+
+
+def _split_fields(schema: str) -> "list[tuple[str, str]]":
+    """Parse a DDL schema string ("j int, cd array<double>") into
+    (name, type) pairs, splitting only at top-level commas (commas
+    inside ``array<...>`` / ``decimal(p,s)`` stay put)."""
+    fields, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        fields.append("".join(cur))
+    out = []
+    for f in fields:
+        name, typ = f.strip().split(None, 1)
+        out.append((name, typ.strip()))
+    return out
+
+
+def _sql_val(v) -> str:
+    """One SQL literal for a Python scalar/list; exact round-trip for
+    every type the tiny-frame call sites use (see :func:`values_df`)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        if v == 0.0 and str(v)[0] == "-":
+            # '-0.0' as a SQL numeric literal folds to +0.0 (the parser
+            # negates the literal 0.0 after normalization); the string
+            # cast preserves the sign bit
+            return "CAST('-0.0' AS DOUBLE)"
+        return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(_sql_val(x) for x in v) + ")"
+    raise TypeError(f"values_df: unsupported literal type {type(v).__name__}")
+
+
+def values_df(spark, rows, schema: str):
+    """Tiny literal DataFrame as a SQL ``VALUES`` LocalRelation —
+    the fast form of ``spark.createDataFrame(rows, schema)`` for small
+    model/probe frames (PQ codebooks, CMS probe buckets, coarse-centroid
+    sidecars).
+
+    ``createDataFrame(list)`` parallelizes the rows into
+    ``defaultParallelism`` RDD slices and EVERY slice launches a Python
+    worker to unpickle its share — measured 1.4 s warm (32 forked
+    workers) for a 20-row frame on local[32], per invocation, and the
+    resulting frame is an RDD scan that cannot broadcast without a job.
+    The ``VALUES`` text parses to a LocalRelation: zero jobs to build,
+    the broadcast side of a join without running a stage, and a
+    ``.coalesce(1)`` write emits one file instead of 32.
+
+    Value fidelity matches ``createDataFrame`` bit-for-bit: ints are
+    exact, floats render via ``repr`` (shortest round-trip; Spark parses
+    with ``Double.parseDouble`` — the identical IEEE-754 value,
+    including -0.0 and denormals; NaN/Infinity via string cast), strings
+    are escaped for the default parser (backslash + quote), ``None`` is
+    NULL, lists nest as ``array(...)``. Every column is CAST to its
+    declared DDL type, so names and dtypes equal the
+    ``createDataFrame`` schema exactly (pinned by
+    tests/test_operators.py::TestValuesDf). The one schema difference
+    is NULLABILITY: an all-non-null column analyzes as non-nullable
+    here where ``createDataFrame`` always says nullable — invisible to
+    the oracle gate (pandas comparison) and to parquet round-trips
+    (Spark reads file columns as nullable), and downstream aggregates
+    re-derive their own nullability.
+
+    Rows must be non-empty (VALUES needs one tuple — callers with an
+    empty list keep ``createDataFrame([], schema)``, which is already a
+    LocalRelation) and small (the text becomes part of the plan; the
+    call sites are model-parameter frames of ≤ a few thousand rows)."""
+    fields = _split_fields(schema)
+    if not rows:
+        raise ValueError("values_df: rows must be non-empty")
+    tuples = ", ".join(
+        "(" + ", ".join(_sql_val(v) for v in row) + ")" for row in rows
+    )
+    cols = ", ".join(
+        f"CAST(`{name}` AS {typ}) AS `{name}`" for name, typ in fields
+    )
+    names = ", ".join(f"`{name}`" for name, _ in fields)
+    return spark.sql(f"SELECT {cols} FROM (VALUES {tuples}) AS t({names})")
 
 
 def argmin_lambda_sql(

@@ -61,15 +61,22 @@ def persist_index(
     partitioned by list_id + coarse/codebook parquet sidecars."""
     spark = index.sparkSession
     m, k = len(codebooks), len(codebooks[0])
+    from .exprs import values_df
+
     index.write.mode("overwrite").partitionBy("list_id").parquet(f"{base}/codes")
-    spark.createDataFrame(
+    # sidecars: VALUES LocalRelation + coalesce(1) — one file per
+    # sidecar instead of up to 32 near-empty part files from 32
+    # Python-worker slices (exprs.values_df; guide §6 file sizing)
+    values_df(
+        spark,
         [(i, list(c)) for i, c in enumerate(coarse)],
         "list_id int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{base}/coarse")
-    spark.createDataFrame(
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/coarse")
+    values_df(
+        spark,
         [(j, c, list(codebooks[j][c])) for j in range(m) for c in range(k)],
         "j int, code int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{base}/codebooks")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/codebooks")
 
 
 def load_index(
@@ -116,10 +123,13 @@ def persist_chunk_index(chunks: DataFrame, coarse: list, base: str) -> None:
     chunks.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{base}/chunks"
     )
-    spark.createDataFrame(
+    from .exprs import values_df
+
+    values_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(coarse)],
         "list_id int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{base}/coarse")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/coarse")
 
 
 def load_chunk_index(
@@ -248,10 +258,13 @@ def index_compact(
 
 
 def _write_coarse(spark: SparkSession, coarse: list, base: str) -> None:
-    spark.createDataFrame(
+    from .exprs import values_df
+
+    values_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(coarse)],
         "list_id int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{base}/coarse")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/coarse")
 
 
 def _stage_and_swap_moves(

@@ -334,7 +334,14 @@ def build_chunk_index(
         )
     )
     trained, cents = kmeans_lloyd(
-        chv, "v", "ck", k=n_lists, iters=2, return_centroids=True
+        chv,
+        "v",
+        "ck",
+        k=n_lists,
+        iters=2,
+        return_centroids=True,
+        # chv is the checkpoint above — skip the trainer's second copy
+        assume_materialized=True,
     )
     release_checkpoint(trained)  # membership re-derives from the centroids
     idx = chv.withColumn(
@@ -653,7 +660,7 @@ def maxsim_adc_topk(
         F.expr("array(" + ", ".join(f"cast(q{d} as double)" for d in range(dim)) + ")").alias("qv"),
         "qn2",
     )
-    from .exprs import darray2, dot_sql
+    from .exprs import darray2, dot_sql, values_df
 
     cents_sql = darray2(coarse)
     probe = _probe_frame(q_emb, coarse, nprobe).withColumn(
@@ -664,7 +671,10 @@ def maxsim_adc_topk(
         ),
     )
     n_codes = len(codebooks[0])
-    cb = spark.createDataFrame(
+    # VALUES LocalRelation (exprs.values_df): the m*k codebook frame is
+    # model state — zero tasks to build, broadcasts without a job
+    cb = values_df(
+        spark,
         [
             (j, c, [float(x) for x in codebooks[j][c]])
             for j in range(m)

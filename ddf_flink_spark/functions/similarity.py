@@ -689,7 +689,11 @@ def pca_power_iteration(
     release_checkpoint(centered)
     out = [(d_, float(v[d_]), float(eigval)) for d_ in range(dim_n)]
     spark = df.sparkSession
-    return spark.createDataFrame(out, "dim int, loading double, eigval double")
+    from .exprs import values_df
+
+    # VALUES LocalRelation (exprs.values_df): dim rows of model output,
+    # zero tasks to build instead of 32 Python-worker slices
+    return values_df(spark, out, "dim int, loading double, eigval double")
 
 
 def pq_search(
@@ -759,8 +763,12 @@ def pq_search(
                 lut_rows.append(
                     (j, c, float(qv[j * w + dpos]), float(cents[j][c][dpos]))
                 )
+    from .exprs import values_df
+
     lut = (
-        spark.createDataFrame(lut_rows, "j int, code int, qd double, cd double")
+        # VALUES LocalRelation (exprs.values_df): m*k*w literal rows,
+        # no Python-worker tasks, broadcastable without a job
+        values_df(spark, lut_rows, "j int, code int, qd double, cd double")
         .groupBy("j", "code")
         .agg(
             F.sum(
@@ -841,6 +849,8 @@ def ivfpq_search(
         k=n_lists,
         iters=iters,
         return_centroids=True,
+        # emb is the checkpoint above — skip the trainer's second copy
+        assume_materialized=True,
     )
     cells = assign.select("id", F.col("cluster").alias("list_id"))
 
@@ -882,8 +892,12 @@ def ivfpq_search(
                 lut_rows.append(
                     (j, c, float(qv6[j * w + dpos]), float(cents[j][c][dpos]))
                 )
+    from .exprs import values_df
+
     lut = (
-        spark.createDataFrame(lut_rows, "j int, code int, qd double, cd double")
+        # VALUES LocalRelation (exprs.values_df): m*k*w literal rows,
+        # no Python-worker tasks, broadcastable without a job
+        values_df(spark, lut_rows, "j int, code int, qd double, cd double")
         .groupBy("j", "code")
         .agg(
             F.sum(
@@ -968,6 +982,8 @@ def ivfadc_search(
         k=n_lists,
         iters=iters,
         return_centroids=True,
+        # emb is the checkpoint above — skip the trainer's second copy
+        assume_materialized=True,
     )
     cells = assign.select("id", F.col("cluster").alias("list_id"))
 
@@ -1030,10 +1046,11 @@ def ivfadc_search(
                     lut_rows.append(
                         (cell, j, c, float(qr[j * w + dpos]), float(cents[j][c][dpos]))
                     )
+    from .exprs import values_df
+
     lut = (
-        spark.createDataFrame(
-            lut_rows, "cell int, j int, code int, qd double, cd double"
-        )
+        # VALUES LocalRelation (exprs.values_df): see pq_search
+        values_df(spark, lut_rows, "cell int, j int, code int, qd double, cd double")
         .groupBy("cell", "j", "code")
         .agg(
             F.sum(
@@ -1107,6 +1124,8 @@ def ivfadc_index_build(
         k=n_lists,
         iters=iters,
         return_centroids=True,
+        # emb is the checkpoint above — skip the trainer's second copy
+        assume_materialized=True,
     )
     cells = assign.select("id", F.col("cluster").alias("list_id"))
     coarse_arr = F.lit([[float(x) for x in c] for c in coarse])
@@ -1179,7 +1198,7 @@ def ivfadc_index_search(
     # SQL-text construction (round-12, functions/exprs.py): same probe
     # ranking, residual and LUT folds as the Column forms they replace,
     # parsed in a handful of py4j round-trips instead of hundreds.
-    from .exprs import darray2, probe_sql
+    from .exprs import darray2, probe_sql, values_df
 
     cents_sql = darray2(coarse)
     q = queries.select(
@@ -1199,7 +1218,10 @@ def ivfadc_index_search(
             "(a, b) -> round(a - b, 6))"
         ).alias("q"),
     )
-    cb = spark.createDataFrame(
+    # VALUES LocalRelation (exprs.values_df): the m*k codebook frame is
+    # model state — zero tasks to build, broadcasts without a job
+    cb = values_df(
+        spark,
         [
             (j, c, [float(x) for x in codebooks[j][c]])
             for j in range(m)

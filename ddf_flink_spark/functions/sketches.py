@@ -203,7 +203,12 @@ def countmin_estimate(
         for r in range(depth):
             b = ((_minhash_a(r) * base + _minhash_b(r)) % MINHASH_MERSENNE_P) % width
             rows.append((k, r, b))
-    probes = spark.createDataFrame(rows, "key string, r int, bucket int")
+    from .exprs import values_df
+
+    # VALUES LocalRelation, not createDataFrame: a 20-row probe frame
+    # is model state — building it must not launch 32 Python-worker
+    # tasks (see exprs.values_df; measured 1.4 s/invocation on local[32])
+    probes = values_df(spark, rows, "key string, r int, bucket int")
     return (
         probes.join(counters, ["r", "bucket"], "left")
         .groupBy("key")

@@ -72,16 +72,30 @@ def kmeans_lloyd(
     iters: int = 2,
     round_digits: int = 4,
     return_centroids: bool = False,
+    assume_materialized: bool = False,
 ) -> "DataFrame | tuple[DataFrame, list[list[float]]]":
     """Run ``iters`` deterministic Lloyd iterations; returns the final
     (id, cluster, dist) assignment — or, with ``return_centroids``, the
     tuple (assignment, centroids) so downstream quantizer users (IVF —
     registry q155) can probe cells. A cluster that loses every member
     keeps its previous centroid (mirrored by the oracle's LEFT JOIN +
-    COALESCE)."""
+    COALESCE).
+
+    ``assume_materialized``: the caller guarantees ``df`` is already a
+    materialization boundary (a localCheckpoint or an in-memory scan),
+    so the internal checkpoint — whose only purpose is to stop the
+    iterations re-executing expensive upstream lineage — would copy the
+    rows a second time for nothing. Each iteration then re-reads the
+    caller's checkpoint through a cheap projection instead. Values are
+    identical either way (a checkpoint is an execution boundary, never
+    a computation); callers that train over raw lineage keep the
+    default."""
     emb = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).localCheckpoint()  # read per iteration — never re-execute upstream lineage
+    )
+    if not assume_materialized:
+        # read per iteration — never re-execute upstream lineage
+        emb = emb.localCheckpoint()
     init_rows = (
         emb.orderBy("id")
         .limit(k)
