@@ -58,25 +58,47 @@ def persist_index(
     index: DataFrame, coarse: list, codebooks: list, base: str
 ) -> None:
     """Write the composite IVFADC index (q245's layout): codes
-    partitioned by list_id + coarse/codebook parquet sidecars."""
+    partitioned by list_id + coarse/codebook parquet sidecars.
+
+    The three writes land in three DISJOINT directories with no data
+    dependency, so they run as CONCURRENT jobs from a small thread
+    pool (guide §2.6 overlap independent jobs): the tiny sidecar
+    writes back-fill scheduler slots while the codes write's task tail
+    drains, instead of each paying its own full driver job latency in
+    sequence. Job-description/scheduling state is thread-local, and
+    failures propagate through ``future.result()`` exactly like the
+    sequential form."""
     spark = index.sparkSession
     m, k = len(codebooks), len(codebooks[0])
+    from concurrent.futures import ThreadPoolExecutor
+
     from .exprs import values_df
 
-    index.write.mode("overwrite").partitionBy("list_id").parquet(f"{base}/codes")
+    def _codes() -> None:
+        index.write.mode("overwrite").partitionBy("list_id").parquet(
+            f"{base}/codes"
+        )
+
     # sidecars: VALUES LocalRelation + coalesce(1) — one file per
     # sidecar instead of up to 32 near-empty part files from 32
     # Python-worker slices (exprs.values_df; guide §6 file sizing)
-    values_df(
-        spark,
-        [(i, list(c)) for i, c in enumerate(coarse)],
-        "list_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/coarse")
-    values_df(
-        spark,
-        [(j, c, list(codebooks[j][c])) for j in range(m) for c in range(k)],
-        "j int, code int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/codebooks")
+    def _coarse() -> None:
+        values_df(
+            spark,
+            [(i, list(c)) for i, c in enumerate(coarse)],
+            "list_id int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/coarse")
+
+    def _codebooks() -> None:
+        values_df(
+            spark,
+            [(j, c, list(codebooks[j][c])) for j in range(m) for c in range(k)],
+            "j int, code int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/codebooks")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(_codes), pool.submit(_coarse), pool.submit(_codebooks)]:
+            f.result()
 
 
 def load_index(
@@ -92,11 +114,20 @@ def load_index(
         codes = codes.join(
             spark.read.parquet(f"{base}/tombstones"), "id", "left_anti"
         )
-    coarse = [
-        list(r["centroid"])
-        for r in spark.read.parquet(f"{base}/coarse").orderBy("list_id").collect()
-    ]
-    cb_rows = spark.read.parquet(f"{base}/codebooks").orderBy("j", "code").collect()
+    # the two sidecar collects are independent single-file reads →
+    # concurrent jobs (guide §2.6): one driver round-trip of latency
+    # instead of two, on every serve-leg reload
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(
+            lambda: spark.read.parquet(f"{base}/coarse").orderBy("list_id").collect()
+        )
+        f_cb = pool.submit(
+            lambda: spark.read.parquet(f"{base}/codebooks").orderBy("j", "code").collect()
+        )
+        coarse = [list(r["centroid"]) for r in f_coarse.result()]
+        cb_rows = f_cb.result()
     if not cb_rows:
         raise ValueError(
             f"load_index: empty codebooks sidecar at {base}/codebooks — "
@@ -120,16 +151,27 @@ def persist_chunk_index(chunks: DataFrame, coarse: list, base: str) -> None:
     hashing IS the compression here); a PQ layer would compose the
     same way the whole-doc index does."""
     spark = chunks.sparkSession
-    chunks.write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{base}/chunks"
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
     from .exprs import values_df
 
-    values_df(
-        spark,
-        [(i, [float(x) for x in c]) for i, c in enumerate(coarse)],
-        "list_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/coarse")
+    # two disjoint-directory writes with no dependency → concurrent
+    # jobs (guide §2.6; see persist_index)
+    def _chunks() -> None:
+        chunks.write.mode("overwrite").partitionBy("list_id").parquet(
+            f"{base}/chunks"
+        )
+
+    def _coarse() -> None:
+        values_df(
+            spark,
+            [(i, [float(x) for x in c]) for i, c in enumerate(coarse)],
+            "list_id int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/coarse")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_chunks), pool.submit(_coarse)]:
+            f.result()
 
 
 def load_chunk_index(

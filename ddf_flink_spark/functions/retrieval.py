@@ -607,7 +607,18 @@ def build_chunk_pq_index(
     # independent round-6 DECIMAL-sum form — shuffle-partitioning must
     # not change the persisted model (see _train_pq_codebooks)
     index, coarse, cents = ivfadc_index_build(
-        chv, "v", "ck", n_lists=n_lists, m=m, k=k, iters=2, exact_means=True
+        chv,
+        "v",
+        "ck",
+        n_lists=n_lists,
+        m=m,
+        k=k,
+        iters=2,
+        exact_means=True,
+        # chv is the checkpoint above — skip the builder's second copy
+        # of the vectors and its dim-probe job (dim is a build param)
+        assume_materialized=True,
+        dim=dim,
     )
     full = index.join(chv.select(F.col("ck").alias("id"), "doc", "n2"), "id")
     persist_index(full, coarse, cents, base)

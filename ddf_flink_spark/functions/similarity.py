@@ -1091,6 +1091,8 @@ def ivfadc_index_build(
     k: int = 4,
     iters: int = 2,
     exact_means: bool = False,
+    assume_materialized: bool = False,
+    dim: "int | None" = None,
 ):
     """Train the residual-IVFADC index ONCE and return it as data:
     ``(index, coarse, codebooks)`` where ``index`` is a DataFrame
@@ -1104,19 +1106,34 @@ def ivfadc_index_build(
     subtracts, per-subspace deterministic-Lloyd codebooks on the
     residuals. Build once here, then serve any number of query batches
     with :func:`ivfadc_index_search` — fresh-build and
-    persisted-reload results are hash-equal (q245)."""
+    persisted-reload results are hash-equal (q245).
+
+    ``assume_materialized``: the caller guarantees ``df`` is already an
+    execution boundary (a localCheckpoint, e.g. the chunk-PQ build's
+    ``chv``), so the internal checkpoint — whose only purpose is to
+    stop every Lloyd pass re-running upstream lineage — would copy the
+    vectors a second time for nothing (one full extra materialization
+    job per build chain; guide §1.2 don't compute what you throw
+    away). Values are identical either way (a checkpoint is an
+    execution boundary, never a computation). ``dim``: callers that
+    know the vector width (it is a build parameter for the chunk
+    family) pass it to skip the one-row ``first()`` probe job — a
+    driver barrier that exists only to infer what the caller already
+    knows; a mismatch surfaces as the same slice/zip_with errors the
+    probe would have prevented."""
     from ..ml.kmeans import kmeans_lloyd
     from ..storage import propagate_checkpoint_ids, tracked_local_checkpoint
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"ivfadc_index_build: dim {dim} not divisible by m={m}")
     w = dim // m
-    emb = tracked_local_checkpoint(
-        df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-        )
+    emb = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    if not assume_materialized:
+        emb = tracked_local_checkpoint(emb)
     assign, coarse = kmeans_lloyd(
         emb.select("id", F.col("v").alias("embedding")),
         "embedding",
@@ -1429,14 +1446,26 @@ def _train_pq_codebooks(
             for j in range(m)
         ]
 
-    codes = (
-        assign_all(cents)
-        .groupBy("id")
-        .pivot("j", list(range(m)))
-        .agg(F.first("cluster"))
-    )
-    for j in range(m):
-        codes = codes.withColumnRenamed(str(j), f"code{j}")
+    # Final per-subspace codes as ONE direct projection (round-12 guide
+    # §2.4 remove-shuffles): m argmin columns evaluated in a single map
+    # over ``remb`` — :func:`ivfadc_encode`'s exact shape — instead of
+    # the long-form explode → groupBy("id").pivot(j) round-trip, which
+    # re-shuffled every (id, j) assignment row just to reshape values
+    # that were computed side-by-side in the first place (measured: the
+    # pivot job was the single heaviest stage of the q275 build, ~21
+    # task-seconds at sf0.1; the map form removes that Exchange
+    # entirely). Values are the identical argmin expressions per (id,
+    # j), so codes are bit-equal; only the plan shape changes (pinned
+    # by the PQ-parity unit tests and the q188/q242-q245 oracles).
+    from .exprs import argmin_lambda_sql
+
+    code_cols = [
+        F.expr(
+            f"{argmin_lambda_sql(cents[j], f'slice(v, {j * w + 1}, {w})')}.cluster"
+        ).alias(f"code{j}")
+        for j in range(m)
+    ]
+    codes = remb.select("id", *code_cols)
     return codes, cents
 
 

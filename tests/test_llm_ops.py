@@ -1698,6 +1698,31 @@ def test_joint_pq_codebook_training_matches_sequential(spark):
     assert joint == seq, "jointly-trained codes must match"
 
 
+def test_pq_final_codes_are_shuffle_free(spark):
+    """The trainer's FINAL codes frame must be a pure map over the
+    residual checkpoint — m direct argmin projections, NO Exchange
+    (round 12: the explode → groupBy(id).pivot(j) reshape re-shuffled
+    every assignment row just to lay side-by-side values side by side;
+    it was the single heaviest stage of the q275 build). Guards the
+    plan shape the optimization bought."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import _train_pq_codebooks
+    from ddf_flink_spark.storage import release_all_storage, tracked_local_checkpoint
+
+    rng = random.Random(31)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    emb = tracked_local_checkpoint(
+        spark.createDataFrame(rows, "id long, v array<double>")
+    )
+    codes, _ = _train_pq_codebooks(emb, 4, 4, 3, 1)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    release_all_storage(spark)
+    assert "Exchange" not in plan, (
+        f"final PQ codes must not shuffle (direct per-subspace argmin map):\n{plan}"
+    )
+
+
 def test_ivfadc_encode_matches_index_build(spark):
     """ivfadc_encode (the stateless map q248 streams through) must
     reproduce the batch index EXACTLY: same (id, list_id, code0..m-1)
