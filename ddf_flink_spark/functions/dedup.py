@@ -36,6 +36,7 @@ __all__ = [
     "word_shingles",
     "exploded_shingles",
     "jaccard_candidates",
+    "jaccard_verify_pairs",
     "prefix_filter_jaccard",
     "fuzzy_near_duplicates",
     "md5_long",
@@ -185,8 +186,19 @@ def exploded_shingles(
     expression), deduped at the struct level, exploded, and only then
     concatenated row-wise (codegen'd). The HOF form (per-element
     interpreted ``slice``+``concat_ws`` lambda) measured ~4.7× slower at
-    sf0.1 — the same interpreted-lambda trap as the SimHash fold."""
-    df = ensure_compute_parallelism(df)
+    sf0.1 — the same interpreted-lambda trap as the SimHash fold.
+
+    The parallelism guard here uses the 256 KB threshold the
+    chunk-embedding consumers calibrated, not the 2 MiB module default:
+    a round-12 interleaved A/B at sf0.1 (584 KB documents, min of 4
+    clean runs) measured the single-task explode funnel losing to the
+    repartition on every shingle consumer — q220 4.54→3.10 s, q33
+    3.29→2.72 s, q221 2.06→1.75 s, q234 7.78→6.50 s, q205 flat — and
+    at sf0.01 (≈60 KB) or at real scale (thousands of splits) both
+    thresholds behave identically, so only the mid-scale funnel
+    changes. Results are partitioning-invariant (every consumer keys
+    on content: explode → groupBy/join)."""
+    df = ensure_compute_parallelism(df, min_bytes=256 * 1024)
     toks = F.split(F.lower(text_col), " ")
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     zipped = F.array_distinct(
@@ -235,6 +247,71 @@ def jaccard_candidates(
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate pair list — the
+    verify stage of every LSH→verify pipeline (q152/q234 shape),
+    shaped so work is ∝ the pair list, never the candidate-doc
+    posting lists.
+
+    The composition it replaces ran :func:`jaccard_candidates` over
+    the candidate DOCS (an inverted-index self-join that re-derives
+    ALL pairs those docs form — on a near-dup-dense corpus far more
+    pairs than LSH emitted) and then semi-joined back to ``pairs``.
+    Here each candidate doc's distinct-shingle array is gathered once
+    (explode + collect_list bounded by pair-member docs), each pair
+    picks up both arrays by two id-equi-joins, and the shared count is
+    one ``array_intersect`` per pair — Σ_pairs(|a|+|b|) work, the
+    prefix_filter_jaccard verify discipline (guide §1.2: don't compute
+    pairs you throw away).
+
+    Values are identical to the old composition: ``exploded_shingles``
+    yields each doc's DISTINCT shingles, so |sets| and |intersection|
+    are the same integers, the Jaccard the same round-4 double, and
+    restricting computation to ``pairs`` before thresholding equals
+    thresholding the superset then semi-joining (pairs not in the LSH
+    list were discarded by the semi-join anyway; pairs with zero
+    shared shingles fail any positive threshold in both forms).
+    Returns (id_a, id_b, jaccard) with jaccard ≥ ``threshold``."""
+    cdocs = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(cdocs, id_col, "left_semi")
+    tarr = (
+        exploded_shingles(cand_docs, text_col, id_col, n)
+        .groupBy("id")
+        .agg(F.collect_list("g").alias("gs"))
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(tarr.select(F.col("id").alias("id_a"), F.col("gs").alias("ga")), "id_a")
+        .join(tarr.select(F.col("id").alias("id_b"), F.col("gs").alias("gb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ga", "gb")).alias("shared"),
+            F.size("ga").alias("sz_a"),
+            F.size("gb").alias("sz_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 4
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

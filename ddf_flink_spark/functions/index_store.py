@@ -75,9 +75,20 @@ def persist_index(
     from .exprs import values_df
 
     def _codes() -> None:
-        index.write.mode("overwrite").partitionBy("list_id").parquet(
-            f"{base}/codes"
-        )
+        # hash-distribute by the partition column before the write
+        # (Iceberg write.distribution-mode=hash; guide §6 file sizing):
+        # an un-clustered frame writes one file per (task × cell) — at
+        # 32 tasks × 8 cells ~256 near-empty files whose commit renames
+        # dominated the q265/q275 persist stage (~19 task-s). Clustered,
+        # each cell lands in one task → n_lists right-sized files, and
+        # every serve-leg reload opens n_lists footers instead of ~256.
+        # A cell bigger than the target file size would make the single
+        # writer the bottleneck at scale — there the same clustering
+        # rides maxRecordsPerFile/salting; the 31k-row shuffle here is
+        # noise next to the renames it removes.
+        index.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(f"{base}/codes")
 
     # sidecars: VALUES LocalRelation + coalesce(1) — one file per
     # sidecar instead of up to 32 near-empty part files from 32
@@ -158,9 +169,12 @@ def persist_chunk_index(chunks: DataFrame, coarse: list, base: str) -> None:
     # two disjoint-directory writes with no dependency → concurrent
     # jobs (guide §2.6; see persist_index)
     def _chunks() -> None:
-        chunks.write.mode("overwrite").partitionBy("list_id").parquet(
-            f"{base}/chunks"
-        )
+        # hash-distribute before the partitioned write — see
+        # persist_index._codes (one right-sized file per cell instead
+        # of task×cell near-empty files)
+        chunks.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(f"{base}/chunks")
 
     def _coarse() -> None:
         values_df(
@@ -281,7 +295,11 @@ def index_compact(
             tomb, id_col, "left_anti"
         )
         staging = f"{base}/{table}_compact_staging"
-        survivors.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+        # hash-distribute before the partitioned staging write — see
+        # persist_index._codes
+        survivors.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(
+            part_col
+        ).parquet(staging)
         _swap_partitions(f"{base}/{table}", staging, part_col, affected)
         # Degenerate-empty edge: if compaction deleted EVERY row of the
         # table, all partition directories are gone and a later read
@@ -345,7 +363,11 @@ def _stage_and_swap_moves(
         )
     moved = staged.count()
     staging = f"{base}/codes_maint_staging"
-    staged.write.mode("overwrite").partitionBy("list_id").parquet(staging)
+    # hash-distribute before the partitioned staging write — see
+    # persist_index._codes
+    staged.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(staging)
     release_checkpoint(moves)
     _swap_partitions(f"{base}/codes", staging, "list_id", new_cells)
     _write_coarse(spark, new_coarse, base)
@@ -531,7 +553,11 @@ def chunk_split_on_disk(
     )
     moved = staged.filter(F.col("list_id") == new_id).count()
     staging = f"{base}/chunks_maint_staging"
-    staged.write.mode("overwrite").partitionBy("list_id").parquet(staging)
+    # hash-distribute before the partitioned staging write — see
+    # persist_index._codes
+    staged.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(staging)
     release_checkpoint(mem)
     _swap_partitions(f"{base}/chunks", staging, "list_id", [cell, new_id])
     new_coarse = [

@@ -3870,7 +3870,7 @@ def q102_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     individually oracle/recall-checked (q31, q32, q82, q87)."""
     from .functions.dedup import (
         connected_components,
-        jaccard_candidates,
+        jaccard_verify_pairs,
         minhash_lsh_candidates,
     )
 
@@ -3878,15 +3878,11 @@ def q102_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_candidates(d, num_hashes=32, bands=8)
     # verify: exact Jaccard computed only over docs that appear in a
     # candidate pair (the semi-join keeps the precision stage sub-linear)
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    d_cand = d.join(cand_ids, "doc_id", "left_semi")
-    verified = jaccard_candidates(d_cand, threshold=0.6, n=3).join(
-        pairs, ["id_a", "id_b"], "left_semi"
-    )
+    # verify exact Jaccard for the LSH pairs ONLY (round 12,
+    # dedup.jaccard_verify_pairs): array-intersect per pair instead of
+    # re-deriving every pair the candidate docs form and semi-joining
+    # back — work ∝ |pairs|, values identical
+    verified = jaccard_verify_pairs(d, pairs, threshold=0.6, n=3)
     nodes = d.select(F.col("doc_id").alias("id"))
     clusters = connected_components(
         verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")), nodes
@@ -6284,7 +6280,7 @@ def q152_neardup_pipeline_crossengine(spark: SparkSession, sf_dir: str) -> DataF
     candidate-restricted verification, O(diameter) CC rounds."""
     from .functions.dedup import (
         connected_components,
-        jaccard_candidates,
+        jaccard_verify_pairs,
         minhash_lsh_candidates,
     )
     from .storage import (
@@ -6302,15 +6298,11 @@ def q152_neardup_pipeline_crossengine(spark: SparkSession, sf_dir: str) -> DataF
     raw_pairs = minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_family="md5")
     pairs = tracked_local_checkpoint(raw_pairs)
     release_checkpoint(raw_pairs)
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    d_cand = d.join(cand_ids, "doc_id", "left_semi")
-    verified = jaccard_candidates(d_cand, threshold=0.6, n=3).join(
-        pairs, ["id_a", "id_b"], "left_semi"
-    )
+    # verify exact Jaccard for the LSH pairs ONLY (round 12,
+    # dedup.jaccard_verify_pairs): array-intersect per pair instead of
+    # re-deriving every pair the candidate docs form and semi-joining
+    # back — work ∝ |pairs|, values identical
+    verified = jaccard_verify_pairs(d, pairs, threshold=0.6, n=3)
     nodes = d.select(F.col("doc_id").alias("id"))
     clusters = connected_components(
         verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")), nodes
@@ -9112,7 +9104,7 @@ def q216_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     order. The pair space is LSH-bounded; source attachment is two
     id-equi-joins on the verified pairs only."""
     from .storage import tracked_local_checkpoint
-    from .functions.dedup import jaccard_candidates, minhash_lsh_candidates
+    from .functions.dedup import jaccard_verify_pairs, minhash_lsh_candidates
 
     d = t(spark, sf_dir, "documents")
     # candidates feed the doc restriction AND the verify semi-join —
@@ -9120,15 +9112,9 @@ def q216_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = tracked_local_checkpoint(
         minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_family="md5")
     )
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    d_cand = d.join(cand_ids, "doc_id", "left_semi")
-    ver = jaccard_candidates(d_cand, threshold=0.6, n=3).join(
-        pairs, ["id_a", "id_b"], "left_semi"
-    )
+    # verify exact Jaccard for the LSH pairs ONLY (round 12,
+    # dedup.jaccard_verify_pairs): work ∝ |pairs|, values identical
+    ver = jaccard_verify_pairs(d, pairs, threshold=0.6, n=3)
     src = d.select("doc_id", "source")
     return (
         ver.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
@@ -9331,7 +9317,7 @@ def q218_dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's recursive-CTE twin."""
     from .functions.dedup import (
         connected_components,
-        jaccard_candidates,
+        jaccard_verify_pairs,
         minhash_lsh_candidates,
     )
     from .storage import tracked_local_checkpoint
@@ -9340,15 +9326,11 @@ def q218_dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = tracked_local_checkpoint(
         minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_family="md5")
     )
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    d_cand = d.join(cand_ids, "doc_id", "left_semi")
-    verified = jaccard_candidates(d_cand, threshold=0.6, n=3).join(
-        pairs, ["id_a", "id_b"], "left_semi"
-    )
+    # verify exact Jaccard for the LSH pairs ONLY (round 12,
+    # dedup.jaccard_verify_pairs): array-intersect per pair instead of
+    # re-deriving every pair the candidate docs form and semi-joining
+    # back — work ∝ |pairs|, values identical
+    verified = jaccard_verify_pairs(d, pairs, threshold=0.6, n=3)
     clusters = connected_components(
         verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         d.select(F.col("doc_id").alias("id")),
@@ -11416,7 +11398,7 @@ def q234_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import (
         connected_components,
         exploded_shingles,
-        jaccard_candidates,
+        jaccard_verify_pairs,
         md5_long,
         minhash_lsh_candidates,
     )
@@ -11435,15 +11417,11 @@ def q234_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_pairs = minhash_lsh_candidates(d, num_hashes=16, bands=4, hash_family="md5")
     pairs = tracked_local_checkpoint(raw_pairs)
     release_checkpoint(raw_pairs)
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    d_cand = d.join(cand_ids, "doc_id", "left_semi")
-    verified = jaccard_candidates(d_cand, threshold=0.6, n=3).join(
-        pairs, ["id_a", "id_b"], "left_semi"
-    )
+    # verify exact Jaccard for the LSH pairs ONLY (round 12,
+    # dedup.jaccard_verify_pairs): array-intersect per pair instead of
+    # re-deriving every pair the candidate docs form and semi-joining
+    # back — work ∝ |pairs|, values identical
+    verified = jaccard_verify_pairs(d, pairs, threshold=0.6, n=3)
     clusters = connected_components(
         verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         d.select(F.col("doc_id").alias("id")),
