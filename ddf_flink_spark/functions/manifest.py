@@ -2376,7 +2376,15 @@ def snapshot_changes(
             .collect()  # bounded: tombstone DELTAS are O(|ids|)
         ]
         scan = common
-        if len(flipped) <= _CHANGES_PRUNE_MAX_IDS:
+        if (
+            len(flipped) <= _CHANGES_PRUNE_MAX_IDS
+            and len(common) * max(1, len(flipped))
+            <= _PROBE_ADMISSION_MAX_CHECKS
+        ):
+            # the entries×ids cap (round-11 ADVICE, mirrored from the
+            # compact/merge probes): on a table with ~10^6 file entries
+            # an unbounded per-id admission sweep is ~10^9 driver-side
+            # checks — worse than the scan it prunes
             scan = [
                 e
                 for e in common

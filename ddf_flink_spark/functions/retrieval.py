@@ -515,14 +515,26 @@ def maxsim_ivf_topk(
     c_emb = hash_chunk_embeddings(
         corpus, text_col, id_col, size=size, stride=stride, dim=dim
     )
-    chv = c_emb.select(
-        (F.col("id") * 1000000 + F.col("chunk_id")).alias("ck"),
-        F.col("id").alias("doc"),
-        F.expr("array(" + ", ".join(f"cast(e{d} as double)" for d in range(dim)) + ")").alias("v"),
-        "n2",
+    # checkpoint the chunk frame ONCE (round 12): both the Lloyd
+    # training AND the candidate join read it. Unchecked, the trainer
+    # made its own internal copy but the ``idx`` join still re-ran the
+    # whole embedding pass a second time (guide §1.2 — the q263 serve
+    # stage was paying a full duplicate chunk-hash); now embed once,
+    # train over the checkpoint (assume_materialized skips the
+    # trainer's copy), join against the same blocks.
+    from ..storage import propagate_checkpoint_ids, tracked_local_checkpoint
+
+    chv = tracked_local_checkpoint(
+        c_emb.select(
+            (F.col("id") * 1000000 + F.col("chunk_id")).alias("ck"),
+            F.col("id").alias("doc"),
+            F.expr("array(" + ", ".join(f"cast(e{d} as double)" for d in range(dim)) + ")").alias("v"),
+            "n2",
+        )
     )
     assigned, cents = kmeans_lloyd(
-        chv, "v", "ck", k=n_lists, iters=2, return_centroids=True
+        chv, "v", "ck", k=n_lists, iters=2, return_centroids=True,
+        assume_materialized=True,
     )
     idx = chv.join(
         assigned.select(F.col("id").alias("ck"), F.col("cluster").alias("list_id")),
@@ -547,14 +559,15 @@ def maxsim_ivf_topk(
     )
     ms = pairs.groupBy("qid", "doc").agg(F.max("cos").alias("m"))
     wnd = Window.partitionBy("qid").orderBy(F.desc("m"), "doc")
-    return (
+    return propagate_checkpoint_ids(
         ms.withColumn("rn", F.row_number().over(wnd))
         .filter(F.col("rn") <= k)
         .select(
             F.col("qid").alias("query_id"),
             F.col("doc").alias("doc_id"),
             F.col("m").alias("maxsim"),
-        )
+        ),
+        chv,
     )
 
 

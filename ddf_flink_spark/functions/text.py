@@ -346,11 +346,7 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     not O(corpus)."""
     from .dedup import ensure_compute_parallelism
 
-    # 256 KB guard: the round-12 A/B (see dedup.exploded_shingles) —
-    # the token-explode consumers here are the same per-byte compute
-    # density class, and q220/q221 measured 15-32% faster at sf0.1
-    # with the funnel spread; no-op at sf0.01 and at real scale
-    df = ensure_compute_parallelism(df, min_bytes=256 * 1024)
+    df = ensure_compute_parallelism(df)
     return (
         df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -477,8 +473,7 @@ def passage_windows(
     carries hashes, never window text; O(tokens) rows."""
     from .dedup import ensure_compute_parallelism, md5_long
 
-    # 256 KB guard — see dedup.exploded_shingles (round-12 A/B)
-    df = ensure_compute_parallelism(df, min_bytes=256 * 1024)
+    df = ensure_compute_parallelism(df)
     extra = list(extra_cols or [])
     toks = df.select(
         F.col(id_col).alias("id"), *extra, tokens(text_col).alias("ts")
@@ -541,11 +536,7 @@ def repetition_ratio(
     with the exact-int-sum mean discipline."""
     from .dedup import ensure_compute_parallelism
 
-    # 256 KB guard: the round-12 A/B (see dedup.exploded_shingles) —
-    # the token-explode consumers here are the same per-byte compute
-    # density class, and q220/q221 measured 15-32% faster at sf0.1
-    # with the funnel spread; no-op at sf0.01 and at real scale
-    df = ensure_compute_parallelism(df, min_bytes=256 * 1024)
+    df = ensure_compute_parallelism(df)
     grams = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("ts"))
         .filter(F.size("ts") >= n)
@@ -586,11 +577,7 @@ def kl_novelty(
     partition."""
     from .dedup import ensure_compute_parallelism
 
-    # 256 KB guard: the round-12 A/B (see dedup.exploded_shingles) —
-    # the token-explode consumers here are the same per-byte compute
-    # density class, and q220/q221 measured 15-32% faster at sf0.1
-    # with the funnel spread; no-op at sf0.01 and at real scale
-    df = ensure_compute_parallelism(df, min_bytes=256 * 1024)
+    df = ensure_compute_parallelism(df)
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w"))
     dlen = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     corpus = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
