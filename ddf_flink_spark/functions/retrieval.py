@@ -142,6 +142,26 @@ def hash_chunk_embeddings(
     # parsed trees are the same operators in the same order, so every
     # hash, fold and sum is bit-identical (integer arithmetic
     # throughout; pinned by the unchanged q257/q263/q275-q277 oracles).
+    #
+    # Round-12 (opt): SWAR bit-packed folds. e_d = Σ(2·bit_d(h) − 1)
+    # = 2·Σbit_d(h) − size(hvs), and the 16 per-bit counts fit in TWO
+    # 64-bit accumulators of eight 8-bit fields (a chunk holds ≤ `size`
+    # ≤ 255 tokens, so no field can carry into its neighbour and the
+    # top field never reaches the sign bit). The interpreted HOF
+    # traverses each chunk's hash array 2× instead of 16×; the per-bit
+    # counts come back out with shift/mask and the SAME integers e_d
+    # are reassembled exactly (all BIGINT arithmetic, no rounding
+    # anywhere — bit-parity pinned by
+    # test_hash_chunk_embeddings_swar_matches_per_component_folds and
+    # the unchanged q257/q263/q265/q275-q277 oracles). The middle
+    # inline() materializes a0/a1/n behind a Generate so the two folds
+    # run once each — left as Project expressions, CollapseProject
+    # would substitute (and re-run) each fold into all 8 of its e_d
+    # consumers.
+    if size > 255:  # pragma: no cover — 8-bit SWAR fields would carry
+        raise ValueError("hash_chunk_embeddings: size must be <= 255")
+    if dim > 16:  # pragma: no cover — a0/a1 hold 16 per-bit counters
+        raise ValueError("hash_chunk_embeddings: dim must be <= 16")
     toks = f"split(`{text_col}`, ' ')"
     starts = f"sequence(1, greatest(size({toks}) - {size} + {stride}, 1), {stride})"
     hv_t = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
@@ -155,14 +175,30 @@ def hash_chunk_embeddings(
         ).alias("chunk_id", "hvs"),
     )
 
-    def comp(d):
-        return (
-            f"aggregate(hvs, cast(0 as bigint), (acc, h) -> "
-            f"acc + cast((((shiftright(h, {d}) & 1) * 2) - 1) as bigint))"
+    def packed(base):
+        terms = " + ".join(
+            f"shiftleft(shiftright(h, {base + j}) & 1, {8 * j})"
+            for j in range(min(8, dim - base))
         )
+        return f"aggregate(hvs, cast(0 as bigint), (acc, h) -> acc + ({terms}))"
+
+    accs = [f"'a0', {packed(0)}"]
+    if dim > 8:
+        accs.append(f"'a1', {packed(8)}")
+    accs.append("'n', cast(size(hvs) as bigint)")
+    acc_fields = ", ".join(accs)
+    packed_df = hashed.select(
+        "id",
+        "chunk_id",
+        F.inline(F.expr(f"array(named_struct({acc_fields}))")),
+    )
+
+    def comp(d):
+        acc = "a0" if d < 8 else "a1"
+        return f"cast(2 * (shiftright({acc}, {8 * (d % 8)}) & 255) - n as bigint)"
 
     fields = ", ".join(f"'e{d}', {comp(d)}" for d in range(dim))
-    emb = hashed.select(
+    emb = packed_df.select(
         "id",
         "chunk_id",
         F.inline(F.expr(f"array(named_struct({fields}))")),

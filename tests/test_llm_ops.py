@@ -2104,6 +2104,47 @@ def test_ivfadc_split_cell_contracts(spark):
     release_all_storage(spark)
 
 
+def test_hash_chunk_embeddings_swar_matches_per_component_folds(spark):
+    """The SWAR form (two bit-packed folds, round-12 opt) must be
+    BIT-IDENTICAL to the definitional per-component form (one
+    ``aggregate`` fold per dimension d of e_d = Σ(2·bit_d − 1)): both
+    are exact BIGINT arithmetic over the same md5 token hashes, and
+    e_d = 2·Σbit_d − |chunk| is an integer identity, not an
+    approximation. Run over the real sf corpus so every chunk-length
+    edge (short tail windows, single-token docs) is covered."""
+    from ddf_flink_spark.functions.retrieval import hash_chunk_embeddings
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    size, stride, dim = 64, 48, 16
+    toks = "split(`text`, ' ')"
+    starts = f"sequence(1, greatest(size({toks}) - {size} + {stride}, 1), {stride})"
+    hv_t = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+    hashed = d.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform({starts}, s -> transform(slice({toks}, s, {size}), "
+                f"t -> {hv_t}))"
+            )
+        ).alias("chunk_id", "hvs"),
+    )
+    fields = ", ".join(
+        f"'e{k}', aggregate(hvs, cast(0 as bigint), (acc, h) -> "
+        f"acc + cast((((shiftright(h, {k}) & 1) * 2) - 1) as bigint))"
+        for k in range(dim)
+    )
+    ref = hashed.select(
+        "id", "chunk_id", F.inline(F.expr(f"array(named_struct({fields}))"))
+    )
+    n2 = " + ".join(f"e{k} * e{k}" for k in range(dim))
+    ref = ref.withColumn("n2", F.expr(f"cast({n2} as bigint)"))
+
+    got = hash_chunk_embeddings(d).orderBy("id", "chunk_id").collect()
+    want = ref.orderBy("id", "chunk_id").collect()
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
 def test_maxsim_ivf_full_probe_equals_brute(spark):
     """maxsim_ivf_topk (q263) degenerates EXACTLY to maxsim_topk (q257)
     when nprobe = n_lists: probing every cell admits every chunk, so
