@@ -568,14 +568,21 @@ def maxsim_ivf_topk(
             "n2",
         )
     )
-    assigned, cents = kmeans_lloyd(
+    _, cents = kmeans_lloyd(
         chv, "v", "ck", k=n_lists, iters=2, return_centroids=True,
         assume_materialized=True,
     )
-    idx = chv.join(
-        assigned.select(F.col("id").alias("ck"), F.col("cluster").alias("list_id")),
-        "ck",
-    )
+    # cell membership re-derives per row from the FINAL centroids —
+    # bit-equal to the final Lloyd assignment (build_chunk_index's
+    # established rule, pinned by the q264 stream-ingest consistency
+    # oracle). Round 12: the previous ``chv.join(assigned, "ck")``
+    # shuffled the full chunk frame AND the assignment map through an
+    # id-equi join just to attach a column this map computes in place
+    # (guide §2.4 — the assignment was being executed either way as
+    # the join's build side).
+    from .similarity import _argmin_pos
+
+    idx = chv.withColumn("list_id", _argmin_pos("v", cents).cast("int"))
 
     q_emb = _query_embeddings(queries, text_col, id_col, dim).select(
         "qid",
@@ -668,9 +675,13 @@ def build_chunk_pq_index(
         # of the vectors and its dim-probe job (dim is a build param)
         assume_materialized=True,
         dim=dim,
+        # (doc, n2) ride the builder's residual checkpoint onto the
+        # index (round 12) — the previous ``index.join(chv, "id")``
+        # re-shuffled the full chunk frame solely to re-attach two
+        # columns the build's own input carried (guide §2.4/§8)
+        carry_cols=("doc", "n2"),
     )
-    full = index.join(chv.select(F.col("ck").alias("id"), "doc", "n2"), "id")
-    persist_index(full, coarse, cents, base)
+    persist_index(index, coarse, cents, base)
     release_checkpoint(index)
     release_checkpoint(chv)
     return coarse, cents

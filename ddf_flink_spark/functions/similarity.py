@@ -1001,8 +1001,12 @@ def ivfadc_search(
         )
     )
 
-    # PQ codebooks per subspace, trained on residuals (q188 chain)
-    codes, cents = _train_pq_codebooks(remb, m, w, k, iters)
+    # PQ codebooks per subspace, trained on residuals (q188 chain).
+    # list_id rides the codes from the residual frame (round 12): the
+    # serve leg below then filters the codes directly instead of
+    # re-running the coarse assignment map into ``cells`` and paying
+    # two id-equi joins to attach a column codes' input already held.
+    codes, cents = _train_pq_codebooks(remb, m, w, k, iters, carry=("list_id",))
 
     # query (lowest id) + probe frontier (q39 rule, in-engine)
     qid = emb.orderBy("id").limit(1).collect()[0]["id"]
@@ -1061,15 +1065,15 @@ def ivfadc_search(
         )
     )
 
-    cand = cells.filter(
-        F.col("list_id").isin(probed) & (F.col("id") != qid)
-    ).select("id", F.col("list_id").alias("cell"))
-    codes_long = codes.join(cand, "id").select(
-        "id",
-        "cell",
-        F.posexplode(F.expr("array(" + ", ".join(f"code{j}" for j in range(m)) + ")")).alias(
-            "j", "code"
-        ),
+    codes_long = (
+        codes.filter(F.col("list_id").isin(probed) & (F.col("id") != qid))
+        .select(
+            "id",
+            F.col("list_id").alias("cell"),
+            F.posexplode(
+                F.expr("array(" + ", ".join(f"code{j}" for j in range(m)) + ")")
+            ).alias("j", "code"),
+        )
     )
     out = (
         codes_long.join(F.broadcast(lut), ["cell", "j", "code"])
@@ -1093,6 +1097,7 @@ def ivfadc_index_build(
     exact_means: bool = False,
     assume_materialized: bool = False,
     dim: "int | None" = None,
+    carry_cols: "tuple[str, ...]" = (),
 ):
     """Train the residual-IVFADC index ONCE and return it as data:
     ``(index, coarse, codebooks)`` where ``index`` is a DataFrame
@@ -1120,17 +1125,59 @@ def ivfadc_index_build(
     family) pass it to skip the one-row ``first()`` probe job — a
     driver barrier that exists only to infer what the caller already
     knows; a mismatch surfaces as the same slice/zip_with errors the
-    probe would have prevented."""
+    probe would have prevented. ``carry_cols``: extra ``df`` columns to
+    thread through the residual checkpoint onto the returned index
+    (appended after the code columns) — the chunk build carries
+    (doc, n2) this way instead of re-joining the corpus-sized chunk
+    frame onto the finished codes (guide §2.4/§8: attach by carrying,
+    not by a second shuffle over the payload's key space). Requires
+    the order-independent ``exact_means`` path (see below).
+
+    Round-12 join removals (guide §2.4), values bit-identical:
+
+    * the index no longer re-joins the (id → list_id) assignment onto
+      the codes — the residual frame carried ``list_id`` from the
+      moment it was built, so the old ``cells.join(codes, "id")`` both
+      RE-EXECUTED the coarse argmin map over the corpus and paid a
+      corpus-sized Exchange pair, purely to attach a column the codes'
+      own input already held; now list_id rides
+      ``_train_pq_codebooks``'s ``carry`` and the index is a pure map
+      over the residual checkpoint.
+    * with ``exact_means=True`` the residual frame itself is built
+      JOINLESS: list_id is re-derived per row with ``_argmin_pos``
+      against the FINAL coarse centroids — bit-equal to the final
+      Lloyd assignment by definition (``build_chunk_index``'s
+      established rule, pinned by
+      test_ivfadc_encode_matches_index_build and the q264
+      stream-ingest consistency oracle) — instead of shuffling
+      corpus + assignment through an id-equi join. This changes the
+      residual frame's PARTITIONING (map over the caller's checkpoint
+      vs join output), which is only value-safe when the PQ mean
+      update is summation-order-independent — exactly what
+      ``exact_means`` guarantees (round-6 DECIMAL sums). The plain-AVG
+      path keeps the join (its committed whole-doc oracles replay
+      plain AVG, whose double summation is partition-order-sensitive
+      in the last ulp — the round-11 q276 incident) so its mean
+      aggregation stays partitioned by spark.sql.shuffle.partitions,
+      NOT by the scan layout, which varies with the driver's
+      core-count sweeps."""
     from ..ml.kmeans import kmeans_lloyd
     from ..storage import propagate_checkpoint_ids, tracked_local_checkpoint
 
+    if carry_cols and not exact_means:
+        raise ValueError(
+            "ivfadc_index_build: carry_cols requires exact_means=True "
+            "(the joinless residual path; see docstring)"
+        )
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"ivfadc_index_build: dim {dim} not divisible by m={m}")
     w = dim // m
     emb = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *[F.col(c) for c in carry_cols],
     )
     if not assume_materialized:
         emb = tracked_local_checkpoint(emb)
@@ -1144,21 +1191,38 @@ def ivfadc_index_build(
         # emb is the checkpoint above — skip the trainer's second copy
         assume_materialized=True,
     )
-    cells = assign.select("id", F.col("cluster").alias("list_id"))
     coarse_arr = F.lit([[float(x) for x in c] for c in coarse])
-    remb = tracked_local_checkpoint(
-        emb.join(cells, "id").select(
-            "id",
-            "list_id",
-            F.zip_with(
-                "v",
-                F.element_at(coarse_arr, F.col("list_id") + 1),
-                lambda a, b: a - b,
-            ).alias("v"),
+
+    def _residual() -> Column:
+        return F.zip_with(
+            "v",
+            F.element_at(coarse_arr, F.col("list_id") + 1),
+            lambda a, b: a - b,
+        ).alias("v")
+
+    if exact_means:
+        # joinless: re-derive the final assignment per row (bit-equal —
+        # see docstring) instead of shuffling emb + cells through a join
+        remb = tracked_local_checkpoint(
+            emb.withColumn("list_id", _argmin_pos("v", coarse).cast("int")).select(
+                "id", "list_id", _residual(), *carry_cols
+            )
         )
+    else:
+        cells = assign.select("id", F.col("cluster").alias("list_id"))
+        remb = tracked_local_checkpoint(
+            emb.join(cells, "id").select("id", "list_id", _residual())
+        )
+    codes, cents = _train_pq_codebooks(
+        remb, m, w, k, iters, exact_means=exact_means,
+        carry=("list_id", *carry_cols),
     )
-    codes, cents = _train_pq_codebooks(remb, m, w, k, iters, exact_means=exact_means)
-    index = propagate_checkpoint_ids(cells.join(codes, "id"), emb, remb)
+    if carry_cols:
+        # keep the documented index column order: carried payload last
+        codes = codes.select(
+            "id", "list_id", *[f"code{j}" for j in range(m)], *carry_cols
+        )
+    index = propagate_checkpoint_ids(codes, emb, remb)
     return index, coarse, cents
 
 
@@ -1340,6 +1404,7 @@ def ivfadc_batch_search(
 def _train_pq_codebooks(
     remb: DataFrame, m: int, w: int, k: int, iters: int,
     exact_means: bool = False,
+    carry: "tuple[str, ...]" = (),
 ) -> "tuple[DataFrame, list[list[list[float]]]]":
     """Train the m per-subspace PQ codebooks JOINTLY — one Spark job per
     Lloyd round for ALL subspaces, instead of m independent
@@ -1359,7 +1424,14 @@ def _train_pq_codebooks(
     end-to-end). ``remb`` must already be materialized (checkpointed)
     by the caller — this trainer adds no storage.
 
-    Returns (codes, cents): codes = (id, code0..code{m-1}),
+    ``carry``: extra ``remb`` columns to ride the final codes frame
+    (between ``id`` and the code columns), e.g. the ``list_id`` the
+    residual frame already holds — the consumer then never re-joins
+    the corpus-sized assignment map back onto the codes (guide §2.4:
+    the attach is a column that was already there; see
+    ``ivfadc_index_build``). Pure projection — training is untouched.
+
+    Returns (codes, cents): codes = (id, *carry, code0..code{m-1}),
     cents[j][c] = list of w floats."""
     spark = remb.sparkSession
     # Init rounding happens IN-ENGINE (F.round = HALF_UP), exactly like
@@ -1465,7 +1537,7 @@ def _train_pq_codebooks(
         ).alias(f"code{j}")
         for j in range(m)
     ]
-    codes = remb.select("id", *code_cols)
+    codes = remb.select("id", *carry, *code_cols)
     return codes, cents
 
 
