@@ -1749,6 +1749,63 @@ def test_ivfadc_encode_matches_index_build(spark):
     assert encoded == built
 
 
+def test_ivfadc_carry_cols_matches_rejoined_form(spark):
+    """Round-12 §8 pin: the joinless exact_means build with carry_cols
+    must reproduce EXACTLY what the replaced shape computed — the index
+    re-joined onto the Lloyd assignment for list_id and onto the input
+    frame for the carried payload. Equality is row-exact over every
+    column, so both the carry projection and the per-row re-derivation
+    of the final cell are pinned against the definitional form."""
+    import random
+
+    from ddf_flink_spark.functions.similarity import ivfadc_index_build
+    from ddf_flink_spark.ml.kmeans import kmeans_lloyd
+    from ddf_flink_spark.storage import release_checkpoint
+
+    rng = random.Random(31)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], i % 7, float(i) * 1.5)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, doc long, n2 double"
+    )
+    index, coarse, cents = ivfadc_index_build(
+        df, n_lists=4, m=4, k=4, iters=2,
+        exact_means=True, carry_cols=("doc", "n2"),
+    )
+    cols = ["id", "list_id", "code0", "code1", "code2", "code3", "doc", "n2"]
+    carried = sorted(tuple(r) for r in index.select(*cols).collect())
+    release_checkpoint(index)
+
+    # definitional (pre-round-12) form: build WITHOUT carry, then
+    # re-attach list_id via the final Lloyd assignment and the payload
+    # via an id-equi join back onto the input frame
+    index2, coarse2, cents2 = ivfadc_index_build(
+        df, n_lists=4, m=4, k=4, iters=2, exact_means=True,
+    )
+    assert coarse2 == coarse and cents2 == cents
+    import pyspark.sql.functions as F
+
+    assigned = kmeans_lloyd(
+        df, "embedding", "vec_id", k=4, iters=2
+    ).select(F.col("id"), F.col("cluster").alias("list_id_lloyd"))
+    rejoined = sorted(
+        tuple(r)
+        for r in index2.join(assigned, "id")
+        .join(df.select(F.col("vec_id").alias("id"), "doc", "n2"), "id")
+        .select(
+            "id", "list_id", "code0", "code1", "code2", "code3", "doc", "n2",
+            "list_id_lloyd",
+        )
+        .collect()
+    )
+    release_checkpoint(index2)
+    assert [t[:8] for t in rejoined] == carried
+    # the re-derived cell IS the final Lloyd assignment, row for row
+    assert all(t[1] == t[8] for t in rejoined)
+
+
 def test_ivfadc_rebalance_untouched_cells_and_serving_equality(spark):
     """ivfadc_rebalance (q254) contracts:
 
