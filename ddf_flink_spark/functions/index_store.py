@@ -497,7 +497,7 @@ def chunk_split_on_disk(
     layer; membership is the only thing a split changes. Returns
     ``{"cell": id, "new_cell": id, "moved_rows": n}``."""
     from ..storage import release_checkpoint, tracked_local_checkpoint
-    from .similarity import _argmin_pos
+    from .similarity import argmin_pos
 
     chunks, coarse = load_chunk_index(spark, base, apply_tombstones=False)
     dim = len(coarse[0])
@@ -528,7 +528,7 @@ def chunk_split_on_disk(
         raise ValueError(f"chunk_split_on_disk: cell {cell} has < 2 members")
     cents: list[list[float]] = [list(r["c"]) for r in seed_rows]
     for _ in range(iters):
-        assigned = mem.withColumn("pos", _argmin_pos("v", cents))
+        assigned = mem.withColumn("pos", argmin_pos("v", cents))
         mean_rows = (
             assigned.select("pos", F.posexplode("v").alias("dim", "x"))
             .groupBy("pos", "dim")
@@ -543,7 +543,7 @@ def chunk_split_on_disk(
             for p in range(2)
         ]
     staged = mem.withColumn(
-        "pos", _argmin_pos("v", cents).cast("int")
+        "pos", argmin_pos("v", cents).cast("int")
     ).select(
         *data_cols,
         F.when(F.col("pos") == 0, F.lit(cell))

@@ -342,7 +342,7 @@ def build_chunk_index(
     The embedding pipeline executes ONCE: the chunk frame is
     checkpointed before training, Lloyd's iterations and the persist
     write both read the checkpoint. Cell assignment uses
-    ``_argmin_pos`` against the FINAL centroids — bit-equal to the
+    ``argmin_pos`` against the FINAL centroids — bit-equal to the
     training assignment (final Lloyd assignment is defined against the
     final centroids), and the exact expression q264's streaming ingest
     files new arrivals with, so batch build and stream ingest produce
@@ -352,7 +352,7 @@ def build_chunk_index(
     from ..storage import release_checkpoint, tracked_local_checkpoint
     from .dedup import ensure_compute_parallelism
     from .index_store import persist_chunk_index
-    from .similarity import _argmin_pos
+    from .similarity import argmin_pos
 
     corpus = ensure_compute_parallelism(corpus, min_bytes=256 * 1024)
     c_emb = hash_chunk_embeddings(
@@ -381,7 +381,7 @@ def build_chunk_index(
     )
     release_checkpoint(trained)  # membership re-derives from the centroids
     idx = chv.withColumn(
-        "list_id", _argmin_pos("v", cents).cast("int")
+        "list_id", argmin_pos("v", cents).cast("int")
     ).drop("v")
     persist_chunk_index(idx, cents, base)
     release_checkpoint(chv)
@@ -580,9 +580,9 @@ def maxsim_ivf_topk(
     # id-equi join just to attach a column this map computes in place
     # (guide §2.4 — the assignment was being executed either way as
     # the join's build side).
-    from .similarity import _argmin_pos
+    from .similarity import argmin_pos
 
-    idx = chv.withColumn("list_id", _argmin_pos("v", cents).cast("int"))
+    idx = chv.withColumn("list_id", argmin_pos("v", cents).cast("int"))
 
     q_emb = _query_embeddings(queries, text_col, id_col, dim).select(
         "qid",
@@ -731,7 +731,7 @@ def maxsim_adc_topk(
         F.expr("array(" + ", ".join(f"cast(q{d} as double)" for d in range(dim)) + ")").alias("qv"),
         "qn2",
     )
-    from .exprs import darray2, dot_sql, values_df
+    from .exprs import darray2, dot_sql
 
     cents_sql = darray2(coarse)
     probe = _probe_frame(q_emb, coarse, nprobe).withColumn(
@@ -742,29 +742,26 @@ def maxsim_adc_topk(
         ),
     )
     n_codes = len(codebooks[0])
-    # VALUES LocalRelation (exprs.values_df): the m*k codebook frame is
-    # model state — zero tasks to build, broadcasts without a job
-    cb = values_df(
-        spark,
-        [
-            (j, c, [float(x) for x in codebooks[j][c]])
-            for j in range(m)
-            for c in range(n_codes)
-        ],
-        "j int, code int, cd array<double>",
+    # Round-13 (guide §2.4 / §3.3): the dot-product LUT is a PURE
+    # PROJECTION on the probe frame — one array of m·k round-6 DECIMAL
+    # dots per probe row, each dot the exact fold the former
+    # (qid, j, code)-keyed LUT frame computed (codebooks are model
+    # literals, so no crossJoin frame, no per-(qid,j,code) equi-join,
+    # and — because each chunk can now INDEX the array with its own
+    # code columns — no m-way posexplode of the candidate rows and no
+    # re-grouping exchange to undo it). The former shape multiplied
+    # every candidate chunk row m× and paid a groupBy exchange purely
+    # to reassemble values that one projection indexes in place.
+    cb_flat = darray2(
+        [[float(x) for x in codebooks[j][c]] for j in range(m) for c in range(n_codes)]
     )
-    lut = (
-        q_emb.crossJoin(F.broadcast(cb))
-        .select(
-            "qid",
-            "j",
-            "code",
-            F.round(
-                _dot(F.slice("qv", F.col("j") * w + 1, F.lit(w)), F.col("cd")), 6
-            )
-            .cast("decimal(18,6)")
-            .alias("d"),
-        )
+    lut_dot = dot_sql(
+        f"slice(qv, (i div {n_codes}) * {w} + 1, {w})",
+        f"element_at({cb_flat}, i + 1)",
+    )
+    luts_sql = (
+        f"transform(sequence(0, {m * n_codes - 1}), "
+        f"i -> cast(round({lut_dot}, 6) as decimal(18,6)))"
     )
     idx = codes
     if static_probe:
@@ -775,34 +772,31 @@ def maxsim_adc_topk(
             }  # bounded: ≤ Q·nprobe ints
         )
         idx = codes.filter(F.col("list_id").isin(cells))
-    cand = probe.join(idx.withColumnRenamed("id", "ck"), "list_id")
+    # The probe side (Q·nprobe rows + their LUT arrays) is the BUILD
+    # side of an explicit broadcast join: the codes table is never
+    # shuffled (the 100 TB economics), and the broadcast exchange
+    # materializes the luts projection once per probe row, so the m
+    # element_at consumers below index a physical column instead of
+    # re-running the transform per reference.
+    probe = probe.withColumn("luts", F.expr(luts_sql))
+    cand = F.broadcast(probe).join(idx.withColumnRenamed("id", "ck"), "list_id")
     if exclude_self:
         cand = cand.filter(F.col("doc") != F.col("qid"))
     cand = cand.filter((F.col("n2") > 0) & (F.col("qn2") > 0))
-    codes_long = cand.select(
-        "qid",
-        "ck",
-        "doc",
-        "n2",
-        "qn2",
-        "qcdot",
-        F.posexplode(F.expr("array(" + ", ".join(f"code{j}" for j in range(m)) + ")")).alias(
-            "j", "code"
-        ),
+    # sr = Σ_j lut[j][code_j] as one DECIMAL addition chain — decimal
+    # addition is exact, so the chain equals the former F.sum over the
+    # joined LUT rows bit-for-bit (same round-6 decimal terms)
+    sr_sql = " + ".join(
+        f"element_at(luts, {j * n_codes} + code{j} + 1)" for j in range(m)
     )
-    per_chunk = (
-        codes_long.join(lut, ["qid", "j", "code"])
-        .groupBy("qid", "ck", "doc", "n2", "qn2", "qcdot")
-        .agg(F.sum("d").alias("sr"))
-        .select(
-            "qid",
-            "doc",
-            F.round(
-                (F.col("qcdot") + F.col("sr")).cast("double")
-                / F.sqrt((F.col("n2") * F.col("qn2")).cast("double")),
-                6,
-            ).alias("acos"),
-        )
+    per_chunk = cand.select(
+        "qid",
+        "doc",
+        F.round(
+            F.expr(f"cast(qcdot + {sr_sql} as double)")
+            / F.sqrt((F.col("n2") * F.col("qn2")).cast("double")),
+            6,
+        ).alias("acos"),
     )
     ms = per_chunk.groupBy("qid", "doc").agg(F.max("acos").alias("m"))
     wnd = Window.partitionBy("qid").orderBy(F.desc("m"), "doc")

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .exprs import darray2
+
 __all__ = [
     "dot",
     "l2_norm",
@@ -49,6 +51,7 @@ __all__ = [
     "ivfadc_encode_two_level",
     "ivfadc_rebalance",
     "ivfadc_split_cell",
+    "argmin_pos",
 ]
 
 
@@ -320,7 +323,7 @@ def ivf_topk(
     The centroid distance computation is a literal-array expression
     (centroid count is small by construction); the candidate join hits
     ~nprobe/n_lists of the corpus."""
-    cent_arr = F.lit([[float(x) for x in c] for c in centroids])
+    cent_arr = F.expr(darray2(centroids))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -867,7 +870,7 @@ def ivfpq_search(
     )
     qid, qv6 = qrow["id"], list(qrow["q"])
 
-    cent_arr = F.lit([[float(x) for x in c] for c in coarse])
+    cent_arr = F.expr(darray2(coarse))
     scored_lists = F.transform(
         F.sequence(F.lit(0), F.lit(n_lists - 1)),
         lambda i: F.struct(
@@ -988,7 +991,7 @@ def ivfadc_search(
     cells = assign.select("id", F.col("cluster").alias("list_id"))
 
     # residuals: v − coarse[cell], a single IEEE subtract per component
-    coarse_arr = F.lit([[float(x) for x in c] for c in coarse])
+    coarse_arr = F.expr(darray2(coarse))
     remb = tracked_local_checkpoint(
         emb.join(cells, "id").select(
             "id",
@@ -1144,7 +1147,7 @@ def ivfadc_index_build(
       ``_train_pq_codebooks``'s ``carry`` and the index is a pure map
       over the residual checkpoint.
     * with ``exact_means=True`` the residual frame itself is built
-      JOINLESS: list_id is re-derived per row with ``_argmin_pos``
+      JOINLESS: list_id is re-derived per row with ``argmin_pos``
       against the FINAL coarse centroids — bit-equal to the final
       Lloyd assignment by definition (``build_chunk_index``'s
       established rule, pinned by
@@ -1169,11 +1172,19 @@ def ivfadc_index_build(
             "ivfadc_index_build: carry_cols requires exact_means=True "
             "(the joinless residual path; see docstring)"
         )
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    if dim % m:
+    # Reserved-name guard (round-13 ADVICE): a carried column named like
+    # the index's own layout would produce a duplicate/ambiguous column
+    # deep inside the build (an opaque analysis error, or a silently
+    # shadowed column) — reject it at the API boundary instead.
+    reserved = {"id", "v", "list_id", *(f"code{j}" for j in range(m))}
+    clash = [c for c in carry_cols if c in reserved]
+    if clash:
+        raise ValueError(
+            f"ivfadc_index_build: carry_cols {clash} collide with reserved "
+            f"index columns ({sorted(reserved)}); rename them before the build"
+        )
+    if dim is not None and dim % m:
         raise ValueError(f"ivfadc_index_build: dim {dim} not divisible by m={m}")
-    w = dim // m
     emb = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -1191,7 +1202,18 @@ def ivfadc_index_build(
         # emb is the checkpoint above — skip the trainer's second copy
         assume_materialized=True,
     )
-    coarse_arr = F.lit([[float(x) for x in c] for c in coarse])
+    if dim is None:
+        # the coarse centroids kmeans just collected ARE corpus vectors
+        # (init = k lowest-id rows; means preserve the width), so the
+        # vector width is already on the driver — the old one-row
+        # ``first()`` probe job is free here (round 13, guide §1.2)
+        dim = len(coarse[0])
+        if dim % m:
+            raise ValueError(
+                f"ivfadc_index_build: dim {dim} not divisible by m={m}"
+            )
+    w = dim // m
+    coarse_arr = F.expr(darray2(coarse))
 
     def _residual() -> Column:
         return F.zip_with(
@@ -1204,7 +1226,7 @@ def ivfadc_index_build(
         # joinless: re-derive the final assignment per row (bit-equal —
         # see docstring) instead of shuffling emb + cells through a join
         remb = tracked_local_checkpoint(
-            emb.withColumn("list_id", _argmin_pos("v", coarse).cast("int")).select(
+            emb.withColumn("list_id", argmin_pos("v", coarse).cast("int")).select(
                 "id", "list_id", _residual(), *carry_cols
             )
         )
@@ -1271,7 +1293,6 @@ def ivfadc_index_search(
     id tie-break."""
     from ..storage import propagate_checkpoint_ids
 
-    spark = index.sparkSession
     m = len(codebooks)
     k = len(codebooks[0])
     w = len(codebooks[0][0])
@@ -1279,7 +1300,7 @@ def ivfadc_index_search(
     # SQL-text construction (round-12, functions/exprs.py): same probe
     # ranking, residual and LUT folds as the Column forms they replace,
     # parsed in a handful of py4j round-trips instead of hundreds.
-    from .exprs import darray2, probe_sql, values_df
+    from .exprs import probe_sql
 
     cents_sql = darray2(coarse)
     q = queries.select(
@@ -1291,6 +1312,26 @@ def ivfadc_index_search(
         "qv",
         F.explode(F.expr(probe_sql(coarse, "qv", nprobe))).alias("s"),
     ).select("query_id", "qv", F.col("s.list_id").alias("cell"))
+    # Round-13 (guide §2.4 / §3.3): the per-(query, cell) residual LUT
+    # is a PURE PROJECTION on the probe frame — one array of m·k
+    # DECIMAL(30,9) subspace distances per probe row, each the exact
+    # fold the former (query_id, cell, j, code)-keyed LUT frame
+    # computed against the broadcast codebook frame. Because every
+    # candidate row can INDEX the array with its own code columns, the
+    # m-way posexplode of the candidates, the 4-key LUT equi-join AND
+    # the groupBy exchange that reassembled the exploded rows all
+    # disappear; the codes table itself is never shuffled (the probe
+    # side broadcasts).
+    cb_flat = darray2(
+        [[float(x) for x in codebooks[j][c]] for j in range(m) for c in range(k)]
+    )
+    sq_fold = (
+        f"aggregate(zip_with(slice(q, (i div {k}) * {w} + 1, {w}), "
+        f"element_at({cb_flat}, i + 1), "
+        "(x, y) -> cast(round((x - y) * (x - y), 9) as decimal(30,9))), "
+        "cast(0 as decimal(30,9)), "
+        "(acc, x) -> cast(acc + x as decimal(30,9)))"
+    )
     qres = probed.select(
         "query_id",
         "cell",
@@ -1298,29 +1339,9 @@ def ivfadc_index_search(
             f"zip_with(qv, element_at({cents_sql}, cell + 1), "
             "(a, b) -> round(a - b, 6))"
         ).alias("q"),
-    )
-    # VALUES LocalRelation (exprs.values_df): the m*k codebook frame is
-    # model state — zero tasks to build, broadcasts without a job
-    cb = values_df(
-        spark,
-        [
-            (j, c, [float(x) for x in codebooks[j][c]])
-            for j in range(m)
-            for c in range(k)
-        ],
-        "j int, code int, cd array<double>",
-    )
-    lut = qres.join(F.broadcast(cb)).select(
-        "query_id",
-        "cell",
-        "j",
-        "code",
-        F.expr(
-            f"aggregate(zip_with(slice(q, j * {w} + 1, {w}), cd, "
-            "(x, y) -> cast(round((x - y) * (x - y), 9) as decimal(30,9))), "
-            "cast(0 as decimal(30,9)), "
-            "(acc, x) -> cast(acc + x as decimal(30,9)))"
-        ).alias("sq"),
+    ).withColumn(
+        "luts",
+        F.expr(f"transform(sequence(0, {m * k - 1}), i -> {sq_fold})"),
     )
 
     idx = index
@@ -1329,23 +1350,19 @@ def ivfadc_index_search(
             {int(r["cell"]) for r in probed.select("cell").distinct().collect()}
         )
         idx = index.filter(F.col("list_id").isin(probe_cells))
-    cand = probed.select("query_id", "cell").join(
+    cand = F.broadcast(qres.select("query_id", "cell", "luts")).join(
         idx.withColumnRenamed("list_id", "cell"), "cell"
     )
     if exclude_self:
         cand = cand.filter(F.col("id") != F.col("query_id"))
-    codes_long = cand.select(
+    # Σ_j lut[j][code_j] as one DECIMAL addition chain — decimal
+    # addition is exact, so this equals the former F.sum over the m
+    # joined LUT rows bit-for-bit (same round-9 decimal terms)
+    sq_sum = " + ".join(f"element_at(luts, {j * k} + code{j} + 1)" for j in range(m))
+    adc = cand.select(
         "query_id",
-        "cell",
         "id",
-        F.posexplode(F.expr("array(" + ", ".join(f"code{j}" for j in range(m)) + ")")).alias(
-            "j", "code"
-        ),
-    )
-    adc = (
-        codes_long.join(lut, ["query_id", "cell", "j", "code"])
-        .groupBy("query_id", "id")
-        .agg(F.round(F.sum("sq").cast("double"), 6).alias("pq_dist2"))
+        F.expr(f"round(cast({sq_sum} as double), 6)").alias("pq_dist2"),
     )
     wnd = Window.partitionBy("query_id").orderBy("pq_dist2", "id")
     out = (
@@ -1432,7 +1449,11 @@ def _train_pq_codebooks(
     ``ivfadc_index_build``). Pure projection — training is untouched.
 
     Returns (codes, cents): codes = (id, *carry, code0..code{m-1}),
-    cents[j][c] = list of w floats."""
+    cents[j][c] = list of w floats. NOTE: consumers may reorder the
+    carried columns — ``ivfadc_index_build`` re-projects carried payload
+    LAST (id, list_id, code0.., *carry_cols) for its documented index
+    layout — so read positions from the consumer you call, not from
+    this trainer's internal order (round-13 ADVICE)."""
     spark = remb.sparkSession
     # Init rounding happens IN-ENGINE (F.round = HALF_UP), exactly like
     # kmeans_lloyd's seed step — Python round() is HALF_EVEN and would
@@ -1541,11 +1562,13 @@ def _train_pq_codebooks(
     return codes, cents
 
 
-def _argmin_pos(vec_sql: str, cents_py: list) -> Column:
+def argmin_pos(vec_sql: str, cents_py: list) -> Column:
     """Position of the nearest centroid in ``cents_py``: round-6
     euclidean rank, position tiebreak — ``ml/kmeans._assign``'s exact
     rule as one JVM expression (shared by :func:`ivfadc_encode`,
-    :func:`ivfadc_rebalance`, :func:`ivfadc_split_cell`).
+    :func:`ivfadc_rebalance`, :func:`ivfadc_split_cell`, and the
+    retrieval / index-store consumers — public since round 13, when
+    three modules already depended on it).
 
     ``vec_sql`` is SQL text (a column name or e.g. ``slice(r, 1, 4)``):
     the whole argmin parses as ONE ``F.expr`` instead of one py4j
@@ -1558,6 +1581,11 @@ def _argmin_pos(vec_sql: str, cents_py: list) -> Column:
     from .exprs import argmin_lambda_sql
 
     return F.expr(f"{argmin_lambda_sql(cents_py, vec_sql)}.cluster")
+
+
+# Backward-compatible alias (tests and older callers import the
+# underscore name; the public name is argmin_pos — round-13 ADVICE).
+_argmin_pos = argmin_pos
 
 
 def ivfadc_encode(
@@ -1586,12 +1614,12 @@ def ivfadc_encode(
     m = len(codebooks)
     k = len(codebooks[0])
     w = len(codebooks[0][0])
-    coarse_arr = F.lit([[float(x) for x in c] for c in coarse])
+    coarse_arr = F.expr(darray2(coarse))
 
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("list_id", _argmin_pos("v", coarse).cast("int"))
+    ).withColumn("list_id", argmin_pos("v", coarse).cast("int"))
     res = base.withColumn(
         "r",
         F.zip_with(
@@ -1599,7 +1627,7 @@ def ivfadc_encode(
         ),
     )
     code_cols = [
-        _argmin_pos(f"slice(r, {j * w + 1}, {w})", codebooks[j])
+        argmin_pos(f"slice(r, {j * w + 1}, {w})", codebooks[j])
         .cast("int")
         .alias(f"code{j}")
         for j in range(m)
@@ -1695,8 +1723,8 @@ def ivfadc_encode_two_level(
     probe_groups = min(probe_groups, n_groups)
     reps, members = _group_centroids(coarse, n_groups)
 
-    coarse_arr = F.lit([[float(x) for x in c] for c in coarse])
-    reps_arr = F.lit([[float(x) for x in c] for c in reps])
+    coarse_arr = F.expr(darray2(coarse))
+    reps_arr = F.expr(darray2(reps))
     members_arr = F.array(
         *[F.array(*[F.lit(int(i)) for i in ms]) for ms in members]
     )
@@ -1727,7 +1755,7 @@ def ivfadc_encode_two_level(
     )
     probed = F.slice(F.array_sort(rep_scored), 1, probe_groups).getField("g")
     # level 2: brute argmin restricted to the probed groups' members —
-    # round-6 rank, ORIGINAL index tiebreak (the _argmin_pos rule)
+    # round-6 rank, ORIGINAL index tiebreak (the argmin_pos rule)
     cand = F.flatten(
         F.transform(probed, lambda g: F.element_at(members_arr, g + 1))
     )
@@ -1748,7 +1776,7 @@ def ivfadc_encode_two_level(
         ),
     )
     code_cols = [
-        _argmin_pos(f"slice(r, {j * w + 1}, {w})", codebooks[j])
+        argmin_pos(f"slice(r, {j * w + 1}, {w})", codebooks[j])
         .cast("int")
         .alias(f"code{j}")
         for j in range(m)
@@ -1852,10 +1880,10 @@ def ivfadc_rebalance(
             for p in range(len(targets))
         ]
         assigned = members.withColumn(
-            "pos", _argmin_pos("v", cents_t).cast("int")
+            "pos", argmin_pos("v", cents_t).cast("int")
         )
 
-    newc_arr = F.lit([[float(x) for x in c] for c in cents_t])
+    newc_arr = F.expr(darray2(cents_t))
     res = assigned.select(
         "id",
         "old_cell",
@@ -1865,7 +1893,7 @@ def ivfadc_rebalance(
         ).alias("r"),
     )
     code_cols = [
-        _argmin_pos(f"slice(r, {j * w + 1}, {w})", codebooks[j])
+        argmin_pos(f"slice(r, {j * w + 1}, {w})", codebooks[j])
         .cast("int")
         .alias(f"code{j}")
         for j in range(m)
@@ -1950,7 +1978,7 @@ def ivfadc_split_cell(
         raise ValueError(f"ivfadc_split_cell: cell {cell} has < 2 members")
     cents_s: list[list[float]] = [list(r["c"]) for r in seed_rows]
     for _ in range(iters):
-        assigned = members.withColumn("pos", _argmin_pos("v", cents_s))
+        assigned = members.withColumn("pos", argmin_pos("v", cents_s))
         mean_rows = (
             assigned.select("pos", F.posexplode("v").alias("dim", "x"))
             .groupBy("pos", "dim")
@@ -1967,8 +1995,8 @@ def ivfadc_split_cell(
             for p in range(2)
         ]
     new_id = len(coarse)
-    cents_arr = F.lit([[float(x) for x in c] for c in cents_s])
-    fin = members.withColumn("pos", _argmin_pos("v", cents_s).cast("int"))
+    cents_arr = F.expr(darray2(cents_s))
+    fin = members.withColumn("pos", argmin_pos("v", cents_s).cast("int"))
     res = fin.select(
         "id",
         F.lit(cell).cast("int").alias("old_cell"),
@@ -1981,7 +2009,7 @@ def ivfadc_split_cell(
         ).alias("r"),
     )
     code_cols = [
-        _argmin_pos(f"slice(r, {j * w + 1}, {w})", codebooks[j])
+        argmin_pos(f"slice(r, {j * w + 1}, {w})", codebooks[j])
         .cast("int")
         .alias(f"code{j}")
         for j in range(m)

@@ -14465,7 +14465,7 @@ def q264_stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless map (functions/retrieval.hash_chunk_embeddings is
     shuffle-free by construction — window starts are a sequence, token
     hashes a transform, components aggregate folds, one posexplode;
-    cell = _argmin_pos against the persisted coarse centroids), then
+    cell = argmin_pos against the persisted coarse centroids), then
     APPENDS to the list_id-partitioned chunk index under AvailableNow.
     Assignment is per-row, so the streamed membership equals the batch
     build bit-for-bit regardless of arrival order — the oracle replays
@@ -14476,7 +14476,7 @@ def q264_stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from .functions.retrieval import hash_chunk_embeddings
-    from .functions.similarity import _argmin_pos
+    from .functions.similarity import argmin_pos
     from .ml.kmeans import kmeans_lloyd
     from .storage import release_checkpoint
     from .streaming.core import documents_stream
@@ -14495,7 +14495,7 @@ def q264_stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.col(f"e{j}").cast("double") for j in range(DIM)]).alias("v"),
     )
     assigned = s.select(
-        "ck", _argmin_pos("v", coarse).cast("int").alias("list_id")
+        "ck", argmin_pos("v", coarse).cast("int").alias("list_id")
     )
     base = _session_tmp("q264")
     shutil.rmtree(base, ignore_errors=True)
@@ -14601,7 +14601,7 @@ def q265_chunk_index_build_persist(spark: SparkSession, sf_dir: str) -> DataFram
     the offline build a deployment schedules instead: shuffle-free
     chunk embeddings (one checkpointed execution feeds both Lloyd
     training and the persist write), deterministic-Lloyd chunk coarse
-    quantizer, cell assignment via the same _argmin_pos expression the
+    quantizer, cell assignment via the same argmin_pos expression the
     streaming ingest (q264) files arrivals with, persisted as chunk
     rows PARTITIONED BY list_id + the coarse sidecar
     (functions/index_store.persist_chunk_index). The oracle replays

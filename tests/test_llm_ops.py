@@ -192,6 +192,63 @@ def test_connected_components_transitivity(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
 
 
+def test_connected_components_driver_path_matches_loop(spark, monkeypatch):
+    """Round-13 pin: the size-gated driver union-find fast path must
+    produce EXACTLY the distributed min-label loop's (id, cluster) rows —
+    on a graph with chains, merges via a later edge, duplicate and
+    reversed pairs, self-loops, isolated nodes, and string ids."""
+    import random
+
+    from ddf_flink_spark.functions.dedup import connected_components
+
+    rng = random.Random(13)
+    n = 120
+    edges_py = {(rng.randrange(n), rng.randrange(n)) for _ in range(150)}
+    edges_py |= {(5, 6), (6, 5), (7, 7)}  # reversed dup + self-loop
+    nodes = spark.createDataFrame([(i,) for i in range(n + 10)], "id long")
+    edges = spark.createDataFrame(sorted(edges_py), "src long, dst long")
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "0")  # force the loop
+    looped = sorted(
+        tuple(r) for r in connected_components(edges, nodes).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "100000")  # force driver
+    fast = sorted(tuple(r) for r in connected_components(edges, nodes).collect())
+    assert fast == looped
+
+    # string ids: lexical min labels on the fast path (the distributed
+    # loop's DECIMAL convergence metric has never accepted string ids,
+    # so no loop comparison is possible — pre-existing limitation)
+    snodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("z",)], "id string"
+    )
+    sedges = spark.createDataFrame([("b", "a"), ("b", "c")], "src string, dst string")
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "100000")
+    s_fast = sorted(tuple(r) for r in connected_components(sedges, snodes).collect())
+    assert s_fast == [("a", "a"), ("b", "a"), ("c", "a"), ("z", "z")]
+
+    # null endpoints fall back to the loop (same result either way)
+    nedges = spark.createDataFrame(
+        [(0, 1), (2, None)], "src long, dst long"
+    )
+    n_fast = sorted(
+        tuple(r) for r in connected_components(nedges, nodes.limit(4)).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "0")
+    n_loop = sorted(
+        tuple(r) for r in connected_components(nedges, nodes.limit(4)).collect()
+    )
+    assert n_fast == n_loop
+
+    # empty edge set: every node isolated, no VALUES frame needed
+    eedges = spark.createDataFrame([], "src long, dst long")
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "100000")
+    e_fast = sorted(
+        tuple(r) for r in connected_components(eedges, nodes.limit(3)).collect()
+    )
+    assert e_fast == [(0, 0), (1, 1), (2, 2)]
+
+
 def test_resize_media_real_nearest_neighbor(spark):
     """resize_media is a REAL nearest-neighbor resample now: PPM/BMP/PNG
     decode to pixels, the output is a valid P6 with the resampled bytes,
@@ -1804,6 +1861,27 @@ def test_ivfadc_carry_cols_matches_rejoined_form(spark):
     assert [t[:8] for t in rejoined] == carried
     # the re-derived cell IS the final Lloyd assignment, row for row
     assert all(t[1] == t[8] for t in rejoined)
+
+
+def test_ivfadc_carry_cols_reserved_names_rejected(spark):
+    """Round-13 ADVICE: a carried column colliding with the index's own
+    layout ('id', 'v', 'list_id', 'code{j}') must raise a clear
+    ValueError at the API boundary — not an opaque ambiguous-column
+    analysis error deep inside the build. The guard fires before any
+    Spark job (the frame is never touched)."""
+    import pytest
+
+    from ddf_flink_spark.functions.similarity import ivfadc_index_build
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8, 1)], "vec_id long, embedding array<float>, list_id int"
+    )
+    for bad in ("id", "v", "list_id", "code0", "code3"):
+        with pytest.raises(ValueError, match="reserved"):
+            ivfadc_index_build(
+                df, n_lists=2, m=4, k=2, iters=1,
+                exact_means=True, carry_cols=(bad,), dim=8,
+            )
 
 
 def test_ivfadc_rebalance_untouched_cells_and_serving_equality(spark):
