@@ -610,26 +610,30 @@ def minhash_signatures(
     slower at sf0.1 on the full q152 pipeline). Use md5 for interchange
     and verification, xx for production scale."""
     sh = exploded_shingles(df, text_col, id_col, shingle_n)
-    # SQL-text aggregate construction (round-12, functions/exprs.py):
-    # the same integer expressions as the Column-API loops they
-    # replace, parsed in one py4j round-trip per aggregate instead of
-    # ~8 — identical exact-BIGINT values.
+    # ONE SQL-text struct aggregate (round 13): round 12 already parsed
+    # each min() as text, but still issued one py4j round-trip (and one
+    # eager re-analysis) per aggregate column — k of them per call.
+    # Wrapping all k mins in a single named struct parses and analyzes
+    # once; ``s.*`` restores the identical h0..h{k-1} columns (the
+    # optimizer collapses the struct projection back onto the aggregate
+    # references — same exchange, same exact-BIGINT values).
     if hash_family == "md5":
         p = MINHASH_MERSENNE_P
         base = f"(cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % {p})"
-        mins = [
-            F.expr(
-                f"min(({_minhash_a(i)} * {base} + {_minhash_b(i)}) % {p})"
-            ).alias(f"h{i}")
+        fields = ", ".join(
+            f"min(({_minhash_a(i)} * {base} + {_minhash_b(i)}) % {p}) as h{i}"
             for i in range(num_hashes)
-        ]
+        )
     else:
         sh = sh.select("id", F.xxhash64("g").alias("hg"))
-        mins = [
-            F.expr(f"min(xxhash64({i}, hg))").alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    return sh.groupBy("id").agg(*mins)
+        fields = ", ".join(
+            f"min(xxhash64({i}, hg)) as h{i}" for i in range(num_hashes)
+        )
+    return (
+        sh.groupBy("id")
+        .agg(F.expr(f"struct({fields})").alias("s"))
+        .select("id", "s.*")
+    )
 
 
 def minhash_lsh_candidates(
@@ -664,11 +668,15 @@ def minhash_lsh_candidates(
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_family)
 
-    def bucket_key(bi: int) -> Column:
-        members = [F.col(f"h{bi * r + j}") for j in range(r)]
+    def bucket_key_sql(bi: int) -> str:
+        members = [f"h{bi * r + j}" for j in range(r)]
         if hash_family == "md5":
-            return F.concat_ws(",", *[m.cast("string") for m in members])
-        return F.xxhash64(*members).cast("string")
+            return (
+                "concat_ws(',', "
+                + ", ".join(f"cast({m} as string)" for m in members)
+                + ")"
+            )
+        return f"cast(xxhash64({', '.join(members)}) as string)"
 
     from ..storage import tracked_local_checkpoint
 
@@ -679,20 +687,15 @@ def minhash_lsh_candidates(
     # A's exchange (verified in tests/test_plans.py: the pre-fix plan
     # carried two hashpartitioning(id) exchanges). Banded rows are
     # O(bands) per doc — far smaller than the shingle stage they replace.
+    # The band array is ONE parsed text (round 13): the per-band
+    # Column loop cost ~4 py4j round-trips per band; identical structs.
+    band_array = ", ".join(
+        f"named_struct('band', {bi}, 'bucket', {bucket_key_sql(bi)})"
+        for bi in range(bands)
+    )
     band_rows = tracked_local_checkpoint(
         sig.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            bucket_key(bi).alias("bucket"),
-                        )
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("bb"),
+            "id", F.explode(F.expr(f"array({band_array})")).alias("bb")
         ).select("id", "bb.band", "bb.bucket")
     )
     left = band_rows.alias("a")
@@ -760,13 +763,22 @@ def simhash_signatures(
         sh = sh.select("id", md5_long(F.col("g")).alias("h"))
     else:
         sh = sh.select("id", F.xxhash64("g").alias("h"))
-    bit_sums = [
-        F.expr(
-            f"sum(cast(shiftrightunsigned(h, {i}) & 1 as bigint))"
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    # ONE SQL-text struct aggregate (round 13, same rationale as
+    # minhash_signatures): 65 aggregate columns parse and analyze once;
+    # ``s.*`` restores the identical n/b0..b{bits-1} columns feeding the
+    # same bit-OR reassembly.
+    fields = ", ".join(
+        ["count(1) as n"]
+        + [
+            f"sum(cast(shiftrightunsigned(h, {i}) & 1 as bigint)) as b{i}"
+            for i in range(bits)
+        ]
+    )
+    agg = (
+        sh.groupBy("id")
+        .agg(F.expr(f"struct({fields})").alias("s"))
+        .select("id", "s.*")
+    )
     sigs = agg.select("id", _sig_from_bit_counts("n", bits).alias("sig"))
     empty_sig = -1 if bits == 64 else (1 << bits) - 1
     # re-attach shingle-less docs (explode dropped them): empty vote → all ones

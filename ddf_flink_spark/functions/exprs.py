@@ -29,6 +29,7 @@ __all__ = [
     "darray",
     "darray2",
     "argmin_lambda_sql",
+    "argmin_lambda_over_sql",
     "dot_sql",
     "probe_sql",
     "values_df",
@@ -233,6 +234,21 @@ def argmin_lambda_sql(
     tie-break key, so ordering is unchanged) for callers that need it
     (ml/kmeans._assign). ``vec_sql`` must not reference lambda
     variables named c/d/ci/x/y/acc."""
+    return argmin_lambda_over_sql(
+        darray2(cents), len(cents), vec_sql, with_dist=with_dist
+    )
+
+
+def argmin_lambda_over_sql(
+    cents_sql: str, k: int, vec_sql: str, with_dist: bool = False
+) -> str:
+    """:func:`argmin_lambda_sql` generalized to ANY SQL expression for
+    the centroid table — a column reference as well as a literal text.
+    The lambda fold is character-identical to the literal form's, so
+    iterating it over a column holding the same doubles produces the
+    same bits (the fused Lloyd trainer chains iteration i's in-plan
+    means into iteration i+1's assignment this way — ml/kmeans.py,
+    round 13). ``cents_sql`` must hold exactly ``k`` vectors."""
     dist = (
         "sqrt(aggregate(zip_with(" + vec_sql + ", c, "
         "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x))"
@@ -241,7 +257,7 @@ def argmin_lambda_sql(
     if with_dist:
         fields += ", 'dist', d"
     return (
-        f"array_min(zip_with(transform({darray2(cents)}, c -> {dist}), "
-        f"sequence(0, {len(cents) - 1}), "
+        f"array_min(zip_with(transform({cents_sql}, c -> {dist}), "
+        f"sequence(0, {k - 1}), "
         f"(d, ci) -> named_struct({fields})))"
     )
