@@ -1418,6 +1418,15 @@ def ivfadc_batch_search(
     )
 
 
+# Round-13 adjudication (same verdict as ml/kmeans.kmeans_lloyd): a
+# FUSED one-job variant of this trainer — init + every joint Lloyd
+# round chained in-plan through broadcast one-row codebook frames, one
+# final collect (commit aecb6dd) — was built, parity-pinned and
+# oracle-verified (sf0.01/sf0.1/8-core), then REJECTED on measurement:
+# the per-iteration subtree duplication (~2^iters logical tree) costs
+# more in Catalyst optimization than the removed driver barriers save,
+# e.g. q275 5.99 s stepwise vs 6.75 s fused (interleaved min-of-2).
+# The stepwise loop below stays the production path.
 def _train_pq_codebooks(
     remb: DataFrame, m: int, w: int, k: int, iters: int,
     exact_means: bool = False,
@@ -1454,7 +1463,50 @@ def _train_pq_codebooks(
     LAST (id, list_id, code0.., *carry_cols) for its documented index
     layout — so read positions from the consumer you call, not from
     this trainer's internal order (round-13 ADVICE)."""
-    from .exprs import argmin_lambda_over_sql
+    spark = remb.sparkSession
+    # Init rounding happens IN-ENGINE (F.round = HALF_UP), exactly like
+    # kmeans_lloyd's seed step — Python round() is HALF_EVEN and would
+    # diverge from the sequential chains and the DuckDB ROUND oracles
+    # at exact decimal midpoints (round-7 ADVICE).
+    init_rows = (
+        remb.orderBy("id")
+        .limit(k)
+        .select(F.transform("v", lambda x: F.round(x, 4)).alias("c"))
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"_train_pq_codebooks: k={k} but the input has only "
+            f"{len(init_rows)} rows; need at least k rows per codebook"
+        )
+    cents: list[list[list[float]]] = [
+        [list(r["c"])[j * w : (j + 1) * w] for r in init_rows] for j in range(m)
+    ]
+
+    def assign_all(cur: list[list[list[float]]]) -> DataFrame:
+        """(id, j, cluster, vs=slice_j) — every subspace's argmin in one
+        map pass (mirrors ml/kmeans._assign per subspace). Emitted as
+        ONE ``F.expr`` SQL text: the Column form built m·k
+        zip_with/aggregate trees through py4j (hundreds of synchronous
+        round-trips per training pass — the measured q275 bottleneck);
+        the parsed text is the same fold, same round-6 + cluster-id
+        tie-break, bit-identical (tests/test_operators.py::TestExprSql).
+        Each subspace's argmin is a LAMBDA over its codebook literal
+        (exprs.argmin_lambda_sql) — m O(1)-node trees instead of m·k
+        inlined distance trees, so the per-iteration analysis/codegen
+        cost no longer scales with the codebook size."""
+        from .exprs import argmin_lambda_sql
+
+        per_j = []
+        for j in range(m):
+            sub = f"slice(v, {j * w + 1}, {w})"
+            best = argmin_lambda_sql(cur[j], sub)
+            per_j.append(
+                f"named_struct('j', {j}, 'cluster', {best}.cluster, 'vs', {sub})"
+            )
+        return remb.select(
+            "id", F.explode(F.expr(f"array({', '.join(per_j)})")).alias("a")
+        ).select("id", "a.j", "a.cluster", "a.vs")
 
     # ``exact_means``: per-dimension mean as a round-6 DECIMAL(18,6)
     # SUM (exact, summation-ORDER-independent) cast to double and
@@ -1475,87 +1527,26 @@ def _train_pq_codebooks(
         )
     else:
         mean_expr = F.round(F.avg("x"), 4)
-    # FUSED training (round 13 — ml/kmeans.kmeans_lloyd's design applied
-    # per subspace): init + every joint Lloyd round + the codebook-table
-    # reconstructions execute as ONE job whose single collect returns
-    # the final m×k×w table, eliminating the init collect and the
-    # per-round driver barriers. Init rounding happens IN-ENGINE
-    # (F.round = HALF_UP, round-7 ADVICE); the assignment text is the
-    # SAME lambda fold as the literal form (argmin_lambda_over_sql over
-    # element_at(cbs, j+1) — character-identical arithmetic); the mean
-    # aggregation is the SAME explode → groupBy(j, cluster, dim) →
-    # mean_expr exchange as the stepwise loop, so every intermediate
-    # codebook is bit-equal (pinned by
-    # test_joint_pq_codebook_training_matches_sequential and the
-    # q188/q242-q245/q275-q277 oracles). Reconstruction is exact-value
-    # plumbing: rounded means ride a map_from_entries gather
-    # (order-free); an emptied cluster falls back to its previous
-    # centroid via try_element_at + coalesce (NULL, not an ANSI error,
-    # on the missing key); the under-k init case flows junk to the
-    # final collect where n_init raises the same ValueError as before.
-    init = (
-        remb.orderBy("id")
-        .limit(k)
-        .select("id", F.transform("v", lambda x: F.round(x, 4)).alias("c"))
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(id, c))), e -> e.c)"
-            ).alias("cf"),
-            F.count(F.lit(1)).alias("n_init"),
-        )
-    )
-    cur = init.select(
-        F.expr(
-            f"transform(sequence(0, {m - 1}), "
-            f"j -> transform(cf, c -> slice(c, j * {w} + 1, {w})))"
-        ).alias("cbs"),
-        "n_init",
-    )
     for _ in range(iters):
-        per_j = []
-        for j in range(m):
-            sub = f"slice(v, {j * w + 1}, {w})"
-            best = argmin_lambda_over_sql(f"element_at(cbs, {j + 1})", k, sub)
-            per_j.append(
-                f"named_struct('j', {j}, 'cluster', {best}.cluster, 'vs', {sub})"
-            )
-        means = (
-            remb.crossJoin(F.broadcast(cur.select("cbs")))
-            .select(
-                "id", F.explode(F.expr(f"array({', '.join(per_j)})")).alias("a")
-            )
-            .select("id", "a.j", "a.cluster", "a.vs")
+        mean_rows = (
+            assign_all(cents)
             .select("j", "cluster", F.posexplode("vs").alias("dim", "x"))
             .groupBy("j", "cluster", "dim")
             .agg(mean_expr.alias("c"))
+            .collect()
         )
-        gather = means.agg(
-            F.expr(
-                f"map_from_entries(collect_list(struct("
-                f"(cast(j as bigint) * {k} + cluster) * {w} + dim, c)))"
-            ).alias("mp")
-        )
-        cur = gather.crossJoin(F.broadcast(cur)).select(
-            F.expr(
-                f"transform(sequence(0, {m - 1}), j -> "
-                f"transform(sequence(0, {k - 1}), ci -> "
-                f"transform(sequence(0, {w - 1}), d -> "
-                f"coalesce("
-                f"try_element_at(mp, (cast(j as bigint) * {k} + ci) * {w} + d), "
-                f"try_element_at(try_element_at(try_element_at(cbs, j + 1), "
-                f"ci + 1), d + 1)))))"
-            ).alias("cbs"),
-            "n_init",
-        )
-    row = cur.collect()[0]  # ONE job: init + all rounds + reconstruction
-    if row["n_init"] < k:
-        raise ValueError(
-            f"_train_pq_codebooks: k={k} but the input has only "
-            f"{row['n_init']} rows; need at least k rows per codebook"
-        )
-    cents: list[list[list[float]]] = [
-        [list(c) for c in row["cbs"][j]] for j in range(m)
-    ]
+        by_jc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in mean_rows:
+            by_jc.setdefault((r["j"], r["cluster"]), {})[r["dim"]] = r["c"]
+        cents = [
+            [
+                [by_jc[(j, ci)][d] for d in range(w)]
+                if (j, ci) in by_jc
+                else cents[j][ci]
+                for ci in range(k)
+            ]
+            for j in range(m)
+        ]
 
     # Final per-subspace codes as ONE direct projection (round-12 guide
     # §2.4 remove-shuffles): m argmin columns evaluated in a single map

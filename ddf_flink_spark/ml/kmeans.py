@@ -64,6 +64,22 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
+# Round-13 adjudication: a FUSED one-job variant of this trainer (init +
+# every iteration's means chained in-plan through broadcast one-row
+# centroid frames, one final collect — commit aecb6dd,
+# parity-pinned bit-for-bit there) was built, verified
+# (17/17 sf0.01 oracles, 7/7 sf0.1, 6/6 at 8 cores) and then REJECTED
+# on measurement: each iteration's subtree is referenced twice (by the
+# next assignment and by the emptied-cluster fallback), so the logical
+# tree grows ~2^iters and Catalyst's optimizer pays ~0.4-0.5 s per
+# training on the nested plan, while the fused collect still fires one
+# AQE stage-job per exchange — interleaved A/B (min-of-2 per arm):
+# q265 1.96 s stepwise vs 3.34 s fused, q258 3.16 vs 3.33, q244 4.12
+# vs 4.89. One driver barrier per Lloyd round is CHEAPER than the
+# optimizer tax of a multi-iteration nested plan on PySpark classic;
+# the stepwise loop stays the production path.
+
+
 def kmeans_lloyd(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -81,128 +97,20 @@ def kmeans_lloyd(
     keeps its previous centroid (mirrored by the oracle's LEFT JOIN +
     COALESCE).
 
-    FUSED (round 13, guide §1.2/§2.4): the whole training — init scan,
-    every iteration's assignment + mean aggregation, and the chain of
-    centroid tables between them — executes as ONE Spark job whose
-    single collect returns the final centroids. Iteration i's rounded
-    means feed iteration i+1's assignment IN-PLAN: each centroid table
-    is a one-row frame broadcast into the next assignment pass, so the
-    per-iteration driver barriers (init collect + one collect per
-    round — the dominant cost of every index build at small scale, and
-    a driver round-trip per iteration at any scale) disappear. The
-    VALUE-CRITICAL subtrees are unchanged: the assignment fold is
-    ``argmin_lambda_over_sql`` — character-identical to the literal
-    form's lambda — and the mean aggregation is the same
-    posexplode → groupBy(cluster, dim) → ROUND(AVG(x), r) exchange
-    (same partitioning, same partial aggregation), so every
-    intermediate centroid is bit-equal to the stepwise loop's (pinned
-    by test_kmeans_lloyd_fused_matches_stepwise and the q146/q155
-    oracle family). Reconstruction of the k×D table from the means is
-    exact-value plumbing only: the ROUNDED means ride a
-    map_from_entries gather (order-free), an emptied cluster falls
-    back to its previous centroid via try_element_at + coalesce —
-    the driver-side dict merge, in-plan.
-
     ``assume_materialized``: the caller guarantees ``df`` is already a
     materialization boundary (a localCheckpoint or an in-memory scan),
     so the internal checkpoint — whose only purpose is to stop the
-    passes re-executing expensive upstream lineage — would copy the
-    rows a second time for nothing. Values are identical either way (a
-    checkpoint is an execution boundary, never a computation); callers
-    that train over raw lineage keep the default."""
-    from ..functions.exprs import argmin_lambda_over_sql
-
+    iterations re-executing expensive upstream lineage — would copy the
+    rows a second time for nothing. Each iteration then re-reads the
+    caller's checkpoint through a cheap projection instead. Values are
+    identical either way (a checkpoint is an execution boundary, never
+    a computation); callers that train over raw lineage keep the
+    default."""
     emb = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     if not assume_materialized:
-        # read per pass — never re-execute upstream lineage
-        emb = emb.localCheckpoint()
-    # cents₀: the k lowest-id vectors rounded IN-ENGINE (HALF_UP, like
-    # every round here), gathered into one array<array<double>> row in
-    # id order (array_sort on (id, c) structs restores the order
-    # collect_list loses). n_init rides along so the under-k guard
-    # needs no separate job.
-    init = (
-        emb.orderBy("id")
-        .limit(k)
-        .select(
-            "id", F.transform("v", lambda x: F.round(x, round_digits)).alias("c")
-        )
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(id, c))), e -> e.c)"
-            ).alias("cents"),
-            F.count(F.lit(1)).alias("n_init"),
-        )
-    )
-    # Key packing for the (cluster, dim) → mean map: dims fit well
-    # under 1e6 (the widest embedding here is 64; a million-dim vector
-    # would be a different engine). BIGINT arithmetic, no collision.
-    _KD = 1_000_000
-    cur = init
-    for _ in range(iters):
-        best = argmin_lambda_over_sql("cents", k, "v")
-        means = (
-            emb.crossJoin(F.broadcast(cur.select("cents")))
-            .select(F.expr(f"{best}.cluster").alias("cluster"), "v")
-            .select("cluster", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.round(F.avg("x"), round_digits).alias("c"))
-        )
-        gather = means.agg(
-            F.expr(
-                f"map_from_entries(collect_list(struct("
-                f"cast(cluster as bigint) * {_KD} + dim, c)))"
-            ).alias("mp")
-        )
-        # try_element_at (not element_at): under ANSI semantics a
-        # missing map key / short array must yield NULL for the
-        # coalesce fallback (emptied cluster keeps its previous
-        # centroid; the under-k init case flows junk to the final
-        # collect where n_init raises the same ValueError as before)
-        cur = gather.crossJoin(F.broadcast(cur)).select(
-            F.expr(
-                f"transform(sequence(0, {k - 1}), ci -> "
-                f"transform(sequence(0, greatest("
-                f"size(try_element_at(cents, 1)), 1) - 1), d -> "
-                f"coalesce(try_element_at(mp, cast(ci as bigint) * {_KD} + d), "
-                f"try_element_at(try_element_at(cents, ci + 1), d + 1))))"
-            ).alias("cents"),
-            "n_init",
-        )
-    row = cur.collect()[0]  # ONE job: init + all passes + reconstruction
-    if row["n_init"] < k:
-        raise ValueError(
-            f"kmeans_lloyd: k={k} but the input has only {row['n_init']} rows; "
-            "need at least k rows to seed k centroids"
-        )
-    cents: list[list[float]] = [list(c) for c in row["cents"]]
-    final = _assign(emb, cents).select("id", "cluster", "dist")
-    if return_centroids:
-        return final, cents
-    return final
-
-
-def _kmeans_lloyd_stepwise(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 4,
-    iters: int = 2,
-    round_digits: int = 4,
-    return_centroids: bool = False,
-    assume_materialized: bool = False,
-) -> "DataFrame | tuple[DataFrame, list[list[float]]]":
-    """The pre-round-13 driver-stepped loop (init collect + one mean
-    collect per iteration) — kept as the DEFINITIONAL reference the
-    fused trainer is parity-pinned against
-    (test_kmeans_lloyd_fused_matches_stepwise). Not used by any query
-    path."""
-    emb = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    if not assume_materialized:
+        # read per iteration — never re-execute upstream lineage
         emb = emb.localCheckpoint()
     init_rows = (
         emb.orderBy("id")

@@ -169,56 +169,3 @@ def test_quality_classifier_recovers_planted_boundary(spark):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r.n_docs for r in rows) == n_docs, "deciles must partition corpus"
     assert all(0 <= r.bucket <= 10 for r in rows)
-
-def test_kmeans_lloyd_fused_matches_stepwise(spark):
-    """Round-13 pin: the fused one-job Lloyd trainer must reproduce the
-    definitional driver-stepped loop BIT-FOR-BIT — centroids and
-    (id, cluster, dist) assignments — across shapes that exercise every
-    branch: multiple iterations, iters=0 (init only), an EMPTIED
-    cluster (previous-centroid fallback), and duplicate points (ties
-    broken by cluster id). The under-k guard must still raise."""
-    import random
-
-    import pytest
-
-    from ddf_flink_spark.ml.kmeans import _kmeans_lloyd_stepwise, kmeans_lloyd
-
-    rng = random.Random(131)
-
-    def frame(rows, schema="vec_id long, embedding array<double>"):
-        return spark.createDataFrame(rows, schema)
-
-    # dense random cloud, several iterations
-    cloud = frame(
-        [(i, [rng.uniform(-2, 2) for _ in range(6)]) for i in range(200)]
-    )
-    # a spread that empties a cluster: three tight far clusters, but the
-    # 4 lowest ids (the seeds) all sit inside the FIRST cluster, so
-    # after one update some seeds lose every member
-    tight = frame(
-        [(i, [0.001 * i, 0.0]) for i in range(4)]
-        + [(i, [50.0 + rng.uniform(-0.1, 0.1), 1.0]) for i in range(10, 40)]
-        + [(i, [-50.0 + rng.uniform(-0.1, 0.1), -1.0]) for i in range(40, 70)]
-    )
-    # duplicate points (argmin ties) + tiny n
-    dups = frame([(i, [1.0, 1.0]) for i in range(6)] + [(9, [2.0, 2.0])])
-
-    for df, k, iters in [
-        (cloud, 4, 3),
-        (cloud, 4, 0),
-        (tight, 4, 2),
-        (dups, 3, 2),
-    ]:
-        a1, c1 = kmeans_lloyd(
-            df, "embedding", "vec_id", k=k, iters=iters, return_centroids=True
-        )
-        a2, c2 = _kmeans_lloyd_stepwise(
-            df, "embedding", "vec_id", k=k, iters=iters, return_centroids=True
-        )
-        assert c1 == c2, f"centroids diverged for k={k}, iters={iters}"
-        r1 = sorted(tuple(r) for r in a1.collect())
-        r2 = sorted(tuple(r) for r in a2.collect())
-        assert r1 == r2, f"assignments diverged for k={k}, iters={iters}"
-
-    with pytest.raises(ValueError, match="need at least k rows"):
-        kmeans_lloyd(dups, "embedding", "vec_id", k=20, iters=1)
