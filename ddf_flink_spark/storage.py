@@ -94,7 +94,7 @@ def _release_ids_in_session(session_ref, ids) -> None:
         if sc is None or sc._jsc is None:
             return
         m = sc._jsc.getPersistentRDDs()
-        for k in list(m.keySet()):
+        for k in list(m.keySet().toArray()):
             if int(k) in ids:
                 m.get(k).unpersist(False)
     except Exception:
@@ -124,7 +124,12 @@ def _attach_finalizer(df: DataFrame, spark, ids) -> None:
 def persistent_rdd_ids(spark) -> set[int]:
     """Ids of all currently-persisted RDDs (checkpoint blocks + caches)."""
     m = spark.sparkContext._jsc.getPersistentRDDs()
-    return {int(k) for k in m.keySet()}
+    # one round-trip: iterating the Java set via the py4j iterator
+    # protocol costs one JVM call per element plus a JVM
+    # NoSuchElementException (with a full stack trace) to terminate —
+    # ~65 ms per listing on this box; toArray ships the keys in one
+    # reply (round 13)
+    return {int(k) for k in m.keySet().toArray()}
 
 
 def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
@@ -265,7 +270,7 @@ def release_session_storage(spark) -> int:
         return 0
     m = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
-    for k in list(m.keySet()):
+    for k in list(m.keySet().toArray()):
         if int(k) in ledger:
             m.get(k).unpersist(False)
             n += 1
@@ -285,7 +290,7 @@ def release_checkpoint(df: DataFrame | None) -> None:
         return
     spark = df.sparkSession
     m = spark.sparkContext._jsc.getPersistentRDDs()
-    for k in list(m.keySet()):
+    for k in list(m.keySet().toArray()):
         if int(k) in ids:
             m.get(k).unpersist(False)
     ledger = _SESSION_IDS.get(spark)
@@ -301,7 +306,7 @@ def release_all_storage(spark) -> int:
     module docstring."""
     m = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
-    for k in list(m.keySet()):
+    for k in list(m.keySet().toArray()):
         m.get(k).unpersist(False)
         n += 1
     ledger = _SESSION_IDS.get(spark)
